@@ -1,0 +1,245 @@
+package graft.sources.colf
+
+import java.util.OptionalLong
+
+import scala.collection.immutable.ArraySeq
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DataSource V2 provider for the COLF columnar format
+  * (reference: satyakalla890/columnar-format SPEC.md).
+  *
+  * Usage: `spark.read.format("colf").load(pathOrDir)`,
+  * `df.write.format("colf").mode("overwrite").save(dir)`.
+  *
+  * A path may be a single `.colf` file, a directory of part files, or a
+  * glob; each file is one [[InputPartition]], so a directory of N part
+  * files scans with N-way parallelism — the multi-file layout is how this
+  * single-file reference format scales out (SURVEY.md §7.1 M1).
+  */
+class ColfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "colf"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = ColfUtil.resolveFiles(ColfUtil.paths(options))
+    if (files.isEmpty)
+      throw new IllegalArgumentException(
+        s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
+    ColfUtil.sparkSchema(ColfUtil.readHeader(files.head).schema)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ColfTable(ColfUtil.paths(opts), schema)
+  }
+}
+
+private[colf] object ColfUtil {
+  private val mapper = new ObjectMapper()
+
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      val node = mapper.readTree(json)
+      (0 until node.size()).map(node.get(_).asText())
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    if (all.isEmpty) throw new IllegalArgumentException("colf: no path specified")
+    all
+  }
+
+  /** Expand files/dirs/globs into concrete .colf file paths. Driver-side. */
+  def resolveFiles(paths: Seq[String]): Seq[String] = {
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse {
+        if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
+      }
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".colf") &&
+              !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.getName)
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }
+  }
+
+  def readHeader(file: String): ColfHeader = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    try ColfCodec.readHeader(in)
+    finally in.close()
+  }
+
+  def sparkType(t: ColfType): DataType = t match {
+    case ColfType.Int32   => IntegerType
+    case ColfType.Float64 => DoubleType
+    case ColfType.Utf8    => StringType
+  }
+
+  def colfType(t: DataType): ColfType = t match {
+    case IntegerType => ColfType.Int32
+    case DoubleType  => ColfType.Float64
+    case StringType  => ColfType.Utf8
+    case other => throw new IllegalArgumentException(
+      s"COLF supports only int/double/string columns; got $other. " +
+        "Cast the column first (COLF's type lattice is {int32, float64, utf8}).")
+  }
+
+  def sparkSchema(s: ColfSchema): StructType =
+    StructType(s.fields.map(f => StructField(f.name, sparkType(f.tpe), f.nullable)))
+
+  def colfFields(s: StructType): IndexedSeq[ColfField] =
+    ArraySeq.unsafeWrapArray(
+      s.fields.map(f => ColfField(f.name, colfType(f.dataType), f.nullable)))
+}
+
+class ColfTable(paths: Seq[String], override val schema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"colf:${paths.mkString(",")}"
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ColfScanBuilder(paths, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ColfWriteBuilder(paths, info)
+}
+
+/** Projection pushdown: Catalyst's V2ScanRelationPushDown hands us the
+  * required columns; the reader then seeks/reads/inflates ONLY those
+  * blocks — the reference's selective-read fast path (reader.py:165-192)
+  * done at the I/O layer.
+  */
+class ColfScanBuilder(paths: Seq[String], fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve file column order; an empty projection (count(*)) keeps
+    // zero columns and the reader emits empty rows.
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new ColfScan(paths, fullSchema, required)
+}
+
+class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val files: Seq[String] = ColfUtil.resolveFiles(paths)
+  private lazy val headers: Seq[ColfHeader] = files.map(ColfUtil.readHeader)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => ColfInputPartition(f)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColfPartitionReaderFactory(required.fieldNames)
+
+  /** Row counts are free — they're in every header (SPEC.md:27). Exposing
+    * them lets Catalyst/AQE size joins and pick broadcast sides.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(headers.flatMap(_.metas.map(_.uncompSize)).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(headers.map(_.schema.numRows).sum)
+  }
+}
+
+case class ColfInputPartition(file: String) extends InputPartition
+
+class ColfPartitionReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].file, requiredCols)
+}
+
+class ColfPartitionReader(file: String, requiredCols: Array[String])
+    extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val path = new Path(file)
+  private val fs: FileSystem = path.getFileSystem(new Configuration())
+  private val in = fs.open(path)
+  private val header = ColfCodec.readHeader(in)
+  private val numRows: Int = {
+    val n = header.schema.numRows
+    require(n <= Int.MaxValue, s"File $file has $n rows; split into part files")
+    n.toInt
+  }
+
+  // Selective decode: seek straight to each required block via the header
+  // offsets; untouched columns cost zero I/O.
+  private val cols: Array[ColfCodec.DecodedColumn] = requiredCols.map { name =>
+    val idx = header.schema.fieldIndex(name)
+    val meta = header.metas(idx)
+    val tpe = header.schema.fields(idx).tpe
+    if (meta.compSize == 0L) ColfCodec.allNullColumn(tpe, numRows)
+    else {
+      in.seek(meta.offset)
+      val comp = new Array[Byte](meta.compSize.toInt)
+      in.readFully(comp)
+      ColfCodec.decodeColumn(
+        ColfCodec.decompress(comp, meta.uncompSize.toInt), tpe, numRows, meta.hasNulls)
+    }
+  }
+
+  private var row = -1
+
+  override def next(): Boolean = { row += 1; row < numRows }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](cols.length)
+    var c = 0
+    while (c < cols.length) {
+      val col = cols(c)
+      values(c) =
+        if (col.isNullAt(row)) null
+        else col.tpe match {
+          case ColfType.Int32   => col.ints(row)
+          case ColfType.Float64 => col.doubles(row)
+          case ColfType.Utf8 =>
+            UTF8String.fromBytes(col.strBlob, col.strStarts(row),
+              col.strEnds(row) - col.strStarts(row))
+        }
+      c += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = in.close()
+}

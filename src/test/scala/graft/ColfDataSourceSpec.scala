@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ColfDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("colf_ds_test").toString
+
+  test("write then read roundtrips values, schema, and nulls") {
+    val dir = tmp()
+    val df = Seq(
+      (Some(1), Some(1.5), Some("a")),
+      (Some(2), None: Option[Double], Some("")),
+      (None: Option[Int], Some(Double.NaN), None: Option[String]),
+      (Some(-2147483648), Some(-0.0), Some("日本語 🎉")))
+      .toDF("i", "d", "s")
+    df.write.format("colf").mode("overwrite").save(dir)
+    val back = spark.read.format("colf").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("i", IntegerType), ("d", DoubleType), ("s", StringType)))
+    val rows = back.orderBy(asc_nulls_last("i")).collect()
+    assert(rows(0).getInt(0) == -2147483648 &&
+      java.lang.Double.doubleToRawLongBits(rows(0).getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(-0.0) &&
+      rows(0).getString(2) == "日本語 🎉")
+    assert(rows(1) == Row(1, 1.5, "a"))
+    assert(rows(2) == Row(2, null, ""))
+    assert(rows(3).isNullAt(0) && rows(3).getDouble(1).isNaN && rows(3).isNullAt(2))
+    // NaN stays a value, distinct from NULL (SURVEY.md §1.4)
+    val nan = back.filter(isnan($"d")).collect()
+    assert(nan.length == 1 && nan(0).isNullAt(0))
+    assert(back.filter($"d".isNull).count() == 1)
+  }
+
+  test("projection pushdown reaches the scan (selective I/O)") {
+    val dir = tmp()
+    spark.range(1000)
+      .select($"id".cast("int").as("a"), ($"id" * 2).cast("double").as("b"),
+        concat(lit("v"), $"id").as("c"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val q = spark.read.format("colf").load(dir).select($"a", $"c")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val desc = scan.toString
+    assert(desc.contains("a") && desc.contains("c"))
+    // ReadSchema through the V2 scan must only contain the pruned columns.
+    val schemas = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.readSchema()
+    }
+    assert(schemas.nonEmpty && schemas.head.fieldNames.toSeq == Seq("a", "c"))
+    assert(q.count() == 1000)
+    assert(q.filter($"a" === 7).select($"c").as[String].head() == "v7")
+  }
+
+  test("multi-partition write produces multiple part files, read unions them") {
+    val dir = tmp()
+    spark.range(0, 10000).repartition(8)
+      .select($"id".cast("int").as("id"), ($"id" % 10).cast("double").as("v"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".colf"))
+    assert(parts.length > 1)
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 10000)
+    assert(back.rdd.getNumPartitions == parts.length)
+    assert(back.agg(sum($"id")).as[Long].head() == 10000L * 9999 / 2)
+  }
+
+  test("overwrite replaces previous contents; append adds") {
+    val dir = tmp()
+    Seq((1, "x")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    Seq((2, "y")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    assert(spark.read.format("colf").load(dir).collect().toSeq == Seq(Row(2, "y")))
+    Seq((3, "z")).toDF("k", "v").write.format("colf").mode("append").save(dir)
+    assert(spark.read.format("colf").load(dir).orderBy("k").collect().toSeq ==
+      Seq(Row(2, "y"), Row(3, "z")))
+  }
+
+  test("zero-row DataFrame roundtrips schema (reference writer bug fixed)") {
+    val dir = tmp()
+    spark.range(0).select($"id".cast("int").as("a"), lit("x").as("b"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val back = spark.read.format("colf").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(back.count() == 0)
+  }
+
+  test("unsupported column types are rejected with a clear error") {
+    val dir = tmp()
+    val err = intercept[Exception] {
+      spark.range(3).select($"id".as("big")) // LongType
+        .write.format("colf").mode("overwrite").save(dir)
+    }
+    assert(err.getMessage.contains("COLF supports only"))
+  }
+
+  test("unknown projected column errors like the reference (KeyError parity)") {
+    val dir = tmp()
+    Seq((1, "x")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    val err = intercept[Exception] {
+      spark.read.format("colf").load(dir).select("nope").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("golden reference-written file reads through the DataFrame API") {
+    val url = getClass.getResource("/golden/sample_small.colf")
+    val df = spark.read.format("colf").load(url.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "age", "city", "salary"))
+    assert(df.schema("id").dataType == IntegerType)
+    assert(df.schema("salary").dataType == DoubleType)
+    assert(df.count() == 30)
+    assert(df.filter($"id" === 1).select("name").as[String].head().nonEmpty)
+  }
+
+  test("cross-compat: reference reader.py reads a Scala-written .colf") {
+    assume(Files.exists(java.nio.file.Paths.get("/root/reference/reader.py")))
+    val dir = tmp()
+    Seq(
+      (Some(1), Some(10.5), Some("alpha")),
+      (Some(2), None: Option[Double], Some("beta")),
+      (None: Option[Int], Some(3.25), None: Option[String]))
+      .toDF("k", "v", "s")
+      .coalesce(1).write.format("colf").mode("overwrite").save(dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".colf")).head
+    val outCsv = Files.createTempFile("colf_compat", ".csv").toString
+    val proc = new ProcessBuilder(
+      "python3", "/root/reference/reader.py", "custom_to_csv", part.toString, outCsv)
+      .redirectErrorStream(true).start()
+    val output = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"reference reader failed: $output")
+    val lines = Files.readAllLines(java.nio.file.Paths.get(outCsv))
+    assert(lines.get(0) == "k,v,s")
+    assert(lines.size() == 4)
+    assert(lines.get(1) == "1,10.5,alpha")
+    assert(lines.get(2) == "2,,beta")
+    assert(lines.get(3) == ",3.25,")
+  }
+
+  test("statistics report row counts from headers") {
+    val dir = tmp()
+    spark.range(500).select($"id".cast("int").as("a"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val rel = spark.read.format("colf").load(dir)
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(500)))
+  }
+}
+
+object SparkTest {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
