@@ -29,12 +29,17 @@ import scala.collection.immutable.ArraySeq
   *
   * Divergence from the reference writer (deliberate, still readable by the
   * reference reader): null rows' string offsets are written as the current
-  * cumulative blob position instead of 0 (writer.py:130-131 writes 0). The
-  * reference reader skips null rows when finding a string's end
-  * (reader.py:143-153), so both conventions decode identically there —
-  * and cumulative offsets additionally make empty-string values (which the
-  * reference cannot represent: it nulls them at CSV ingest) decode
-  * correctly under the SPEC.md:51 rule "ends at Offsets[next]".
+  * cumulative blob position instead of 0 (writer.py:130-131 writes 0). For
+  * NULL rows the reference reader skips the offset entirely when finding a
+  * string's end (reader.py:143-153), so null handling decodes identically
+  * there. Empty strings do NOT: the reference reader also skips rows whose
+  * offset equals the current row's (reader.py:150), so a non-null "" we
+  * write decodes in reference reader.py as the NEXT row's content. Only
+  * SPEC-compliant readers ("ends at Offsets[next]", SPEC.md:51) — ours
+  * included — decode "" correctly. The reference itself cannot produce an
+  * empty string (it nulls them at CSV ingest, writer.py:130-131), so this
+  * affects only files we write containing "" values read back through the
+  * reference's Python reader; ColfDataSourceSpec documents the divergence.
   */
 object ColfCodec {
   val Magic: Array[Byte] = Array('C', 'O', 'L', 'F').map(_.toByte)

@@ -165,7 +165,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
     files.map(f => ColfInputPartition(f)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColfPartitionReaderFactory(required.fieldNames)
+    new ColfPartitionReaderFactory(required)
 
   /** Row counts are free — they're in every header (SPEC.md:27). Exposing
     * them lets Catalyst/AQE size joins and pick broadcast sides.
@@ -180,18 +180,21 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
 
 case class ColfInputPartition(file: String) extends InputPartition
 
-class ColfPartitionReaderFactory(requiredCols: Array[String])
+class ColfPartitionReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].file, requiredCols)
+    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].file, required)
 }
 
-class ColfPartitionReader(file: String, requiredCols: Array[String])
+class ColfPartitionReader(file: String, required: StructType)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
+  private val requiredCols: Array[String] = required.fieldNames
+  private val expectedTypes: Map[String, ColfType] =
+    required.fields.map(f => f.name -> ColfUtil.colfType(f.dataType)).toMap
   private val path = new Path(file)
   private val fs: FileSystem = path.getFileSystem(new Configuration())
   private val in = fs.open(path)
@@ -208,8 +211,22 @@ class ColfPartitionReader(file: String, requiredCols: Array[String])
     val idx = header.schema.fieldIndex(name)
     val meta = header.metas(idx)
     val tpe = header.schema.fields(idx).tpe
+    // Per-file type check: the session schema comes from the FIRST file of
+    // a directory; a mixed directory must fail clearly, not ClassCast or
+    // silently corrupt (ADVICE r1).
+    val expected = expectedTypes.get(name)
+    if (expected.exists(_ != tpe))
+      throw new java.io.IOException(
+        s"File $file: column '$name' has COLF type ${tpe.name} but the table " +
+          s"schema (from the first file read) expects ${expected.get.name}; " +
+          "all .colf files in a directory must share one schema")
     if (meta.compSize == 0L) ColfCodec.allNullColumn(tpe, numRows)
     else {
+      // Sizes are u64 on disk; a block over 2 GiB cannot be buffered in one
+      // JVM array — fail with guidance instead of NegativeArraySizeException.
+      require(meta.compSize <= Int.MaxValue && meta.uncompSize <= Int.MaxValue,
+        s"File $file: column '$name' block is ${meta.uncompSize} bytes " +
+          "(limit 2 GiB per column per file); split into more part files")
       in.seek(meta.offset)
       val comp = new Array[Byte](meta.compSize.toInt)
       in.readFully(comp)

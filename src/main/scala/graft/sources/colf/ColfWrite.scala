@@ -7,12 +7,23 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
 /** DSv2 write path: each task buffers its partition's columns, then emits
-  * one `part-<pid>-<tid>.colf` file. The format's header carries absolute
-  * block offsets and precedes all data (SPEC.md:14,21), so sizes must be
-  * known before the first data byte — hence buffer-then-write per task,
-  * exactly the constraint the reference writer works under
-  * (writer.py:174-210). A directory of part files is the scale-out layout;
-  * the reader unions them (one InputPartition each).
+  * one part file. The format's header carries absolute block offsets and
+  * precedes all data (SPEC.md:14,21), so sizes must be known before the
+  * first data byte — hence buffer-then-write per task, exactly the
+  * constraint the reference writer works under (writer.py:174-210). A
+  * directory of part files is the scale-out layout; the reader unions them
+  * (one InputPartition each).
+  *
+  * Commit protocol (crash-safe):
+  *  - tasks write to dot-prefixed temp names (the reader skips `.`/`_`
+  *    prefixes), embedding the query id + partition + task id so two
+  *    concurrent/successive writes can never collide — and create with
+  *    overwrite=false so an unexpected collision fails loudly;
+  *  - job commit first applies the deferred truncate (mode=overwrite), then
+  *    renames every temp to its final `part-<pid>-<queryId>.colf` name.
+  *    A failure before job commit leaves only invisible temps: old data is
+  *    intact and readers never observe a partial file;
+  *  - task abort deletes that task's temp; job abort deletes all temps.
   */
 class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -24,58 +35,91 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     require(paths.size == 1, s"colf write requires exactly one output path, got $paths")
     // Validate the schema up front — fail at planning, not mid-job.
     ColfUtil.colfFields(info.schema())
-    new ColfWrite(paths.head, info.schema(), truncateMode)
+    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode)
   }
 }
 
-class ColfWrite(dir: String, schema: StructType, truncate: Boolean)
+class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Driver-side setup: ensure the directory exists; clear it for
-    // mode("overwrite") (TRUNCATE capability).
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) fs.mkdirs(path)
-    else if (truncate) {
-      fs.listStatus(path).foreach { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".colf")) fs.delete(st.getPath, false)
-      }
-    }
-    new ColfDataWriterFactory(dir, schema)
+    new ColfDataWriterFactory(dir, schema, queryId)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    // Deferred truncate: old data survives any failure up to this point.
+    if (truncate && fs.exists(dirPath)) {
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    messages.foreach {
+      case ColfCommitMessage(Some(tmp), Some(fin)) =>
+        val src = new Path(tmp)
+        val dst = new Path(fin)
+        if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
+      case _ => ()
+    }
+    deleteQueryTemps(fs)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     messages.foreach {
-      case ColfCommitMessage(Some(file)) =>
-        val p = new Path(file)
+      case ColfCommitMessage(Some(tmp), _) =>
+        val p = new Path(tmp)
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, false)
       case _ => ()
     }
+    deleteQueryTemps(new Path(dir).getFileSystem(conf))
+  }
+
+  /** Tasks whose results never reached the driver (job cancelled while they
+    * were in flight) leave temps that appear in no commit message. Temp
+    * names embed this write's unique queryId, so sweeping `*-<queryId>-*.tmp`
+    * is safe against concurrent writers.
+    */
+  private def deleteQueryTemps(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val dirPath = new Path(dir)
+    if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".") && n.contains(queryId) && n.endsWith(".colf.tmp"))
+        fs.delete(st.getPath, false)
+    }
   }
 }
 
-case class ColfCommitMessage(file: Option[String]) extends WriterCommitMessage
+case class ColfCommitMessage(tempFile: Option[String], finalFile: Option[String])
+    extends WriterCommitMessage
 
-class ColfDataWriterFactory(dir: String, schema: StructType)
+class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ColfDataWriter(dir, schema, partitionId, taskId)
+    new ColfDataWriter(dir, schema, queryId, partitionId, taskId)
 }
 
-class ColfDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+class ColfDataWriter(
+    dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
   private val builders: IndexedSeq[ColfCodec.ColumnBuilder] =
     fields.map(f => ColfCodec.builderFor(f.tpe))
   private val ncols = fields.length
+  private var tempWritten: Option[Path] = None
 
   override def write(record: InternalRow): Unit = {
     var c = 0
@@ -96,16 +140,21 @@ class ColfDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
     // Empty partitions emit no file — except partition 0, so an all-empty
     // DataFrame still round-trips its schema (fixing the reference's own
     // zero-row writer bug, writer.py:153-154 / SURVEY.md §5).
-    if (rows == 0 && partitionId != 0) return ColfCommitMessage(None)
-    val file = new Path(dir, f"part-$partitionId%05d-$taskId.colf")
-    val fs = file.getFileSystem(new Configuration())
-    val out = fs.create(file, true)
+    if (rows == 0 && partitionId != 0) return ColfCommitMessage(None, None)
+    val fin = new Path(dir, f"part-$partitionId%05d-$queryId.colf")
+    val tmp = new Path(dir, f".part-$partitionId%05d-$queryId-$taskId.colf.tmp")
+    tempWritten = Some(tmp)
+    val fs = tmp.getFileSystem(new Configuration())
+    val out = fs.create(tmp, false) // fail loudly on collision
     try ColfCodec.writeFile(out, fields, builders)
     finally out.close()
-    ColfCommitMessage(Some(file.toString))
+    ColfCommitMessage(Some(tmp.toString), Some(fin.toString))
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit = tempWritten.foreach { tmp =>
+    val fs = tmp.getFileSystem(new Configuration())
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
 
   override def close(): Unit = ()
 }

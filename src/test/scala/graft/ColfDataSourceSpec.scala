@@ -144,6 +144,65 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(lines.get(3) == ",3.25,")
   }
 
+  test("cross-compat divergence: reference reader misdecodes our empty strings") {
+    // Our writer stores "" as a real value (cumulative offsets, SPEC.md:51);
+    // reference reader.py:150 skips equal offsets when locating a string's
+    // end, so it surfaces the NEXT row's content instead of "". Documented
+    // divergence (ADVICE r1): the reference itself can never WRITE an empty
+    // string (it nulls them at CSV ingest), so only SPEC-compliant readers
+    // see "" — ours does (asserted in the first roundtrip test above).
+    assume(Files.exists(java.nio.file.Paths.get("/root/reference/reader.py")))
+    val dir = tmp()
+    Seq((1, ""), (2, "tail")).toDF("k", "s")
+      .coalesce(1).write.format("colf").mode("overwrite").save(dir)
+    // Our own reader: exact roundtrip.
+    assert(spark.read.format("colf").load(dir).orderBy("k").collect().toSeq ==
+      Seq(Row(1, ""), Row(2, "tail")))
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".colf")).head
+    val outCsv = Files.createTempFile("colf_empty", ".csv").toString
+    val proc = new ProcessBuilder(
+      "python3", "/root/reference/reader.py", "custom_to_csv", part.toString, outCsv)
+      .redirectErrorStream(true).start()
+    val output = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"reference reader failed: $output")
+    val lines = Files.readAllLines(java.nio.file.Paths.get(outCsv))
+    // Reference misreads row 1's "" as "tail" — pin the divergence so a
+    // future format change that silently alters it gets noticed.
+    assert(lines.get(1) == "1,tail")
+    assert(lines.get(2) == "2,tail")
+  }
+
+  test("successful write leaves no temp files; final names carry the query id") {
+    val dir = tmp()
+    spark.range(100).select($"id".cast("int").as("a"))
+      .repartition(4).write.format("colf").mode("overwrite").save(dir)
+    val all = new java.io.File(dir).listFiles().map(_.getName)
+    // Hidden files (Hadoop local-FS .crc checksums) are fine — readers skip
+    // dot/underscore prefixes. What must NOT remain is any .tmp from a task.
+    assert(!all.exists(_.contains(".colf.tmp")), all.mkString(","))
+    val visible = all.filter(n => !n.startsWith(".") && !n.startsWith("_"))
+    assert(visible.nonEmpty && visible.forall(_.endsWith(".colf")), all.mkString(","))
+    assert(spark.read.format("colf").load(dir).count() == 100)
+    // A second overwrite (different query id) fully replaces the first.
+    spark.range(7).select($"id".cast("int").as("a"))
+      .coalesce(1).write.format("colf").mode("overwrite").save(dir)
+    assert(spark.read.format("colf").load(dir).count() == 7)
+  }
+
+  test("mixed-schema directory fails with a clear per-file type error") {
+    val dir = tmp()
+    Seq((1, "x")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    Seq((1.5, "y")).toDF("k", "v").write.format("colf").mode("append").save(dir)
+    // Schema comes from the first file (k: int); the second file has k: float64.
+    val err = intercept[Exception] {
+      spark.read.format("colf").load(dir).orderBy("k").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(m => m.contains("COLF type") || m.contains("expects")),
+      messages(err).mkString(" | "))
+  }
+
   test("statistics report row counts from headers") {
     val dir = tmp()
     spark.range(500).select($"id".cast("int").as("a"))
