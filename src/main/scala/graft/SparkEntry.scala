@@ -1,13 +1,573 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.colf.{ColfCodec, ColfInference}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-pipeline extensions), with DuckDB oracle
+  * SQL wherever the semantics are ANSI-expressible.
+  *
+  * Determinism rules that make the Spark result hash-match the DuckDB
+  * oracle byte-for-byte:
+  *  - cross-row double sums go through a DECIMAL cast (exact, associative)
+  *    and back to double at the end — partial-aggregation order can never
+  *    perturb a result;
+  *  - per-row double math (cosine, ratios, scores) uses a fixed
+  *    left-to-right operation order replicated in the oracle SQL;
+  *  - every ordering has a unique tie-break column;
+  *  - timestamps are rendered to strings (engines disagree on tz-ness of
+  *    raw timestamp columns, not on their rendering).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark rejects; the harness sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong`, so `ts` arrives as nanos since
+    * epoch — truncate to micros (matching engines that read nanos natively
+    * and truncate to their micro precision).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Scratch dir for sink round-trips (colf/csv write-then-read queries). */
+  private def work(name: String): String = s"/tmp/graft_work/$name"
+
+  /** Exact 2-dp decimal view of a money-ish double column. */
+  private def dec2(c: Column): Column = c.cast("decimal(14,2)")
+
+  /** Order-insensitive exact sum of a 2-dp double, surfaced as double. */
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------- relational core
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val oneMinusDisc = expr("CAST(1.0 - l_discount AS DECIMAL(8,2))")
+    val onePlusTax = expr("CAST(1.0 + l_tax AS DECIMAL(8,2))")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+      )
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation / join / window / sort (Catalyst built-ins over the
+    // ---- COLF-extended engine; SURVEY.md §2.2 "free" categories)
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum2(col("c_acctbal")).as("total_bal"))),
+
+    "q_join_large" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_extendedprice")) * expr("CAST(1.0 - l_discount AS DECIMAL(8,2))"))
+            .cast("double").as("revenue"))),
+
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 45 && col("l_discount") >= 0.05)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))),
+
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority").distinct()),
+
+    "q_set_ops" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_acctbal") < 0).select("c_custkey")
+        .except(t(s, dir, "orders").where(col("o_totalprice") > 400000).select("o_custkey"))),
+
+    "q_rollup" -> ((s, dir) => {
+      // Dataset-API rollup() over post-join columns trips Spark 4.1's
+      // ambiguous-self-join detection (even on a 2-table join); the SQL
+      // analyzer path resolves fine, so express the rollup in SQL.
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+      t(s, dir, "region").createOrReplaceTempView("graft_region")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_cust
+          |FROM graft_customer
+          |JOIN graft_nation ON c_nationkey = n_nationkey
+          |JOIN graft_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    }),
+
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 12).as("name_pfx"),
+        concat(col("p_type"), lit("#"), col("p_brand")).as("type_brand"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(col("p_retailprice") - 1000.0).as("price_diff"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))),
+
+    "q_events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+
+    "q_stream_window" -> ((s, dir) => {
+      // Structured Streaming parity: the same hourly windowed aggregation as
+      // q_events_window, run as a stream (file source → watermark → window
+      // agg → memory sink) drained with Trigger.AvailableNow. The oracle is
+      // the BATCH SQL — streaming and batch must agree.
+      import org.apache.spark.sql.streaming.Trigger
+      val inDir = work("q_stream_window_in")
+      events(s, dir).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("event_type"), col("n"), col("sum_value"))
+      val qname = s"graft_stream_window_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname)
+    }),
+
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").where(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")),
+
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 400000),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- COLF format surface (SURVEY.md §2.1 O1–O9)
+    "q_colf_roundtrip" -> ((s, dir) => {
+      val out = work("q_colf_roundtrip")
+      t(s, dir, "nation").write.format("colf").mode("overwrite").save(out)
+      s.read.format("colf").load(out).select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    "q_colf_project" -> ((s, dir) => {
+      val out = work("q_colf_project")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.format("colf").mode("overwrite").save(out)
+      // Column pruning reaches the COLF scan (SupportsPushDownRequiredColumns):
+      // only these two blocks are decompressed.
+      s.read.format("colf").load(out).select("c_custkey", "c_acctbal")
+    }),
+
+    "q_colf_scan_full" -> ((s, dir) => {
+      val out = work("q_colf_scan_full")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("int").as("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate_s"))
+        .write.format("colf").mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+    }),
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = work("q_csv_roundtrip")
+      t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT").csv(out)
+    }),
+
+    "q_csv_scan" -> ((s, dir) => {
+      // Reference O1: CSV loaded with every cell as a string.
+      val out = work("q_csv_scan")
+      t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
+      s.read.option("header", "true").csv(out)
+    }),
+
+    "q_infer_schema" -> ((s, dir) => {
+      // Reference O2: COLF type inference (int32 ≺ float64 ≺ utf8,
+      // blank ⇒ nullable) over a raw-string CSV load.
+      val out = work("q_infer_schema")
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.option("header", "true").mode("overwrite").csv(out)
+      val raw = s.read.option("header", "true").csv(out)
+      val fields = ColfInference.inferFields(raw)
+      import s.implicits._
+      fields.zipWithIndex
+        .map { case (f, i) => (i, f.name, f.tpe.name, f.nullable) }
+        .toDF("ordinal", "col_name", "colf_type", "nullable")
+    }),
+
+    "q_header_schema" -> ((s, dir) => {
+      // Reference O5: header/metadata parse of an on-disk .colf file.
+      val out = work("q_header_schema")
+      t(s, dir, "nation").coalesce(1).write.format("colf").mode("overwrite").save(out)
+      val part = new java.io.File(out).listFiles()
+        .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(part))
+      val header = try ColfCodec.readHeader(in) finally in.close()
+      import s.implicits._
+      header.schema.fields.zipWithIndex
+        .map { case (f, i) => (i, f.name, f.tpe.name, f.nullable, header.schema.numRows.toInt) }
+        .toDF("ordinal", "col_name", "colf_type", "nullable", "num_rows")
+    }),
+
+    // ---- training-data pipeline: dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), substring(col("text"), 1, 40), col("doc_id"))),
+
+    "q_dedup_keep_first" -> ((s, dir) =>
+      Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
+        Dedup.MinHashParams(jaccardThreshold = 0.4))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.blockedTokenJaccard(t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source"), threshold = 0.5)),
+
+    // ---- training-data pipeline: text analysis
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))),
+
+    // ---- training-data pipeline: similarity search
+    "q_sim_bruteforce" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(corpus, corpus.where(col("id") < 8), k = 5)
+    }),
+
+    "q_sim_ann" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5)
+    }),
+
+    "q_embed_stats" -> ((s, dir) =>
+      Similarity.normStats(t(s, dir, "embeddings"), col("label"), col("embedding"))),
+
+    // ---- training-data pipeline: multimodal plumbing
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeStub(Multimodal.toMediaTable(t(s, dir, "documents"))).toDF()),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The per-language marker-score expressions used by the q_lang_id oracle. */
+  private def langScoreSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString("(", ",", ")")
+    s"len(list_filter(string_split(lower(text), ' '), t -> t IN $set))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)) * CAST(1.0 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        | count(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_join_large" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount >= 0.05
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | substr(p_name, 1, 12) AS name_pfx,
+        | concat(p_type, '#', p_brand) AS type_brand,
+        | p_size % 7 AS size_mod,
+        | abs(p_retailprice - 1000.0) AS price_diff
+        |FROM part""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | strftime(o_orderdate, '%Y-%m-%d') AS od
+        |FROM orders""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_s, event_type""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_s, event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_colf_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_colf_project" ->
+      "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal FROM customer",
+
+    "q_colf_scan_full" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey, l_linenumber, l_quantity,
+        | l_extendedprice, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s
+        |FROM lineitem""".stripMargin,
+
+    "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_csv_scan" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "q_infer_schema" ->
+      """SELECT * FROM (VALUES
+        | (0, 'c_custkey', 'int32', false),
+        | (1, 'c_name', 'utf8', false),
+        | (2, 'c_acctbal', 'float64', false),
+        | (3, 'c_mktsegment', 'utf8', false))
+        |AS t(ordinal, col_name, colf_type, nullable)""".stripMargin,
+
+    "q_header_schema" ->
+      """SELECT t.*, (SELECT CAST(count(*) AS INTEGER) FROM nation) AS num_rows FROM (VALUES
+        | (0, 'n_nationkey', 'int32', true),
+        | (1, 'n_name', 'utf8', true),
+        | (2, 'n_regionkey', 'int32', true))
+        |AS t(ordinal, col_name, colf_type, nullable)""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT substr(text, 1, 40) AS key, count(*) AS n, min(doc_id) AS first_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_keep_first" ->
+      "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source",
+
+    "q_ngram_jaccard" ->
+      """SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) AS jaccard
+        |  FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ts FROM documents) a
+        |  JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS ts FROM documents) b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         | CAST(len(list_filter(string_split(text, ' '), t -> t IN $StopList)) AS INTEGER) AS n_stop,
+         | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct
+         |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id, stop_ratio, punct_ratio,
+         | least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+         |    CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio
+         |  FROM (
+         |    SELECT doc_id, length(text) AS n_chars,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_filter(string_split(text, ' '), t -> t IN $StopList)) AS n_stop,
+         |      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+         |    FROM documents))""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n    ")
+      // First language (in LangMarkers order) reaching the max — mirrors the
+      // strict-greater fold in TextAnalysis.langId.
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString("\n    ")
+      s"""SELECT doc_id,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    $cases
+         |  END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, text,
+         |    $scores
+         |  FROM documents)""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+
+    "q_sim_bruteforce" ->
+      """SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |      list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 8) q
+        |    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+        |      ON q.vec_id <> c.vec_id)
+        |) WHERE rank <= 5""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label AS grp, count(*) AS n,
+        | CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        | CAST(strlen(text) % 800 AS INTEGER) AS width,
+        | CAST(strlen(text) % 600 AS INTEGER) AS height,
+        | strlen(text) * 2654435761 AS checksum
+        |FROM documents""".stripMargin,
+    // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
+    // equivalent), q_dedup_minhash / q_dedup_simhash (LSH candidate
+    // generation is probabilistic-recall, not ANSI-expressible),
+    // q_sim_ann (approximate by construction).
+  )
 }

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, designed around
+  * Spark's shuffle model:
+  *
+  *  - exact dedup = one hash-partitioned groupBy (map-side partial agg
+  *    first, so the shuffle carries one record per distinct key per task);
+  *  - MinHash/SimHash near-dup = LSH banding, i.e. candidate generation by
+  *    equi-join on band keys instead of an O(n²) cross join. At 100 TB the
+  *    only shuffles are (a) explode→join on band key and (b) the
+  *    verification join back to shingle sets; both are key-partitioned and
+  *    AQE-skew-splittable (a degenerate band bucket — e.g. millions of
+  *    identical docs — is exactly the skew AQE's OptimizeSkewedJoin splits).
+  *
+  * The reference engine has no dedup surface; these extend it. All hashes
+  * are Spark's built-in xxhash64 (codegen'd, fixed seed 42) so results are
+  * deterministic across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one deterministic representative row per key
+    * (the one with the smallest `tieBreak`). Implemented as a window
+    * row_number rather than dropDuplicates, whose choice of survivor is
+    * partitioning-dependent — determinism matters more than the (identical)
+    * shuffle count.
+    */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: key → group size + first member. Aggregation form of
+    * [[exactKeepFirst]]; partial aggregation makes the shuffle proportional
+    * to distinct keys, not rows.
+    */
+  def exactGroups(df: DataFrame, key: Column, tieBreak: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), min(tieBreak).as("first_id"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash parameters: numHashes = bands * rowsPerBand signatures;
+    * a pair whose true Jaccard is j collides in ≥1 band with probability
+    * 1-(1-j^rowsPerBand)^bands (the classic S-curve).
+    */
+  final case class MinHashParams(
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.5,
+      seed: Long = 42L) {
+    def numHashes: Int = bands * rowsPerBand
+  }
+
+  /** df(id, text) → df(id, sig: array<long>[numHashes]). One pass, no
+    * shuffle. The k hash functions are xxhash64 re-keyed by function index
+    * (classic affine permutations would need 64-bit wraparound multiply,
+    * which ANSI mode rejects; re-hashing is equally independent and stays
+    * codegen'd).
+    */
+  /** Word n-gram shingle set, identical to TextAnalysis.wordShingles
+    * (single-space split keeping empties, sliding n-gram, distinct,
+    * whole-text fallback for short docs) — but as a plain JVM function for
+    * the hot loop below.
+    */
+  private def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        set.add(sb.toString); i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** xxhash64 of a string's UTF-8 bytes with Spark's fixed seed 42 —
+    * bit-identical to the SQL `xxhash64(col)` function, so UDF-computed
+    * signatures stay interchangeable with expression-computed ones.
+    */
+  private def xxh64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** df(id, text) → df(id, sig: array<long>[numHashes]). One map-side pass.
+    *
+    * The inner loop (shingles × numHashes re-keyed hashes) runs as plain
+    * JVM code: the equivalent higher-order-function expression tree
+    * (`transform`/`array_min` per signature) is CodegenFallback and paid
+    * ~10× in interpreted lambda dispatch at k=64 — ~100M expression evals
+    * per 5k docs. A custom codegen Expression is the next escalation if
+    * the UDF row boundary ever dominates; at current shapes it does not.
+    */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column, p: MinHashParams): DataFrame = {
+    val k = p.numHashes
+    val seed = p.seed
+    val n = p.shingleSize
+    val sigUdf = udf { text: String =>
+      if (text == null) null
+      else {
+        val sig = Array.fill(k)(Long.MaxValue)
+        val shingles = shingleSet(text, n)
+        var j = 0
+        while (j < shingles.length) {
+          val h = xxh64(shingles(j))
+          var i = 0
+          while (i < k) {
+            val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, seed + i)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        sig
+      }
+    }
+    df.select(id.as("id"), sigUdf(text).as("sig"))
+  }
+
+  /** Candidate pairs via LSH banding: hash each band of the signature to a
+    * bucket key, self-join on (band index, bucket). Returns distinct
+    * (id_a < id_b) pairs. This is the scale path: the join is a plain
+    * hash-partitioned equi-join on the band key.
+    */
+  def minhashCandidates(sigs: DataFrame, p: MinHashParams): DataFrame = {
+    val bandKeys = (0 until p.bands).map { j =>
+      xxhash64(lit(j) +: (0 until p.rowsPerBand).map(r => col("sig")(j * p.rowsPerBand + r)): _*)
+    }
+    val bands = sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    val l = bands.toDF("id_a", "band", "bucket")
+    val r = bands.toDF("id_b", "band", "bucket")
+    l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates, then exact Jaccard verification
+    * on the true shingle sets (joined back by id — candidates are a tiny
+    * fraction of the corpus, so this join is cheap). Output:
+    * (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    // Signatures feed the band self-join (two consumers) — persist so the
+    // hashing map stage runs once. id + k longs per doc: tiny relative to
+    // the corpus; Spark's LRU evicts it once the query retires.
+    import org.apache.spark.storage.StorageLevel
+    val sigs = minhashSignatures(df, id, text, p).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(sigs, p)
+    // Exact-Jaccard verification only needs shingle sets for docs that
+    // SURVIVED candidate generation — a vanishing fraction of the corpus at
+    // scale. Join the texts down to candidates first, THEN shingle.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sh = udf { t: String => if (t == null) null else shingleSet(t, p.shingleSize) }
+    val shingled = df.select(id.as("id"), text.as("__text"))
+      .join(candIds, "id")
+      .select(col("id"), sh(col("__text")).as("sh"))
+    cands
+      .join(shingled.toDF("id_a", "sh_a"), "id_a")
+      .join(shingled.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= p.jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64 (seed 42,
+    * identical to SQL `xxhash64`), each bit votes ±1, sign of the vote sum
+    * is the output bit. Per-row, no shuffle. Tight-loop UDF for the same
+    * reason as [[minhashSignatures]]: the higher-order-function expression
+    * equivalent evaluates 64 interpreted lambdas per token.
+    */
+  def simhash64(textCol: String): Column = simhashUdf(col(textCol))
+
+  private val simhashUdf = udf { text: String =>
+    if (text == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val votes = new Array[Int](64)
+      val toks = text.split(" ", -1)
+      var j = 0
+      while (j < toks.length) {
+        val h = xxh64(toks(j))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming, found by the
+    * pigeonhole trick: split the 64-bit hash into `maxHamming + 1` chunks —
+    * any pair within the radius must agree on at least one chunk, so an
+    * equi-join per chunk has FULL recall (unlike MinHash banding, which is
+    * probabilistic). Requires 64 % (maxHamming+1) == 0 for equal chunks.
+    */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0, s"64 must divide into ${nChunks} equal chunks")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val withSim = df.select(id.as("id"), simhash64(text.toString).as("sim"))
+    val chunkCols = (0 until nChunks).map { j =>
+      struct(lit(j).as("chunk"), shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit(mask)).as("ckey"))
+    }
+    val chunks = withSim.select(col("id"), col("sim"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("id"), col("sim"), col("c.chunk"), col("c.ckey"))
+    val l = chunks.toDF("id_a", "sim_a", "chunk", "ckey")
+    val r = chunks.toDF("id_b", "sim_b", "chunk", "ckey")
+    l.join(r, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for all pairs inside a grouping column (e.g.
+    * same source/bucket) — the "blocked" exact variant: the self-join is
+    * keyed on the block column, so cost is Σ block² not N². Use MinHash
+    * when no natural block exists.
+    */
+  def blockedTokenJaccard(df: DataFrame, id: Column, text: Column, block: Column,
+      threshold: Double): DataFrame = {
+    val toksets = df.select(id.as("id"), block.as("blk"),
+      array_distinct(TextAnalysis.tokens(text)).as("ts"))
+    val l = toksets.toDF("id_a", "blk", "ts_a")
+    val r = toksets.toDF("id_b", "blk", "ts_b")
+    l.join(r, "blk").where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` / `array<double>`).
+  *
+  * Two strategies, picked by corpus-vs-query shape:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against the
+  *    corpus — a map-only pass (no shuffle of the 100 TB side) followed by
+  *    a per-query top-k. The exact baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket both sides by signature
+  *    bits and only score within matching buckets; recall is tunable via
+  *    number of planes. The scale path when the query side is itself large.
+  *
+  * Dot products use sequential left-fold `aggregate` over `zip_with`, which
+  * keeps the floating-point summation order fixed — results are identical
+  * across partitionings and match any engine that folds left-to-right.
+  */
+object Similarity {
+
+  /** Cast to array<double> once up front: all scoring happens in f64. */
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(vec: Column): Column = sqrt(dot(vec, vec))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k: for each query vector, the k nearest corpus vectors by
+    * cosine. The query side is broadcast (it must be small — typically a
+    * probe set or centroid table); the corpus side streams map-side, so
+    * nothing of the big table shuffles except the (corpus-partial) top-k
+    * rows. Ties break on neighbor id for determinism. Self-pairs excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank", "cos")
+  }
+
+  /** Deterministic random hyperplanes: `planes` unit-less gaussian vectors
+    * of dimension `dim`, seeded — same buckets on every run/cluster.
+    */
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of `vec` against the plane set, packed into a long. */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH: candidates = corpus rows whose
+    * signature equals the query's (single-probe), scored exactly within the
+    * bucket. With `planes` bits the corpus splits into ≤2^planes buckets —
+    * the join is a plain equi-join on the bucket key, hash-partitioned,
+    * no broadcast needed, so BOTH sides may be huge. Approximate: a true
+    * neighbor in another bucket is missed (P[same bucket] = (1-θ/π)^planes).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
+      .withColumn("bucket", signature(col("nbr_vec"), hp))
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("bucket", signature(col("q_vec"), hp))
+    val scored = c.join(q, "bucket")
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank", "cos")
+  }
+
+  /** Per-group embedding statistics (count + exact norm sum). The norm is a
+    * per-row double (deterministic); the cross-row sum goes through a
+    * decimal so partial-aggregation order cannot perturb the result.
+    */
+  def normStats(df: DataFrame, groupCol: Column, vec: Column): DataFrame =
+    df.select(groupCol.as("grp"), norm(asDouble(vec)).as("nrm"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("nrm").cast("decimal(28,12)")).cast("double").as("sum_norm"))
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is a narrow per-row transform built from codegen'd
+  * built-in functions (no UDFs, no shuffles): at 100 TB these run
+  * map-side inside whole-stage codegen and scale linearly with input
+  * splits. The reference engine (satyakalla890/columnar-format) has no
+  * text operators at all — this extends its scan/project surface with
+  * the analysis layer a data-curation pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split (not `\s+`) so the semantics are
+    * exactly reproducible by engines whose `string_split` is non-regex
+    * (DuckDB, Trino) — empty fields from runs of spaces are kept.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish lexer regex: maximal alphanumeric runs, else single
+    * non-space symbols. Counting these approximates subword-tokenizer
+    * token counts well enough for corpus budgeting.
+    */
+  val TokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(TokenRegex))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Quality-score components, each a deterministic double in [0,1].
+    * The composite is a fixed linear blend — not a model, a filterable
+    * heuristic (docs with score < threshold get dropped upstream of
+    * training). All arithmetic is order-fixed so independent engines
+    * reproduce it bit-for-bit.
+    */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    lenScore * lit(0.5) + stopwordRatio(text) * lit(0.3) + (lit(1.0) - punctRatio(text)) * lit(0.2)
+  }
+
+  /** Language-ID marker words. Deliberately tiny: this is the classic
+    * stopword-profile heuristic (n-gram/marker profiling à la textcat),
+    * good enough to route documents; not a classifier.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "une", "dans", "du", "pour", "au"),
+  )
+
+  /** Predicted language: 'zh' if any CJK codepoint, else the FIRST language
+    * (in [[LangMarkers]] order) whose marker-hit count equals the maximum —
+    * a strict-greater fold, so ties resolve to the earlier language. The
+    * same rule is expressible in ANSI SQL (CASE on score = greatest(...)),
+    * which is what the harness oracle does.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    def score(words: Seq[String]): Column = size(filter(toks, t => t.isin(words: _*)))
+    val first = struct(score(LangMarkers.head._2).as("s"), lit(LangMarkers.head._1).as("l"))
+    val best = LangMarkers.tail.foldLeft(first) { case (acc, (lang, words)) =>
+      val cand = struct(score(words).as("s"), lit(lang).as("l"))
+      when(cand.getField("s") > acc.getField("s"), cand).otherwise(acc)
+    }
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+      .otherwise(best.getField("l"))
+  }
+
+  /** 64-bit whole-document fingerprint (content-addressing / exact dedup key). */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Word n-gram shingles, distinct. Short docs (< n tokens) produce their
+    * single full-text shingle so every doc has a non-empty set.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** Rolling-hash fingerprint: the minimum 64-bit hash over the document's
+    * word shingles (a 1-hash MinHash). Robust to local edits in a way the
+    * whole-document hash is not.
+    */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+}

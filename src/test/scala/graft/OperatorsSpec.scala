@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  // ------------------------------------------------------------- text
+
+  test("token/punct/stopword counts") {
+    val df = Seq("the cat, sat!  on a mat").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.punctCount($"text"),
+      TextAnalysis.stopwordCount($"text"),
+      TextAnalysis.regexTokenCount($"text")).collect()(0)
+    // tokens: the|cat,|sat!|<empty from double space>|on|a|mat = 7
+    // regex tokens: the|cat|,|sat|!|on|a|mat = 8
+    assert(r == Row(7, 2, 2, 8))
+  }
+
+  test("langId routes real sentences and CJK") {
+    val df = Seq(
+      (1L, "the quick brown fox is happy and it was fun"),
+      (2L, "el perro corre en la casa y es un dia feliz por fin"),
+      (3L, "der Hund ist nicht mit der Katze und das ist gut"),
+      (4L, "le chat est dans les jardins et une fleur pour vous"),
+      (5L, "这 是 一个 中文 句子"),
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val df = Seq(
+      ("clean", "the engine reads a table and it is fast to scan the data in one pass for all of it"),
+      ("junk", "@@@@ ##### !!!! ???? %%%%")).toDF("k", "text")
+    val s = df.select($"k", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s("clean") > s("junk"))
+  }
+
+  test("word shingles: sliding, distinct, short-doc fallback") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val r = df.select(TextAnalysis.wordShingles($"text", 3)).as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq("x y"))
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  test("exactKeepFirst keeps the smallest tie-break row per key") {
+    val df = Seq((3L, "k1", "z"), (1L, "k1", "a"), (2L, "k2", "b")).toDF("id", "k", "v")
+    val kept = Dedup.exactKeepFirst(df, Seq("k"), "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("minhash finds planted near-duplicates, not unrelated docs") {
+    val base = "spark reads the columnar table and scans only the blocks it needs for the query plan"
+    val nearDup = base.replace("query", "physical")      // 1-word edit
+    val unrelated = "completely different words about cooking pasta with tomato sauce and fresh basil leaves"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, $"doc_id", $"text",
+        Dedup.MinHashParams(jaccardThreshold = 0.4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dups have full recall within the hamming radius") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val oneEdit = base.replace("theta", "sigma")
+    val other = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val df = Seq((1L, base), (2L, oneEdit), (3L, other)).toDF("doc_id", "text")
+    val sims = df.select(Dedup.simhash64("text")).as[Long].collect()
+    val ham12 = java.lang.Long.bitCount(sims(0) ^ sims(1))
+    val pairs = Dedup.simhashNearDups(df, $"doc_id", $"text", maxHamming = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // pigeonhole guarantee: if the true distance ≤ radius the pair IS found
+    if (ham12 <= 7) assert(pairs.get((1L, 2L)).contains(ham12))
+    assert(java.lang.Long.bitCount(sims(0) ^ sims(2)) > 7)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash is deterministic across runs") {
+    val df = Seq("some stable text for hashing").toDF("text")
+    val a = df.select(Dedup.simhash64("text")).as[Long].collect()(0)
+    val b = df.select(Dedup.simhash64("text")).as[Long].collect()(0)
+    assert(a == b && a != 0L)
+  }
+
+  // ------------------------------------------------------- similarity
+
+  test("bruteForceTopK ranks by exact cosine with id tie-break") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(df, df.where($"id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L))   // nearest, then orthogonal
+    assert(top(0).getInt(2) == 1 && top(1).getInt(2) == 2)
+    // expected value must go through the same float32 storage the column does
+    val (x, y) = (0.9f.toDouble, 0.1f.toDouble)
+    val cos12 = x / math.sqrt(x * x + y * y)
+    assert(math.abs(top(0).getDouble(3) - cos12) < 1e-15)
+  }
+
+  test("lshTopK returns a subset of brute-force results, deterministically") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 3)
+    val ann1 = Similarity.lshTopK(df, q, k = 3, planes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ann2 = Similarity.lshTopK(df, q, k = 3, planes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ann1 == ann2)                  // seeded hyperplanes ⇒ stable
+    assert(ann1.nonEmpty)
+    // every ANN hit is a genuine corpus neighbor of its query
+    val ids = vecs.map(_._1).toSet
+    assert(ann1.forall { case (qid, nid, _) => ids(qid) && ids(nid) && qid != nid })
+  }
+
+  test("normStats sums norms exactly per group") {
+    val df = Seq((0, Array(3.0f, 4.0f)), (0, Array(6.0f, 8.0f)), (1, Array(1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.normStats(df, $"label", $"embedding")
+      .orderBy("grp").collect()
+    assert(r(0) == Row(0, 2L, 15.0))      // 5 + 10
+    assert(r(1) == Row(1, 1L, 1.0))
+  }
+
+  // ------------------------------------------------------- multimodal
+
+  test("multimodal stub decode: plumbing carries bytes and derives meta") {
+    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeStub(Multimodal.toMediaTable(docs)).collect()(0)
+    assert(meta.doc_id == 7L && meta.n_bytes == 5 &&
+      meta.width == 5 && meta.height == 5 && meta.checksum == 5L * 2654435761L)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness-contract smoke: every `queries` entry runs end-to-end at
+  * sf0.001 (the driver's smoke scale) and the oracle map stays consistent
+  * with the query map. The value-level correctness gate is the DuckDB
+  * compare (tools/compare_oracle.py at sf0.01); this spec catches
+  * breakage early and cheaply.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assume(new java.io.File(sfDir).isDirectory)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      assume(new java.io.File(sfDir).isDirectory)
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      // LSH/near-dup candidate queries may legitimately find nothing at this
+      // scale; everything else must produce rows.
+      val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash", "q_sim_ann",
+        "q_ngram_jaccard", "q_set_ops", "q_anti_join")
+      assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows")
+    }
+  }
+}
