@@ -202,8 +202,8 @@ object SparkEntry {
         .select("c_custkey", "c_name")),
 
     // ---- COLF format surface (SURVEY.md §2.1 O1–O9)
-    "q_colf_roundtrip" -> ((s, dir) => {
-      val out = work("q_colf_roundtrip")
+    "q_colf_write_roundtrip" -> ((s, dir) => {
+      val out = work("q_colf_write_roundtrip")
       t(s, dir, "nation").write.format("colf").mode("overwrite").save(out)
       s.read.format("colf").load(out).select("n_nationkey", "n_name", "n_regionkey")
     }),
@@ -229,8 +229,8 @@ object SparkEntry {
       s.read.format("colf").load(out)
     }),
 
-    "q_csv_roundtrip" -> ((s, dir) => {
-      val out = work("q_csv_roundtrip")
+    "q_csv_write_roundtrip" -> ((s, dir) => {
+      val out = work("q_csv_write_roundtrip")
       t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT").csv(out)
@@ -447,7 +447,7 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
 
-    "q_colf_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_colf_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_colf_project" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal FROM customer",
@@ -457,7 +457,7 @@ object SparkEntry {
         | l_extendedprice, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s
         |FROM lineitem""".stripMargin,
 
-    "q_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_csv_scan" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

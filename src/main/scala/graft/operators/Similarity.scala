@@ -24,8 +24,12 @@ object Similarity {
   /** Cast to array<double> once up front: all scoring happens in f64. */
   def asDouble(vec: Column): Column = vec.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product. Backed by the codegen'd
+    * [[graft.functions.DotProduct]] expression — the composable
+    * `aggregate(zip_with(...))` form is CodegenFallback and pays an
+    * interpreted lambda per element, which dominates ANN scoring at scale.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(vec: Column): Column = sqrt(dot(vec, vec))
 
@@ -38,11 +42,17 @@ object Similarity {
     * rows. Ties break on neighbor id for determinism. Self-pairs excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // Norms are per-row — compute them once per side BEFORE the pair join
+    // instead of re-deriving both inside every pair's cosine (the dominant
+    // cost after the dot product itself). Same expressions, same doubles:
+    // bit-identical to the naive form.
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
+      .withColumn("nbr_nrm", norm(col("nbr_vec")))
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "nbr_id", "rank", "cos")
@@ -77,11 +87,13 @@ object Similarity {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
+      .withColumn("nbr_nrm", norm(col("nbr_vec")))
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
       .withColumn("bucket", signature(col("q_vec"), hp))
+      .withColumn("q_nrm", norm(col("q_vec")))
     val scored = c.join(q, "bucket")
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("query_id", "nbr_id", "rank", "cos")

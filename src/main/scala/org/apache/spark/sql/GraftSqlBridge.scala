@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface: wrapping a custom Catalyst
+  * expression into a public `Column` (and back) has no public API in
+  * Spark 4 — `classic.ExpressionUtils` is package-private. This object
+  * lives in the sql package purely to re-export those two conversions for
+  * graft's custom expressions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -141,6 +141,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Row(1, 1L, 1.0))
   }
 
+  test("codegen DotProduct is bit-identical to the sequential fold") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      graft.functions.VectorFunctions.vecDot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("fold"))
+    val rows = both.collect()
+    assert(rows.forall(r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    // null propagation
+    val n = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]])).toDF("a", "b")
+    assert(n.select(graft.functions.VectorFunctions.vecDot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   // ------------------------------------------------------- multimodal
 
   test("multimodal stub decode: plumbing carries bytes and derives meta") {
