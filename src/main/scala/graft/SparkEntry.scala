@@ -160,6 +160,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
 
+    "q_sessionize" -> ((s, dir) =>
+      operators.Sessionize.sessions(events(s, dir),
+        col("user_id"), col("event_id"), col("ts"), col("value"), gapSeconds = 28800)),
+
     "q_stream_window" -> ((s, dir) => {
       // Structured Streaming parity: the same hourly windowed aggregation as
       // q_events_window, run as a stream (file source → watermark → window
@@ -333,6 +337,11 @@ object SparkEntry {
       Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5)
     }),
 
+    "q_sim_ivf" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(corpus, corpus.where(col("id") < 8), k = 5)
+    }),
+
     "q_embed_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), col("label"), col("embedding"))),
 
@@ -425,6 +434,22 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_s, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |               > 28800000000 THEN 1 ELSE 0 END AS s
+        |    FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin,
 
     "q_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,

@@ -99,6 +99,49 @@ object Similarity {
       .select("query_id", "nbr_id", "rank", "cos")
   }
 
+  /** IVF-style two-level ANN: a coarse quantizer (sign-bit LSH over
+    * `coarseBits` hyperplanes) splits the corpus into inverted lists; each
+    * list gets an exact centroid (element-wise decimal-summed mean — the
+    * partial-aggregation order cannot perturb it, so centroids are stable
+    * across runs and cluster sizes); a query scores the tiny centroid table
+    * (broadcast), probes its `nProbe` nearest lists, and searches only
+    * those exactly.
+    *
+    * Scale shape: centroid build is one explode+groupBy over the corpus
+    * (linear, done once, reusable across query batches); the probe join is
+    * an equi-join on the bucket key, so corpus AND queries can both be
+    * huge. Recall is tunable: nProbe = 2^coarseBits degenerates to exact
+    * brute force (asserted in SimilaritySpec).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(coarseBits, dim, seed)
+    val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
+      .withColumn("bucket", signature(col("nbr_vec"), hp))
+      .withColumn("nbr_nrm", norm(col("nbr_vec")))
+    val centroids = c
+      .select(col("bucket"), posexplode(col("nbr_vec")).as(Seq("pos", "x")))
+      .groupBy("bucket", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("bucket"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", dot(col("q_vec"), col("centroid")) / (col("q_nrm") * norm(col("centroid"))))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nProbe)
+      .select("query_id", "q_vec", "q_nrm", "bucket")
+    val scored = c.join(probes, "bucket")
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "nbr_id", "rank", "cos")
+  }
+
   /** Per-group embedding statistics (count + exact norm sum). The norm is a
     * per-row double (deterministic); the cross-row sum goes through a
     * decimal so partial-aggregation order cannot perturb the result.

@@ -6,24 +6,30 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
-/** DSv2 write path: each task buffers its partition's columns, then emits
-  * one part file. The format's header carries absolute block offsets and
-  * precedes all data (SPEC.md:14,21), so sizes must be known before the
-  * first data byte — hence buffer-then-write per task, exactly the
-  * constraint the reference writer works under (writer.py:174-210). A
-  * directory of part files is the scale-out layout; the reader unions them
-  * (one InputPartition each).
+/** DSv2 write path: each task buffers columns and emits part files. The
+  * format's header carries absolute block offsets and precedes all data
+  * (SPEC.md:14,21), so sizes must be known before the first data byte —
+  * hence buffer-then-write, exactly the constraint the reference writer
+  * works under (writer.py:174-210). A directory of part files is the
+  * scale-out layout; the reader unions them (one InputPartition each).
+  *
+  * Rolling files: a task rolls to a new part file every `maxRowsPerFile`
+  * rows (write option, default 8M). The format has no row groups — a file
+  * is the unit of both decompression and read parallelism, and u64 block /
+  * u32 string-offset limits cap a single file — so bounding rows per file
+  * is what keeps a 1000-task, multi-TB write inside the format's limits
+  * and keeps read-side parallelism proportional to data size.
   *
   * Commit protocol (crash-safe):
   *  - tasks write to dot-prefixed temp names (the reader skips `.`/`_`
-  *    prefixes), embedding the query id + partition + task id so two
-  *    concurrent/successive writes can never collide — and create with
+  *    prefixes), embedding the query id + partition + file seq + task id so
+  *    two concurrent/successive writes can never collide — and create with
   *    overwrite=false so an unexpected collision fails loudly;
   *  - job commit first applies the deferred truncate (mode=overwrite), then
-  *    renames every temp to its final `part-<pid>-<queryId>.colf` name.
-  *    A failure before job commit leaves only invisible temps: old data is
-  *    intact and readers never observe a partial file;
-  *  - task abort deletes that task's temp; job abort deletes all temps.
+  *    renames every temp to its final `part-<pid>-<seq>-<queryId>.colf`
+  *    name. A failure before job commit leaves only invisible temps: old
+  *    data is intact and readers never observe a partial file;
+  *  - task abort deletes that task's temps; job abort deletes all temps.
   */
 class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -33,13 +39,25 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
 
   override def build(): Write = {
     require(paths.size == 1, s"colf write requires exactly one output path, got $paths")
-    // Validate the schema up front — fail at planning, not mid-job.
+    // Validate schema and options up front — fail at planning, not mid-job.
     ColfUtil.colfFields(info.schema())
-    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode)
+    val maxRows = Option(info.options.get("maxRowsPerFile")).map(_.toInt)
+      .getOrElse(ColfWrite.DefaultMaxRowsPerFile)
+    require(maxRows > 0, s"maxRowsPerFile must be positive, got $maxRows")
+    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows)
   }
 }
 
-class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean)
+object ColfWrite {
+  /** Default rows-per-file cap. 8M rows of typical mixed columns stays far
+    * below the 2 GiB per-column-block and 4 GiB string-blob format limits
+    * while producing files big enough to amortize per-file overhead.
+    */
+  val DefaultMaxRowsPerFile: Int = 8 * 1024 * 1024
+}
+
+class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
+    maxRowsPerFile: Int)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
@@ -48,7 +66,7 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) fs.mkdirs(path)
-    new ColfDataWriterFactory(dir, schema, queryId)
+    new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -64,12 +82,13 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       }
     }
     messages.foreach {
-      case ColfCommitMessage(Some(tmp), Some(fin)) =>
+      case ColfCommitMessage(files) => files.foreach { case (tmp, fin) =>
         val src = new Path(tmp)
         val dst = new Path(fin)
         if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
+      }
       case _ => ()
     }
     deleteQueryTemps(fs)
@@ -78,10 +97,11 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     messages.foreach {
-      case ColfCommitMessage(Some(tmp), _) =>
+      case ColfCommitMessage(files) => files.foreach { case (tmp, _) =>
         val p = new Path(tmp)
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, false)
+      }
       case _ => ()
     }
     deleteQueryTemps(new Path(dir).getFileSystem(conf))
@@ -102,24 +122,29 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
   }
 }
 
-case class ColfCommitMessage(tempFile: Option[String], finalFile: Option[String])
-    extends WriterCommitMessage
+/** (tempPath, finalPath) per rolled file written by one task. */
+case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitMessage
 
-class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String)
+class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
+    maxRowsPerFile: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ColfDataWriter(dir, schema, queryId, partitionId, taskId)
+    new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile)
 }
 
 class ColfDataWriter(
-    dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long)
+    dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long,
+    maxRowsPerFile: Int)
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
-  private val builders: IndexedSeq[ColfCodec.ColumnBuilder] =
-    fields.map(f => ColfCodec.builderFor(f.tpe))
+  private var builders: IndexedSeq[ColfCodec.ColumnBuilder] = freshBuilders()
   private val ncols = fields.length
-  private var tempWritten: Option[Path] = None
+  private var fileSeq = 0
+  private var written = List.empty[(Path, Path)] // (temp, final), newest first
+
+  private def freshBuilders(): IndexedSeq[ColfCodec.ColumnBuilder] =
+    fields.map(f => ColfCodec.builderFor(f.tpe))
 
   override def write(record: InternalRow): Unit = {
     var c = 0
@@ -133,25 +158,35 @@ class ColfDataWriter(
       }
       c += 1
     }
+    if (ncols > 0 && builders.head.count >= maxRowsPerFile) {
+      flushFile()
+      builders = freshBuilders()
+    }
   }
 
-  override def commit(): WriterCommitMessage = {
-    val rows = if (builders.isEmpty) 0 else builders.head.count
-    // Empty partitions emit no file — except partition 0, so an all-empty
-    // DataFrame still round-trips its schema (fixing the reference's own
-    // zero-row writer bug, writer.py:153-154 / SURVEY.md §5).
-    if (rows == 0 && partitionId != 0) return ColfCommitMessage(None, None)
-    val fin = new Path(dir, f"part-$partitionId%05d-$queryId.colf")
-    val tmp = new Path(dir, f".part-$partitionId%05d-$queryId-$taskId.colf.tmp")
-    tempWritten = Some(tmp)
+  /** Writes the currently buffered rows as one part file (temp name). */
+  private def flushFile(): Unit = {
+    val fin = new Path(dir, f"part-$partitionId%05d-$fileSeq%03d-$queryId.colf")
+    val tmp = new Path(dir, f".part-$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
+    fileSeq += 1
     val fs = tmp.getFileSystem(new Configuration())
     val out = fs.create(tmp, false) // fail loudly on collision
     try ColfCodec.writeFile(out, fields, builders)
     finally out.close()
-    ColfCommitMessage(Some(tmp.toString), Some(fin.toString))
+    written ::= (tmp, fin)
   }
 
-  override def abort(): Unit = tempWritten.foreach { tmp =>
+  override def commit(): WriterCommitMessage = {
+    val rows = if (builders.isEmpty) 0 else builders.head.count
+    // Empty partitions emit no file — except partition 0 when the task wrote
+    // nothing at all, so an all-empty DataFrame still round-trips its schema
+    // (fixing the reference's own zero-row writer bug, writer.py:153-154 /
+    // SURVEY.md §5).
+    if (rows > 0 || (partitionId == 0 && written.isEmpty)) flushFile()
+    ColfCommitMessage(written.reverse.map { case (t, f) => (t.toString, f.toString) })
+  }
+
+  override def abort(): Unit = written.foreach { case (tmp, _) =>
     val fs = tmp.getFileSystem(new Configuration())
     if (fs.exists(tmp)) fs.delete(tmp, false)
   }

@@ -203,6 +203,20 @@ class ColfDataSourceSpec extends AnyFunSuite {
       messages(err).mkString(" | "))
   }
 
+  test("maxRowsPerFile rolls a task's output into multiple part files") {
+    val dir = tmp()
+    spark.range(1000).select($"id".cast("int").as("a"))
+      .coalesce(1)
+      .write.format("colf").option("maxRowsPerFile", "300").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+    assert(parts.length == 4, parts.map(_.getName).mkString(","))   // 300+300+300+100
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum($"a")).collect()(0).getLong(0) == (0L until 1000L).sum)
+    assert(back.rdd.getNumPartitions == 4)   // read parallelism = file count
+  }
+
   test("statistics report row counts from headers") {
     val dir = tmp()
     spark.range(500).select($"id".cast("int").as("a"))

