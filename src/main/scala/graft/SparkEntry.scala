@@ -326,6 +326,28 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))),
 
+    // Vocabulary building: corpus-wide token frequencies, top-k. The
+    // explode shuffles (token, partial-count) pairs thanks to map-side
+    // combine, not raw tokens.
+    "q_word_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          max(col("o_totalprice")).as("mx"))),
+
     // ---- training-data pipeline: similarity search
     "q_sim_bruteforce" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -565,6 +587,21 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    "q_word_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY bucket""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_sim_bruteforce" ->
       """SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank, cos FROM (

@@ -22,15 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep one deterministic representative row per key
-    * (the one with the smallest `tieBreak`). Implemented as a window
-    * row_number rather than dropDuplicates, whose choice of survivor is
-    * partitioning-dependent — determinism matters more than the (identical)
-    * shuffle count.
+  /** Exact dedup: keep one deterministic representative row per key (the
+    * one with the smallest `tieBreak`). Not dropDuplicates — its survivor
+    * is partitioning-dependent. Not a window row_number either: a window
+    * must SORT every key-partition, while min_by is a plain aggregate with
+    * map-side partial aggregation — the shuffle carries one candidate row
+    * per distinct key per task, which is what survives a 100× scale-up on
+    * heavily-duplicated corpora.
     */
   def exactKeepFirst(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty) return df.distinct()
+    val packed = df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), col(tieBreak)).as("__row"))
+    // restore the original column order
+    packed.select(df.columns.map { c =>
+      (if (keys.contains(c)) col(c) else col(s"__row.$c")).as(c)
+    }: _*)
   }
 
   /** Exact-dup groups: key → group size + first member. Aggregation form of
