@@ -184,30 +184,37 @@ class ColfPartitionReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].file, required)
+
+  /** Columnar read path: the file decodes to per-column arrays anyway, so
+    * exposing them as one zero-copy ColumnarBatch lets Spark's codegen'd
+    * ColumnarToRow produce rows — no per-row GenericInternalRow allocation,
+    * no boxing, and the scan participates in whole-stage codegen.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].file, required)
 }
 
-class ColfPartitionReader(file: String, required: StructType)
-    extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-  import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-  import org.apache.spark.unsafe.types.UTF8String
-
-  private val requiredCols: Array[String] = required.fieldNames
+/** Shared selective-decode: seek straight to each required block via the
+  * header offsets (untouched columns cost zero I/O), validate per-file
+  * types against the session schema, decompress + decode.
+  */
+private[colf] class ColfFileDecoder(file: String, required: StructType) {
   private val expectedTypes: Map[String, ColfType] =
     required.fields.map(f => f.name -> ColfUtil.colfType(f.dataType)).toMap
   private val path = new Path(file)
   private val fs: FileSystem = path.getFileSystem(new Configuration())
   private val in = fs.open(path)
   private val header = ColfCodec.readHeader(in)
-  private val numRows: Int = {
+
+  val numRows: Int = {
     val n = header.schema.numRows
     require(n <= Int.MaxValue, s"File $file has $n rows; split into part files")
     n.toInt
   }
 
-  // Selective decode: seek straight to each required block via the header
-  // offsets; untouched columns cost zero I/O.
-  private val cols: Array[ColfCodec.DecodedColumn] = requiredCols.map { name =>
+  val cols: Array[ColfCodec.DecodedColumn] = required.fieldNames.map { name =>
     val idx = header.schema.fieldIndex(name)
     val meta = header.metas(idx)
     val tpe = header.schema.fields(idx).tpe
@@ -235,6 +242,19 @@ class ColfPartitionReader(file: String, required: StructType)
     }
   }
 
+  def close(): Unit = in.close()
+}
+
+/** Row-based read path (kept for engines/paths that ask for rows). */
+class ColfPartitionReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val dec = new ColfFileDecoder(file, required)
+  private val cols = dec.cols
+  private val numRows = dec.numRows
   private var row = -1
 
   override def next(): Boolean = { row += 1; row < numRows }
@@ -258,5 +278,52 @@ class ColfPartitionReader(file: String, required: StructType)
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = dec.close()
+}
+
+/** Zero-copy vector view over a decoded COLF column: getters index the
+  * decoded primitive arrays directly; strings wrap (blob, start, end)
+  * slices without copying.
+  */
+private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
+    extends org.apache.spark.sql.vectorized.ColumnVector(ColfUtil.sparkType(dec.tpe)) {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = dec.nulls != null
+  override def numNulls: Int =
+    if (dec.nulls == null) 0 else { var n = 0; var i = 0; while (i < dec.nulls.length) { if (dec.nulls(i)) n += 1; i += 1 }; n }
+  override def isNullAt(i: Int): Boolean = dec.isNullAt(i)
+  override def getInt(i: Int): Int = dec.ints(i)
+  override def getDouble(i: Int): Double = dec.doubles(i)
+  override def getUTF8String(i: Int): UTF8String =
+    if (dec.isNullAt(i)) null
+    else UTF8String.fromBytes(dec.strBlob, dec.strStarts(i), dec.strEnds(i) - dec.strStarts(i))
+  override def getBoolean(i: Int): Boolean = throw unsupported("boolean")
+  override def getByte(i: Int): Byte = throw unsupported("byte")
+  override def getShort(i: Int): Short = throw unsupported("short")
+  override def getLong(i: Int): Long = throw unsupported("long")
+  override def getFloat(i: Int): Float = throw unsupported("float")
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = throw unsupported("array")
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = throw unsupported("map")
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = throw unsupported("decimal")
+  override def getBinary(i: Int): Array[Byte] = throw unsupported("binary")
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector = throw unsupported("child")
+  private def unsupported(t: String) =
+    new UnsupportedOperationException(s"COLF vector has no $t accessor (type is ${dec.tpe.name})")
+}
+
+/** Columnar read: one zero-copy batch per file. */
+class ColfColumnarReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val dec = new ColfFileDecoder(file, required)
+  private val batch = new ColumnarBatch(
+    dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
+  private var emitted = false
+
+  override def next(): Boolean = { val r = !emitted; emitted = true; r }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); dec.close() }
 }
