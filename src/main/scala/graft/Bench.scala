@@ -18,7 +18,8 @@ object Bench {
     "q_window", "q_topk", "q_events_window",
     "q_colf_scan_full", "q_colf_project",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-    "q_sim_bruteforce", "q_sim_ann", "q_text_stats", "q_quality_score",
+    "q_sim_bruteforce", "q_sim_ann", "q_sim_ivf",
+    "q_text_stats", "q_quality_score", "q_word_freq", "q_sessionize",
   )
 
   def main(args: Array[String]): Unit = {

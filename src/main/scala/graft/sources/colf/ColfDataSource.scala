@@ -161,8 +161,32 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
   override def description(): String =
     s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ColfInputPartition(f)).toArray
+  /** Bin-pack files into partitions by compressed size (first-fit over a
+    * size-descending order), targeting `spark.sql.files.maxPartitionBytes`
+    * — the same policy as Spark's file sources. One-task-per-file would
+    * explode the task count on directories of many small part files (the
+    * normal shape of a large rolled write); packing keeps task count
+    * proportional to bytes, not file count. A file is never split: it is
+    * the format's unit of decompression.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes: Long =
+      try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+      catch { case _: Throwable => 128L * 1024 * 1024 }
+    val conf = new Configuration()
+    val sized = files.map { f =>
+      val p = new Path(f)
+      f -> p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    sized.foreach { case (f, sz) =>
+      bins.indexWhere { case (_, total) => total + sz <= maxBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+        case i  => val (fs0, total) = bins(i); fs0 += f; bins(i) = (fs0, total + sz)
+      }
+    }
+    bins.map { case (fs0, _) => ColfInputPartition(fs0.toSeq): InputPartition }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required)
@@ -178,22 +202,23 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
   }
 }
 
-case class ColfInputPartition(file: String) extends InputPartition
+case class ColfInputPartition(files: Seq[String]) extends InputPartition
 
 class ColfPartitionReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].file, required)
+    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].files, required)
 
-  /** Columnar read path: the file decodes to per-column arrays anyway, so
-    * exposing them as one zero-copy ColumnarBatch lets Spark's codegen'd
-    * ColumnarToRow produce rows — no per-row GenericInternalRow allocation,
-    * no boxing, and the scan participates in whole-stage codegen.
+  /** Columnar read path: each file decodes to per-column arrays anyway, so
+    * exposing them as one zero-copy ColumnarBatch per file lets Spark's
+    * codegen'd ColumnarToRow produce rows — no per-row GenericInternalRow
+    * allocation, no boxing, and the scan participates in whole-stage
+    * codegen.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].file, required)
+    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].files, required)
 }
 
 /** Shared selective-decode: seek straight to each required block via the
@@ -245,21 +270,33 @@ private[colf] class ColfFileDecoder(file: String, required: StructType) {
   def close(): Unit = in.close()
 }
 
-/** Row-based read path (kept for engines/paths that ask for rows). */
-class ColfPartitionReader(file: String, required: StructType)
+/** Row-based read path (kept for engines/paths that ask for rows).
+  * Streams the partition's files sequentially, preserving file order.
+  */
+class ColfPartitionReader(files: Seq[String], required: StructType)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
-  private val dec = new ColfFileDecoder(file, required)
-  private val cols = dec.cols
-  private val numRows = dec.numRows
+  private var fileIdx = -1
+  private var dec: ColfFileDecoder = null
   private var row = -1
 
-  override def next(): Boolean = { row += 1; row < numRows }
+  override def next(): Boolean = {
+    row += 1
+    while (dec == null || row >= dec.numRows) {
+      if (dec != null) { dec.close(); dec = null }
+      fileIdx += 1
+      if (fileIdx >= files.length) return false
+      dec = new ColfFileDecoder(files(fileIdx), required)
+      row = 0
+    }
+    true
+  }
 
   override def get(): InternalRow = {
+    val cols = dec.cols
     val values = new Array[Any](cols.length)
     var c = 0
     while (c < cols.length) {
@@ -278,7 +315,7 @@ class ColfPartitionReader(file: String, required: StructType)
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = dec.close()
+  override def close(): Unit = if (dec != null) dec.close()
 }
 
 /** Zero-copy vector view over a decoded COLF column: getters index the
@@ -313,17 +350,25 @@ private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
     new UnsupportedOperationException(s"COLF vector has no $t accessor (type is ${dec.tpe.name})")
 }
 
-/** Columnar read: one zero-copy batch per file. */
-class ColfColumnarReader(file: String, required: StructType)
+/** Columnar read: one zero-copy batch per file, files in order. */
+class ColfColumnarReader(files: Seq[String], required: StructType)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private val dec = new ColfFileDecoder(file, required)
-  private val batch = new ColumnarBatch(
-    dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
-  private var emitted = false
+  private var fileIdx = -1
+  private var dec: ColfFileDecoder = null
+  private var batch: ColumnarBatch = null
 
-  override def next(): Boolean = { val r = !emitted; emitted = true; r }
+  override def next(): Boolean = {
+    if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) return false
+    dec = new ColfFileDecoder(files(fileIdx), required)
+    batch = new ColumnarBatch(
+      dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
+    true
+  }
+
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = { batch.close(); dec.close() }
+  override def close(): Unit = if (dec != null) { batch.close(); dec.close() }
 }

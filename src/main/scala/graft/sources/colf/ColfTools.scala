@@ -1,0 +1,84 @@
+package graft.sources.colf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI parity layer for the reference's three entry points (SURVEY.md §3):
+  *
+  *   csv_to_custom <in.csv> <out_dir>       (writer.py:215-228, E1)
+  *   custom_to_csv <in_dir_or_file> <out.csv> (reader.py:223-263, E2)
+  *   read_columns  <in_dir_or_file> <c1,c2>  (reader.py:264-274, E3)
+  *
+  * Differences from the reference, by design: output "files" are COLF
+  * directories (the scale-out layout — a single `.colf` file is also
+  * accepted on read), and zero-row tables round-trip (the reference's
+  * writer crashes on them, writer.py:153-154). Null cells render as ""
+  * on CSV export, like the reference (reader.py:259).
+  */
+object ColfTools {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("colf-tools")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args match {
+    case Array("csv_to_custom", in, out) =>
+      ColfInference.readCsv(spark, in).write.format("colf").mode("overwrite").save(out)
+
+    case Array("custom_to_csv", in, out) =>
+      writeSingleCsv(spark.read.format("colf").load(in), out)
+
+    case Array("read_columns", in, cols) =>
+      val df = spark.read.format("colf").load(in)
+        .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
+      // reference prints CSV to stdout (reader.py:268-274); stream, don't collect
+      println(df.columns.mkString(","))
+      df.toLocalIterator().forEachRemaining { row =>
+        println(df.columns.indices.map { i =>
+          val v = row.get(i)
+          if (v == null) "" else csvQuote(v.toString)
+        }.mkString(","))
+      }
+
+    case other =>
+      System.err.println(
+        s"""Unknown arguments: ${other.mkString(" ")}
+           |Usage:
+           |  csv_to_custom <in.csv> <out_dir>
+           |  custom_to_csv <in_dir_or_file> <out.csv>
+           |  read_columns  <in_dir_or_file> <col1,col2,...>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def csvQuote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Spark's CSV sink writes a directory; the reference CLI contract is a
+    * single file — write to a scratch dir and move the lone part into
+    * place. NULL → "" and "" stays "" (reader.py:259 parity); zero-row
+    * frames still emit the header line (reader.py:239-251).
+    */
+  private[colf] def writeSingleCsv(df: DataFrame, out: String): Unit = {
+    val tmp = out + ".colftools.tmp"
+    df.coalesce(1).write
+      .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
+      .mode("overwrite").csv(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no csv part produced under $tmp"))
+    val target = new java.io.File(out)
+    if (target.exists()) target.delete()
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+  }
+}

@@ -69,7 +69,8 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(parts.length > 1)
     val back = spark.read.format("colf").load(dir)
     assert(back.count() == 10000)
-    assert(back.rdd.getNumPartitions == parts.length)
+    // small files bin-pack into fewer read partitions (see the dedicated test)
+    assert(back.rdd.getNumPartitions >= 1 && back.rdd.getNumPartitions <= parts.length)
     assert(back.agg(sum($"id")).as[Long].head() == 10000L * 9999 / 2)
   }
 
@@ -214,7 +215,35 @@ class ColfDataSourceSpec extends AnyFunSuite {
     val back = spark.read.format("colf").load(dir)
     assert(back.count() == 1000)
     assert(back.agg(sum($"a")).collect()(0).getLong(0) == (0L until 1000L).sum)
-    assert(back.rdd.getNumPartitions == 4)   // read parallelism = file count
+  }
+
+  test("small files bin-pack into partitions by maxPartitionBytes") {
+    val dir = tmp()
+    spark.range(1000).select($"id".cast("int").as("a"))
+      .coalesce(1)
+      .write.format("colf").option("maxRowsPerFile", "100").mode("overwrite").save(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+    assert(nFiles == 10)
+    // default 128MB target: ten tiny files pack into ONE task
+    assert(spark.read.format("colf").load(dir).rdd.getNumPartitions == 1)
+    // a ~1-file-sized target: one task per file, data intact either way
+    val fileLen = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).map(_.length).max
+    withSQLConf("spark.sql.files.maxPartitionBytes" -> fileLen.toString) {
+      val back = spark.read.format("colf").load(dir)
+      assert(back.rdd.getNumPartitions == 10)
+      assert(back.agg(sum($"a")).collect()(0).getLong(0) == (0L until 1000L).sum)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("statistics report row counts from headers") {
