@@ -193,6 +193,16 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
 
+    "q_skew_join" -> ((s, dir) => {
+      // Salted join (operators.SkewJoin): results must be IDENTICAL to the
+      // plain join — the oracle is the unsalted SQL join.
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      operators.SkewJoin.saltedInnerJoin(li, ord, col("l_orderkey"), col("o_orderkey"), factor = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
+    }),
+
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem").where(col("l_quantity") >= 49),
@@ -231,6 +241,22 @@ object SparkEntry {
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate_s"))
         .write.format("colf").mode("overwrite").save(out)
       s.read.format("colf").load(out)
+    }),
+
+    "q_colf_agg" -> ((s, dir) => {
+      // Aggregation DIRECTLY over the colf source: the vectorized scan
+      // prunes to 3 columns, ColumnarToRow feeds codegen'd hash aggregation
+      // — the engine querying its own format, not just round-tripping it.
+      val out = work("q_colf_agg")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("int").as("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.format("colf").mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
     "q_csv_write_roundtrip" -> ((s, dir) => {
@@ -484,6 +510,12 @@ object SparkEntry {
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
 
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
@@ -505,6 +537,12 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_colf_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_csv_scan" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for the join AQE can't save: both sides too
+  * large to broadcast AND a handful of keys carrying a disproportionate
+  * share of BOTH sides (AQE's OptimizeSkewedJoin splits a skewed partition
+  * of ONE side; when the matching build side's partition is also huge,
+  * every split still re-reads it).
+  *
+  * Classic salting: the probe side's key gains a deterministic salt in
+  * [0, factor); the build side is replicated `factor` times, once per salt
+  * value. The join key becomes (key, salt), spreading each hot key over
+  * `factor` reducers. Cost: build side shuffles `factor`×, so pick the
+  * smallest factor that flattens the skew.
+  *
+  * The salt is derived by hashing the probe row's columns (not a random
+  * number), so results are deterministic and retries/speculative tasks
+  * produce identical output.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `probe.key == build.key` with salt-spread hot keys.
+    * Column sets must be disjoint apart from the join key names being
+    * distinct (`probeKey` vs `buildKey`).
+    */
+  def saltedInnerJoin(probe: DataFrame, build: DataFrame,
+      probeKey: Column, buildKey: Column, factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(factor.toLong)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated,
+        probeKey === buildKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}
