@@ -44,7 +44,10 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     val maxRows = Option(info.options.get("maxRowsPerFile")).map(_.toInt)
       .getOrElse(ColfWrite.DefaultMaxRowsPerFile)
     require(maxRows > 0, s"maxRowsPerFile must be positive, got $maxRows")
-    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows)
+    val level = Option(info.options.get("compressionLevel")).map(_.toInt)
+      .getOrElse(ColfCodec.DefaultCompressionLevel)
+    require(level >= 1 && level <= 9, s"compressionLevel must be in 1..9, got $level")
+    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, level)
   }
 }
 
@@ -57,7 +60,7 @@ object ColfWrite {
 }
 
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
-    maxRowsPerFile: Int)
+    maxRowsPerFile: Int, compressionLevel: Int)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
@@ -66,7 +69,7 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) fs.mkdirs(path)
-    new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile)
+    new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile, compressionLevel)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -126,15 +129,16 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
 case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitMessage
 
 class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
-    maxRowsPerFile: Int)
+    maxRowsPerFile: Int, compressionLevel: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile)
+    new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
+      compressionLevel)
 }
 
 class ColfDataWriter(
     dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long,
-    maxRowsPerFile: Int)
+    maxRowsPerFile: Int, compressionLevel: Int)
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
@@ -171,7 +175,7 @@ class ColfDataWriter(
     fileSeq += 1
     val fs = tmp.getFileSystem(new Configuration())
     val out = fs.create(tmp, false) // fail loudly on collision
-    try ColfCodec.writeFile(out, fields, builders)
+    try ColfCodec.writeFile(out, fields, builders, compressionLevel)
     finally out.close()
     written ::= (tmp, fin)
   }

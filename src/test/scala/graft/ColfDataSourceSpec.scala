@@ -217,6 +217,37 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(back.agg(sum($"a")).collect()(0).getLong(0) == (0L until 1000L).sum)
   }
 
+  test("compressionLevel option: any level roundtrips and stays zlib-valid") {
+    for (level <- Seq("1", "9")) {
+      val dir = tmp()
+      spark.range(500)
+        .select($"id".cast("int").as("a"), concat(lit("s"), $"id").as("s"))
+        .coalesce(1)
+        .write.format("colf").option("compressionLevel", level).mode("overwrite").save(dir)
+      val back = spark.read.format("colf").load(dir)
+      assert(back.count() == 500 && back.agg(sum($"a")).collect()(0).getLong(0) == 499L * 500 / 2)
+      // still readable by the reference's Python zlib-based reader
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get("/root/reference/reader.py"))) {
+        val part = new java.io.File(dir).listFiles()
+          .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+        val out = Files.createTempFile("colf_lvl", ".csv").toString
+        val proc = new ProcessBuilder(
+          "python3", "/root/reference/reader.py", "custom_to_csv", part.toString, out)
+          .redirectErrorStream(true).start()
+        val txt = new String(proc.getInputStream.readAllBytes())
+        assert(proc.waitFor() == 0, s"reference reader failed at level $level: $txt")
+        assert(Files.readAllLines(java.nio.file.Paths.get(out)).size() == 501)
+      }
+    }
+    val err = intercept[Exception] {
+      spark.range(1).select($"id".cast("int").as("a"))
+        .write.format("colf").option("compressionLevel", "12").mode("overwrite").save(tmp())
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("compressionLevel")))
+  }
+
   test("small files bin-pack into partitions by maxPartitionBytes") {
     val dir = tmp()
     spark.range(1000).select($"id".cast("int").as("a"))
