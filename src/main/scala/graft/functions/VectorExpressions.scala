@@ -32,15 +32,35 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable when either INPUT is nullable or either array may carry null
+    * ELEMENTS (a null element nulls the result, matching the fold) —
+    * without this, codegen constant-folds isNull away for non-null array
+    * columns and the element-null branch could never surface.
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
   override def prettyName: String = "vec_dot"
 
+  /** Null semantics match the fold exactly: a null ELEMENT in either array
+    * poisons the product (zip_with's x*y is null) and therefore the whole
+    * sum (aggregate's acc+null) — the result is null, never a silent 0.0
+    * contribution.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -53,6 +73,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

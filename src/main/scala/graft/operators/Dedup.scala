@@ -159,19 +159,27 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    // Signatures feed the band self-join (two consumers) — persist so the
-    // hashing map stage runs once. id + k longs per doc: tiny relative to
-    // the corpus; Spark's LRU evicts it once the query retires.
+    // Null-text docs must not enter banding: their signature is null, and
+    // null children vanish inside the band-key hash, so EVERY null doc
+    // would share one bucket per band — a quadratic candidate blowup on
+    // corpora with many null rows (the pairs only die later at the
+    // jaccard filter). They can never be near-dups; drop them up front.
+    val clean = df.where(text.isNotNull)
+    // Persist both multi-consumer intermediates: signatures feed the band
+    // self-join (2 consumers), and the candidate pairs feed candIds twice
+    // plus the verification join (3 consumers) — without caching, the
+    // band-explode/join/distinct subtree would re-execute three times.
+    // Both are tiny relative to the corpus (id + k longs / id pairs).
     import org.apache.spark.storage.StorageLevel
-    val sigs = minhashSignatures(df, id, text, p).persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(sigs, p)
+    val sigs = minhashSignatures(clean, id, text, p).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(sigs, p).persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard verification only needs shingle sets for docs that
     // SURVIVED candidate generation — a vanishing fraction of the corpus at
     // scale. Join the texts down to candidates first, THEN shingle.
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     val sh = udf { t: String => if (t == null) null else shingleSet(t, p.shingleSize) }
-    val shingled = df.select(id.as("id"), text.as("__text"))
+    val shingled = clean.select(id.as("id"), text.as("__text"))
       .join(candIds, "id")
       .select(col("id"), sh(col("__text")).as("sh"))
     cands

@@ -105,6 +105,11 @@ object ColfCodec {
       if (n >= nulls.length) nulls = java.util.Arrays.copyOf(nulls, nulls.length * 2)
     def appendNull(): Unit
     def tpe: ColfType
+    /** Uncompressed data bytes buffered so far (excluding the small
+      * per-payload header) — the write path's roll trigger, so a builder
+      * can never grow past JVM array / format offset limits.
+      */
+    def byteSize: Long
     /** Full payload: dtype byte, hasNulls byte, bitmap, data. */
     def payload(): Array[Byte]
 
@@ -128,6 +133,7 @@ object ColfCodec {
 
   final class IntColumnBuilder extends ColumnBuilder {
     override def tpe: ColfType = ColfType.Int32
+    override def byteSize: Long = 4L * n
     private var values = new Array[Int](16)
     private def ensure(): Unit = {
       ensureNulls()
@@ -146,6 +152,7 @@ object ColfCodec {
 
   final class DoubleColumnBuilder extends ColumnBuilder {
     override def tpe: ColfType = ColfType.Float64
+    override def byteSize: Long = 8L * n
     private var values = new Array[Double](16)
     private def ensure(): Unit = {
       ensureNulls()
@@ -164,6 +171,7 @@ object ColfCodec {
 
   final class StringColumnBuilder extends ColumnBuilder {
     override def tpe: ColfType = ColfType.Utf8
+    override def byteSize: Long = 4L * n + blob.size()
     private var starts = new Array[Int](16)
     private val blob = new java.io.ByteArrayOutputStream(1024)
     private def ensure(): Unit = {

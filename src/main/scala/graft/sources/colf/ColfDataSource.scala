@@ -231,15 +231,28 @@ private[colf] class ColfFileDecoder(file: String, required: StructType) {
   private val path = new Path(file)
   private val fs: FileSystem = path.getFileSystem(new Configuration())
   private val in = fs.open(path)
-  private val header = ColfCodec.readHeader(in)
 
-  val numRows: Int = {
+  /** Any header-parse/validation/decode failure must not leak the open
+    * stream: failed task attempts retry, and a leaked handle per retry per
+    * file exhausts connection pools on remote filesystems.
+    */
+  private def guarded[T](f: => T): T = try f catch {
+    case t: Throwable =>
+      try in.close() catch { case _: Throwable => () }
+      throw t
+  }
+
+  private val header = guarded(ColfCodec.readHeader(in))
+
+  val numRows: Int = guarded {
     val n = header.schema.numRows
     require(n <= Int.MaxValue, s"File $file has $n rows; split into part files")
     n.toInt
   }
 
-  val cols: Array[ColfCodec.DecodedColumn] = required.fieldNames.map { name =>
+  val cols: Array[ColfCodec.DecodedColumn] = guarded(decodeAll())
+
+  private def decodeAll(): Array[ColfCodec.DecodedColumn] = required.fieldNames.map { name =>
     val idx = header.schema.fieldIndex(name)
     val meta = header.metas(idx)
     val tpe = header.schema.fields(idx).tpe
@@ -328,8 +341,10 @@ private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
 
   override def close(): Unit = ()
   override def hasNull: Boolean = dec.nulls != null
-  override def numNulls: Int =
-    if (dec.nulls == null) 0 else { var n = 0; var i = 0; while (i < dec.nulls.length) { if (dec.nulls(i)) n += 1; i += 1 }; n }
+  private lazy val nullCount: Int =
+    if (dec.nulls == null) 0
+    else { var n = 0; var i = 0; while (i < dec.nulls.length) { if (dec.nulls(i)) n += 1; i += 1 }; n }
+  override def numNulls: Int = nullCount
   override def isNullAt(i: Int): Boolean = dec.isNullAt(i)
   override def getInt(i: Int): Int = dec.ints(i)
   override def getDouble(i: Int): Double = dec.doubles(i)

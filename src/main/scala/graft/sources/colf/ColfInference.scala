@@ -30,7 +30,15 @@ object ColfInference {
   private val FloatRe =
     "(?i)^[+-]?((([0-9]+(\\.[0-9]*)?)|(\\.[0-9]+))(e[+-]?[0-9]+)?|nan|inf(inity)?)$"
 
-  private def isBlank(c: Column): Column = c.isNull || trim(c) === ""
+  /** Python's str.strip() removes ALL whitespace (tabs, newlines, …);
+    * Spark's trim() removes only spaces — so blank detection and numeric
+    * stripping go through a whitespace regex to honor the reference rule
+    * "blank/whitespace-only cell ⇒ NULL" for a tab-only cell too.
+    */
+  private def isBlank(c: Column): Column = c.isNull || c.rlike("^\\s*$")
+
+  private def stripped(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** Infer (type, nullable) per column. Input must be all-string (e.g.
     * `spark.read.option("header", true).csv(path)` without inferSchema —
@@ -39,7 +47,7 @@ object ColfInference {
   def inferFields(raw: DataFrame): IndexedSeq[ColfField] = {
     val aggs = raw.columns.flatMap { name =>
       val c = col(name)
-      val t = trim(c)
+      val t = stripped(c)
       Seq(
         max(when(isBlank(c), 1).otherwise(0)).as(s"__nul_$name"),
         min(when(isBlank(c), 1).otherwise(when(t.rlike(IntRe), 1).otherwise(0))).as(s"__int_$name"),
@@ -75,30 +83,51 @@ object ColfInference {
     * reference writer would crash mid-encode (writer.py:111); we fail the
     * plan with a clear message instead.
     */
+  /** `try_cast` of the stripped cell — null on ANY unparseable/overflowing
+    * value instead of an ANSI runtime error mid-job, so validation below
+    * can name the column. (A plain cast would also silently null values
+    * beyond Int64 in non-ANSI sessions — the validation must see them.)
+    */
+  private def tryCastStripped(name: String, to: String): Column = {
+    val esc = name.replace("`", "``")
+    expr(s"try_cast(regexp_replace(`$esc`, '^\\\\s+|\\\\s+$$', '') AS $to)")
+  }
+
   def applySchema(raw: DataFrame, fields: IndexedSeq[ColfField]): DataFrame = {
-    val cols = fields.map { f =>
-      val c = col(f.name)
-      val casted = f.tpe match {
-        case ColfType.Int32   => trim(c).cast(LongType)
-        case ColfType.Float64 => trim(c).cast(DoubleType)
-        case ColfType.Utf8    => c
-      }
-      when(isBlank(c), lit(null)).otherwise(casted).as(f.name)
-    }
-    val typed = raw.select(cols: _*)
-    // Strict-int32 validation (one cheap filter-agg over the int columns).
+    // Strict-int32 validation on the RAW strings (one cheap agg): a
+    // non-blank cell in an int32 column that fails try_cast (beyond Int64)
+    // or lands outside Int32 fails the plan with the column named — the
+    // reference writer crashes mid-encode on the same data (writer.py:111).
     val intCols = fields.filter(_.tpe == ColfType.Int32).map(_.name)
     if (intCols.nonEmpty) {
-      val overflow = intCols.map(n => max(when(col(n) < Int.MinValue || col(n) > Int.MaxValue, lit(n))).as(n))
-      val bad = typed.agg(overflow.head, overflow.tail: _*).collect()(0)
+      val overflow = intCols.map { n =>
+        val v = tryCastStripped(n, "BIGINT")
+        max(when(!isBlank(col(n)) &&
+          (v.isNull || v < Int.MinValue || v > Int.MaxValue), lit(n))).as(n)
+      }
+      val bad = raw.agg(overflow.head, overflow.tail: _*).collect()(0)
         .toSeq.collect { case s: String => s }
       require(bad.isEmpty,
         s"int32 overflow in column(s) ${bad.mkString(", ")}: COLF int32 is strict " +
           "(the reference writer fails on overflow, writer.py:111); widen to float64 or clean the data")
     }
-    typed.select(fields.map { f =>
-      (if (f.tpe == ColfType.Int32) col(f.name).cast(IntegerType) else col(f.name)).as(f.name)
-    }: _*)
+    val cols = fields.map { f =>
+      val c = col(f.name)
+      val casted = f.tpe match {
+        case ColfType.Int32   => tryCastStripped(f.name, "INT")
+        case ColfType.Float64 =>
+          // Python float() accepts nan/inf/infinity case-insensitively;
+          // Spark's cast does not — normalize the special spellings first.
+          val s = lower(stripped(c))
+          when(s.isin("nan", "+nan", "-nan"), lit(Double.NaN))
+            .when(s.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
+            .when(s.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+            .otherwise(tryCastStripped(f.name, "DOUBLE"))
+        case ColfType.Utf8 => c
+      }
+      when(isBlank(c), lit(null)).otherwise(casted).as(f.name)
+    }
+    raw.select(cols: _*)
   }
 
   /** One-call CSV → typed DataFrame with COLF semantics (the parity layer

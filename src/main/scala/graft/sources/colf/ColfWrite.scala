@@ -47,20 +47,32 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     val level = Option(info.options.get("compressionLevel")).map(_.toInt)
       .getOrElse(ColfCodec.DefaultCompressionLevel)
     require(level >= 1 && level <= 9, s"compressionLevel must be in 1..9, got $level")
-    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, level)
+    val maxBytes = Option(info.options.get("maxBytesPerFile")).map(_.toLong)
+      .getOrElse(ColfWrite.DefaultMaxBytesPerFile)
+    require(maxBytes > 0, s"maxBytesPerFile must be positive, got $maxBytes")
+    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
+      level)
   }
 }
 
 object ColfWrite {
-  /** Default rows-per-file cap. 8M rows of typical mixed columns stays far
-    * below the 2 GiB per-column-block and 4 GiB string-blob format limits
-    * while producing files big enough to amortize per-file overhead.
+  /** Default rows-per-file cap — bounds decode-side allocation granularity
+    * and keeps read parallelism proportional to data.
     */
   val DefaultMaxRowsPerFile: Int = 8 * 1024 * 1024
+
+  /** Default per-file cap on BUFFERED UNCOMPRESSED BYTES (summed across
+    * column builders). Rows alone cannot bound memory: a string-heavy
+    * table (the normal training-corpus shape, ~KB per document) would blow
+    * the 2 GiB JVM-array / u32-string-offset limits long before 8M rows.
+    * 512 MiB keeps task memory modest and compressed parts in the
+    * 100-250 MB sweet spot.
+    */
+  val DefaultMaxBytesPerFile: Long = 512L * 1024 * 1024
 }
 
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
-    maxRowsPerFile: Int, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
     extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
@@ -69,7 +81,8 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) fs.mkdirs(path)
-    new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile, compressionLevel)
+    new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile, maxBytesPerFile,
+      compressionLevel)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -129,16 +142,16 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
 case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitMessage
 
 class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
-    maxRowsPerFile: Int, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
-      compressionLevel)
+      maxBytesPerFile, compressionLevel)
 }
 
 class ColfDataWriter(
     dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long,
-    maxRowsPerFile: Int, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
@@ -149,6 +162,13 @@ class ColfDataWriter(
 
   private def freshBuilders(): IndexedSeq[ColfCodec.ColumnBuilder] =
     fields.map(f => ColfCodec.builderFor(f.tpe))
+
+  private def totalBufferedBytes(): Long = {
+    var total = 0L
+    var i = 0
+    while (i < builders.length) { total += builders(i).byteSize; i += 1 }
+    total
+  }
 
   override def write(record: InternalRow): Unit = {
     var c = 0
@@ -162,7 +182,8 @@ class ColfDataWriter(
       }
       c += 1
     }
-    if (ncols > 0 && builders.head.count >= maxRowsPerFile) {
+    if (ncols > 0 && (builders.head.count >= maxRowsPerFile ||
+        totalBufferedBytes() >= maxBytesPerFile)) {
       flushFile()
       builders = freshBuilders()
     }

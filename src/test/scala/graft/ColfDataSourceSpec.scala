@@ -217,6 +217,22 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(back.agg(sum($"a")).collect()(0).getLong(0) == (0L until 1000L).sum)
   }
 
+  test("maxBytesPerFile rolls on buffered bytes for string-heavy rows") {
+    val dir = tmp()
+    // ~100 bytes of text per row; a 2 KB byte cap must roll well before the
+    // (huge) default row cap would
+    spark.range(100)
+      .select($"id".cast("int").as("a"), concat(lit("x" * 100), $"id").as("s"))
+      .coalesce(1)
+      .write.format("colf").option("maxBytesPerFile", "2048").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+    assert(parts.length > 2, s"expected byte-based rolling, got ${parts.length} file(s)")
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum($"a")).collect()(0).getLong(0) == 99L * 100 / 2)
+  }
+
   test("compressionLevel option: any level roundtrips and stays zlib-valid") {
     for (level <- Seq("1", "9")) {
       val dir = tmp()

@@ -72,6 +72,41 @@ class ColfInferenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("int32 overflow"))
   }
 
+  test("tab/newline-only cells are NULL like Python strip(), not utf8 values") {
+    val f = Files.createTempFile("colf_tab", ".csv")
+    Files.writeString(f, "i,s\n\"\t\",x\n\" 7\t\",y\n")
+    val raw = spark.read.option("header", "true").csv(f.toString)
+    val fields = ColfInference.inferFields(raw)
+    // tab-only cell is blank ⇒ column stays int32 + nullable; " 7\t" parses as 7
+    assert(fields(0) == graft.sources.colf.ColfField("i", ColfType.Int32, true))
+    val rows = ColfInference.applySchema(raw, fields).orderBy("s").collect()
+    assert(rows(0).isNullAt(0) && rows(1).getInt(0) == 7)
+  }
+
+  test("beyond-Int64 integers fail loudly, never silently null") {
+    val f = Files.createTempFile("colf_huge", ".csv")
+    Files.writeString(f, "i\n92233720368547758080\n")   // > Long.MaxValue
+    val raw = spark.read.option("header", "true").csv(f.toString)
+    val fields = ColfInference.inferFields(raw)
+    assert(fields(0).tpe == ColfType.Int32)
+    val e = intercept[IllegalArgumentException] {
+      ColfInference.applySchema(raw, fields).collect()
+    }
+    assert(e.getMessage.contains("int32 overflow"))
+  }
+
+  test("applySchema parses nan/inf spellings into real double values") {
+    val f = Files.createTempFile("colf_inf", ".csv")
+    Files.writeString(f, "d\nnan\n-INF\ninfinity\n1e3\n")
+    val raw = spark.read.option("header", "true").csv(f.toString)
+    val vals = ColfInference.applySchema(raw, ColfInference.inferFields(raw))
+      .collect().map(_.getDouble(0))
+    assert(vals(0).isNaN)
+    assert(vals(1) == Double.NegativeInfinity)
+    assert(vals(2) == Double.PositiveInfinity)
+    assert(vals(3) == 1000.0)
+  }
+
   test("readCsv end-to-end parity entry point") {
     val f = Files.createTempFile("colf_e2e", ".csv")
     Files.writeString(f, "id,price,name\n1,9.99,ab\n2,,\n")

@@ -173,9 +173,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(r =>
       java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
-    // null propagation
+    // null propagation: null ARRAY and null ELEMENT both poison the result,
+    // exactly like the fold (zip_with's null product nulls the aggregate)
     val n = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]])).toDF("a", "b")
     assert(n.select(graft.functions.VectorFunctions.vecDot($"a", $"b")).collect()(0).isNullAt(0))
+    val ne = spark.sql("SELECT array(1.0d, NULL) AS a, array(2.0d, 3.0d) AS b")
+    val r2 = ne.select(
+      graft.functions.VectorFunctions.vecDot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("fold"))
+      .collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
+  test("minhash ignores null-text documents instead of flooding band buckets") {
+    val df = Seq((1L, Option("alpha beta gamma delta epsilon zeta")),
+      (2L, Option("alpha beta gamma delta epsilon eta")),
+      (3L, None), (4L, None), (5L, None)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, $"doc_id", $"text",
+        Dedup.MinHashParams(jaccardThreshold = 0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
   }
 
   // ------------------------------------------------------- multimodal
