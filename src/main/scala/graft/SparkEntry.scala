@@ -374,6 +374,23 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90"),
           max(col("o_totalprice")).as("mx"))),
 
+    // End-to-end curation composition: score -> filter -> dedup, the whole
+    // path a corpus takes before training. One scan, one shuffle (the
+    // dedup groupBy); scoring and filtering stay map-side.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        substring(col("text"), 1, 40).as("key"))
+      scored
+        .where(col("quality") >= 0.5 && col("lang_pred") === "en")
+        .groupBy("key")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("quality"), col("doc_id")).as("quality"),
+          count(lit(1)).as("n_dups"))
+    }),
+
     // ---- training-data pipeline: similarity search
     "q_sim_bruteforce" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -640,6 +657,35 @@ object SparkEntry {
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.9) AS p90, max(o_totalprice) AS mx
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n      ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, substr(text, 1, 40) AS key,
+         |    length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $StopList)) AS n_stop,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |    $scores
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, key,
+         |    least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.3
+         |      + (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.2 AS quality,
+         |    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |      $cases END AS lang_pred
+         |  FROM base
+         |)
+         |SELECT key, min(doc_id) AS doc_id, arg_min(quality, doc_id) AS quality,
+         |  count(*) AS n_dups
+         |FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+         |GROUP BY key""".stripMargin
+    },
 
     "q_sim_bruteforce" ->
       """SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank, cos FROM (

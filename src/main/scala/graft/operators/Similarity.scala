@@ -83,16 +83,29 @@ object Similarity {
     * neighbor in another bucket is missed (P[same bucket] = (1-θ/π)^planes).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
-    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+    val q0 = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
       .withColumn("bucket", signature(col("q_vec"), hp))
       .withColumn("q_nrm", norm(col("q_vec")))
+    // Multi-probe: a near neighbor differing on ONE hyperplane's side lands
+    // in a bucket at Hamming distance 1 from the query's — probing those
+    // `planes` extra buckets recovers most of single-probe's misses for a
+    // (planes+1)× fan-out of the (tiny) query side only; the corpus is
+    // never replicated.
+    val q =
+      if (!multiProbe) q0
+      else {
+        val probes = lit(0L) +: (0 until planes).map(i => lit(1L << i))
+        q0.withColumn("bucket", explode(array(probes.map(col("bucket").bitwiseXOR): _*)))
+      }
     val scored = c.join(q, "bucket")
       .where(col("query_id") =!= col("nbr_id"))
+      // a corpus row can match a query through several probed buckets
+      .dropDuplicates("query_id", "nbr_id")
       .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

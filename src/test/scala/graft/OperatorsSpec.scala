@@ -132,6 +132,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ann1.forall { case (qid, nid, _) => ids(qid) && ids(nid) && qid != nid })
   }
 
+  test("lsh multi-probe recall dominates single-probe recall") {
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 10)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, k = 5))
+    val single = pairs(Similarity.lshTopK(df, q, k = 5, planes = 6, dim = 16, multiProbe = false))
+    val multi = pairs(Similarity.lshTopK(df, q, k = 5, planes = 6, dim = 16, multiProbe = true))
+    val rSingle = (single intersect exact).size.toDouble / exact.size
+    val rMulti = (multi intersect exact).size.toDouble / exact.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.3, s"multi-probe recall unexpectedly low: $rMulti")
+  }
+
   test("ivfTopK with full probe equals brute force; partial probe is a subset") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
