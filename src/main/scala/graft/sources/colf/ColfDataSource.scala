@@ -36,7 +36,36 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
-    ColfUtil.sparkSchema(ColfUtil.readHeader(files.head).schema)
+    if (options.getBoolean("mergeSchema", false)) {
+      // Schema evolution across a directory written over time: the table
+      // schema is the ORDERED UNION of every file's fields (first
+      // appearance wins the position); a column absent from some files is
+      // nullable (those files read it as all-null). Same-name different-
+      // type conflicts still fail here, loudly.
+      val fields = scala.collection.mutable.LinkedHashMap.empty[String, ColfField]
+      val presentIn = scala.collection.mutable.Map.empty[String, Int]
+      files.foreach { f =>
+        ColfUtil.readHeader(f).schema.fields.foreach { fld =>
+          fields.get(fld.name) match {
+            case Some(prev) if prev.tpe != fld.tpe =>
+              throw new IllegalArgumentException(
+                s"colf mergeSchema: column '${fld.name}' is ${prev.tpe.name} in one file " +
+                  s"but ${fld.tpe.name} in $f; types cannot be merged")
+            case Some(prev) =>
+              fields(fld.name) = prev.copy(nullable = prev.nullable || fld.nullable)
+            case None =>
+              fields(fld.name) = fld
+          }
+          presentIn(fld.name) = presentIn.getOrElse(fld.name, 0) + 1
+        }
+      }
+      val merged = fields.values.toIndexedSeq.map { f =>
+        if (presentIn(f.name) < files.length) f.copy(nullable = true) else f
+      }
+      ColfUtil.sparkSchema(ColfSchema(0L, merged))
+    } else {
+      ColfUtil.sparkSchema(ColfUtil.readHeader(files.head).schema)
+    }
   }
 
   override def getTable(
@@ -44,7 +73,7 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new ColfTable(ColfUtil.paths(opts), schema)
+    new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false))
   }
 }
 
@@ -114,7 +143,8 @@ private[colf] object ColfUtil {
       s.fields.map(f => ColfField(f.name, colfType(f.dataType), f.nullable)))
 }
 
-class ColfTable(paths: Seq[String], override val schema: StructType)
+class ColfTable(paths: Seq[String], override val schema: StructType,
+    mergeSchema: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"colf:${paths.mkString(",")}"
@@ -124,7 +154,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColfScanBuilder(paths, schema)
+    new ColfScanBuilder(paths, schema, mergeSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColfWriteBuilder(paths, info)
@@ -135,7 +165,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType)
   * blocks — the reference's selective-read fast path (reader.py:165-192)
   * done at the I/O layer.
   */
-class ColfScanBuilder(paths: Seq[String], fullSchema: StructType)
+class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
+    mergeSchema: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -145,10 +176,11 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType)
     required = requiredSchema
   }
 
-  override def build(): Scan = new ColfScan(paths, fullSchema, required)
+  override def build(): Scan = new ColfScan(paths, fullSchema, required, mergeSchema)
 }
 
-class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
+class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
+    mergeSchema: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val files: Seq[String] = ColfUtil.resolveFiles(paths)
@@ -189,7 +221,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColfPartitionReaderFactory(required)
+    new ColfPartitionReaderFactory(required, mergeSchema)
 
   /** Row counts are free — they're in every header (SPEC.md:27). Exposing
     * them lets Catalyst/AQE size joins and pick broadcast sides.
@@ -204,10 +236,11 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType)
 
 case class ColfInputPartition(files: Seq[String]) extends InputPartition
 
-class ColfPartitionReaderFactory(required: StructType)
+class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].files, required)
+    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].files, required,
+      missingAsNull)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
     * exposing them as one zero-copy ColumnarBatch per file lets Spark's
@@ -218,14 +251,16 @@ class ColfPartitionReaderFactory(required: StructType)
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].files, required)
+    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].files, required,
+      missingAsNull)
 }
 
 /** Shared selective-decode: seek straight to each required block via the
   * header offsets (untouched columns cost zero I/O), validate per-file
   * types against the session schema, decompress + decode.
   */
-private[colf] class ColfFileDecoder(file: String, required: StructType) {
+private[colf] class ColfFileDecoder(file: String, required: StructType,
+    missingAsNull: Boolean = false) {
   private val expectedTypes: Map[String, ColfType] =
     required.fields.map(f => f.name -> ColfUtil.colfType(f.dataType)).toMap
   private val path = new Path(file)
@@ -253,7 +288,21 @@ private[colf] class ColfFileDecoder(file: String, required: StructType) {
   val cols: Array[ColfCodec.DecodedColumn] = guarded(decodeAll())
 
   private def decodeAll(): Array[ColfCodec.DecodedColumn] = required.fieldNames.map { name =>
-    val idx = header.schema.fieldIndex(name)
+    val idx = header.schema.fields.indexWhere(_.name == name)
+    if (idx < 0) {
+      // Schema evolution (mergeSchema): this file predates the column —
+      // read it as all-null. Without the option, fail with guidance.
+      if (missingAsNull)
+        ColfCodec.allNullColumn(expectedTypes(name), numRows)
+      else
+        throw new java.io.IOException(
+          s"File $file has no column '$name'; the table schema came from another " +
+            "file. Read with option(\"mergeSchema\", true) to treat columns " +
+            "missing from older files as null")
+    } else decodeOne(name, idx)
+  }
+
+  private def decodeOne(name: String, idx: Int): ColfCodec.DecodedColumn = {
     val meta = header.metas(idx)
     val tpe = header.schema.fields(idx).tpe
     // Per-file type check: the session schema comes from the FIRST file of
@@ -286,7 +335,8 @@ private[colf] class ColfFileDecoder(file: String, required: StructType) {
 /** Row-based read path (kept for engines/paths that ask for rows).
   * Streams the partition's files sequentially, preserving file order.
   */
-class ColfPartitionReader(files: Seq[String], required: StructType)
+class ColfPartitionReader(files: Seq[String], required: StructType,
+    missingAsNull: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -302,7 +352,7 @@ class ColfPartitionReader(files: Seq[String], required: StructType)
       if (dec != null) { dec.close(); dec = null }
       fileIdx += 1
       if (fileIdx >= files.length) return false
-      dec = new ColfFileDecoder(files(fileIdx), required)
+      dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull)
       row = 0
     }
     true
@@ -366,7 +416,8 @@ private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
 }
 
 /** Columnar read: one zero-copy batch per file, files in order. */
-class ColfColumnarReader(files: Seq[String], required: StructType)
+class ColfColumnarReader(files: Seq[String], required: StructType,
+    missingAsNull: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -378,7 +429,7 @@ class ColfColumnarReader(files: Seq[String], required: StructType)
     if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    dec = new ColfFileDecoder(files(fileIdx), required)
+    dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull)
     batch = new ColumnarBatch(
       dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
     true

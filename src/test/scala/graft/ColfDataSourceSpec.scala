@@ -190,6 +190,31 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).count() == 7)
   }
 
+  test("mergeSchema: columns added over time read as null from older files") {
+    val dir = tmp()
+    Seq((1, "2024")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    Seq((2, "2025", 9.5)).toDF("k", "v", "score").write.format("colf").mode("append").save(dir)
+    val merged = spark.read.format("colf").option("mergeSchema", "true").load(dir)
+    assert(merged.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(merged.schema("score").nullable)
+    val rows = merged.orderBy("k").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).isNullAt(2))
+    assert(rows(1).getInt(0) == 2 && rows(1).getDouble(2) == 9.5)
+    // selecting ONLY the new column still works against old files
+    assert(merged.select("score").where($"score".isNotNull).count() == 1)
+    // without the option, the table schema is the FIRST file's (by name):
+    // common columns always read; if the wider file won the sort, touching
+    // its extra column against the narrow file must error with guidance
+    val strict = spark.read.format("colf").load(dir)
+    assert(strict.select("k").count() == 2)
+    if (strict.schema.fieldNames.contains("score")) {
+      val err = intercept[Exception] { strict.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("mergeSchema")), messages(err).mkString(" | "))
+    }
+  }
+
   test("mixed-schema directory fails with a clear per-file type error") {
     val dir = tmp()
     Seq((1, "x")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
