@@ -135,6 +135,23 @@ object SparkEntry {
           |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
     }),
 
+    "q_cube" -> ((s, dir) => {
+      // same SQL-analyzer route as q_rollup (Dataset-API cube after a join
+      // trips the ambiguous-self-join check in Spark 4.1)
+      t(s, dir, "customer").createOrReplaceTempView("graft_cube_customer")
+      t(s, dir, "nation").createOrReplaceTempView("graft_cube_nation")
+      s.sql(
+        """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+          |FROM graft_cube_customer
+          |JOIN graft_cube_nation ON c_nationkey = n_nationkey
+          |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin)
+    }),
+
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_totalprice") > 300000).select("o_custkey")
+        .intersect(t(s, dir, "customer").where(col("c_acctbal") > 0).select(col("c_custkey").as("o_custkey")))),
+
     "q_scalar_funcs" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -478,6 +495,17 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
