@@ -11,6 +11,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -167,8 +168,10 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   */
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve file column order; an empty projection (count(*)) keeps
@@ -176,8 +179,61 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     required = requiredSchema
   }
 
-  override def build(): Scan = new ColfScan(paths, fullSchema, required, mergeSchema)
+  /** COUNT(*) with no grouping is answered entirely from file headers
+    * (num_rows, SPEC.md:27): zero column blocks read, zero data bytes
+    * decompressed — counting a multi-TB directory costs one header read
+    * per file. Catalyst only offers the aggregate when nothing below it
+    * (filters) is left unpushed, so correctness is its problem, not ours.
+    */
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[aggregate.CountStar]
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countPushed = true
+    true
+  }
+
+  override def build(): Scan =
+    if (countPushed) new ColfCountScan(paths)
+    else new ColfScan(paths, fullSchema, required, mergeSchema)
 }
+
+/** Metadata-only scan backing a pushed-down COUNT(*). */
+class ColfCountScan(paths: Seq[String]) extends Scan with Batch {
+  private lazy val total: Long =
+    ColfUtil.resolveFiles(paths).map(f => ColfUtil.readHeader(f).schema.numRows).sum
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"colf ${paths.mkString(",")} PushedAggregates: [COUNT(*)] (header-only)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val t = total // resolve on the driver; ship the value, not the file list
+    Array(ColfCountPartition(t))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](p.asInstanceOf[ColfCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class ColfCountPartition(count: Long) extends InputPartition
 
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false)

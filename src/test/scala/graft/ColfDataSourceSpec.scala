@@ -318,6 +318,22 @@ class ColfDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("count(*) pushes down to header metadata — no data blocks read") {
+    val dir = tmp()
+    spark.range(1234).select($"id".cast("int").as("a"), concat(lit("s"), $"id").as("s"))
+      .repartition(3).write.format("colf").mode("overwrite").save(dir)
+    val df = spark.read.format("colf").load(dir)
+    assert(df.count() == 1234)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan.take(400))
+    // count with a residual filter must NOT push (we push no filters)
+    assert(df.where($"a" > 1000).count() == 233)
+    val planF = df.where($"a" > 1000).groupBy().count().queryExecution.executedPlan.toString
+    assert(!planF.contains("PushedAggregates"), planF.take(400))
+    // grouped counts must not push either
+    assert(df.groupBy($"a" % 2).count().count() == 2)
+  }
+
   test("statistics report row counts from headers") {
     val dir = tmp()
     spark.range(500).select($"id".cast("int").as("a"))
