@@ -135,6 +135,32 @@ object SparkEntry {
           |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
     }),
 
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))),
+
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        array_max(col("embedding")).as("max_v"),
+        array_min(col("embedding")).as("min_v"),
+        element_at(col("embedding"), 1).as("first_v"))),
+
+    "q_custom_udaf" -> ((s, dir) => {
+      // Typed Aggregator UDAF: exact integer-state moments — order-immune
+      // merges, one deterministic double at the end. The oracle recomputes
+      // the same moments from decimal sums.
+      val moments = udaf(functions.ExactMoments, org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(moments(col("c_acctbal")).as("m"))
+        .select(col("c_mktsegment"), col("m._1").as("n"),
+          col("m._2").as("sum_bal"), col("m._3").as("var_bal"))
+    }),
+
     "q_cube" -> ((s, dir) => {
       // same SQL-analyzer route as q_rollup (Dataset-API cube after a join
       // trips the ambiguous-self-join check in Spark 4.1)
@@ -495,6 +521,27 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+        | list_max(embedding) AS max_v, list_min(embedding) AS min_v,
+        | embedding[1] AS first_v
+        |FROM embeddings""".stripMargin,
+
+    "q_custom_udaf" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+        |   - (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*))
+        |     * (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)) AS var_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_cube" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,
