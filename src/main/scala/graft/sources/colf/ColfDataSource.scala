@@ -169,9 +169,18 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var countPushed = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT n plans only enough FILES to cover n rows (header row counts
+    * are free), instead of scanning the whole directory and discarding.
+    * Partial push: Spark still applies its own Limit on top, so emitting
+    * at-least-n rows from the fewest files is sufficient and correct.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve file column order; an empty projection (count(*)) keeps
@@ -198,7 +207,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
 
   override def build(): Scan =
     if (countPushed) new ColfCountScan(paths)
-    else new ColfScan(paths, fullSchema, required, mergeSchema)
+    else new ColfScan(paths, fullSchema, required, mergeSchema, limit)
 }
 
 /** Metadata-only scan backing a pushed-down COUNT(*). */
@@ -236,10 +245,26 @@ class ColfCountScan(paths: Seq[String]) extends Scan with Batch {
 case class ColfCountPartition(count: Long) extends InputPartition
 
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false, limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val files: Seq[String] = ColfUtil.resolveFiles(paths)
+  private lazy val allFiles: Seq[String] = ColfUtil.resolveFiles(paths)
+
+  /** Under a pushed limit, take files (in name order) until their header
+    * row counts cover it — a `limit 10` on a thousand-file directory opens
+    * one data file. Always keep ≥1 file so schema/zero-row behavior holds.
+    */
+  private lazy val files: Seq[String] = limit match {
+    case None => allFiles
+    case Some(n) =>
+      var acc = 0L
+      val taken = allFiles.takeWhile { f =>
+        val take = acc < n
+        if (take) acc += ColfUtil.readHeader(f).schema.numRows
+        take
+      }
+      if (taken.isEmpty) allFiles.take(1) else taken
+  }
   private lazy val headers: Seq[ColfHeader] = files.map(ColfUtil.readHeader)
 
   override def readSchema(): StructType = required
@@ -247,7 +272,8 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]"
+    s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]" +
+      limit.map(n => s" PushedLimit: $n").getOrElse("")
 
   /** Bin-pack files into partitions by compressed size (first-fit over a
     * size-descending order), targeting `spark.sql.files.maxPartitionBytes`

@@ -334,6 +334,23 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(df.groupBy($"a" % 2).count().count() == 2)
   }
 
+  test("limit pushdown plans only enough files to cover the limit") {
+    val dir = tmp()
+    spark.range(1000).select($"id".cast("int").as("a"))
+      .coalesce(1)
+      .write.format("colf").option("maxRowsPerFile", "100").mode("overwrite").save(dir)
+    val df = spark.read.format("colf").load(dir)
+    val limited = df.limit(10)
+    assert(limited.count() == 10)
+    assert(limited.collect().length == 10)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 10"), plan.take(400))
+    // a limit larger than the table still returns everything
+    assert(df.limit(5000).count() == 1000)
+    // unlimited scans stay unlimited
+    assert(df.count() == 1000)
+  }
+
   test("statistics report row counts from headers") {
     val dir = tmp()
     spark.range(500).select($"id".cast("int").as("a"))
