@@ -302,6 +302,24 @@ object SparkEntry {
           dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
+    "q_colf_filter" -> ((s, dir) => {
+      // Data skipping: the write range-partitions on o_orderkey so the 4
+      // part files carry disjoint key ranges in their header min/max
+      // stats; the filtered read then PRUNES 3 of the 4 files at planning
+      // time (SupportsPushDownFilters + ColfPrune) — the scan's I/O is
+      // proportional to the selected key range, not the table.
+      val out = work("q_colf_filter")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("colf").mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+        .where(col("o_orderkey") < 1500)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+    }),
+
     "q_csv_write_roundtrip" -> ((s, dir) => {
       val out = work("q_csv_write_roundtrip")
       t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
@@ -627,6 +645,12 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey, l_linenumber, l_quantity,
         | l_extendedprice, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s
         |FROM lineitem""".stripMargin,
+
+    "q_colf_filter" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey < 1500
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 

@@ -32,28 +32,28 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  /** Nullable when either INPUT is nullable or either array may carry null
-    * ELEMENTS (a null element nulls the result, matching the fold) —
-    * without this, codegen constant-folds isNull away for non-null array
-    * columns and the element-null branch could never surface.
+  /** Always nullable: a null INPUT, a null ELEMENT, or a LENGTH MISMATCH
+    * each null the result (matching the fold). Schema metadata can rule
+    * out the first two but never raggedness, and understating nullability
+    * makes codegen constant-fold `isNull` away so the null branch could
+    * silently never fire (wrong results, no error).
     */
-  override def nullable: Boolean =
-    left.nullable || right.nullable || Seq(left, right).exists(_.dataType match {
-      case ArrayType(_, containsNull) => containsNull
-      case _ => false
-    })
+  override def nullable: Boolean = true
 
   override def prettyName: String = "vec_dot"
 
   /** Null semantics match the fold exactly: a null ELEMENT in either array
     * poisons the product (zip_with's x*y is null) and therefore the whole
     * sum (aggregate's acc+null) — the result is null, never a silent 0.0
-    * contribution.
+    * contribution. MISMATCHED LENGTHS are null too: zip_with pads the
+    * short side with nulls, so the fold yields null — ragged embeddings
+    * surface as missing scores, never as silently-truncated ones.
     */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -70,11 +70,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -94,6 +94,36 @@ object ColfCodec {
 
   // ------------------------------------------------------- column encode
 
+  /** Byte cap on string stat bounds: a `min` longer than this is truncated
+    * to a prefix (still a valid lower bound in binary order); a `max`
+    * longer than this is dropped (a truncated prefix would be an INVALID
+    * upper bound). Keeps headers small on document-sized text columns.
+    */
+  val StringStatMaxBytes = 64
+
+  /** Unsigned lexicographic byte compare (UTF8String binary order). */
+  private[colf] def cmpBytes(a: Array[Byte], aOff: Int, aLen: Int, b: Array[Byte]): Int = {
+    val n = math.min(aLen, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(aOff + i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    aLen - b.length
+  }
+
+  /** Longest prefix of `b` that is ≤ `maxLen` bytes AND ends on a UTF-8
+    * character boundary (so it decodes to a valid String and re-encodes to
+    * the same bytes — the truncated bound survives the JSON round trip).
+    */
+  private[colf] def utf8Prefix(b: Array[Byte], maxLen: Int): Array[Byte] = {
+    if (b.length <= maxLen) return b
+    var cut = maxLen
+    while (cut > 0 && (b(cut) & 0xc0) == 0x80) cut -= 1
+    java.util.Arrays.copyOf(b, cut)
+  }
+
   /** Accumulates one column's values; produces the uncompressed payload. */
   sealed trait ColumnBuilder {
     protected var n = 0
@@ -101,6 +131,12 @@ object ColfCodec {
     protected var nulls: Array[Boolean] = new Array[Boolean](16)
     def count: Int = n
     def hasNulls: Boolean = nullCount > 0
+    def nullCnt: Long = nullCount.toLong
+    /** (min, max) over the non-null values appended so far, for the header
+      * stats (data skipping). Either side may be None — see the per-builder
+      * rules ([[StringStatMaxBytes]]; NaN/Inf doubles drop both bounds).
+      */
+    def statsMinMax: (Option[Any], Option[Any])
     protected def ensureNulls(): Unit =
       if (n >= nulls.length) nulls = java.util.Arrays.copyOf(nulls, nulls.length * 2)
     def appendNull(): Unit
@@ -135,11 +171,19 @@ object ColfCodec {
     override def tpe: ColfType = ColfType.Int32
     override def byteSize: Long = 4L * n
     private var values = new Array[Int](16)
+    private var mn = Int.MaxValue
+    private var mx = Int.MinValue
+    override def statsMinMax: (Option[Any], Option[Any]) =
+      if (n == nullCount) (None, None) else (Some(mn), Some(mx))
     private def ensure(): Unit = {
       ensureNulls()
       if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
     }
-    def append(v: Int): Unit = { ensure(); values(n) = v; nulls(n) = false; n += 1 }
+    def append(v: Int): Unit = {
+      ensure(); values(n) = v; nulls(n) = false; n += 1
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
     override def appendNull(): Unit = { ensure(); values(n) = 0; nulls(n) = true; nullCount += 1; n += 1 }
     override def payload(): Array[Byte] = {
       val buf = ByteBuffer.allocate(headerLen + 4 * n).order(ByteOrder.LITTLE_ENDIAN)
@@ -154,11 +198,30 @@ object ColfCodec {
     override def tpe: ColfType = ColfType.Float64
     override def byteSize: Long = 8L * n
     private var values = new Array[Double](16)
+    private var mn = Double.PositiveInfinity
+    private var mx = Double.NegativeInfinity
+    private var nonFinite = false
+    /** NaN is unordered (and Spark treats it as LARGER than any value in
+      * predicates, unlike Java); ±Inf is not JSON-encodable — any
+      * non-finite value drops both bounds rather than risk a wrong prune.
+      */
+    override def statsMinMax: (Option[Any], Option[Any]) =
+      if (n == nullCount || nonFinite) (None, None) else (Some(mn), Some(mx))
     private def ensure(): Unit = {
       ensureNulls()
       if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
     }
-    def append(v: Double): Unit = { ensure(); values(n) = v; nulls(n) = false; n += 1 }
+    def append(v: Double): Unit = {
+      ensure(); values(n) = v; nulls(n) = false; n += 1
+      if (java.lang.Double.isFinite(v)) {
+        // -0.0 == 0.0 under IEEE/SQL predicate equality but -0.0 < 0.0 in
+        // total order; normalize to 0.0 for BOUNDS ONLY so a filter on
+        // either zero can never wrongly prune (stored data is untouched).
+        val sv = if (v == 0.0d) 0.0d else v
+        if (sv < mn) mn = sv
+        if (sv > mx) mx = sv
+      } else nonFinite = true
+    }
     override def appendNull(): Unit = { ensure(); values(n) = 0.0; nulls(n) = true; nullCount += 1; n += 1 }
     override def payload(): Array[Byte] = {
       val buf = ByteBuffer.allocate(headerLen + 8 * n).order(ByteOrder.LITTLE_ENDIAN)
@@ -174,6 +237,22 @@ object ColfCodec {
     override def byteSize: Long = 4L * n + blob.size()
     private var starts = new Array[Int](16)
     private val blob = new java.io.ByteArrayOutputStream(1024)
+    private var mnB: Array[Byte] = null
+    private var mxB: Array[Byte] = null
+    /** Bounds compare as UNSIGNED BYTES — the same binary order Spark's
+      * UTF8String uses for string predicates, so pruning decisions agree
+      * with the engine even where UTF-16 `String.compareTo` would not
+      * (supplementary-plane characters).
+      */
+    override def statsMinMax: (Option[Any], Option[Any]) = {
+      if (mnB == null) (None, None)
+      else {
+        val mn = Some(new String(utf8Prefix(mnB, StringStatMaxBytes), StandardCharsets.UTF_8))
+        val mx = if (mxB.length <= StringStatMaxBytes)
+          Some(new String(mxB, StandardCharsets.UTF_8)) else None
+        (mn, mx)
+      }
+    }
     private def ensure(): Unit = {
       ensureNulls()
       if (n >= starts.length) starts = java.util.Arrays.copyOf(starts, starts.length * 2)
@@ -189,6 +268,10 @@ object ColfCodec {
         throw new IllegalStateException(
           "utf8 column blob exceeds u32 offset range (4 GiB per column per file)")
       n += 1
+      if (mnB == null || cmpBytes(v, off, len, mnB) < 0)
+        mnB = java.util.Arrays.copyOfRange(v, off, off + len)
+      if (mxB == null || cmpBytes(v, off, len, mxB) > 0)
+        mxB = java.util.Arrays.copyOfRange(v, off, off + len)
     }
     def append(s: String): Unit = append(s.getBytes(StandardCharsets.UTF_8))
     // Null rows record the current cumulative position (see class doc).
@@ -364,10 +447,16 @@ object ColfCodec {
     builders.foreach(b => require(b.count == numRows, "ragged columns"))
     val payloads = builders.map(_.payload())
     val comp = payloads.map(pl => compress(pl, compressionLevel))
+    // Per-column stats ride in the header JSON (extra keys the reference
+    // reader ignores) — the read side prunes whole files against them.
+    val stats = fields.lazyZip(builders).map { (f, b) =>
+      val (mn, mx) = b.statsMinMax
+      f.name -> ColfColStats(b.nullCnt, mn, mx)
+    }.toMap
     // nullable in the schema reflects observed nulls (like the reference's
     // inference, writer.py:44-50) OR the declared nullability, whichever
     // is set — callers pass fields with the intended nullable flag.
-    writeFile(out, ColfSchema(numRows.toLong, fields),
+    writeFile(out, ColfSchema(numRows.toLong, fields, stats),
       comp, payloads.map(_.length), builders.map(_.hasNulls))
   }
 

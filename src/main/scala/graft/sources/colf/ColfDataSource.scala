@@ -8,14 +8,16 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** Spark DataSource V2 provider for the COLF columnar format
   * (reference: satyakalla890/columnar-format SPEC.md).
@@ -33,7 +35,8 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = ColfUtil.resolveFiles(ColfUtil.paths(options))
+    val conf = ColfUtil.driverHadoopConf()
+    val files = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf)
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
@@ -42,16 +45,18 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       // schema is the ORDERED UNION of every file's fields (first
       // appearance wins the position); a column absent from some files is
       // nullable (those files read it as all-null). Same-name different-
-      // type conflicts still fail here, loudly.
+      // type conflicts still fail here, loudly. Headers come through the
+      // parallel cache — a wide merge costs one batched fetch, not
+      // files.length sequential round trips.
       val fields = scala.collection.mutable.LinkedHashMap.empty[String, ColfField]
       val presentIn = scala.collection.mutable.Map.empty[String, Int]
-      files.foreach { f =>
-        ColfUtil.readHeader(f).schema.fields.foreach { fld =>
+      ColfHeaderCache.getAll(files, conf).foreach { h =>
+        h.schema.fields.foreach { fld =>
           fields.get(fld.name) match {
             case Some(prev) if prev.tpe != fld.tpe =>
               throw new IllegalArgumentException(
                 s"colf mergeSchema: column '${fld.name}' is ${prev.tpe.name} in one file " +
-                  s"but ${fld.tpe.name} in $f; types cannot be merged")
+                  s"but ${fld.tpe.name} in another; types cannot be merged")
             case Some(prev) =>
               fields(fld.name) = prev.copy(nullable = prev.nullable || fld.nullable)
             case None =>
@@ -65,7 +70,7 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       }
       ColfUtil.sparkSchema(ColfSchema(0L, merged))
     } else {
-      ColfUtil.sparkSchema(ColfUtil.readHeader(files.head).schema)
+      ColfUtil.sparkSchema(ColfHeaderCache.get(files.head, conf).schema)
     }
   }
 
@@ -81,6 +86,15 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 private[colf] object ColfUtil {
   private val mapper = new ObjectMapper()
 
+  /** The session's Hadoop conf (so `spark.hadoop.*` — S3A credentials,
+    * endpoints, timeouts — reach every COLF filesystem call), falling
+    * back to defaults only when no session is active (bare unit tests).
+    */
+  def driverHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(GraftSqlBridge.sessionHadoopConf)
+      .getOrElse(new Configuration())
+
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { json =>
       val node = mapper.readTree(json)
@@ -92,9 +106,12 @@ private[colf] object ColfUtil {
     all
   }
 
-  /** Expand files/dirs/globs into concrete .colf file paths. Driver-side. */
-  def resolveFiles(paths: Seq[String]): Seq[String] = {
-    val conf = new Configuration()
+  /** Expand files/dirs/globs into concrete .colf files WITH the size and
+    * mtime the directory listing already returned — downstream planning
+    * (bin-packing, header-cache keys) then needs zero extra FS round
+    * trips per file. Driver-side.
+    */
+  def resolveFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -107,15 +124,21 @@ private[colf] object ColfUtil {
             .filter(s => s.isFile && s.getPath.getName.endsWith(".colf") &&
               !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
             .sortBy(_.getPath.getName)
-            .map(_.getPath.toString)
-        else Seq(st.getPath.toString)
+            .map(s => ColfFileRef(s.getPath.toString, s.getLen, s.getModificationTime))
+        else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
       }
     }
   }
 
-  def readHeader(file: String): ColfHeader = {
+  /** Concrete .colf file paths (compat shim over [[resolveFileRefs]]). */
+  def resolveFiles(paths: Seq[String]): Seq[String] =
+    resolveFileRefs(paths, driverHadoopConf()).map(_.path)
+
+  def readHeader(file: String): ColfHeader = readHeader(file, driverHadoopConf())
+
+  def readHeader(file: String, conf: Configuration): ColfHeader = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     try ColfCodec.readHeader(in)
     finally in.close()
@@ -165,14 +188,23 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   * required columns; the reader then seeks/reads/inflates ONLY those
   * blocks — the reference's selective-read fast path (reader.py:165-192)
   * done at the I/O layer.
+  *
+  * Filter pushdown is STATS-ONLY: every filter is returned as a residual
+  * (Catalyst's codegen'd post-scan filter evaluates faster per-row than
+  * any reader-side interpretation could), but the prunable subset is kept
+  * and evaluated against per-file min/max/null-count header stats to skip
+  * whole files — at 100 TB, not opening a file beats any per-row win.
   */
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+  private val conf = ColfUtil.driverHadoopConf()
   private var required: StructType = fullSchema
   private var countPushed = false
   private var limit: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
 
   /** LIMIT n plans only enough FILES to cover n rows (header row counts
     * are free), instead of scanning the whole directory and discarding.
@@ -181,6 +213,17 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** Keep the stats-prunable subset for file skipping; hand EVERYTHING
+    * back as residual — the scan may return false positives from kept
+    * files and Spark's own filter finishes the job (overlap of pushed and
+    * residual sets is explicitly allowed by the DSv2 contract).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(ColfPrune.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve file column order; an empty projection (count(*)) keeps
@@ -206,14 +249,20 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   }
 
   override def build(): Scan =
-    if (countPushed) new ColfCountScan(paths)
-    else new ColfScan(paths, fullSchema, required, mergeSchema, limit)
+    if (countPushed) new ColfCountScan(paths, conf)
+    else new ColfScan(paths, fullSchema, required, mergeSchema, limit,
+      ArraySeq.unsafeWrapArray(pushed), conf)
 }
 
-/** Metadata-only scan backing a pushed-down COUNT(*). */
-class ColfCountScan(paths: Seq[String]) extends Scan with Batch {
-  private lazy val total: Long =
-    ColfUtil.resolveFiles(paths).map(f => ColfUtil.readHeader(f).schema.numRows).sum
+/** Metadata-only scan backing a pushed-down COUNT(*). Headers come
+  * through the parallel cache: counting a directory is one batched fetch
+  * (and free on a re-count of unchanged files).
+  */
+class ColfCountScan(paths: Seq[String], conf: Configuration) extends Scan with Batch {
+  private lazy val total: Long = {
+    val refs = ColfUtil.resolveFileRefs(paths, conf)
+    ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum
+  }
 
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -245,35 +294,66 @@ class ColfCountScan(paths: Seq[String]) extends Scan with Batch {
 case class ColfCountPartition(count: Long) extends InputPartition
 
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
-    mergeSchema: Boolean = false, limit: Option[Int] = None)
+    mergeSchema: Boolean = false, limit: Option[Int] = None,
+    filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf())
     extends Scan with Batch with SupportsReportStatistics {
 
-  private lazy val allFiles: Seq[String] = ColfUtil.resolveFiles(paths)
+  private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
+
+  /** Stats-based data skipping: drop every file whose header min/max/
+    * null-count proves no row can match the pushed filters. One parallel
+    * batched header fetch (cached across queries over unchanged files);
+    * files written without stats are always kept.
+    */
+  private lazy val prunedRefs: Seq[ColfFileRef] =
+    if (filters.isEmpty) allRefs
+    else {
+      val headers = ColfHeaderCache.getAll(allRefs, conf)
+      allRefs.lazyZip(headers).collect {
+        case (r, h) if ColfPrune.mayMatch(h, filters) => r
+      }.toSeq
+    }
 
   /** Under a pushed limit, take files (in name order) until their header
     * row counts cover it — a `limit 10` on a thousand-file directory opens
-    * one data file. Always keep ≥1 file so schema/zero-row behavior holds.
+    * one data file. Always keep ≥1 file (when any survived pruning) so
+    * schema/zero-row behavior holds.
     */
-  private lazy val files: Seq[String] = limit match {
-    case None => allFiles
+  private lazy val refs: Seq[ColfFileRef] = limit match {
+    case None => prunedRefs
     case Some(n) =>
       var acc = 0L
-      val taken = allFiles.takeWhile { f =>
+      val taken = prunedRefs.takeWhile { f =>
         val take = acc < n
-        if (take) acc += ColfUtil.readHeader(f).schema.numRows
+        if (take) acc += ColfHeaderCache.get(f, conf).schema.numRows
         take
       }
-      if (taken.isEmpty) allFiles.take(1) else taken
+      if (taken.isEmpty) prunedRefs.take(1) else taken
   }
-  private lazy val headers: Seq[ColfHeader] = files.map(ColfUtil.readHeader)
+
+  /** Have per-file headers already been (or will be) loaded for planning?
+    * Pruning and limit coverage force them; a plain full scan loads them
+    * only while the directory is small. Exact row counts matter most
+    * exactly when tables are small (broadcast-side decisions), which is
+    * also when the batched header fetch is cheap; a 10⁵-file directory
+    * doesn't need a precise count to be planned as "big".
+    */
+  private def headersNeeded: Boolean =
+    filters.nonEmpty || limit.isDefined ||
+      allRefs.lengthCompare(ColfScan.StatsExactMaxFiles) <= 0
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
-  override def description(): String =
+  override def description(): String = {
+    val filterPart =
+      if (filters.isEmpty) ""
+      else s" PushedFilters: [${filters.mkString(", ")}]" +
+        s", files after pruning: ${prunedRefs.length}/${allRefs.length}"
     s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]" +
-      limit.map(n => s" PushedLimit: $n").getOrElse("")
+      filterPart + limit.map(n => s" PushedLimit: $n").getOrElse("")
+  }
 
   /** Bin-pack files into partitions by compressed size (first-fit over a
     * size-descending order), targeting `spark.sql.files.maxPartitionBytes`
@@ -281,17 +361,14 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * explode the task count on directories of many small part files (the
     * normal shape of a large rolled write); packing keeps task count
     * proportional to bytes, not file count. A file is never split: it is
-    * the format's unit of decompression.
+    * the format's unit of decompression. Sizes ride in from the original
+    * directory listing — zero per-file FS calls here.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes: Long =
       try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
       catch { case _: Throwable => 128L * 1024 * 1024 }
-    val conf = new Configuration()
-    val sized = files.map { f =>
-      val p = new Path(f)
-      f -> p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sortBy(-_._2)
+    val sized = refs.map(r => r.path -> r.size).sortBy(-_._2)
     val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
     sized.foreach { case (f, sz) =>
       bins.indexWhere { case (_, total) => total + sz <= maxBytes } match {
@@ -303,26 +380,45 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColfPartitionReaderFactory(required, mergeSchema)
+    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))
 
-  /** Row counts are free — they're in every header (SPEC.md:27). Exposing
-    * them lets Catalyst/AQE size joins and pick broadcast sides.
+  /** Row counts are free when headers were already loaded for planning
+    * (pruning/limit) — expose them exactly so Catalyst/AQE can size joins
+    * and pick broadcast sides. A plain full scan must NOT pay a per-file
+    * header fetch just for an estimate (minutes of driver time at 10⁵⁺
+    * files): fall back to listing sizes × a conservative decompression
+    * factor, with no row count.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(headers.flatMap(_.metas.map(_.uncompSize)).sum)
+      if (headersNeeded)
+        OptionalLong.of(
+          ColfHeaderCache.getAll(refs, conf).flatMap(_.metas.map(_.uncompSize)).sum)
+      else
+        OptionalLong.of(refs.map(_.size).sum * 4) // zlib-3 columnar blocks inflate ~2-4×
     override def numRows(): OptionalLong =
-      OptionalLong.of(headers.map(_.schema.numRows).sum)
+      if (headersNeeded)
+        OptionalLong.of(ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum)
+      else OptionalLong.empty()
   }
+}
+
+object ColfScan {
+  /** Directories up to this many files get exact header-derived statistics
+    * even on unfiltered scans (one cached parallel fetch); larger ones fall
+    * back to size-based estimates to keep planning free of per-file I/O.
+    */
+  val StatsExactMaxFiles = 64
 }
 
 case class ColfInputPartition(files: Seq[String]) extends InputPartition
 
-class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false)
+class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false,
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].files, required,
-      missingAsNull)
+      missingAsNull, conf)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
     * exposing them as one zero-copy ColumnarBatch per file lets Spark's
@@ -334,7 +430,7 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].files, required,
-      missingAsNull)
+      missingAsNull, conf)
 }
 
 /** Shared selective-decode: seek straight to each required block via the
@@ -342,11 +438,11 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
   * types against the session schema, decompress + decode.
   */
 private[colf] class ColfFileDecoder(file: String, required: StructType,
-    missingAsNull: Boolean = false) {
+    missingAsNull: Boolean = false, conf: Configuration = new Configuration()) {
   private val expectedTypes: Map[String, ColfType] =
     required.fields.map(f => f.name -> ColfUtil.colfType(f.dataType)).toMap
   private val path = new Path(file)
-  private val fs: FileSystem = path.getFileSystem(new Configuration())
+  private val fs: FileSystem = path.getFileSystem(conf)
   private val in = fs.open(path)
 
   /** Any header-parse/validation/decode failure must not leak the open
@@ -418,7 +514,8 @@ private[colf] class ColfFileDecoder(file: String, required: StructType,
   * Streams the partition's files sequentially, preserving file order.
   */
 class ColfPartitionReader(files: Seq[String], required: StructType,
-    missingAsNull: Boolean = false)
+    missingAsNull: Boolean = false,
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -434,7 +531,7 @@ class ColfPartitionReader(files: Seq[String], required: StructType,
       if (dec != null) { dec.close(); dec = null }
       fileIdx += 1
       if (fileIdx >= files.length) return false
-      dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull)
+      dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull, conf.value)
       row = 0
     }
     true
@@ -499,7 +596,8 @@ private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
 
 /** Columnar read: one zero-copy batch per file, files in order. */
 class ColfColumnarReader(files: Seq[String], required: StructType,
-    missingAsNull: Boolean = false)
+    missingAsNull: Boolean = false,
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -511,7 +609,7 @@ class ColfColumnarReader(files: Seq[String], required: StructType,
     if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull)
+    dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull, conf.value)
     batch = new ColumnarBatch(
       dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
     true

@@ -1,0 +1,267 @@
+package graft.sources.colf
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A resolved .colf data file plus the directory-listing metadata that
+  * came for free with it (FileStatus length + mtime). Carrying these
+  * avoids a second getFileStatus round trip per file at planning time —
+  * at 10⁵–10⁶ part files on a remote FS those RPCs are the driver's
+  * wall-clock, not the data.
+  */
+final case class ColfFileRef(path: String, size: Long, mtime: Long)
+    extends Serializable
+
+/** Driver-side header cache + parallel fetch.
+  *
+  * Every planning decision (COUNT(*) pushdown, LIMIT file coverage,
+  * stats-based file pruning, estimateStatistics) needs per-file headers;
+  * reading them one at a time on the driver serializes the whole plan on
+  * FS latency. This cache (a) fetches misses through a bounded thread
+  * pool, and (b) keys entries by (path, size, mtime) so an overwritten
+  * file can never serve a stale header, while repeated queries over the
+  * same directory pay the FS once.
+  */
+private[graft] object ColfHeaderCache {
+  /** Test instrumentation: number of ACTUAL filesystem header reads. */
+  val fetches = new AtomicLong(0)
+
+  private val MaxEntries = 1 << 17 // headers are ~100s of bytes; ~tens of MB cap
+  private val cache = new ConcurrentHashMap[(String, Long, Long), ColfHeader]()
+
+  private lazy val pool = Executors.newFixedThreadPool(32, new ThreadFactory {
+    private val n = new AtomicLong(0)
+    override def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"colf-header-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    }
+  })
+
+  def get(ref: ColfFileRef, conf: Configuration): ColfHeader = {
+    val key = (ref.path, ref.size, ref.mtime)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    fetches.incrementAndGet()
+    val path = new Path(ref.path)
+    val in = path.getFileSystem(conf).open(path)
+    val h = try ColfCodec.readHeader(in) finally in.close()
+    if (cache.size() >= MaxEntries) cache.clear() // crude but safe bound
+    cache.put(key, h)
+    h
+  }
+
+  /** Fetch all headers (cache-aware) in parallel, preserving input order. */
+  def getAll(refs: Seq[ColfFileRef], conf: Configuration): Seq[ColfHeader] = {
+    if (refs.lengthCompare(2) < 0) return refs.map(get(_, conf))
+    import scala.jdk.CollectionConverters._
+    val tasks = refs.map { r =>
+      new java.util.concurrent.Callable[ColfHeader] { override def call(): ColfHeader = get(r, conf) }
+    }
+    pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+  }
+}
+
+/** Stats-based file skipping: decides whether a file MAY contain rows
+  * matching a pushed filter, from its header alone (per-column min/max +
+  * null_count written by our writer; the per-column has-nulls flag and
+  * the comp_size==0 all-null convention exist even in reference files).
+  *
+  * The format has no row groups — one block per column per file — so the
+  * file IS the skipping granule: pruning a file skips exactly the blocks
+  * a finer-grained reader would have skipped.
+  *
+  * Everything here is conservative: `mayMatch` returns true whenever
+  * stats are absent, the filter shape is unknown, or bounds can't prove
+  * emptiness. The engine re-evaluates every filter post-scan (they are
+  * all returned as residuals), so pruning is pure I/O avoidance — it can
+  * never change results.
+  */
+private[graft] object ColfPrune {
+
+  /** Can this filter shape ever contribute to file skipping? (Used to
+    * decide what to report as "pushed" — and therefore what's worth
+    * forcing header loads for at planning time.)
+    */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => simpleAttr(a)
+    case EqualNullSafe(a, _)      => simpleAttr(a)
+    case GreaterThan(a, _)        => simpleAttr(a)
+    case GreaterThanOrEqual(a, _) => simpleAttr(a)
+    case LessThan(a, _)           => simpleAttr(a)
+    case LessThanOrEqual(a, _)    => simpleAttr(a)
+    case In(a, _)                 => simpleAttr(a)
+    case IsNull(a)                => simpleAttr(a)
+    case IsNotNull(a)             => simpleAttr(a)
+    case StringStartsWith(a, _)   => simpleAttr(a)
+    case And(l, r)                => prunable(l) || prunable(r)
+    case Or(l, r)                 => prunable(l) && prunable(r)
+    case _                        => false
+  }
+
+  /** COLF columns are flat; a dotted name would be a nested reference. */
+  private def simpleAttr(a: String): Boolean = !a.contains('.')
+
+  def mayMatch(header: ColfHeader, filters: Seq[Filter]): Boolean = {
+    if (header.schema.numRows == 0L) return false // nothing can match
+    filters.forall(mayMatchOne(header, _))
+  }
+
+  private def mayMatchOne(h: ColfHeader, f: Filter): Boolean = f match {
+    case And(l, r) => mayMatchOne(h, l) && mayMatchOne(h, r)
+    case Or(l, r)  => mayMatchOne(h, l) || mayMatchOne(h, r)
+
+    case EqualTo(a, v)       => withinBounds(h, a, v)
+    case EqualNullSafe(a, v) => if (v == null) mayHaveNull(h, a) else withinBounds(h, a, v)
+    case In(a, vs) =>
+      // null elements of an IN list never match (ternary logic)
+      vs != null && vs.exists(v => v != null && withinBounds(h, a, v))
+
+    case GreaterThan(a, v)        => boundAllows(h, a, v, useMax = true, strict = true)
+    case GreaterThanOrEqual(a, v) => boundAllows(h, a, v, useMax = true, strict = false)
+    case LessThan(a, v)           => boundAllows(h, a, v, useMax = false, strict = true)
+    case LessThanOrEqual(a, v)    => boundAllows(h, a, v, useMax = false, strict = false)
+
+    case IsNull(a)    => mayHaveNull(h, a)
+    case IsNotNull(a) => mayHaveNonNull(h, a)
+
+    case StringStartsWith(a, p) => prefixMayMatch(h, a, p)
+
+    case _ => true
+  }
+
+  private def fieldIdx(h: ColfHeader, a: String): Int =
+    h.schema.fields.indexWhere(_.name == a)
+
+  private def stats(h: ColfHeader, a: String): Option[ColfColStats] =
+    h.schema.stats.get(a)
+
+  /** All rows of this column null? True implies no value predicate matches.
+    * Known either from stats or from the reference's comp_size==0 encoding.
+    */
+  private def allNull(h: ColfHeader, a: String): Boolean = {
+    val i = fieldIdx(h, a)
+    if (i >= 0 && h.metas(i).compSize == 0L && h.schema.numRows > 0) return true
+    stats(h, a).exists(_.nullCount == h.schema.numRows)
+  }
+
+  private def mayHaveNull(h: ColfHeader, a: String): Boolean = {
+    stats(h, a) match {
+      case Some(st) => st.nullCount > 0
+      case None =>
+        val i = fieldIdx(h, a)
+        i < 0 || h.metas(i).hasNulls || h.metas(i).compSize == 0L
+    }
+  }
+
+  private def mayHaveNonNull(h: ColfHeader, a: String): Boolean = !allNull(h, a)
+
+  /** Spark-order comparison of a filter value against a stat bound of the
+    * same column. None when the pair is incomparable (unexpected type) —
+    * callers must then keep the file.
+    */
+  private def cmp(bound: Any, v: Any): Option[Int] = (bound, v) match {
+    case (b: Int, x: Number) => x match {
+      // fractional filter values compare in double space (e.g. i > 44.5
+      // against int bounds — Catalyst usually unwraps such casts, but be
+      // exact if one slips through); integral values compare as longs
+      case _: java.lang.Double | _: java.lang.Float =>
+        Some(java.lang.Double.compare(b.toDouble, x.doubleValue()))
+      case bd: java.math.BigDecimal =>
+        Some(java.math.BigDecimal.valueOf(b.toLong).compareTo(bd))
+      case _ => Some(java.lang.Long.compare(b.toLong, x.longValue()))
+    }
+    case (b: Double, x: Number) =>
+      // normalize both zeros (builder already normalized the bound side)
+      val xv0 = x.doubleValue()
+      val xv = if (xv0 == 0.0d) 0.0d else xv0
+      Some(java.lang.Double.compare(b, xv))
+    case (b: String, x: String) =>
+      Some(UTF8String.fromString(b).compareTo(UTF8String.fromString(x)))
+    case (b: String, x: UTF8String) =>
+      Some(UTF8String.fromString(b).compareTo(x))
+    case _ => None
+  }
+
+  /** v ∈ [min, max] as far as the (possibly partial) bounds can tell.
+    * A string `min` may be a truncated prefix (≤ true min): v < minT still
+    * proves v < trueMin, so the prune direction stays sound.
+    */
+  private def withinBounds(h: ColfHeader, a: String, v: Any): Boolean = {
+    if (allNull(h, a)) return false
+    stats(h, a) match {
+      case None => true
+      case Some(st) =>
+        val aboveMin = st.min.forall(mn => cmp(mn, v).forall(_ <= 0))
+        val belowMax = st.max.forall(mx => cmp(mx, v).forall(_ >= 0))
+        aboveMin && belowMax
+    }
+  }
+
+  /** Range predicates: keep the file iff some value beyond `v` could exist.
+    * useMax → the filter needs values ABOVE v (>, >=): check against max.
+    * !useMax → needs values BELOW v (<, <=): check against min.
+    */
+  private def boundAllows(h: ColfHeader, a: String, v: Any,
+      useMax: Boolean, strict: Boolean): Boolean = {
+    if (allNull(h, a)) return false
+    stats(h, a) match {
+      case None => true
+      case Some(st) =>
+        val bound = if (useMax) st.max else st.min
+        bound match {
+          case None => true
+          case Some(b) => cmp(b, v) match {
+            case None => true
+            case Some(c) =>
+              if (useMax) { if (strict) c > 0 else c >= 0 }
+              else { if (strict) c < 0 else c <= 0 }
+          }
+        }
+    }
+  }
+
+  /** startsWith(p): matches lie in [p, succ(p)) in binary order. Keep iff
+    * max ≥ p and min < succ(p). succ(p) = p with its last non-0xFF byte
+    * incremented (bytes after it dropped); all-0xFF has no successor.
+    */
+  private def prefixMayMatch(h: ColfHeader, a: String, p: String): Boolean = {
+    if (allNull(h, a)) return false
+    stats(h, a) match {
+      case None => true
+      case Some(st) =>
+        val pb = UTF8String.fromString(p).getBytes
+        val maxOk = st.max.forall { case mx: String =>
+          val mb = UTF8String.fromString(mx).getBytes
+          ColfCodec.cmpBytes(mb, 0, mb.length, pb) >= 0
+        case _ => true
+        }
+        val minOk = st.min.forall { case mn: String =>
+          succ(pb) match {
+            case None => true
+            case Some(ub) =>
+              val nb = UTF8String.fromString(mn).getBytes
+              ColfCodec.cmpBytes(nb, 0, nb.length, ub) < 0
+          }
+        case _ => true
+        }
+        maxOk && minOk
+    }
+  }
+
+  private def succ(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = ((out(i) & 0xff) + 1).toByte
+      Some(out)
+    }
+  }
+}

@@ -65,20 +65,27 @@ object ColfTools {
   /** Spark's CSV sink writes a directory; the reference CLI contract is a
     * single file — write to a scratch dir and move the lone part into
     * place. NULL → "" and "" stays "" (reader.py:259 parity); zero-row
-    * frames still emit the header line (reader.py:239-251).
+    * frames still emit the header line (reader.py:239-251). All file
+    * manipulation goes through the Hadoop FileSystem API so the CLI works
+    * on any configured scheme (hdfs://, s3a://, ...), not just local
+    * paths.
     */
   private[colf] def writeSingleCsv(df: DataFrame, out: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val tmp = out + ".colftools.tmp"
     df.coalesce(1).write
       .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
       .mode("overwrite").csv(tmp)
-    val dir = new java.io.File(tmp)
-    val part = dir.listFiles().find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(ColfUtil.driverHadoopConf())
+    val part = fs.listStatus(tmpPath).toSeq
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
       .getOrElse(throw new IllegalStateException(s"no csv part produced under $tmp"))
-    val target = new java.io.File(out)
-    if (target.exists()) target.delete()
-    java.nio.file.Files.move(part.toPath, target.toPath)
-    dir.listFiles().foreach(_.delete())
-    dir.delete()
+    val target = new Path(out)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"colf custom_to_csv: rename $part -> $target failed")
+    fs.delete(tmpPath, true)
   }
 }

@@ -25,10 +25,14 @@ import org.apache.spark.sql.types._
   *    prefixes), embedding the query id + partition + file seq + task id so
   *    two concurrent/successive writes can never collide — and create with
   *    overwrite=false so an unexpected collision fails loudly;
-  *  - job commit first applies the deferred truncate (mode=overwrite), then
-  *    renames every temp to its final `part-<pid>-<seq>-<queryId>.colf`
-  *    name. A failure before job commit leaves only invisible temps: old
-  *    data is intact and readers never observe a partial file;
+  *  - job commit renames every temp to its final
+  *    `part-<pid>-<seq>-<queryId>.colf` name FIRST, and only then applies
+  *    the deferred truncate (mode=overwrite), deleting old files not part
+  *    of this write. A failure before job commit leaves only invisible
+  *    temps (old data intact); a crash MID-commit leaves a SUPERSET —
+  *    old files plus some new — never a partial loss: nothing is deleted
+  *    until every new file is in place, and re-running the overwrite
+  *    converges;
   *  - task abort deletes that task's temps; job abort deletes all temps.
   */
 class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
@@ -78,25 +82,21 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = ColfUtil.driverHadoopConf()
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) fs.mkdirs(path)
     new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile, maxBytesPerFile,
-      compressionLevel)
+      compressionLevel, new org.apache.spark.util.SerializableConfiguration(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = ColfUtil.driverHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    // Deferred truncate: old data survives any failure up to this point.
-    if (truncate && fs.exists(dirPath)) {
-      fs.listStatus(dirPath).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_"))
-          fs.delete(st.getPath, false)
-      }
-    }
+    // 1) Rename every temp into place. New names embed this write's unique
+    //    queryId, so they can never collide with pre-existing data files.
+    val committed = scala.collection.mutable.HashSet.empty[String]
     messages.foreach {
       case ColfCommitMessage(files) => files.foreach { case (tmp, fin) =>
         val src = new Path(tmp)
@@ -104,14 +104,26 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
         if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
+        committed += dst.getName
       }
       case _ => ()
+    }
+    // 2) Deferred truncate LAST: a crash anywhere above leaves old data
+    //    fully intact (plus invisible temps / some new files) — a superset,
+    //    never a partial table.
+    if (truncate && fs.exists(dirPath)) {
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
+            !committed.contains(n))
+          fs.delete(st.getPath, false)
+      }
     }
     deleteQueryTemps(fs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = ColfUtil.driverHadoopConf()
     messages.foreach {
       case ColfCommitMessage(files) => files.foreach { case (tmp, _) =>
         val p = new Path(tmp)
@@ -142,16 +154,20 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
 case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitMessage
 
 class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
-    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(new Configuration()))
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
-      maxBytesPerFile, compressionLevel)
+      maxBytesPerFile, compressionLevel, conf)
 }
 
 class ColfDataWriter(
     dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long,
-    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(new Configuration()))
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
@@ -194,7 +210,7 @@ class ColfDataWriter(
     val fin = new Path(dir, f"part-$partitionId%05d-$fileSeq%03d-$queryId.colf")
     val tmp = new Path(dir, f".part-$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
     fileSeq += 1
-    val fs = tmp.getFileSystem(new Configuration())
+    val fs = tmp.getFileSystem(conf.value)
     val out = fs.create(tmp, false) // fail loudly on collision
     try ColfCodec.writeFile(out, fields, builders, compressionLevel)
     finally out.close()
@@ -212,7 +228,7 @@ class ColfDataWriter(
   }
 
   override def abort(): Unit = written.foreach { case (tmp, _) =>
-    val fs = tmp.getFileSystem(new Configuration())
+    val fs = tmp.getFileSystem(conf.value)
     if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 

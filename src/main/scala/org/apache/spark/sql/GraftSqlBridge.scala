@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The session's Hadoop conf WITH session-level `spark.hadoop.*` /
+    * `fs.*` overrides applied — `sessionState` is `private[sql]` in
+    * Spark 4, so connectors can't call `newHadoopConf()` directly.
+    */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 }

@@ -1,0 +1,249 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.colf._
+
+/** Writer-side min/max/null-count stats and the file skipping they enable
+  * (VERDICT r2 #1): stats ride as extra keys in the header schema JSON
+  * (invisible to the reference reader), and ColfScan prunes whole files
+  * whose bounds exclude the pushed filters.
+  */
+class ColfStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("colf_stats_test").toString
+
+  // ------------------------------------------------------------- builders
+
+  test("int builder tracks min/max over non-null values") {
+    val b = new ColfCodec.IntColumnBuilder
+    b.append(5); b.appendNull(); b.append(-3); b.append(9)
+    assert(b.statsMinMax == (Some(-3), Some(9)))
+    assert(b.nullCnt == 1L)
+  }
+
+  test("double builder drops bounds on NaN/Inf, normalizes -0.0") {
+    val ok = new ColfCodec.DoubleColumnBuilder
+    ok.append(1.5); ok.append(-0.0); ok.append(2.5)
+    assert(ok.statsMinMax == (Some(0.0), Some(2.5))) // -0.0 → 0.0 for bounds
+    val nan = new ColfCodec.DoubleColumnBuilder
+    nan.append(1.0); nan.append(Double.NaN)
+    assert(nan.statsMinMax == (None, None))
+    val inf = new ColfCodec.DoubleColumnBuilder
+    inf.append(1.0); inf.append(Double.PositiveInfinity)
+    assert(inf.statsMinMax == (None, None))
+  }
+
+  test("string builder: binary-order bounds; long min truncates, long max drops") {
+    val b = new ColfCodec.StringColumnBuilder
+    b.append("mango"); b.append("apple"); b.append("zebra")
+    assert(b.statsMinMax == (Some("apple"), Some("zebra")))
+
+    val long = new ColfCodec.StringColumnBuilder
+    val bigMin = "a" * 100
+    val bigMax = "z" * 100
+    long.append(bigMin); long.append(bigMax)
+    val (mn, mx) = long.statsMinMax
+    assert(mn.contains("a" * 64)) // truncated prefix is a valid lower bound
+    assert(mx.isEmpty)            // truncated prefix would be an INVALID upper bound
+
+    // truncation never splits a multi-byte char (stats must survive JSON)
+    val uni = new ColfCodec.StringColumnBuilder
+    uni.append("é" * 40) // 2 bytes each → 80 bytes; cut must land on a boundary
+    val (umn, _) = uni.statsMinMax
+    val umnS = umn.get.asInstanceOf[String]
+    assert(umnS == "é" * 32 && umnS.getBytes("UTF-8").length == 64)
+  }
+
+  test("all-null and empty columns carry no bounds") {
+    val b = new ColfCodec.IntColumnBuilder
+    b.appendNull(); b.appendNull()
+    assert(b.statsMinMax == (None, None) && b.nullCnt == 2L)
+    assert(new ColfCodec.DoubleColumnBuilder().statsMinMax == (None, None))
+  }
+
+  // ----------------------------------------------------- schema JSON ride
+
+  test("stats round-trip the header JSON; reference-shaped JSON (no stats) parses") {
+    val schema = ColfSchema(3L,
+      IndexedSeq(ColfField("i", ColfType.Int32, true),
+        ColfField("d", ColfType.Float64, false),
+        ColfField("s", ColfType.Utf8, false)),
+      Map(
+        "i" -> ColfColStats(1L, Some(-5), Some(7)),
+        "d" -> ColfColStats(0L, Some(0.25), Some(1.0E10)),
+        "s" -> ColfColStats(0L, Some("a\"b"), None)))
+    val back = ColfSchema.fromJson(schema.toJson)
+    assert(back == schema)
+    // stats keys are EXTRA — a reference-written header (none) still parses
+    val ref = """{"num_rows": 2, "columns": [{"name": "x", "type": "int32", "nullable": false}]}"""
+    assert(ColfSchema.fromJson(ref).stats.isEmpty)
+  }
+
+  // ------------------------------------------------------------ ColfPrune
+
+  private def mkHeader(numRows: Long, stats: Map[String, ColfColStats],
+      tpe: ColfType = ColfType.Int32, hasNulls: Boolean = false,
+      compSize: Long = 100L): ColfHeader = {
+    val fields = stats.keys.toIndexedSeq.sorted.map(n => ColfField(n, tpe, true))
+    ColfHeader(1, true, ColfSchema(numRows, fields, stats),
+      fields.map(_ => ColfColumnMeta(0L, compSize, 200L, hasNulls)), 0L)
+  }
+
+  test("prune decisions: ranges, equality, In, null checks") {
+    val h = mkHeader(100L, Map("k" -> ColfColStats(0L, Some(10), Some(20))))
+    def may(f: Filter): Boolean = ColfPrune.mayMatch(h, Seq(f))
+    assert(!may(EqualTo("k", 5)) && may(EqualTo("k", 10)) && may(EqualTo("k", 15)) && !may(EqualTo("k", 25)))
+    assert(!may(GreaterThan("k", 20)) && may(GreaterThanOrEqual("k", 20)) && may(GreaterThan("k", 19)))
+    assert(!may(LessThan("k", 10)) && may(LessThanOrEqual("k", 10)))
+    assert(!may(In("k", Array(1, 2, 30))) && may(In("k", Array(1, 12))))
+    assert(!may(IsNull("k")) && may(IsNotNull("k")))
+    assert(!may(And(GreaterThan("k", 15), LessThan("k", 14))) || !may(GreaterThan("k", 25)))
+    assert(may(Or(EqualTo("k", 5), EqualTo("k", 15))) && !may(Or(EqualTo("k", 5), EqualTo("k", 25))))
+    // unknown column / unknown filter shape / missing stats → keep
+    assert(may(EqualTo("nope", 1)))
+    val noStats = mkHeader(100L, Map("k" -> ColfColStats(0L, None, None)))
+    assert(ColfPrune.mayMatch(noStats, Seq(EqualTo("k", 999))))
+    // zero-row file → nothing matches
+    assert(!ColfPrune.mayMatch(mkHeader(0L, Map("k" -> ColfColStats(0L, None, None))), Seq(IsNotNull("k"))))
+  }
+
+  test("prune decisions: all-null columns and string prefixes") {
+    val allNull = mkHeader(10L, Map("k" -> ColfColStats(10L, None, None)))
+    assert(!ColfPrune.mayMatch(allNull, Seq(EqualTo("k", 3))))
+    assert(!ColfPrune.mayMatch(allNull, Seq(IsNotNull("k"))))
+    assert(ColfPrune.mayMatch(allNull, Seq(IsNull("k"))))
+    // reference-style all-null encoding (comp_size == 0, no stats)
+    val refNull = mkHeader(10L, Map("k" -> ColfColStats(10L, None, None)), compSize = 0L)
+    assert(!ColfPrune.mayMatch(refNull, Seq(IsNotNull("k"))))
+
+    val s = mkHeader(10L,
+      Map("s" -> ColfColStats(0L, Some("mango"), Some("peach"))), tpe = ColfType.Utf8)
+    def may(f: Filter): Boolean = ColfPrune.mayMatch(s, Seq(f))
+    assert(may(StringStartsWith("s", "ma")) && may(StringStartsWith("s", "pe")))
+    assert(!may(StringStartsWith("s", "a")) && !may(StringStartsWith("s", "z")))
+    assert(!may(EqualTo("s", "zzz")) && may(EqualTo("s", "nectarine")))
+    assert(!may(GreaterThanOrEqual("s", "pear")) && may(LessThan("s", "mangz")))
+  }
+
+  test("truncated string min stays a safe lower bound") {
+    // true min "bbbb...b" (100 bytes) stored truncated to 64 b's
+    val st = ColfColStats(0L, Some("b" * 64), None)
+    val h = mkHeader(10L, Map("s" -> st), tpe = ColfType.Utf8)
+    // v = "a..." < truncated min ⇒ provably < true min ⇒ prune
+    assert(!ColfPrune.mayMatch(h, Seq(EqualTo("s", "a"))))
+    // v between truncated min and true min must be KEPT (can't disprove)
+    assert(ColfPrune.mayMatch(h, Seq(EqualTo("s", "b" * 70))))
+  }
+
+  // ----------------------------------------------- end-to-end file pruning
+
+  test("filtered scan prunes files by range stats and stays correct") {
+    val dir = tmp()
+    // four part files with EXACT disjoint k-ranges (append-mode writes —
+    // deterministic, unlike sampled repartitionByRange boundaries)
+    for (i <- 0 until 4)
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".cast("int").as("k"), ($"id" % 7).cast("double").as("v"),
+          concat(lit("row"), $"id").as("s"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".colf")) == 4)
+
+    val q = spark.read.format("colf").load(dir).where($"k" < 900)
+    // Catalyst pushed the filters into our ScanBuilder...
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedFilters"), s"no pushed filters in: $desc")
+    assert(desc.contains("files after pruning: 1/4"), s"unexpected pruning in: $desc")
+    // ...the planned partitions cover exactly the 1 surviving file...
+    val planned = scans.head.inputPartitions.collect {
+      case p: ColfInputPartition => p.files.size
+    }.sum
+    assert(planned == 1, s"expected 1 planned file, got $planned")
+    // ...and results are identical to the unpruned computation.
+    assert(q.count() == 900)
+    assert(q.agg(sum($"k")).as[Long].head() == (0L until 900).sum)
+
+    // a filter matching nothing prunes everything and returns empty
+    val none = spark.read.format("colf").load(dir).where($"k" > 100000)
+    assert(none.count() == 0)
+
+    // string pruning: row0..row999 vs row3000+ live in different files
+    val sq = spark.read.format("colf").load(dir).where($"s" === "row3500")
+    val sscans = sq.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val splanned = sscans.head.inputPartitions.collect {
+      case p: ColfInputPartition => p.files.size
+    }.sum
+    assert(splanned < 4, s"string equality should prune some of 4 files, planned $splanned")
+    assert(sq.select($"k").as[Int].collect().toSeq == Seq(3500))
+  }
+
+  test("pruning composes with limit pushdown and count stays exact") {
+    val dir = tmp()
+    for (i <- 0 until 4)
+      spark.range(i * 250L, (i + 1) * 250L).select($"id".cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+    val q = spark.read.format("colf").load(dir).where($"k" >= 750)
+    assert(q.count() == 250)
+    assert(q.limit(5).collect().length == 5)
+  }
+
+  // ------------------------------------------------------- header caching
+
+  test("headers are fetched once per file, in parallel, and cached across queries") {
+    val dir = tmp()
+    spark.range(600).select($"id".cast("int").as("k"))
+      .repartition(6).write.format("colf").mode("overwrite").save(dir)
+    val n = new java.io.File(dir).listFiles().count(_.getName.endsWith(".colf"))
+    assert(n >= 2)
+
+    val before = ColfHeaderCache.fetches.get()
+    // count(*) pushdown answers from headers: exactly one fetch per file
+    assert(spark.read.format("colf").load(dir).count() == 600)
+    val afterFirst = ColfHeaderCache.fetches.get()
+    assert(afterFirst - before == n, s"expected $n header fetches, got ${afterFirst - before}")
+
+    // the same files again — filters, counts, stats — cost ZERO new fetches
+    assert(spark.read.format("colf").load(dir).count() == 600)
+    assert(spark.read.format("colf").load(dir).where($"k" < 100).count() == 100)
+    assert(ColfHeaderCache.fetches.get() == afterFirst)
+  }
+
+  test("reference reader.py still reads stats-bearing files") {
+    // The stats live inside the schema JSON as extra keys; prove the
+    // reference reader's json.loads + .get() path is untouched by reading
+    // a stats-bearing file back through the actual reference script.
+    assume(Files.exists(java.nio.file.Paths.get("/root/reference/reader.py")))
+    val dir = tmp()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+      .coalesce(1).write.format("colf").mode("overwrite").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+    // header must actually carry stats
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(part))
+    val header = try ColfCodec.readHeader(in) finally in.close()
+    assert(header.schema.stats("k") == ColfColStats(0L, Some(1), Some(3)))
+    assert(header.schema.stats("s") == ColfColStats(0L, Some("a"), Some("c")))
+    val outCsv = Files.createTempFile("colf_stats_compat", ".csv").toString
+    val py = new ProcessBuilder("python3", "/root/reference/reader.py",
+      "custom_to_csv", part.getAbsolutePath, outCsv).redirectErrorStream(true).start()
+    val out = new String(py.getInputStream.readAllBytes(), "UTF-8")
+    assert(py.waitFor() == 0, s"reference reader failed:\n$out")
+    val lines = Files.readAllLines(java.nio.file.Paths.get(outCsv))
+    assert(lines.get(0) == "k,s" && lines.size() == 4)
+    assert(lines.get(1) == "1,a" && lines.get(2) == "2,b" && lines.get(3) == "3,c")
+  }
+}
