@@ -16,7 +16,7 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_agg", "q_filter_pushdown", "q_join_broadcast", "q_join_large",
     "q_window", "q_topk", "q_events_window",
-    "q_colf_scan_full", "q_colf_project", "q_colf_agg",
+    "q_colf_scan_full", "q_colf_project", "q_colf_agg", "q_colf_filter",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_sim_bruteforce", "q_sim_ann", "q_sim_ivf",
     "q_text_stats", "q_quality_score", "q_word_freq", "q_sessionize",
@@ -36,7 +36,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -47,12 +47,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Repeat each query and report the MINIMUM: the min is the best
+      * estimate of plan cost under machine noise (any slower run was
+      * contention, GC, or page-cache misses — the r2 driver record was
+      * 2.4× inflated by exactly that). Failures short-circuit as -1.
+      */
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    def run(name: String): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < runs) {
+        val t = runOnce(name)
+        if (t < 0) return -1.0
+        if (t < best) best = t
+        i += 1
+      }
+      best
+    }
+
     // One warmup pass on a tiny sf to JIT-compile codegen'd pipelines and
     // warm file-system metadata, so measured numbers reflect steady state.
-    val warmDir = "/root/testdata/sf0.001"
+    // Failures are LOGGED (a missing warmup dir silently skewing headline
+    // numbers was ADVICE r2) but don't fail the bench.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (!new java.io.File(warmDir).isDirectory)
+      System.err.println(s"[bench] warmup dir $warmDir missing — first-query JIT cost " +
+        "will land in the measured numbers (set SPARK_GRAFT_WARM_DIR)")
     Headline.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
 
     val results = Headline.map(n => n -> run(n))

@@ -91,6 +91,10 @@ object Dedup {
     }
   }
 
+  /** The [[shingleSet]] hot loop as a UDF (null-safe). */
+  private[graft] def shingleUdf(n: Int) =
+    udf { t: String => if (t == null) null else shingleSet(t, n) }
+
   /** xxhash64 of a string's UTF-8 bytes with Spark's fixed seed 42 —
     * bit-identical to the SQL `xxhash64(col)` function, so UDF-computed
     * signatures stay interchangeable with expression-computed ones.
@@ -152,10 +156,62 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates, then exact Jaccard verification
-    * on the true shingle sets (joined back by id — candidates are a tiny
-    * fraction of the corpus, so this join is cheap). Output:
-    * (id_a, id_b, jaccard) with jaccard ≥ threshold.
+  // ---------------------------------------- exact-duplicate pre-grouping
+
+  /** Collapse exact-duplicate texts to one representative per xxhash64
+    * fingerprint BEFORE any LSH step (VERDICT r2 #3). Identical texts get
+    * identical signatures, so m copies of one document would land together
+    * in the same bucket of EVERY band and the candidate self-join would
+    * emit O(m²) pairs — all surviving the score filter, since they really
+    * are duplicates. A web-scale corpus has millions of identical
+    * boilerplate documents; banding must see each distinct text once.
+    *
+    * Returns (members: __fp → id for every doc, reps: one row per distinct
+    * fingerprint carrying the smallest member id and the text). The rep
+    * groupBy is one hash shuffle ∝ distinct texts, with map-side partial
+    * aggregation. Two different texts colliding on xxhash64 (~n²/2⁶⁴)
+    * would be treated as identical — the standard fingerprint-dedup trade.
+    */
+  private[graft] def fingerprintGroups(clean: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = clean.withColumn("__fp", xxhash64(col("__text")))
+    val members = keyed.select(col("__fp"), col("id"))
+    val reps = keyed.groupBy("__fp")
+      .agg(min_by(struct(col("id"), col("__text")), col("id")).as("r"))
+      .select(col("__fp"), col("r.id").as("id"), col("r.__text").as("__text"))
+    (members, reps)
+  }
+
+  /** Expand representative-level near-dup pairs back to ALL member pairs:
+    * cross-group pairs inherit the representatives' score (identical texts
+    * ⇒ identical signatures/shingles ⇒ identical score), intra-group pairs
+    * get the identical-text score (jaccard 1.0 / hamming 0) they would
+    * have computed. Output is exactly the ungrouped pipeline's, but the
+    * quadratic term now exists ONLY in the unavoidable output pairs of
+    * genuinely-identical docs — produced by plain equi-joins (AQE-skew-
+    * splittable), never fed through banding or verification.
+    */
+  private def expandGroupPairs(repPairs: DataFrame, reps: DataFrame, members: DataFrame,
+      scoreCol: String, identicalScore: Column): DataFrame = {
+    val repFp = reps.select(col("id"), col("__fp"))
+    val cross = repPairs
+      .join(repFp.toDF("id_a", "fp_a"), "id_a")
+      .join(repFp.toDF("id_b", "fp_b"), "id_b")
+      .join(members.toDF("fp_a", "m_a"), "fp_a")
+      .join(members.toDF("fp_b", "m_b"), "fp_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreCol))
+    val intra = members.toDF("fp", "id_a").join(members.toDF("fp", "id_b"), "fp")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), identicalScore.as(scoreCol))
+    cross.unionByName(intra)
+  }
+
+  /** Full near-dup pipeline: exact-dup pre-grouping, LSH candidates over
+    * the distinct texts, exact Jaccard verification on the true shingle
+    * sets (joined back by id — candidates are a tiny fraction of the
+    * corpus, so this join is cheap), then expansion back to member pairs.
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ threshold — identical to
+    * the ungrouped pipeline, with no quadratic candidate stage.
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
       p: MinHashParams = MinHashParams()): DataFrame = {
@@ -164,25 +220,29 @@ object Dedup {
     // would share one bucket per band — a quadratic candidate blowup on
     // corpora with many null rows (the pairs only die later at the
     // jaccard filter). They can never be near-dups; drop them up front.
-    val clean = df.where(text.isNotNull)
-    // Persist both multi-consumer intermediates: signatures feed the band
-    // self-join (2 consumers), and the candidate pairs feed candIds twice
-    // plus the verification join (3 consumers) — without caching, the
-    // band-explode/join/distinct subtree would re-execute three times.
-    // Both are tiny relative to the corpus (id + k longs / id pairs).
     import org.apache.spark.storage.StorageLevel
-    val sigs = minhashSignatures(clean, id, text, p).persist(StorageLevel.MEMORY_AND_DISK)
+    val clean = df.where(text.isNotNull).select(id.as("id"), text.as("__text"))
+    val (members0, reps0) = fingerprintGroups(clean)
+    // Persist the multi-consumer intermediates: members feeds the three
+    // expansion joins, reps feeds signatures + verification + expansion,
+    // signatures feed the band self-join, and the candidate pairs feed
+    // candIds twice plus the verification join — without caching, each
+    // subtree would re-execute per consumer. All are small relative to the
+    // corpus (ids, fingerprints, k longs).
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = reps0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(reps, col("id"), col("__text"), p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(sigs, p).persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard verification only needs shingle sets for docs that
     // SURVIVED candidate generation — a vanishing fraction of the corpus at
     // scale. Join the texts down to candidates first, THEN shingle.
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
-    val sh = udf { t: String => if (t == null) null else shingleSet(t, p.shingleSize) }
-    val shingled = clean.select(id.as("id"), text.as("__text"))
+    val shingled = reps.select(col("id"), col("__text"))
       .join(candIds, "id")
-      .select(col("id"), sh(col("__text")).as("sh"))
-    cands
+      .select(col("id"), shingleUdf(p.shingleSize)(col("__text")).as("sh"))
+    val repPairs = cands
       .join(shingled.toDF("id_a", "sh_a"), "id_a")
       .join(shingled.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -190,6 +250,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+    expandGroupPairs(repPairs, reps, members, "jaccard", lit(1.0))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -229,13 +290,23 @@ object Dedup {
     * any pair within the radius must agree on at least one chunk, so an
     * equi-join per chunk has FULL recall (unlike MinHash banding, which is
     * probabilistic). Requires 64 % (maxHamming+1) == 0 for equal chunks.
+    *
+    * Identical texts get the same guard as MinHash: they'd agree on EVERY
+    * chunk (a quadratic chunk-join blowup), so exact duplicates collapse
+    * to one representative before chunking and expand back afterwards
+    * (intra-group pairs are Hamming 0 by construction).
     */
   def simhashNearDups(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     require(64 % nChunks == 0, s"64 must divide into ${nChunks} equal chunks")
     val width = 64 / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val withSim = df.select(id.as("id"), simhash64(text.toString).as("sim"))
+    import org.apache.spark.storage.StorageLevel
+    val clean = df.where(text.isNotNull).select(id.as("id"), text.as("__text"))
+    val (members0, reps0) = fingerprintGroups(clean)
+    val members = members0.persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = reps0.persist(StorageLevel.MEMORY_AND_DISK)
+    val withSim = reps.select(col("id"), simhashUdf(col("__text")).as("sim"))
     val chunkCols = (0 until nChunks).map { j =>
       struct(lit(j).as("chunk"), shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit(mask)).as("ckey"))
     }
@@ -243,11 +314,12 @@ object Dedup {
       .select(col("id"), col("sim"), col("c.chunk"), col("c.ckey"))
     val l = chunks.toDF("id_a", "sim_a", "chunk", "ckey")
     val r = chunks.toDF("id_b", "sim_b", "chunk", "ckey")
-    l.join(r, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+    val repPairs = l.join(r, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    expandGroupPairs(repPairs, reps, members, "hamming", lit(0).cast("int"))
   }
 
   /** Exact token-set Jaccard for all pairs inside a grouping column (e.g.

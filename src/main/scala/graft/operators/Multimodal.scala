@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video ride through the pipeline
   * as opaque `binary` columns plus typed metadata, exactly like a training
-  * corpus stores them. The Spark-side mechanics here are real — schema,
+  * corpus stores them. The Spark-side mechanics are real — schema,
   * partition-preserving `mapPartitions`, case-class encoders, batch-shaped
-  * iteration — while the actual byte decoding is a STUB (this container has
-  * no image/audio codecs): [[decodeStub]] derives deterministic fake
-  * dimensions from the payload, at the exact point a real implementation
-  * would call the codec. Swap `fakeDecode` for a JNI/FFI decode and nothing
-  * else changes.
+  * iteration — and so is the IMAGE path: [[decodeImages]] reads real
+  * PNG/JPEG/GIF/BMP dimensions through the JDK's `javax.imageio`
+  * (header-only — no pixel decode, so metadata extraction over a 100 TB
+  * shard costs header bytes, not decompressed frames). [[decodeStub]]
+  * keeps a deterministic text-bytes path whose output an external oracle
+  * can recompute; audio/video would slot a codec into the same
+  * per-partition iterator.
   */
 object Multimodal {
 
@@ -44,5 +46,50 @@ object Multimodal {
   private def fakeDecode(r: MediaRow): MediaMeta = {
     val n = r.media.length
     MediaMeta(r.doc_id, n, n % 800, n % 600, n.toLong * 2654435761L)
+  }
+
+  /** REAL image metadata decode (JDK `javax.imageio`, zero new deps).
+    * Dimensions come from the format reader's HEADER path
+    * (`ImageReader.getWidth/getHeight`), which parses the image header
+    * without decompressing pixels — the right cost model for corpus-scale
+    * metadata extraction. The checksum is CRC32 over the payload.
+    *
+    * Undecodable payloads (no registered reader, truncated bytes) yield
+    * width = height = -1 rather than failing the task: at corpus scale a
+    * fraction of media bytes is always corrupt, and a poison row must
+    * not kill a 10-hour job. Callers filter `width >= 0` to keep decoded
+    * rows.
+    */
+  def decodeImages(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      // ImageIO scans its reader registry per MIME lookup; doing the
+      // per-partition init here (one registry touch, reused readers) is
+      // the codec-amortization shape real decoders need.
+      rows.map(imageMeta)
+    }
+  }
+
+  private def imageMeta(r: MediaRow): MediaMeta = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(r.media)
+    var w = -1
+    var h = -1
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          w = reader.getWidth(0)  // header-only: no pixel decode
+          h = reader.getHeight(0)
+        } catch { case _: Exception => w = -1; h = -1 }
+        finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+    MediaMeta(r.doc_id, r.media.length, w, h, crc.getValue)
   }
 }

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Probe side + deterministic salt in [0, factor): the hash of the WHOLE
+    * row (not the join key — salting the key's hash would send each hot
+    * key to one salt again).
+    */
+  private[graft] def saltProbe(probe: DataFrame, factor: Int): DataFrame =
+    probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(factor.toLong)).cast("int"))
+
+  /** Build side replicated once per salt value — the visible, deliberate
+    * cost of salting: `factor`× the build rows through the shuffle.
+    */
+  private[graft] def replicateBuild(build: DataFrame, factor: Int): DataFrame =
+    build.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+
   /** Inner equi-join `probe.key == build.key` with salt-spread hot keys.
     * Column sets must be disjoint apart from the join key names being
     * distinct (`probeKey` vs `buildKey`).
@@ -28,10 +42,8 @@ object SkewJoin {
   def saltedInnerJoin(probe: DataFrame, build: DataFrame,
       probeKey: Column, buildKey: Column, factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(factor.toLong)).cast("int"))
-    val replicated = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(factor - 1))))
+    val salted = saltProbe(probe, factor)
+    val replicated = replicateBuild(build, factor)
     salted.join(replicated,
         probeKey === buildKey && salted("__salt") === replicated("__salt"))
       .drop("__salt")

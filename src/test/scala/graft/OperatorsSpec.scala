@@ -177,6 +177,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Row(1, 1L, 1.0))
   }
 
+  test("decodeImages reads real PNG/JPEG dimensions; junk bytes degrade to -1") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB), fmt, b))
+      b.toByteArray
+    }
+    val png = img(123, 45, "png")
+    val jpg = img(64, 32, "jpg")
+    val txt = "definitely not an image payload".getBytes("UTF-8")
+    val df = Seq((1L, png, "image/png"), (2L, jpg, "image/jpeg"), (3L, txt, "text/plain"))
+      .toDF("doc_id", "media", "media_type")
+    val metas = Multimodal.decodeImages(df).collect().sortBy(_.doc_id)
+    assert(metas(0).width == 123 && metas(0).height == 45 && metas(0).n_bytes == png.length)
+    assert(metas(1).width == 64 && metas(1).height == 32)
+    // corrupt/unknown payloads must degrade, not kill the task
+    assert(metas(2).width == -1 && metas(2).height == -1 && metas(2).n_bytes == txt.length)
+    val crc = new java.util.zip.CRC32(); crc.update(png)
+    assert(metas(0).checksum == crc.getValue)
+  }
+
   test("codegen DotProduct is bit-identical to the sequential fold") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 200).map(i =>

@@ -40,4 +40,38 @@ class StreamingDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got.map(_._1).sorted.toSeq == batchKeys)
   }
+
+  test("firstPerKeyExpiring ages state out past the event-time horizon") {
+    // Horizon 10s, watermark delay 0: a key seen once is suppressed while
+    // the watermark stays inside its horizon, then FORGOTTEN (and
+    // re-emittable) once the watermark passes last-sighting + horizon.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDS().toDF("id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+    val deduped = StreamingOps.firstPerKeyExpiring(
+      events, (r: (Long, Timestamp)) => r._1, (r: (Long, Timestamp)) => r._2.getTime,
+      horizonMs = 10000L)
+
+    val qname = s"stream_dedup_exp_${System.nanoTime()}"
+    val q = deduped.toDF("id", "ts").writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    def batch(rows: (Long, Timestamp)*): Unit = { mem.addData(rows); q.processAllAvailable() }
+    try {
+      batch((1L, ts("2024-01-01 10:00:00")))                                   // 1 emitted; wm → 10:00:00
+      batch((1L, ts("2024-01-01 10:00:05")), (2L, ts("2024-01-01 10:00:05")))  // 1 suppressed, 2 emitted; wm → 10:00:05
+      batch((9L, ts("2024-01-01 10:05:00")))                                   // wm at processing 10:00:05 < timeouts; wm → 10:05:00
+      batch((8L, ts("2024-01-01 10:06:00")))                                   // wm 10:05:00 > both timeouts ⇒ keys 1,2 expire
+      batch((1L, ts("2024-01-01 10:06:30")))                                   // state gone ⇒ 1 EMITTED AGAIN
+      val got = spark.table(qname).collect().map(_.getLong(0)).toSeq
+      assert(got.count(_ == 1L) == 2, s"key 1 should re-emit after expiry, got $got")
+      assert(got.count(_ == 2L) == 1)
+      assert(got.sorted == Seq(1L, 1L, 2L, 8L, 9L))
+    } finally q.stop()
+  }
 }
