@@ -382,6 +382,17 @@ object SparkEntry {
       Dedup.blockedTokenJaccard(t(s, dir, "documents"), col("doc_id"), col("text"),
         col("source"), threshold = 0.5)),
 
+    // Embedding-cosine near-dup: exact all-pairs baseline (oracle-checked
+    // bit-for-bit) and the banded-hyperplane LSH scale path (probabilistic
+    // recall → rows-only; its exactness at degenerate parameters is spec'd).
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.35)),
+
+    "q_dedup_cosine_lsh" -> ((s, dir) =>
+      Dedup.cosineNearDupsLSH(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.35)),
+
     // ---- training-data pipeline: text analysis
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -697,6 +708,16 @@ object SparkEntry {
         |    ON a.source = b.source AND a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5""".stripMargin,
 
+    "q_dedup_cosine" ->
+      """SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+        |    ON a.vec_id < b.vec_id
+        |) WHERE cos >= 0.35""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
          | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -811,8 +832,8 @@ object SparkEntry {
         | strlen(text) * 2654435761 AS checksum
         |FROM documents""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
-    // equivalent), q_dedup_minhash / q_dedup_simhash (LSH candidate
-    // generation is probabilistic-recall, not ANSI-expressible),
-    // q_sim_ann (approximate by construction).
+    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh
+    // (LSH candidate generation is probabilistic-recall, not
+    // ANSI-expressible), q_sim_ann (approximate by construction).
   )
 }

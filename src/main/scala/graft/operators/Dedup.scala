@@ -182,16 +182,17 @@ object Dedup {
   }
 
   /** Expand representative-level near-dup pairs back to ALL member pairs:
-    * cross-group pairs inherit the representatives' score (identical texts
-    * ⇒ identical signatures/shingles ⇒ identical score), intra-group pairs
-    * get the identical-text score (jaccard 1.0 / hamming 0) they would
-    * have computed. Output is exactly the ungrouped pipeline's, but the
+    * cross-group pairs inherit the representatives' score (identical
+    * inputs ⇒ identical signatures/shingles ⇒ identical score),
+    * intra-group pairs take the per-group self-score from `intraScores`
+    * (keyed by `__fp`: jaccard 1.0 / hamming 0 / a vector's computed
+    * self-cosine). Output is exactly the ungrouped pipeline's, but the
     * quadratic term now exists ONLY in the unavoidable output pairs of
     * genuinely-identical docs — produced by plain equi-joins (AQE-skew-
     * splittable), never fed through banding or verification.
     */
   private def expandGroupPairs(repPairs: DataFrame, reps: DataFrame, members: DataFrame,
-      scoreCol: String, identicalScore: Column): DataFrame = {
+      scoreCol: String, intraScores: DataFrame): DataFrame = {
     val repFp = reps.select(col("id"), col("__fp"))
     val cross = repPairs
       .join(repFp.toDF("id_a", "fp_a"), "id_a")
@@ -202,7 +203,8 @@ object Dedup {
         greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreCol))
     val intra = members.toDF("fp", "id_a").join(members.toDF("fp", "id_b"), "fp")
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), identicalScore.as(scoreCol))
+      .join(intraScores.withColumnRenamed("__fp", "fp"), "fp")
+      .select(col("id_a"), col("id_b"), col(scoreCol))
     cross.unionByName(intra)
   }
 
@@ -250,7 +252,8 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
-    expandGroupPairs(repPairs, reps, members, "jaccard", lit(1.0))
+    expandGroupPairs(repPairs, reps, members, "jaccard",
+      reps.select(col("__fp"), lit(1.0).as("jaccard")))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -319,7 +322,89 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    expandGroupPairs(repPairs, reps, members, "hamming", lit(0).cast("int"))
+    expandGroupPairs(repPairs, reps, members, "hamming",
+      reps.select(col("__fp"), lit(0).cast("int").as("hamming")))
+  }
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding-cosine near-dup, EXACT baseline: every pair (id_a < id_b)
+    * whose cosine similarity reaches `threshold`. All-pairs by
+    * construction (a nested-loop join with the `<` condition) — the
+    * verification standard the LSH path is measured against, and the
+    * right tool up to ~10⁵ vectors; beyond that use
+    * [[cosineNearDupsLSH]]. Scoring matches [[Similarity]] exactly:
+    * norms precomputed per side, fixed-order double ops, so results are
+    * bit-reproducible and oracle-checkable.
+    */
+  def cosineNearDups(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val v = df.select(id.as("id"), Similarity.asDouble(vec).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val l = v.toDF("id_a", "v_a", "nrm_a")
+    val r = v.toDF("id_b", "v_b", "nrm_b")
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH banding
+    * (the vector analogue of MinHash banding — `bands` keys of
+    * `planesPerBand` sign bits each; a pair at angle θ collides in ≥1
+    * band with probability 1-(1-(1-θ/π)^planesPerBand)^bands), candidate
+    * generation by equi-join on (band, key), exact cosine verification
+    * on survivors only. Probabilistic recall, exact precision.
+    *
+    * Exact-duplicate vectors get the same guard as text dedup: one
+    * xxhash64-fingerprint representative enters banding per distinct
+    * vector, and verified pairs expand back afterwards (intra-group
+    * pairs score the vector's computed self-cosine — bit-identical to
+    * what the exact path computes for equal vectors).
+    *
+    * `planesPerBand = 0` degenerates to one global bucket — all pairs
+    * verified — and must equal [[cosineNearDups]] bit-for-bit (spec'd).
+    */
+  def cosineNearDupsLSH(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val hp = Similarity.hyperplanes(bands * planesPerBand, dim, seed)
+    def bandKey(vCol: Column, band: Int): Column =
+      if (planesPerBand == 0) lit(0L)
+      else (0 until planesPerBand).map { i =>
+        val plane = array(hp(band * planesPerBand + i).map(lit): _*)
+        when(Similarity.dot(vCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val keyed = df.select(id.as("id"), Similarity.asDouble(vec).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("__fp", xxhash64(col("v")))
+    val members = keyed.select(col("__fp"), col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed.groupBy("__fp")
+      .agg(min_by(struct(col("id"), col("v"), col("nrm")), col("id")).as("r"))
+      .select(col("__fp"), col("r.id").as("id"), col("r.v").as("v"), col("r.nrm").as("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandKey(col("v"), b).as("bkey")))
+    val banded = reps.select(col("id"), explode(array(bandCols: _*)).as("c"))
+      .select(col("id"), col("c.band"), col("c.bkey"))
+    val cands = banded.toDF("id_a", "band", "bkey")
+      .join(banded.toDF("id_b", "band", "bkey"), Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val side = reps.select(col("id"), col("v"), col("nrm"))
+    val repPairs = cands
+      .join(side.toDF("id_a", "v_a", "nrm_a"), "id_a")
+      .join(side.toDF("id_b", "v_b", "nrm_b"), "id_b")
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    val selfCos = reps.select(col("__fp"),
+      (Similarity.dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+    expandGroupPairs(repPairs, reps, members, "cos", selfCos)
   }
 
   /** Exact token-set Jaccard for all pairs inside a grouping column (e.g.

@@ -116,4 +116,45 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(fast == ref)
     assert(fast.count { case (a, b, h) => a < 25 && b < 25 && h == 0 } == 300) // C(25,2)
   }
+
+  // --------------------------------------------- embedding-cosine near-dup
+
+  private def vecCorpus(): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(31)
+    def v() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val base = (0L until 30L).map(i => (i, v()))
+    val dupVec = base(3)._2
+    val nearVec = base(5)._2.clone()
+    nearVec(0) = nearVec(0) + 0.01f // tiny perturbation: cos ≈ 1
+    (base ++ Seq((100L, dupVec), (101L, dupVec), (102L, nearVec)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def cosSet(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+    (r.getLong(0), r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))
+  }.toSet
+
+  test("cosine LSH with planesPerBand=0 degenerates to the exact all-pairs result") {
+    val df = vecCorpus()
+    val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.6))
+    val degenerate = cosSet(Dedup.cosineNearDupsLSH(df, col("vec_id"), col("embedding"), 0.6,
+      bands = 2, planesPerBand = 0, dim = 8))
+    assert(degenerate == exact)
+    assert(exact.nonEmpty)
+    // identical vectors pair up through the fingerprint guard, with the
+    // same computed self-cosine the exact path produces
+    assert(exact.exists { case (a, b, _) => a == 100L && b == 101L })
+    assert(exact.exists { case (a, b, _) => a == 3L && b == 100L })
+  }
+
+  test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
+    val df = vecCorpus()
+    val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
+    val lsh = cosSet(Dedup.cosineNearDupsLSH(df, col("vec_id"), col("embedding"), 0.9,
+      bands = 8, planesPerBand = 4, dim = 8))
+    assert(lsh.subsetOf(exact)) // verification keeps precision exact
+    // near-identical vectors (θ ≈ 0) collide in every band: always found
+    assert(lsh.exists { case (a, b, _) => a == 5L && b == 102L })
+    assert(lsh.exists { case (a, b, _) => a == 100L && b == 101L })
+  }
 }
