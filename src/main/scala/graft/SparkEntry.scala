@@ -320,6 +320,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
     }),
 
+    "q_colf_stream_sink" -> ((s, dir) => {
+      // Structured Streaming INTO the colf format: a file-source stream
+      // drained with AvailableNow through the DSv2 streaming sink (one
+      // rename-first commit per epoch, epoch-scoped file names), then read
+      // back through the batch reader. Oracle = the source table itself.
+      import org.apache.spark.sql.streaming.Trigger
+      val in = work("q_colf_stream_sink_in")
+      val out = work("q_colf_stream_sink_out")
+      val ckpt = work("q_colf_stream_sink_ckpt")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(ckpt)) // fresh checkpoint: reprocess from scratch
+      rm(new java.io.File(out))
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(s.read.parquet(in).schema).parquet(in)
+      val q = stream.writeStream.format("colf")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+      s.read.format("colf").load(out)
+    }),
+
     "q_csv_write_roundtrip" -> ((s, dir) => {
       val out = work("q_csv_write_roundtrip")
       t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
@@ -662,6 +688,9 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 1500
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_colf_stream_sink" ->
+      "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal FROM customer",
 
     "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 

@@ -175,7 +175,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ColfScanBuilder(paths, schema, mergeSchema)

@@ -77,11 +77,30 @@ object ColfWrite {
 
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def toBatch: BatchWrite = this
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+  /** Both parent traits default this; Scala requires one explicit pick.
+    * Keep the coordinator: exactly one task attempt's files per partition
+    * reach the commit message.
+    */
+  override def useCommitCoordinator(): Boolean = true
+
+  /** Streaming sink (`writeStream.format("colf")`): each microbatch epoch
+    * is one commit through the SAME rename-first protocol, with the epoch
+    * id baked into final file names — a replayed epoch regenerates the
+    * same names and overwrites its own files instead of duplicating them
+    * (idempotent as long as the replay partitions identically, which
+    * microbatch re-execution from a checkpoint does). `outputMode
+    * complete` maps to the truncate flag: each epoch's commit replaces
+    * the directory contents, deleting old files only after the new ones
+    * are in place.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  private def mkFactory(): ColfDataWriterFactory = {
     val conf = ColfUtil.driverHadoopConf()
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
@@ -90,7 +109,14 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       compressionLevel, new org.apache.spark.util.SerializableConfiguration(conf))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    mkFactory()
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    mkFactory()
+
+  private def doCommit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = ColfUtil.driverHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -122,7 +148,7 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     deleteQueryTemps(fs)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  private def doAbort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = ColfUtil.driverHadoopConf()
     messages.foreach {
       case ColfCommitMessage(files) => files.foreach { case (tmp, _) =>
@@ -134,6 +160,14 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     }
     deleteQueryTemps(new Path(dir).getFileSystem(conf))
   }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = doCommit(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = doAbort(messages)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    doCommit(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    doAbort(messages)
 
   /** Tasks whose results never reached the driver (job cancelled while they
     * were in flight) leave temps that appear in no commit message. Temp
@@ -157,17 +191,26 @@ class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     conf: org.apache.spark.util.SerializableConfiguration =
       new org.apache.spark.util.SerializableConfiguration(new Configuration()))
-    extends DataWriterFactory {
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
       maxBytesPerFile, compressionLevel, conf)
+
+  /** Streaming epochs reuse the batch writer with the epoch id folded into
+    * file names, making a replayed epoch overwrite itself on commit.
+    */
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
+      maxBytesPerFile, compressionLevel, conf, Some(epochId))
 }
 
 class ColfDataWriter(
     dir: String, schema: StructType, queryId: String, partitionId: Int, taskId: Long,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     conf: org.apache.spark.util.SerializableConfiguration =
-      new org.apache.spark.util.SerializableConfiguration(new Configuration()))
+      new org.apache.spark.util.SerializableConfiguration(new Configuration()),
+    epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val fields = ColfUtil.colfFields(schema)
@@ -207,8 +250,9 @@ class ColfDataWriter(
 
   /** Writes the currently buffered rows as one part file (temp name). */
   private def flushFile(): Unit = {
-    val fin = new Path(dir, f"part-$partitionId%05d-$fileSeq%03d-$queryId.colf")
-    val tmp = new Path(dir, f".part-$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
+    val e = epoch.map(id => s"e$id-").getOrElse("")
+    val fin = new Path(dir, f"part-$e$partitionId%05d-$fileSeq%03d-$queryId.colf")
+    val tmp = new Path(dir, f".part-$e$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
     fileSeq += 1
     val fs = tmp.getFileSystem(conf.value)
     val out = fs.create(tmp, false) // fail loudly on collision
@@ -222,8 +266,9 @@ class ColfDataWriter(
     // Empty partitions emit no file — except partition 0 when the task wrote
     // nothing at all, so an all-empty DataFrame still round-trips its schema
     // (fixing the reference's own zero-row writer bug, writer.py:153-154 /
-    // SURVEY.md §5).
-    if (rows > 0 || (partitionId == 0 && written.isEmpty)) flushFile()
+    // SURVEY.md §5). Streaming epochs skip this: an empty microbatch must
+    // not litter one empty part file per trigger.
+    if (rows > 0 || (partitionId == 0 && written.isEmpty && epoch.isEmpty)) flushFile()
     ColfCommitMessage(written.reverse.map { case (t, f) => (t.toString, f.toString) })
   }
 

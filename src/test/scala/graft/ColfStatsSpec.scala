@@ -222,6 +222,34 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(ColfHeaderCache.fetches.get() == afterFirst)
   }
 
+  test("streaming sink: one commit per microbatch epoch, epoch-scoped file names") {
+    val inDir = tmp()
+    val outDir = tmp()
+    val ckpt = tmp()
+    // two input files + maxFilesPerTrigger=1 → two microbatch epochs
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1).write.mode("append").parquet(inDir)
+    Seq((3, "c"), (4, "d")).toDF("k", "s").coalesce(1).write.mode("append").parquet(inDir)
+
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.schema("k INT, s STRING")
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = stream.writeStream.format("colf")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+
+    val back = spark.read.format("colf").load(outDir)
+    assert(back.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    val names = new java.io.File(outDir).listFiles().map(_.getName)
+      .filter(_.endsWith(".colf")).sorted.toSeq
+    assert(names.size == 2, s"expected one part per epoch, got $names")
+    assert(names.exists(_.startsWith("part-e0-")) && names.exists(_.startsWith("part-e1-")),
+      s"epoch ids missing from $names")
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".colf.tmp")))
+  }
+
   test("reference reader.py still reads stats-bearing files") {
     // The stats live inside the schema JSON as extra keys; prove the
     // reference reader's json.loads + .get() path is untouched by reading
