@@ -346,6 +346,27 @@ object SparkEntry {
       s.read.format("colf").load(out)
     }),
 
+    "q_colf_stream_source" -> ((s, dir) => {
+      // Structured Streaming FROM the colf format (MICRO_BATCH_READ): an
+      // aggregation over the streamed directory, drained with AvailableNow
+      // into a complete-mode memory sink. Oracle = the same aggregation in
+      // batch SQL — streaming and batch must agree.
+      import org.apache.spark.sql.streaming.Trigger
+      val in = work("q_colf_stream_source_in")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+        .write.format("colf").mode("overwrite").save(in)
+      val agg = s.readStream.format("colf").load(in)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
+      val qname = s"graft_colf_stream_src_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+
     "q_csv_write_roundtrip" -> ((s, dir) => {
       val out = work("q_csv_write_roundtrip")
       t(s, dir, "nation").write.option("header", "true").mode("overwrite").csv(out)
@@ -691,6 +712,11 @@ object SparkEntry {
 
     "q_colf_stream_sink" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal FROM customer",
+
+    "q_colf_stream_source" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 

@@ -165,6 +165,30 @@ private[colf] object ColfUtil {
   def colfFields(s: StructType): IndexedSeq[ColfField] =
     ArraySeq.unsafeWrapArray(
       s.fields.map(f => ColfField(f.name, colfType(f.dataType), f.nullable)))
+
+  /** Bin-pack files into partitions by compressed size (first-fit over a
+    * size-descending order), targeting `spark.sql.files.maxPartitionBytes`
+    * — the same policy as Spark's file sources. One-task-per-file would
+    * explode the task count on directories of many small part files (the
+    * normal shape of a large rolled write); packing keeps task count
+    * proportional to bytes, not file count. A file is never split: it is
+    * the format's unit of decompression. Sizes ride in from the original
+    * directory listing — zero per-file FS calls here.
+    */
+  def binPack(refs: Seq[ColfFileRef]): Array[InputPartition] = {
+    val maxBytes: Long =
+      try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+      catch { case _: Throwable => 128L * 1024 * 1024 }
+    val sized = refs.map(r => r.path -> r.size).sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    sized.foreach { case (f, sz) =>
+      bins.indexWhere { case (_, total) => total + sz <= maxBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+        case i  => val (fs0, total) = bins(i); fs0 += f; bins(i) = (fs0, total + sz)
+      }
+    }
+    bins.map { case (fs0, _) => ColfInputPartition(fs0.toSeq): InputPartition }.toArray
+  }
 }
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
@@ -175,7 +199,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ColfScanBuilder(paths, schema, mergeSchema)
@@ -355,32 +380,24 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       filterPart + limit.map(n => s" PushedLimit: $n").getOrElse("")
   }
 
-  /** Bin-pack files into partitions by compressed size (first-fit over a
-    * size-descending order), targeting `spark.sql.files.maxPartitionBytes`
-    * — the same policy as Spark's file sources. One-task-per-file would
-    * explode the task count on directories of many small part files (the
-    * normal shape of a large rolled write); packing keeps task count
-    * proportional to bytes, not file count. A file is never split: it is
-    * the format's unit of decompression. Sizes ride in from the original
-    * directory listing — zero per-file FS calls here.
+  /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]]. */
+  override def planInputPartitions(): Array[InputPartition] = ColfUtil.binPack(refs)
+
+  /** Micro-batch streaming read of an append-only colf directory; offsets,
+    * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val maxBytes: Long =
-      try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-      catch { case _: Throwable => 128L * 1024 * 1024 }
-    val sized = refs.map(r => r.path -> r.size).sortBy(-_._2)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    sized.foreach { case (f, sz) =>
-      bins.indexWhere { case (_, total) => total + sz <= maxBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
-        case i  => val (fs0, total) = bins(i); fs0 += f; bins(i) = (fs0, total + sz)
-      }
-    }
-    bins.map { case (fs0, _) => ColfInputPartition(fs0.toSeq): InputPartition }.toArray
-  }
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ColfFilesListedMetric, new ColfFilesPlannedMetric)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ColfDriverMetric("colfFilesListed", allRefs.length.toLong),
+      ColfDriverMetric("colfFilesPlanned", refs.length.toLong))
 
   /** Row counts are free when headers were already loaded for planning
     * (pruning/limit) — expose them exactly so Catalyst/AQE can size joins
@@ -410,6 +427,22 @@ object ColfScan {
     */
   val StatsExactMaxFiles = 64
 }
+
+/** SQL-UI metrics: how many files the directory listing found vs how many
+  * survived stats pruning — the data-skipping win made visible per query
+  * (a scan whose two numbers match under a selective filter means the
+  * layout isn't sorted/range-partitioned on the filter column).
+  */
+private class ColfFilesListedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "colfFilesListed"
+  override def description(): String = "colf files listed"
+}
+private class ColfFilesPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "colfFilesPlanned"
+  override def description(): String = "colf files planned after stats pruning"
+}
+private case class ColfDriverMetric(name: String, value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 case class ColfInputPartition(files: Seq[String]) extends InputPartition
 

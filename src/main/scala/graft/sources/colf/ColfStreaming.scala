@@ -1,0 +1,95 @@
+package graft.sources.colf
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Stream position over an append-only .colf directory: everything at or
+  * before `mtime` is consumed — except that files SHARING the boundary
+  * millisecond are tracked by name (`names`), so two files committed in
+  * the same clock tick can straddle a batch boundary without loss or
+  * duplication. Serialized into the checkpoint as JSON.
+  */
+case class ColfSourceOffset(mtime: Long, names: Seq[String]) extends Offset {
+  override def json(): String = {
+    val quoted = names.map(ColfSchema.quote).mkString("[", ",", "]")
+    s"""{"mtime":$mtime,"names":$quoted}"""
+  }
+}
+
+object ColfSourceOffset {
+  private val mapper = new ObjectMapper()
+  val Initial: ColfSourceOffset = ColfSourceOffset(Long.MinValue, Nil)
+
+  def fromJson(json: String): ColfSourceOffset = {
+    val root = mapper.readTree(json)
+    val names = root.get("names")
+    ColfSourceOffset(root.get("mtime").asLong(),
+      (0 until names.size()).map(names.get(_).asText()))
+  }
+}
+
+/** Micro-batch streaming SOURCE over a colf directory
+  * (`readStream.format("colf")`).
+  *
+  * Contract: the directory is APPEND-ONLY — files become visible by
+  * atomic rename with a fresh name and a then-current mtime (exactly what
+  * both our batch writer and streaming sink produce). Each micro batch is
+  * "files that appeared since the last offset", discovered by directory
+  * listing; a file is read exactly once. Rewriting a file in place (a
+  * newer mtime under an old name) violates the contract and would
+  * re-emit it.
+  *
+  * Pushed stats filters prune each batch's files the same way batch scans
+  * prune (`ColfPrune`); readers are the same zero-copy columnar readers.
+  */
+class ColfMicroBatchStream(paths: Seq[String], required: StructType,
+    mergeSchema: Boolean, filters: Seq[Filter], conf: Configuration)
+    extends MicroBatchStream {
+
+  private def list(): Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
+
+  /** Strictly after `o`: a later millisecond, or an unseen name within
+    * the boundary millisecond.
+    */
+  private def isAfter(r: ColfFileRef, o: ColfSourceOffset): Boolean =
+    r.mtime > o.mtime || (r.mtime == o.mtime && !o.names.contains(r.path))
+
+  override def initialOffset(): Offset = ColfSourceOffset.Initial
+
+  override def latestOffset(): Offset = {
+    val refs = list()
+    if (refs.isEmpty) ColfSourceOffset.Initial
+    else {
+      val maxM = refs.map(_.mtime).max
+      ColfSourceOffset(maxM, refs.filter(_.mtime == maxM).map(_.path))
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = ColfSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ColfSourceOffset]
+    val e = end.asInstanceOf[ColfSourceOffset]
+    val batch = list().filter(r => isAfter(r, s) && !isAfter(r, e))
+    val pruned =
+      if (filters.isEmpty) batch
+      else {
+        val headers = ColfHeaderCache.getAll(batch, conf)
+        batch.lazyZip(headers).collect {
+          case (r, h) if ColfPrune.mayMatch(h, filters) => r
+        }.toSeq
+      }
+    ColfUtil.binPack(pruned)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))
+
+  override def commit(end: Offset): Unit = () // nothing to clean up
+  override def stop(): Unit = ()
+}

@@ -171,6 +171,11 @@ class ColfStatsSpec extends AnyFunSuite {
       case p: ColfInputPartition => p.files.size
     }.sum
     assert(planned == 1, s"expected 1 planned file, got $planned")
+    // ...and the SQL-UI driver metrics surface the same pruning ratio
+    val metrics = scans.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(metrics == Map("colfFilesListed" -> 4L, "colfFilesPlanned" -> 1L))
+    assert(scans.head.scan.supportedCustomMetrics().map(_.name).toSet ==
+      Set("colfFilesListed", "colfFilesPlanned"))
     // ...and results are identical to the unpruned computation.
     assert(q.count() == 900)
     assert(q.agg(sum($"k")).as[Long].head() == (0L until 900).sum)
@@ -248,6 +253,38 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(names.exists(_.startsWith("part-e0-")) && names.exists(_.startsWith("part-e1-")),
       s"epoch ids missing from $names")
     assert(!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".colf.tmp")))
+  }
+
+  test("streaming source: files arriving across batches are each read exactly once") {
+    val dir = tmp()
+    val ckpt = tmp()
+    // seed file so schema inference works at stream start
+    spark.range(0, 10).select($"id".cast("int").as("k"))
+      .coalesce(1).write.format("colf").mode("append").save(dir)
+
+    val qname = s"colf_src_${System.nanoTime()}"
+    val q = spark.readStream.format("colf").load(dir)
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qname).count() == 10)
+      // two more files arriving later → picked up by subsequent batches
+      spark.range(10, 25).select($"id".cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+      q.processAllAvailable()
+      spark.range(25, 30).select($"id".cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table(qname).collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == (0 until 30), s"expected 0..29 exactly once, got $got")
+    } finally q.stop()
+
+    // offsets round-trip their JSON (what the checkpoint replays through)
+    import graft.sources.colf.ColfSourceOffset
+    val o = ColfSourceOffset(1723450000123L, Seq(s"$dir/part-a.colf", s"$dir/part-b.colf"))
+    assert(ColfSourceOffset.fromJson(o.json()) == o)
   }
 
   test("reference reader.py still reads stats-bearing files") {
