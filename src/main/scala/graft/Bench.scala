@@ -15,7 +15,7 @@ object Bench {
     */
   val Headline: Seq[String] = Seq(
     "q1_agg", "q_filter_pushdown", "q_join_broadcast", "q_join_large",
-    "q_window", "q_topk", "q_events_window",
+    "q_window", "q_topk", "q_events_window", "q_asof_join",
     "q_colf_scan_full", "q_colf_project", "q_colf_agg", "q_colf_filter",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cosine_lsh",
     "q_sim_bruteforce", "q_sim_ann", "q_sim_ivf",

@@ -246,6 +246,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // Point-in-time join: each event picks up the user's most recent
+      // purchase at-or-before it (AsOfJoin union-window form — one keyed
+      // shuffle, no range-join pair blowup). Times compare as integer
+      // micros, which both engines derive from the nanos column by
+      // truncation.
+      val evs = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
+      val purchases = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("p_us"), col("event_id").as("pe"))
+        .groupBy("user_id", "p_us").agg(min("pe").as("purchase_id"))
+      operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us", "left")
+    }),
+
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem").where(col("l_quantity") >= 49),
@@ -683,6 +698,14 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.t_us, r.p_us, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events) l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_us(ts) AS p_us, min(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)) r
+        |ON l.user_id = r.user_id AND l.t_us >= r.p_us""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders

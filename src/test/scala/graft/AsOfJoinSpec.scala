@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** As-of (point-in-time) join: latest right row at-or-before each left
+  * row per key, via the union-window form — one keyed shuffle, never a
+  * nested-loop range join.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 5L, "a"),   // after right@4 → x
+    (1L, 9L, "b"),   // ties right@9 → y (at-or-before includes equality)
+    (1L, 100L, "c"), // after right@9 → y still
+    (2L, 3L, "d"),   // before 2's only right@99 → unmatched
+    (3L, 7L, "e")    // key with no right rows at all
+  ).toDF("k", "t", "lv")
+
+  private def right = Seq(
+    (1L, 4L, "x"), (1L, 9L, "y"), (2L, 99L, "z")
+  ).toDF("k", "rt", "rv")
+
+  test("left as-of join: latest at-or-before match, null when none") {
+    val r = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left")
+      .orderBy("k", "t").collect()
+    assert(r.toSeq == Seq(
+      Row(1L, 5L, "a", 4L, "x"),
+      Row(1L, 9L, "b", 9L, "y"),
+      Row(1L, 100L, "c", 9L, "y"),
+      Row(2L, 3L, "d", null, null),
+      Row(3L, 7L, "e", null, null)))
+  }
+
+  test("inner as-of join drops unmatched left rows") {
+    val r = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "inner")
+      .orderBy("k", "t").collect()
+    assert(r.map(_.getString(2)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("plan is a single keyed window — no nested-loop or cartesian join") {
+    val q = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range-join blowup in plan:\n$plan")
+    assert(plan.contains("Window"), s"expected the union-window form in:\n$plan")
+  }
+
+  test("matches a reference nested-loop computation on random data") {
+    val rnd = new scala.util.Random(17)
+    val ls = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    // unique (k, rt) on the right, as the contract requires
+    val rs = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val lDf = ls.toDF("k", "t", "lid")
+    val rDf = rs.toDF("k", "rt", "rid")
+    val got = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "left")
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val expected = ls.map { case (k, t, lid) =>
+      val best = rs.filter(r => r._1 == k && r._2 <= t).sortBy(r => (r._2, -r._3)).lastOption
+      lid -> best.map(_._3).getOrElse(-1L)
+    }.toMap
+    assert(got == expected)
+  }
+}
