@@ -261,6 +261,31 @@ object SparkEntry {
       operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us", "left")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // Point-in-interval join via bucketized equi-join (RangeJoin): each
+      // customer balance finds the overlapping nation-derived bands. The
+      // naive BETWEEN formulation would run as a nested-loop join; this
+      // runs as a hash join on (bucket) + exact filter.
+      val pts = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val bands = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 400.0 - 1000.0).as("lo"))
+        .withColumn("hi", col("lo") + 600.0)
+      operators.RangeJoin.pointInInterval(pts, bands, "c_acctbal", "lo", "hi",
+        bucketWidth = 400.0)
+        .select("c_custkey", "c_acctbal", "n_nationkey", "lo", "hi")
+    }),
+
+    "q_vec_dot_sql" -> ((s, dir) => {
+      // The custom codegen DotProduct expression exposed to SQL users via
+      // GraftFunctions/GraftExtensions (SparkSessionExtensions hook).
+      GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_sql")
+      s.sql("""SELECT vec_id,
+              |  vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+              |          CAST(embedding AS ARRAY<DOUBLE>)) AS self_dot
+              |FROM graft_emb_sql""".stripMargin)
+    }),
+
     "q_semi_join" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem").where(col("l_quantity") >= 49),
@@ -706,6 +731,20 @@ object SparkEntry {
         |  SELECT user_id, epoch_us(ts) AS p_us, min(event_id) AS purchase_id
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)) r
         |ON l.user_id = r.user_id AND l.t_us >= r.p_us""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c_custkey, c_acctbal, n_nationkey, lo, hi
+        |FROM customer JOIN (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 400.0 - 1000.0 AS DOUBLE) AS lo,
+        |    CAST(n_nationkey * 400.0 - 1000.0 + 600.0 AS DOUBLE) AS hi
+        |  FROM nation) bands
+        |ON c_acctbal BETWEEN lo AND hi""".stripMargin,
+
+    "q_vec_dot_sql" ->
+      """SELECT vec_id,
+        | list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+        |FROM embeddings""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -18,4 +18,15 @@ object GraftSqlBridge {
     */
   def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** Register a SQL function on an EXISTING session (the function
+    * registry is `private[sql]`; the `spark.sql.extensions` path only
+    * applies at session construction).
+    */
+  def registerFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }

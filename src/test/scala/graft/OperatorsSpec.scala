@@ -199,6 +199,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(0).checksum == crc.getValue)
   }
 
+  test("vec_dot registers as a SQL function; extensions hook applies cleanly") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0) == 11.0)
+    // ragged arrays → null, matching the DataFrame-side semantics
+    assert(spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+      .collect()(0).isNullAt(0))
+    // the cluster-wide SparkSessionExtensions entry point is constructible
+    // by name (as spark.sql.extensions would) and applies without error
+    val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions())
+  }
+
   test("codegen DotProduct is bit-identical to the sequential fold") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 200).map(i =>

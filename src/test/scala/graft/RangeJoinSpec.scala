@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** Bucketized point-in-interval join: equi-join on value buckets + exact
+  * filter — never a nested-loop range join.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("matches the naive BETWEEN join on random data, exactly once per pair") {
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(400)((rnd.nextInt(1000).toLong, rnd.nextDouble() * 500.0))
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toDF("pid", "v")
+    // interval lengths from 0 (degenerate point) to 10× the bucket width
+    val ivals = Seq.tabulate(60) { i =>
+      val lo = rnd.nextDouble() * 480.0
+      (i.toLong, lo, lo + rnd.nextInt(11) * rnd.nextDouble() * 10.0)
+    }.toDF("iid", "lo", "hi")
+
+    val got = RangeJoin.pointInInterval(pts, ivals, "v", "lo", "hi", bucketWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = pts.join(ivals, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == expected.sorted) // Seq (not Set) compare: no dup pairs either
+    assert(got.nonEmpty)
+  }
+
+  test("boundaries are inclusive; inverted intervals drop; keys scope the match") {
+    val pts = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 10.0)).toDF("pid", "g", "v")
+    val ivals = Seq(("a", 10.0, 20.0, 100L), ("b", 50.0, 40.0, 101L)).toDF("g", "lo", "hi", "iid")
+    val r = RangeJoin.pointInInterval(pts, ivals, "v", "lo", "hi",
+        bucketWidth = 5.0, keys = Seq("g"))
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // both endpoints of [10,20] match; key g="b" sees only its (inverted,
+    // dropped) interval
+    assert(r == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("plan is a hash equi-join on the bucket — no nested-loop") {
+    val pts = spark.range(100).select($"id".as("pid"), ($"id" % 50).cast("double").as("v"))
+    val ivals = spark.range(10).select($"id".as("iid"),
+      ($"id" * 5.0).as("lo"), ($"id" * 5.0 + 7.0).as("hi"))
+    val q = RangeJoin.pointInInterval(pts, ivals, "v", "lo", "hi", bucketWidth = 5.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop in plan:\n$plan")
+    assert(q.count() > 0)
+  }
+}
