@@ -19,7 +19,7 @@ object Bench {
     "q_colf_scan_full", "q_colf_project", "q_colf_agg", "q_colf_filter",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cosine_lsh",
     "q_sim_bruteforce", "q_sim_ann", "q_sim_ivf",
-    "q_text_stats", "q_quality_score", "q_word_freq", "q_sessionize",
+    "q_text_stats", "q_quality_score", "q_word_freq", "q_tfidf", "q_sessionize",
     "q_curation_pipeline",
   )
 

@@ -511,6 +511,9 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp"))),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)),
+
     // Vocabulary building: corpus-wide token frequencies, top-k. The
     // explode shuffles (token, partial-count) pairs thanks to map-side
     // combine, not raw tokens.
@@ -879,6 +882,24 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    "q_tfidf" ->
+      """SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        |  FROM (
+        |    SELECT tf.doc_id, tf.token, tf.tf, d.df,
+        |      CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / d.df AS score
+        |    FROM (
+        |      SELECT doc_id, token, count(*) AS tf FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY doc_id, token
+        |    ) tf JOIN (
+        |      SELECT token, count(*) AS df FROM (
+        |        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY token
+        |    ) d ON tf.token = d.token)
+        |) WHERE rank <= 5""".stripMargin,
 
     "q_word_freq" ->
       """SELECT token, count(*) AS n FROM (

@@ -20,6 +20,37 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** TF-IDF-style salient terms: per document, the k tokens with the
+    * highest `tf · n_docs / df` (a log-free idf — integer-ratio doubles
+    * are bit-reproducible across engines, unlike `ln` whose libm bits
+    * differ; the RANKING it induces matches classic tf-idf whenever tf
+    * ties break the same way).
+    *
+    * Shape: explode → (doc, token) counts with map-side partial
+    * aggregation; document frequency from a second aggregation of that
+    * (already tiny) table; corpus size joined in as a broadcast scalar —
+    * no `collect`, no driver loop. The final per-doc top-k window
+    * partitions by document, where cardinality = the document's distinct
+    * tokens (bounded by document length), so Spark's WindowGroupLimit
+    * keeps the shuffle at k rows per doc per partition — a safe window
+    * use, unlike a per-query corpus-wide rank.
+    */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank").cast("int").as("rank"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
