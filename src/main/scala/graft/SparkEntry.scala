@@ -480,6 +480,16 @@ object SparkEntry {
       Dedup.cosineNearDupsLSH(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.35)),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // Pairwise near-dups → per-doc canonical component (connected
+      // components by min-label propagation). Edges are the EXACT cosine
+      // pairs so the whole chain stays oracle-checkable (DuckDB recursive
+      // CTE computes the same components).
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.cosineNearDups(emb, col("vec_id"), col("embedding"), threshold = 0.35)
+      Dedup.assignClusters(emb, col("vec_id"), pairs)
+    }),
+
     // ---- training-data pipeline: text analysis
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -837,6 +847,26 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) a
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+        |    ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        |)
+        |SELECT v.vec_id AS id, least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component
+        |FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+        |GROUP BY v.vec_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,

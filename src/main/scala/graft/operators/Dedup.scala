@@ -407,6 +407,73 @@ object Dedup {
     expandGroupPairs(repPairs, reps, members, "cos", selfCos)
   }
 
+  // --------------------------------------------------- cluster assignment
+
+  /** Connected components over near-dup pairs: every id that appears in
+    * `edges` gets the SMALLEST id reachable from it as its component
+    * label — the canonical-document assignment that turns pairwise
+    * near-dup output into an actual dedup decision (keep one row per
+    * component).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels (one equi-join + one
+    * partial-aggregated groupBy per round); converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (a hub document
+    * links its variants), so a handful of rounds suffices. The fixpoint
+    * test compares the exact decimal SUM of labels between rounds (labels
+    * only ever decrease, so an unchanged sum IS convergence — no
+    * row-by-row diff join). For adversarial high-diameter graphs the
+    * escalation is the large-star/small-star algorithm; `maxIter` caps
+    * runaway propagation either way.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative DataFrames MUST truncate lineage each round
+    // (localCheckpoint, eager): chaining the join back onto the previous
+    // iteration's plan nests the logical plan `maxIter` deep and the
+    // optimizer, not the data, runs the driver out of heap. (For
+    // fault-tolerant production reruns swap in checkpoint() with a dir —
+    // localCheckpoint trades executor-loss recovery for speed.)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var lastSum = labels.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nlbl")), "dst")
+        .groupBy("src").agg(min("nlbl").as("nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      labels = next
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: every doc id → its component
+    * (docs in no near-dup pair are their own singleton component). Feed
+    * any pair output ([[cosineNearDups]], [[minhashNearDups]], ...) as
+    * `edges`; downstream, `keep component == id` is the dedup decision.
+    */
+  def assignClusters(df: DataFrame, id: Column, edges: DataFrame): DataFrame = {
+    val comps = connectedComponents(edges)
+    df.select(id.cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Exact token-set Jaccard for all pairs inside a grouping column (e.g.
     * same source/bucket) — the "blocked" exact variant: the self-join is
     * keyed on the block column, so cost is Σ block² not N². Use MinHash

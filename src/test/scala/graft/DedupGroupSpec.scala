@@ -147,6 +147,23 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(exact.exists { case (a, b, _) => a == 3L && b == 100L })
   }
 
+  test("connectedComponents: chains, cliques, singletons, convergence") {
+    import Dedup.{assignClusters, connectedComponents}
+    // a 5-chain (diameter 4), a triangle, and an isolated edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert((10L to 12L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    // corpus-level assignment: ids without edges are their own component
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("vec_id", "x")
+    val assigned = assignClusters(docs, col("vec_id"), Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
+  }
+
   test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
     val df = vecCorpus()
     val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
