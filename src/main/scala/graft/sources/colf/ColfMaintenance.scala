@@ -1,0 +1,53 @@
+package graft.sources.colf
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Directory maintenance for colf tables. The streaming sink emits one
+  * part file per epoch per partition — exactly the small-file accretion
+  * pattern that, left alone, turns a year-old table into 10⁶ tiny files
+  * whose per-file open/seek overhead dwarfs the data. Compaction rewrites
+  * the directory into files sized near the write-side rolling cap.
+  */
+object ColfMaintenance {
+
+  /** Rewrite `dir` into ~`targetBytes`-sized part files (compressed size
+    * basis; the writer's own rolling caps still bound each file).
+    *
+    * Do NOT compact a directory a streaming SOURCE is tailing: the
+    * compacted files are new names with new mtimes, so a tailing reader
+    * would re-ingest the rewritten data (the source's append-only
+    * contract, [[ColfMicroBatchStream]]). Compact downstream tables, or
+    * pause the consumer across the rewrite.
+    *
+    * Crash-safe in the same direction as the write commit: new compacted
+    * files land (append mode, fresh query-id names) BEFORE any old file
+    * is deleted — a crash mid-compaction leaves a superset (duplicate
+    * rows across old+new files), and RE-RUNNING the compaction converges;
+    * data is never lost. Readers listing the directory concurrently with
+    * the final deletes may fail mid-scan and should retry — the standard
+    * trade of in-place maintenance without a manifest.
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = ColfWrite.DefaultMaxBytesPerFile): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = ColfUtil.driverHadoopConf()
+    val before = ColfUtil.resolveFileRefs(Seq(dir), conf)
+    if (before.lengthCompare(1) <= 0) return (before.length, before.length)
+
+    val totalBytes = before.map(_.size).sum
+    val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.format("colf").load(dir)
+      .coalesce(nParts)
+      .write.format("colf").mode("append").save(dir)
+
+    val fs = new Path(dir).getFileSystem(conf)
+    before.foreach { r =>
+      if (!fs.delete(new Path(r.path), false))
+        throw new java.io.IOException(s"compact: failed to delete ${r.path}")
+    }
+    (before.length, ColfUtil.resolveFileRefs(Seq(dir), conf).length)
+  }
+}

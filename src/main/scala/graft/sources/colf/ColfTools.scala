@@ -35,6 +35,14 @@ object ColfTools {
     case Array("custom_to_csv", in, out) =>
       writeSingleCsv(spark.read.format("colf").load(in), out)
 
+    case Array("compact", dir) =>
+      val (b, a) = ColfMaintenance.compact(spark, dir)
+      println(s"compacted $dir: $b files -> $a files")
+
+    case Array("compact", dir, targetMb) =>
+      val (b, a) = ColfMaintenance.compact(spark, dir, targetMb.toLong * 1024 * 1024)
+      println(s"compacted $dir: $b files -> $a files")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -53,7 +61,8 @@ object ColfTools {
            |Usage:
            |  csv_to_custom <in.csv> <out_dir>
            |  custom_to_csv <in_dir_or_file> <out.csv>
-           |  read_columns  <in_dir_or_file> <col1,col2,...>""".stripMargin)
+           |  read_columns  <in_dir_or_file> <col1,col2,...>
+           |  compact       <dir> [targetMB]""".stripMargin)
       sys.exit(2)
   }
 

@@ -287,6 +287,31 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(ColfSourceOffset.fromJson(o.json()) == o)
   }
 
+  test("streaming colf→colf pipeline is exactly-once across a checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = tmp()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("colf").load(src)
+        .writeStream.format("colf").option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    spark.range(0, 50).select($"id".cast("int").as("k"))
+      .coalesce(1).write.format("colf").mode("append").save(src)
+    runOnce()
+    assert(spark.read.format("colf").load(dst).count() == 50)
+
+    // new data arrives while the query is DOWN; the restart must pick up
+    // exactly the unread file — no reprocessing of the first one
+    spark.range(50, 80).select($"id".cast("int").as("k"))
+      .coalesce(1).write.format("colf").mode("append").save(src)
+    runOnce()
+    val got = spark.read.format("colf").load(dst).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (0 until 80), s"expected 0..79 exactly once, got ${got.size} rows")
+  }
+
   test("reference reader.py still reads stats-bearing files") {
     // The stats live inside the schema JSON as extra keys; prove the
     // reference reader's json.loads + .get() path is untouched by reading

@@ -37,6 +37,29 @@ class ColfToolsSpec extends AnyFunSuite {
     assert(orig.exceptAll(round).isEmpty && round.exceptAll(orig).isEmpty)
   }
 
+  test("compact merges a small-file directory without changing its contents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_compact").toString
+    // 12 tiny part files — the shape a long-running streaming sink leaves
+    for (i <- 0 until 12)
+      spark.range(i * 100L, (i + 1) * 100L).select($"id".cast("int").as("k"),
+        concat(lit("v"), $"id").as("s"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+    assert(nFiles == 12)
+
+    ColfTools.run(spark, Array("compact", dir, "64"))
+    assert(nFiles == 1, s"expected 1 compacted file, got $nFiles")
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 1200)
+    assert(back.agg(sum($"k")).head.getLong(0) == (0L until 1200L).sum)
+    assert(back.where($"k" === 777).select($"s").as[String].head() == "v777")
+    // no temps, no stale files
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".colf.tmp")))
+  }
+
   test("custom_to_csv emits a header-only file for a zero-row table") {
     import spark.implicits._
     val colfDir = Files.createTempDirectory("tools_empty").toString
