@@ -480,6 +480,13 @@ object SparkEntry {
       Dedup.cosineNearDupsLSH(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.35)),
 
+    "q_sample_split" -> ((s, dir) =>
+      // Deterministic 80/10/10 split: membership is a pure function of
+      // (doc_id, salt) via md5 hex buckets — reproducible by any engine,
+      // proven by the DuckDB oracle recomputing the identical assignment.
+      operators.Sampling.assignSplits(t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // Pairwise near-dups → per-doc canonical component (connected
       // components by min-label propagation). Edges are the EXACT cosine
@@ -847,6 +854,18 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
+
+    "q_sample_split" -> {
+      // thresholds computed by the SAME double arithmetic as
+      // Sampling.assignSplits' cumulative fold (0.0+0.8, then +0.1 — IEEE
+      // rounding included), so the hex literals match bit-for-bit
+      val t1 = operators.Sampling.thresholdHex(0.0 + 0.8)
+      val t2 = operators.Sampling.thresholdHex(0.0 + 0.8 + 0.1)
+      s"""SELECT doc_id,
+         |  CASE WHEN h < '$t1' THEN 'train' WHEN h < '$t2' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |      FROM documents)""".stripMargin
+    },
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -351,6 +351,20 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 1000)
   }
 
+  test("SQL DDL: CREATE TABLE USING colf, INSERT INTO, SELECT") {
+    val dir = tmp()
+    spark.range(5).select($"id".cast("int").as("k"), concat(lit("v"), $"id").as("s"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val table = s"colf_ddl_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql(s"SELECT sum(k) FROM $table").collect()(0).getLong(0) == 10L)
+      spark.sql(s"INSERT INTO $table VALUES (99, 'x')")
+      assert(spark.sql(s"SELECT count(*) FROM $table").collect()(0).getLong(0) == 6L)
+      assert(spark.sql(s"SELECT s FROM $table WHERE k = 99").collect()(0).getString(0) == "x")
+    } finally spark.sql(s"DROP TABLE $table")
+  }
+
   test("statistics report row counts from headers") {
     val dir = tmp()
     spark.range(500).select($"id".cast("int").as("a"))

@@ -199,6 +199,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(0).checksum == crc.getValue)
   }
 
+  test("deterministic sampling: partitioning-invariant, disjoint splits, sane rates") {
+    import graft.operators.Sampling
+    val df = spark.range(2000).select($"id")
+    val a = Sampling.deterministicSample(df, $"id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(df.repartition(13), $"id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // membership is a function of the id, not the layout
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // growing the corpus never reassigns existing rows
+    val grown = Sampling.deterministicSample(
+      spark.range(4000).select($"id"), $"id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(grown))
+    // splits partition the corpus with ~the requested weights
+    val splits = Sampling.assignSplits(df, $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == 2000L)
+    assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
+  }
+
   test("vec_dot registers as a SQL function; extensions hook applies cleanly") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
