@@ -351,6 +351,59 @@ class ColfDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 1000)
   }
 
+  test("concurrent appends from two jobs coexist: unique names, union readable") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmp()
+    // two append jobs racing into one directory: query-id-scoped file
+    // names and temp sweeps must never collide or delete each other's work
+    val jobs = Seq(0L, 1L).map { i =>
+      Future {
+        spark.range(i * 1000, (i + 1) * 1000).select($"id".cast("int").as("k"))
+          .coalesce(2).write.format("colf").mode("append").save(dir)
+      }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 2000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"k")).head.getLong(0) ==
+      (0L until 2000L).sum)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".colf.tmp")))
+  }
+
+  test("corrupted files fail loudly: bad magic, truncated data block") {
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+      .write.format("colf").mode("overwrite").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+
+    // truncate the data region: header parses, block read must fail clearly
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val truncDir = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(truncDir, "part-trunc.colf"),
+      java.util.Arrays.copyOf(bytes, bytes.length - 6))
+    val e1 = intercept[Exception] {
+      spark.read.format("colf").load(truncDir).collect()
+    }
+    val m1 = (e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString).toLowerCase
+    assert(m1.contains("eof") || m1.contains("truncated") || m1.contains("decompress"),
+      s"unhelpful truncation error: $m1")
+
+    // garbage bytes: magic check rejects before anything decodes
+    val junkDir = tmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junkDir, "part-junk.colf"),
+      "this is not a colf file at all, not even close".getBytes("UTF-8"))
+    val e2 = intercept[Exception] {
+      spark.read.format("colf").load(junkDir).collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString)
+      .toLowerCase.contains("magic"), s"bad-magic error unclear: ${e2.getMessage}")
+  }
+
   test("SQL DDL: CREATE TABLE USING colf, INSERT INTO, SELECT") {
     val dir = tmp()
     spark.range(5).select($"id".cast("int").as("k"), concat(lit("v"), $"id").as("s"))
