@@ -112,7 +112,9 @@ object Dedup {
     * (`transform`/`array_min` per signature) is CodegenFallback and paid
     * ~10× in interpreted lambda dispatch at k=64 — ~100M expression evals
     * per 5k docs. A custom codegen Expression is the next escalation if
-    * the UDF row boundary ever dominates; at current shapes it does not.
+    * the UDF row boundary ever dominates; measured at sf0.1 (round 3) it
+    * does not — signatures are 0.6 s of the ~6.8 s cold pipeline, the
+    * rest being the banding/verification/expansion join stages.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, p: MinHashParams): DataFrame = {
     val k = p.numHashes

@@ -71,6 +71,42 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (JDK `java.awt` + `javax.imageio`, headless-safe):
+    * decode → bilinear scale to (w, h) → re-encode PNG. The per-partition
+    * iterator shape amortizes codec setup exactly like a native decoder
+    * would; undecodable payloads pass through as null media (poison rows
+    * must not kill the job — filter `media IS NOT NULL` downstream).
+    * Frame-sampling for video would slot into the same shape with a real
+    * codec; no video codec ships with the JDK.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val out = try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          if (img == null) null
+          else {
+            val scaled = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            bos.toByteArray
+          }
+        } catch { case _: Exception => null }
+        MediaRow(r.doc_id, out, if (out == null) r.media_type else "image/png")
+      }
+    }
+  }
+
   private def imageMeta(r: MediaRow): MediaMeta = {
     val crc = new java.util.zip.CRC32()
     crc.update(r.media)

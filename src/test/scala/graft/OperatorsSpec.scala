@@ -220,6 +220,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("resizeImages rescales real images; junk payloads become null media") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      ImageIO.write(new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB), "png", b)
+      b.toByteArray
+    }
+    val df = Seq((1L, img(200, 100), "image/png"), (2L, "junk".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "media", "media_type")
+    val out = Multimodal.resizeImages(df, 64, 32).collect().sortBy(_.doc_id)
+    val resized = ImageIO.read(new java.io.ByteArrayInputStream(out(0).media))
+    assert(resized.getWidth == 64 && resized.getHeight == 32)
+    assert(out(0).media_type == "image/png")
+    assert(out(1).media == null && out(1).media_type == "text/plain")
+  }
+
   test("vec_dot registers as a SQL function; extensions hook applies cleanly") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
