@@ -203,7 +203,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColfScanBuilder(paths, schema, mergeSchema)
+    new ColfScanBuilder(paths, schema, mergeSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColfWriteBuilder(paths, info)
@@ -221,7 +222,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   * whole files — at 100 TB, not opening a file beats any per-row win.
   */
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -276,7 +277,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   override def build(): Scan =
     if (countPushed) new ColfCountScan(paths, conf)
     else new ColfScan(paths, fullSchema, required, mergeSchema, limit,
-      ArraySeq.unsafeWrapArray(pushed), conf)
+      ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger)
 }
 
 /** Metadata-only scan backing a pushed-down COUNT(*). Headers come
@@ -320,7 +321,8 @@ case class ColfCountPartition(count: Long) extends InputPartition
 
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
-    filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf())
+    filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
@@ -387,7 +389,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf)
+    new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf, maxFilesPerTrigger)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))

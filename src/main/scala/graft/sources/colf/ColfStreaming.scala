@@ -3,7 +3,7 @@ package graft.sources.colf
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -48,8 +48,20 @@ object ColfSourceOffset {
   * prune (`ColfPrune`); readers are the same zero-copy columnar readers.
   */
 class ColfMicroBatchStream(paths: Seq[String], required: StructType,
-    mergeSchema: Boolean, filters: Seq[Filter], conf: Configuration)
-    extends MicroBatchStream {
+    mergeSchema: Boolean, filters: Seq[Filter], conf: Configuration,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow snapshot: batches drain up to the files present
+    * when the trigger fired (in capped increments), then the query stops —
+    * later arrivals wait for the next run.
+    */
+  @volatile private var availableNowTarget: Option[ColfSourceOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[ColfSourceOffset])
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   private def list(): Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
 
@@ -67,6 +79,37 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
     else {
       val maxM = refs.map(_.mtime).max
       ColfSourceOffset(maxM, refs.filter(_.mtime == maxM).map(_.path))
+    }
+  }
+
+  /** Admission control (`option("maxFilesPerTrigger", n)`): cap each
+    * micro batch at n files. Without a cap, a stream started against a
+    * year of backlog ingests the WHOLE directory as one batch — the cap
+    * turns catch-up into bounded, checkpointed increments. Files admit in
+    * (mtime, path) order; when the cut lands inside a boundary
+    * millisecond, the offset's name list keeps the already-covered files
+    * so the remainder (and only the remainder) admits next batch.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ColfSourceOffset]
+    val fresh0 = list().filter(isAfter(_, s))
+    val fresh = (availableNowTarget match {
+      case Some(t) => fresh0.filter(r => !isAfter(r, t))
+      case None    => fresh0
+    }).sortBy(r => (r.mtime, r.path))
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _               => fresh
+    }
+    if (admitted.isEmpty) s
+    else {
+      val maxM = admitted.last.mtime
+      val atBoundary = admitted.filter(_.mtime == maxM).map(_.path)
+      val carried = if (maxM == s.mtime) s.names ++ atBoundary else atBoundary
+      ColfSourceOffset(maxM, carried)
     }
   }
 

@@ -287,6 +287,28 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(ColfSourceOffset.fromJson(o.json()) == o)
   }
 
+  test("streaming source admission control: maxFilesPerTrigger bounds each batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    for (i <- 0 until 4)
+      spark.range(i * 10L, (i + 1) * 10L).select($"id".cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+
+    val qname = s"colf_admit_${System.nanoTime()}"
+    val q = spark.readStream.format("colf")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all rows exactly once, but spread over ≥4 bounded batches
+    val got = spark.table(qname).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (0 until 40))
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4, s"expected ≥4 capped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 10),
+      s"a batch exceeded one file: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("streaming colf→colf pipeline is exactly-once across a checkpoint restart") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmp()
