@@ -35,6 +35,26 @@ object ColfTools {
     case Array("custom_to_csv", in, out) =>
       writeSingleCsv(spark.read.format("colf").load(in), out)
 
+    case Array("stats", in) =>
+      // header-only inspection (no data blocks read): rows + per-column
+      // min/max/null-count — what the scanner's file pruning sees
+      val conf = ColfUtil.driverHadoopConf()
+      val refs = ColfUtil.resolveFileRefs(Seq(in), conf)
+      var totalRows = 0L
+      refs.foreach { r =>
+        val h = ColfHeaderCache.get(r, conf)
+        totalRows += h.schema.numRows
+        println(s"${r.path}: rows=${h.schema.numRows} bytes=${r.size}")
+        h.schema.fields.foreach { f =>
+          val st = h.schema.stats.get(f.name)
+          val bounds = st.map(s =>
+            s"nulls=${s.nullCount} min=${s.min.getOrElse("-")} max=${s.max.getOrElse("-")}")
+            .getOrElse("(no stats)")
+          println(s"  ${f.name} ${f.tpe.name} $bounds")
+        }
+      }
+      println(s"total: ${refs.length} files, $totalRows rows")
+
     case Array("compact", dir) =>
       val (b, a) = ColfMaintenance.compact(spark, dir)
       println(s"compacted $dir: $b files -> $a files")
@@ -62,6 +82,7 @@ object ColfTools {
            |  csv_to_custom <in.csv> <out_dir>
            |  custom_to_csv <in_dir_or_file> <out.csv>
            |  read_columns  <in_dir_or_file> <col1,col2,...>
+           |  stats         <in_dir_or_file>
            |  compact       <dir> [targetMB]""".stripMargin)
       sys.exit(2)
   }

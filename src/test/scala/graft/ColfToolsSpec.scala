@@ -37,6 +37,21 @@ class ColfToolsSpec extends AnyFunSuite {
     assert(orig.exceptAll(round).isEmpty && round.exceptAll(orig).isEmpty)
   }
 
+  test("stats subcommand prints per-file header bounds without reading data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_stats").toString
+    Seq((1, "a"), (9, "z")).toDF("k", "s").coalesce(1)
+      .write.format("colf").mode("overwrite").save(dir)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      ColfTools.run(spark, Array("stats", dir))
+    }
+    val s = out.toString("UTF-8")
+    assert(s.contains("rows=2") && s.contains("k int32") && s.contains("min=1") &&
+      s.contains("max=9") && s.contains("total: 1 files, 2 rows"), s"unexpected output:\n$s")
+  }
+
   test("compact merges a small-file directory without changing its contents") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
