@@ -246,6 +246,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
+    "q_outer_join" -> ((s, dir) => {
+      // Full outer: positive-balance customers vs their big-order rollup —
+      // unmatched rows survive on BOTH sides (customers without big
+      // orders; big-order custkeys whose customer row was filtered out).
+      val cust = t(s, dir, "customer").where(col("c_acctbal") > 0)
+        .select("c_custkey", "c_name")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_big"), dsum2(col("o_totalprice")).as("sum_big"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select("c_custkey", "c_name", "o_custkey", "n_big", "sum_big")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // Point-in-time join: each event picks up the user's most recent
       // purchase at-or-before it (AsOfJoin union-window form — one keyed
@@ -743,6 +756,15 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_big, o.sum_big
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_big
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.t_us, r.p_us, r.purchase_id
