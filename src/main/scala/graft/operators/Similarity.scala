@@ -147,12 +147,25 @@ object Similarity {
     * huge. Recall is tunable: nProbe = 2^coarseBits degenerates to exact
     * brute force (asserted in SimilaritySpec).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame = {
+  /** A built IVF index: the bucketed (and norm-annotated) corpus plus the
+    * per-list centroids, both persisted — build ONCE, search many query
+    * batches. At corpus scale the build (a full scan + the centroid
+    * aggregation) dominates a single search; amortizing it across batches
+    * is the difference between an index and a per-query rescan.
+    */
+  final case class IvfIndex private[Similarity] (
+      bucketed: DataFrame, centroids: DataFrame, coarseBits: Int) {
+    def unpersist(): Unit = { bucketed.unpersist(); centroids.unpersist() }
+  }
+
+  def ivfBuild(corpus: DataFrame, coarseBits: Int = 4, dim: Int = 64,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.storage.StorageLevel
     val hp = hyperplanes(coarseBits, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = c
       .select(col("bucket"), posexplode(col("nbr_vec")).as(Seq("pos", "x")))
       .groupBy("bucket", "pos")
@@ -160,6 +173,16 @@ object Similarity {
       .groupBy("bucket")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(c, centroids, coarseBits)
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: score the (tiny, broadcast) centroid
+    * table, probe the nProbe nearest inverted lists, search those exactly.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val c = index.bucketed
+    val centroids = index.centroids
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
     // Probe selection ranks each query against ≤ 2^coarseBits centroids —
@@ -177,6 +200,13 @@ object Similarity {
       .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
+
+  /** One-shot IVF ANN: build + search (see [[ivfBuild]]/[[ivfSearch]] to
+    * amortize the build across query batches).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame =
+    ivfSearch(ivfBuild(corpus, coarseBits, dim, seed), queries, k, nProbe)
 
   /** Per-group embedding statistics (count + exact norm sum). The norm is a
     * per-row double (deterministic); the cross-row sum goes through a

@@ -168,6 +168,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
+  test("ivf index: one build serves many query batches identically") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val idx = Similarity.ivfBuild(df, coarseBits = 3, dim = 8)
+    try {
+      val batch1 = Similarity.ivfSearch(idx, df.where($"id" < 3), k = 3, nProbe = 8)
+        .collect().map(key).toSet
+      val batch2 = Similarity.ivfSearch(idx, df.where($"id" >= 3 && $"id" < 6), k = 3, nProbe = 8)
+        .collect().map(key).toSet
+      // each batch equals the one-shot path on the same queries
+      assert(batch1 == Similarity.ivfTopK(df, df.where($"id" < 3), 3,
+        coarseBits = 3, nProbe = 8, dim = 8).collect().map(key).toSet)
+      assert(batch2 == Similarity.ivfTopK(df, df.where($"id" >= 3 && $"id" < 6), 3,
+        coarseBits = 3, nProbe = 8, dim = 8).collect().map(key).toSet)
+      assert(batch1.nonEmpty && batch2.nonEmpty)
+    } finally idx.unpersist()
+  }
+
   test("normStats sums norms exactly per group") {
     val df = Seq((0, Array(3.0f, 4.0f)), (0, Array(6.0f, 8.0f)), (1, Array(1.0f, 0.0f)))
       .toDF("label", "embedding")
