@@ -105,12 +105,32 @@ object Similarity {
     * no broadcast needed, so BOTH sides may be huge. Approximate: a true
     * neighbor in another bucket is missed (P[same bucket] = (1-θ/π)^planes).
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+  /** A built LSH index: the signed-and-bucketed corpus (persisted) plus
+    * the plane parameters queries must hash with. Like [[IvfIndex]]:
+    * build once, search many batches — corpus signatures are the
+    * expensive half.
+    */
+  final case class LshIndex private[Similarity] (
+      bucketed: DataFrame, planes: Int, dim: Int, seed: Long) {
+    def unpersist(): Unit = bucketed.unpersist()
+  }
+
+  def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): LshIndex = {
+    import org.apache.spark.storage.StorageLevel
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    LshIndex(c, planes, dim, seed)
+  }
+
+  def lshSearch(index: LshIndex, queries: DataFrame, k: Int,
+      multiProbe: Boolean = true): DataFrame = {
+    val hp = hyperplanes(index.planes, index.dim, index.seed)
+    val c = index.bucketed
+    val planes = index.planes
     val q0 = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
       .withColumn("bucket", signature(col("q_vec"), hp))
       .withColumn("q_nrm", norm(col("q_vec")))
@@ -132,6 +152,13 @@ object Similarity {
       .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
+
+  /** One-shot LSH ANN: build + search (see [[lshBuild]]/[[lshSearch]] to
+    * amortize corpus signatures across query batches).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true): DataFrame =
+    lshSearch(lshBuild(corpus, planes, dim, seed), queries, k, multiProbe)
 
   /** IVF-style two-level ANN: a coarse quantizer (sign-bit LSH over
     * `coarseBits` hyperplanes) splits the corpus into inverted lists; each

@@ -168,6 +168,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
+  test("lsh index: one build serves many query batches identically") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val idx = Similarity.lshBuild(df, planes = 4, dim = 8)
+    try {
+      val batch = Similarity.lshSearch(idx, df.where($"id" < 3), k = 3)
+        .collect().map(key).toSet
+      val oneShot = Similarity.lshTopK(df, df.where($"id" < 3), k = 3, planes = 4, dim = 8)
+        .collect().map(key).toSet
+      assert(batch == oneShot && batch.nonEmpty)
+    } finally idx.unpersist()
+  }
+
   test("ivf index: one build serves many query batches identically") {
     val rnd = new scala.util.Random(29)
     val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
