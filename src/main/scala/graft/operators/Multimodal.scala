@@ -108,6 +108,8 @@ object Multimodal {
   }
 
   private def imageMeta(r: MediaRow): MediaMeta = {
+    // null media is a poison row like any other: degrade, don't NPE
+    if (r.media == null) return MediaMeta(r.doc_id, 0, -1, -1, 0L)
     val crc = new java.util.zip.CRC32()
     crc.update(r.media)
     var w = -1

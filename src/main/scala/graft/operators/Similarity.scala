@@ -118,11 +118,20 @@ object Similarity {
   def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
       seed: Long = 42L): LshIndex = {
     import org.apache.spark.storage.StorageLevel
+    val idx = lshPrepare(corpus, planes, dim, seed)
+    idx.bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    idx
+  }
+
+  /** Unpersisted index construction — the one-shot paths use this so a
+    * single search never leaks cached blocks (nothing would unpersist
+    * them; the caller-held [[LshIndex]] is what makes persistence safe).
+    */
+  private def lshPrepare(corpus: DataFrame, planes: Int, dim: Int, seed: Long): LshIndex = {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     LshIndex(c, planes, dim, seed)
   }
 
@@ -158,7 +167,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true): DataFrame =
-    lshSearch(lshBuild(corpus, planes, dim, seed), queries, k, multiProbe)
+    lshSearch(lshPrepare(corpus, planes, dim, seed), queries, k, multiProbe)
 
   /** IVF-style two-level ANN: a coarse quantizer (sign-bit LSH over
     * `coarseBits` hyperplanes) splits the corpus into inverted lists; each
@@ -188,11 +197,18 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, coarseBits: Int = 4, dim: Int = 64,
       seed: Long = 42L): IvfIndex = {
     import org.apache.spark.storage.StorageLevel
+    val idx = ivfPrepare(corpus, coarseBits, dim, seed)
+    idx.bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    idx.centroids.persist(StorageLevel.MEMORY_AND_DISK)
+    idx
+  }
+
+  /** Unpersisted construction for one-shot use — see [[lshPrepare]]. */
+  private def ivfPrepare(corpus: DataFrame, coarseBits: Int, dim: Int, seed: Long): IvfIndex = {
     val hp = hyperplanes(coarseBits, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = c
       .select(col("bucket"), posexplode(col("nbr_vec")).as(Seq("pos", "x")))
       .groupBy("bucket", "pos")
@@ -200,7 +216,6 @@ object Similarity {
       .groupBy("bucket")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     IvfIndex(c, centroids, coarseBits)
   }
 
@@ -233,7 +248,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame =
-    ivfSearch(ivfBuild(corpus, coarseBits, dim, seed), queries, k, nProbe)
+    ivfSearch(ivfPrepare(corpus, coarseBits, dim, seed), queries, k, nProbe)
 
   /** Per-group embedding statistics (count + exact norm sum). The norm is a
     * per-row double (deterministic); the cross-row sum goes through a

@@ -247,9 +247,17 @@ object ColfCodec {
     override def statsMinMax: (Option[Any], Option[Any]) = {
       if (mnB == null) (None, None)
       else {
-        val mn = Some(new String(utf8Prefix(mnB, StringStatMaxBytes), StandardCharsets.UTF_8))
-        val mx = if (mxB.length <= StringStatMaxBytes)
-          Some(new String(mxB, StandardCharsets.UTF_8)) else None
+        // Bounds survive a bytes → String → JSON → String → bytes round
+        // trip only for valid UTF-8; invalid sequences (reachable via
+        // CAST(binary AS STRING)) decode lossily to U+FFFD, which can
+        // move a bound in the UNSOUND direction and wrongly prune a
+        // file. Drop any bound whose decode isn't byte-exact.
+        def exact(b: Array[Byte]): Option[String] = {
+          val s = new String(b, StandardCharsets.UTF_8)
+          if (java.util.Arrays.equals(s.getBytes(StandardCharsets.UTF_8), b)) Some(s) else None
+        }
+        val mn = exact(utf8Prefix(mnB, StringStatMaxBytes))
+        val mx = if (mxB.length <= StringStatMaxBytes) exact(mxB) else None
         (mn, mx)
       }
     }

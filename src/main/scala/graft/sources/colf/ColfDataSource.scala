@@ -50,13 +50,15 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       // files.length sequential round trips.
       val fields = scala.collection.mutable.LinkedHashMap.empty[String, ColfField]
       val presentIn = scala.collection.mutable.Map.empty[String, Int]
-      ColfHeaderCache.getAll(files, conf).foreach { h =>
+      files.lazyZip(ColfHeaderCache.getAll(files, conf)).foreach { (ref, h) =>
         h.schema.fields.foreach { fld =>
           fields.get(fld.name) match {
             case Some(prev) if prev.tpe != fld.tpe =>
+              // name the culprit — at 10⁵ files "in another file" is
+              // undiagnosable
               throw new IllegalArgumentException(
                 s"colf mergeSchema: column '${fld.name}' is ${prev.tpe.name} in one file " +
-                  s"but ${fld.tpe.name} in another; types cannot be merged")
+                  s"but ${fld.tpe.name} in ${ref.path}; types cannot be merged")
             case Some(prev) =>
               fields(fld.name) = prev.copy(nullable = prev.nullable || fld.nullable)
             case None =>

@@ -20,13 +20,17 @@ object ColfMaintenance {
     * contract, [[ColfMicroBatchStream]]). Compact downstream tables, or
     * pause the consumer across the rewrite.
     *
-    * Crash-safe in the same direction as the write commit: new compacted
-    * files land (append mode, fresh query-id names) BEFORE any old file
-    * is deleted — a crash mid-compaction leaves a superset (duplicate
-    * rows across old+new files), and RE-RUNNING the compaction converges;
-    * data is never lost. Readers listing the directory concurrently with
-    * the final deletes may fail mid-scan and should retry — the standard
-    * trade of in-place maintenance without a manifest.
+    * Concurrent-writer safe: the rewrite reads EXACTLY the files listed
+    * up front (by explicit path, not a re-listing), so a file appended
+    * mid-compaction is neither copied nor deleted — it simply waits for
+    * the next compaction. Data is never LOST: new files land (append
+    * mode, fresh query-id names) before any old file is deleted. The
+    * remaining crash window is between write commit and the deletes: old
+    * and new copies coexist then, and without a manifest a re-run cannot
+    * tell them apart — DUPLICATE rows persist until one set is removed
+    * (the new files share one query id, making manual repair
+    * unambiguous). Accept that window or front a manifest-based table
+    * format.
     *
     * @return (filesBefore, filesAfter)
     */
@@ -39,7 +43,7 @@ object ColfMaintenance {
 
     val totalBytes = before.map(_.size).sum
     val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.format("colf").load(dir)
+    spark.read.format("colf").load(before.map(_.path): _*)
       .coalesce(nParts)
       .write.format("colf").mode("append").save(dir)
 

@@ -66,10 +66,18 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   private def list(): Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
 
   /** Strictly after `o`: a later millisecond, or an unseen name within
-    * the boundary millisecond.
+    * the boundary millisecond. Boundary names are probed as a Set — a
+    * capped catch-up through one large same-mtime cohort (coarse-mtime
+    * filesystems) makes the boundary list as large as the cohort, and a
+    * linear `contains` per listed file would go quadratic on the driver.
+    * The offset itself shrinks back to the new boundary's files as soon
+    * as the stream crosses into a later millisecond.
     */
+  private def isAfter(r: ColfFileRef, o: ColfSourceOffset, names: Set[String]): Boolean =
+    r.mtime > o.mtime || (r.mtime == o.mtime && !names.contains(r.path))
+
   private def isAfter(r: ColfFileRef, o: ColfSourceOffset): Boolean =
-    r.mtime > o.mtime || (r.mtime == o.mtime && !o.names.contains(r.path))
+    isAfter(r, o, o.names.toSet)
 
   override def initialOffset(): Offset = ColfSourceOffset.Initial
 
@@ -95,10 +103,13 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ColfSourceOffset]
-    val fresh0 = list().filter(isAfter(_, s))
+    val sNames = s.names.toSet
+    val fresh0 = list().filter(isAfter(_, s, sNames))
     val fresh = (availableNowTarget match {
-      case Some(t) => fresh0.filter(r => !isAfter(r, t))
-      case None    => fresh0
+      case Some(t) =>
+        val tNames = t.names.toSet
+        fresh0.filter(r => !isAfter(r, t, tNames))
+      case None => fresh0
     }).sortBy(r => (r.mtime, r.path))
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
@@ -118,7 +129,9 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ColfSourceOffset]
     val e = end.asInstanceOf[ColfSourceOffset]
-    val batch = list().filter(r => isAfter(r, s) && !isAfter(r, e))
+    val sNames = s.names.toSet
+    val eNames = e.names.toSet
+    val batch = list().filter(r => isAfter(r, s, sNames) && !isAfter(r, e, eNames))
     val pruned =
       if (filters.isEmpty) batch
       else {

@@ -63,6 +63,21 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(umnS == "é" * 32 && umnS.getBytes("UTF-8").length == 64)
   }
 
+  test("non-UTF8 string bytes drop bounds instead of storing lossy ones") {
+    // invalid UTF-8 (a lone 0xF5) decodes to U+FFFD, whose bytes differ —
+    // a stored bound would compare in the wrong direction and could prune
+    // a file that DOES contain the matching row
+    val b = new ColfCodec.StringColumnBuilder
+    b.append(Array(0xf5.toByte)) // 0xF5 > 'z' in unsigned byte order → the MAX
+    b.append("zebra")
+    val (mn, mx) = b.statsMinMax
+    assert(mn.contains("zebra")) // the valid bound survives
+    assert(mx.isEmpty)           // the invalid bound is dropped, not substituted
+    val allBad = new ColfCodec.StringColumnBuilder
+    allBad.append(Array(0x80.toByte)) // lone continuation byte: both bounds invalid
+    assert(allBad.statsMinMax == (None, None))
+  }
+
   test("all-null and empty columns carry no bounds") {
     val b = new ColfCodec.IntColumnBuilder
     b.appendNull(); b.appendNull()

@@ -168,6 +168,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
+  test("one-shot ANN calls leak no cached blocks; index builds persist until released") {
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)((i % 5).toFloat + 1f)))
+    val df = vecs.toDF("id", "vec")
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    val before = cached
+    Similarity.lshTopK(df, df.where($"id" < 2), k = 2, planes = 4, dim = 8).collect()
+    Similarity.ivfTopK(df, df.where($"id" < 2), k = 2, coarseBits = 3, nProbe = 8, dim = 8).collect()
+    assert(cached == before, s"one-shot ANN leaked ${cached - before} cached RDD(s)")
+    val idx = Similarity.lshBuild(df, planes = 4, dim = 8)
+    Similarity.lshSearch(idx, df.where($"id" < 2), k = 2).collect()
+    assert(cached == before + 1)
+    idx.unpersist()
+    assert(cached == before)
+  }
+
   test("lsh index: one build serves many query batches identically") {
     val rnd = new scala.util.Random(37)
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
@@ -227,6 +242,11 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "media", "media_type")
     val metas = Multimodal.decodeImages(df).collect().sortBy(_.doc_id)
     assert(metas(0).width == 123 && metas(0).height == 45 && metas(0).n_bytes == png.length)
+    // null media must degrade like any poison row, not NPE the task
+    val withNull = Seq((9L, null.asInstanceOf[Array[Byte]], "image/png"))
+      .toDF("doc_id", "media", "media_type")
+    val nm = Multimodal.decodeImages(withNull).collect()(0)
+    assert(nm.width == -1 && nm.height == -1 && nm.n_bytes == 0)
     assert(metas(1).width == 64 && metas(1).height == 32)
     // corrupt/unknown payloads must degrade, not kill the task
     assert(metas(2).width == -1 && metas(2).height == -1 && metas(2).n_bytes == txt.length)
