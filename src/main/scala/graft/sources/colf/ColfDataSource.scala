@@ -206,7 +206,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ColfScanBuilder(paths, schema, mergeSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColfWriteBuilder(paths, info)
@@ -224,7 +225,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   * whole files — at 100 TB, not opening a file beats any per-row win.
   */
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
-    mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
+    mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -279,7 +281,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   override def build(): Scan =
     if (countPushed) new ColfCountScan(paths, conf)
     else new ColfScan(paths, fullSchema, required, mergeSchema, limit,
-      ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger)
+      ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger)
 }
 
 /** Metadata-only scan backing a pushed-down COUNT(*). Headers come
@@ -324,7 +326,7 @@ case class ColfCountPartition(count: Long) extends InputPartition
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
@@ -391,7 +393,8 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf, maxFilesPerTrigger)
+    new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf,
+      maxFilesPerTrigger, maxRowsPerTrigger)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))

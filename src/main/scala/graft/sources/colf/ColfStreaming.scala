@@ -3,7 +3,7 @@ package graft.sources.colf
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -49,7 +49,7 @@ object ColfSourceOffset {
   */
 class ColfMicroBatchStream(paths: Seq[String], required: StructType,
     mergeSchema: Boolean, filters: Seq[Filter], conf: Configuration,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Trigger.AvailableNow snapshot: batches drain up to the files present
@@ -90,16 +90,45 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
     }
   }
 
-  /** Admission control (`option("maxFilesPerTrigger", n)`): cap each
-    * micro batch at n files. Without a cap, a stream started against a
-    * year of backlog ingests the WHOLE directory as one batch — the cap
-    * turns catch-up into bounded, checkpointed increments. Files admit in
-    * (mtime, path) order; when the cut lands inside a boundary
-    * millisecond, the offset's name list keeps the already-covered files
-    * so the remainder (and only the remainder) admits next batch.
+  /** Admission control (`option("maxFilesPerTrigger", n)` /
+    * `option("maxRowsPerTrigger", n)`): cap each micro batch. Without a
+    * cap, a stream started against a year of backlog ingests the WHOLE
+    * directory as one batch — caps turn catch-up into bounded,
+    * checkpointed increments. The row cap admits whole files until their
+    * header row counts reach n (headers are free via the cache — the
+    * format makes row-based rate control exact without opening data
+    * blocks). Files admit in (mtime, path) order; when the cut lands
+    * inside a boundary millisecond, the offset's name list keeps the
+    * already-covered files so the remainder (and only the remainder)
+    * admits next batch.
     */
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Most-restrictive prefix of `fresh` under the limit (whole files;
+    * always ≥1 file when any is available so the stream progresses).
+    */
+  private def admit(fresh: Seq[ColfFileRef], limit: ReadLimit): Seq[ColfFileRef] = limit match {
+    case m: ReadMaxFiles => fresh.take(m.maxFiles())
+    case m: ReadMaxRows =>
+      var acc = 0L
+      val taken = fresh.takeWhile { f =>
+        val take = acc < m.maxRows()
+        if (take) acc += ColfHeaderCache.get(f, conf).schema.numRows
+        take
+      }
+      if (taken.isEmpty) fresh.take(1) else taken
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+    case _ => fresh
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ColfSourceOffset]
@@ -111,10 +140,7 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
         fresh0.filter(r => !isAfter(r, t, tNames))
       case None => fresh0
     }).sortBy(r => (r.mtime, r.path))
-    val admitted = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _               => fresh
-    }
+    val admitted = admit(fresh, limit)
     if (admitted.isEmpty) s
     else {
       val maxM = admitted.last.mtime

@@ -324,6 +324,28 @@ class ColfStatsSpec extends AnyFunSuite {
       s"a batch exceeded one file: ${batches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("streaming source admission control: maxRowsPerTrigger admits whole files by header counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    for (i <- 0 until 4)
+      spark.range(i * 10L, (i + 1) * 10L).select($"id".cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+
+    val qname = s"colf_rows_${System.nanoTime()}"
+    val q = spark.readStream.format("colf")
+      .option("maxRowsPerTrigger", "25").load(dir)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(qname).collect().map(_.getInt(0)).sorted.toSeq == (0 until 40))
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 2, s"expected ≥2 row-capped batches, got ${batches.length}")
+    // whole-file admission: while under 25 rows, files keep admitting →
+    // each batch carries at most 3 files (30 rows)
+    assert(batches.forall(_.numInputRows <= 30),
+      s"a batch exceeded the row cap: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("streaming colf→colf pipeline is exactly-once across a checkpoint restart") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmp()
