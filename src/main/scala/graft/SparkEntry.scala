@@ -493,6 +493,18 @@ object SparkEntry {
       Dedup.cosineNearDupsLSH(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.35)),
 
+    "q_contamination" -> ((s, dir) => {
+      // Decontamination: which corpus docs verbatim-duplicate an "eval
+      // set"? The eval set here is every 20th document re-keyed into its
+      // own id space — each of its texts must be found at exactly its
+      // corpus source.
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("eval_id"), col("text"))
+      Dedup.contamination(docs, col("doc_id"), col("text"),
+        evalSet, col("eval_id"), col("text"))
+    }),
+
     "q_sample_split" -> ((s, dir) =>
       // Deterministic 80/10/10 split: membership is a pure function of
       // (doc_id, salt) via md5 hex buckets — reproducible by any engine,
@@ -876,6 +888,14 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
+
+    "q_contamination" ->
+      """SELECT c.doc_id AS corpus_id, e.eval_id
+        |FROM (SELECT doc_id, md5(text) AS h, length(text) AS l
+        |      FROM documents WHERE text IS NOT NULL) c
+        |JOIN (SELECT doc_id + 1000000 AS eval_id, md5(text) AS h, length(text) AS l
+        |      FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL) e
+        |ON c.h = e.h AND c.l = e.l""".stripMargin,
 
     "q_sample_split" -> {
       // thresholds computed by the SAME double arithmetic as

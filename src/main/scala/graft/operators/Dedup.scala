@@ -409,6 +409,28 @@ object Dedup {
     expandGroupPairs(repPairs, reps, members, "cos", selfCos)
   }
 
+  // ------------------------------------------------- contamination check
+
+  /** Eval-set decontamination: every (corpus row, eval row) pair whose
+    * texts match VERBATIM — the training set must drop those corpus rows
+    * or benchmark numbers are fiction. The join key is (md5, length):
+    * the corpus side ships 16-byte digests plus a length to the shuffle,
+    * never document text, so a 100 TB corpus checks against an eval set
+    * at digest cost; a false pair needs an md5 collision AT equal length
+    * (cryptographically negligible, and any such pair surfaces in the
+    * returned ids for downstream inspection). For NEAR-match
+    * contamination compose [[minhashNearDups]] over the union instead.
+    */
+  def contamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      eval: DataFrame, evalId: Column, evalText: Column): DataFrame = {
+    def keyed(df: DataFrame, id: Column, text: Column, idName: String) =
+      df.where(text.isNotNull).select(id.as(idName),
+        md5(text.cast("binary")).as("__h"), length(text).as("__l"))
+    keyed(corpus, corpusId, corpusText, "corpus_id")
+      .join(keyed(eval, evalId, evalText, "eval_id"), Seq("__h", "__l"))
+      .select("corpus_id", "eval_id")
+  }
+
   // --------------------------------------------------- cluster assignment
 
   /** Connected components over near-dup pairs: every id that appears in

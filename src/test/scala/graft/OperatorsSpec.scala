@@ -254,6 +254,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(0).checksum == crc.getValue)
   }
 
+  test("contamination finds every verbatim eval leak and nothing else") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated corpus document"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // second copy
+      (4L, "the quick brown fox jumps over the lazy do"),  // near-miss: one char off
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "eval-only question never present in the corpus")).toDF("eid", "text")
+    val hits = Dedup.contamination(corpus, col("doc_id"), col("text"),
+        eval, col("eid"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L), (3L, 100L)))
+  }
+
   test("deterministic sampling: partitioning-invariant, disjoint splits, sane rates") {
     import graft.operators.Sampling
     val df = spark.range(2000).select($"id")
