@@ -423,9 +423,11 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
       eval: DataFrame, evalId: Column, evalText: Column): DataFrame = {
+    // unhex → the actual 16-byte binary digest as the join key (the hex
+    // string form would double the shuffled key bytes)
     def keyed(df: DataFrame, id: Column, text: Column, idName: String) =
       df.where(text.isNotNull).select(id.as(idName),
-        md5(text.cast("binary")).as("__h"), length(text).as("__l"))
+        unhex(md5(text.cast("binary"))).as("__h"), length(text).as("__l"))
     keyed(corpus, corpusId, corpusText, "corpus_id")
       .join(keyed(eval, evalId, evalText, "eval_id"), Seq("__h", "__l"))
       .select("corpus_id", "eval_id")

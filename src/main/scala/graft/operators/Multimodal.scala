@@ -44,7 +44,9 @@ object Multimodal {
   }
 
   private def fakeDecode(r: MediaRow): MediaMeta = {
-    val n = r.media.length
+    // null media degrades like an empty payload — poison rows must not
+    // NPE here any more than in the real decoder below
+    val n = if (r.media == null) 0 else r.media.length
     MediaMeta(r.doc_id, n, n % 800, n % 600, n.toLong * 2654435761L)
   }
 

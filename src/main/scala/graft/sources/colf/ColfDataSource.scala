@@ -111,10 +111,12 @@ private[colf] object ColfUtil {
   /** Expand files/dirs/globs into concrete .colf files WITH the size and
     * mtime the directory listing already returned — downstream planning
     * (bin-packing, header-cache keys) then needs zero extra FS round
-    * trips per file. Driver-side.
+    * trips per file. Driver-side. Many explicit paths (e.g. compaction's
+    * exact-file read) resolve in parallel — one status RPC per path would
+    * otherwise serialize on FS latency.
     */
   def resolveFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] = {
-    paths.flatMap { p =>
+    ColfHeaderCache.mapParallel(paths) { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse {
@@ -129,7 +131,7 @@ private[colf] object ColfUtil {
             .map(s => ColfFileRef(s.getPath.toString, s.getLen, s.getModificationTime))
         else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
       }
-    }
+    }.flatten
   }
 
   /** Concrete .colf file paths (compat shim over [[resolveFileRefs]]). */
@@ -204,10 +206,19 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // non-positive caps would make the stream stall silently (every batch
+    // admits nothing); reject at option-parse time like Spark's file source
+    def positive[T](name: String, parse: String => T)(implicit num: Numeric[T]): Option[T] =
+      Option(options.get(name)).map { v =>
+        val n = parse(v)
+        require(num.gt(n, num.zero), s"colf option $name must be positive, got $v")
+        n
+      }
     new ColfScanBuilder(paths, schema, mergeSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+      positive("maxFilesPerTrigger", _.toInt),
+      positive("maxRowsPerTrigger", _.toLong))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColfWriteBuilder(paths, info)

@@ -43,7 +43,13 @@ object ColfMaintenance {
 
     val totalBytes = before.map(_.size).sum
     val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.format("colf").load(before.map(_.path): _*)
+    // mergeSchema: a directory that evolved columns over time compacts to
+    // the UNION schema (older rows null-extended). Without it the first
+    // file's schema would silently drop later-added columns — and the
+    // delete below would make that loss permanent. Type conflicts still
+    // fail loudly before anything is written or deleted.
+    spark.read.format("colf").option("mergeSchema", "true")
+      .load(before.map(_.path): _*)
       .coalesce(nParts)
       .write.format("colf").mode("append").save(dir)
 

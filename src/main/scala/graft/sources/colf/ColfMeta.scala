@@ -57,11 +57,18 @@ private[graft] object ColfHeaderCache {
   }
 
   /** Fetch all headers (cache-aware) in parallel, preserving input order. */
-  def getAll(refs: Seq[ColfFileRef], conf: Configuration): Seq[ColfHeader] = {
-    if (refs.lengthCompare(2) < 0) return refs.map(get(_, conf))
+  def getAll(refs: Seq[ColfFileRef], conf: Configuration): Seq[ColfHeader] =
+    mapParallel(refs)(get(_, conf))
+
+  /** Order-preserving parallel map on the shared driver pool — for any
+    * per-file FS round trip that would otherwise serialize on latency
+    * (header fetches, explicit-path status calls).
+    */
+  def mapParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.lengthCompare(2) < 0) return xs.map(f)
     import scala.jdk.CollectionConverters._
-    val tasks = refs.map { r =>
-      new java.util.concurrent.Callable[ColfHeader] { override def call(): ColfHeader = get(r, conf) }
+    val tasks = xs.map { x =>
+      new java.util.concurrent.Callable[B] { override def call(): B = f(x) }
     }
     pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
   }

@@ -76,9 +76,6 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   private def isAfter(r: ColfFileRef, o: ColfSourceOffset, names: Set[String]): Boolean =
     r.mtime > o.mtime || (r.mtime == o.mtime && !names.contains(r.path))
 
-  private def isAfter(r: ColfFileRef, o: ColfSourceOffset): Boolean =
-    isAfter(r, o, o.names.toSet)
-
   override def initialOffset(): Offset = ColfSourceOffset.Initial
 
   override def latestOffset(): Offset = {
@@ -118,13 +115,25 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   private def admit(fresh: Seq[ColfFileRef], limit: ReadLimit): Seq[ColfFileRef] = limit match {
     case m: ReadMaxFiles => fresh.take(m.maxFiles())
     case m: ReadMaxRows =>
+      // headers fetch in parallel CHUNKS ahead of the row-count walk — a
+      // cold-cache catch-up admitting ~1000 files must not serialize one
+      // blocking header RPC at a time on the driver
+      val taken = Seq.newBuilder[ColfFileRef]
       var acc = 0L
-      val taken = fresh.takeWhile { f =>
-        val take = acc < m.maxRows()
-        if (take) acc += ColfHeaderCache.get(f, conf).schema.numRows
-        take
+      var n = 0
+      var i = 0
+      while (i < fresh.length && acc < m.maxRows()) {
+        val chunk = fresh.slice(i, math.min(i + 64, fresh.length))
+        val headers = ColfHeaderCache.getAll(chunk, conf)
+        var j = 0
+        while (j < chunk.length && acc < m.maxRows()) {
+          taken += chunk(j); n += 1
+          acc += headers(j).schema.numRows
+          j += 1
+        }
+        i += chunk.length
       }
-      if (taken.isEmpty) fresh.take(1) else taken
+      if (n == 0) fresh.take(1) else taken.result()
     case c: CompositeReadLimit =>
       c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
     case _ => fresh
