@@ -441,50 +441,83 @@ object Dedup {
     * near-dup output into an actual dedup decision (keep one row per
     * component).
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * min of its own label and its neighbors' labels (one equi-join + one
-    * partial-aggregated groupBy per round); converges in O(component
-    * diameter) rounds — near-dup clusters are shallow (a hub document
-    * links its variants), so a handful of rounds suffices. The fixpoint
-    * test compares the exact decimal SUM of labels between rounds (labels
-    * only ever decrease, so an unchanged sum IS convergence — no
-    * row-by-row diff join). For adversarial high-diameter graphs the
-    * escalation is the large-star/small-star algorithm; `maxIter` caps
-    * runaway propagation either way.
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): edges are kept
+    * oriented big→small; each round, large-star points every
+    * strictly-larger neighbor of a node at the minimum of its
+    * neighborhood, then small-star points the node and its smaller
+    * neighbors there too. Each round is two partial-aggregated groupBys +
+    * two equi-joins; the graph collapses toward a forest of stars in
+    * O(log n) rounds REGARDLESS of diameter (min-label propagation, the
+    * naive alternative, needs O(diameter) rounds — a long chain of
+    * near-dup documents would exhaust any fixed cap). The fixpoint test
+    * is exact — identical edge multiset between rounds (count + set
+    * difference), no hash-collision early exit.
+    *
+    * If `maxIter` rounds don't reach the fixpoint this THROWS rather than
+    * returning partially-propagated labels (silently-wrong clusters mean
+    * silently-wrong dedup decisions). At O(log n) convergence the default
+    * cap covers any physically-storable graph; hitting it means the input
+    * is pathological and the caller should see that.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val nodes = raw.select(col("src").as("id")).union(raw.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // Iterative DataFrames MUST truncate lineage each round
-    // (localCheckpoint, eager): chaining the join back onto the previous
-    // iteration's plan nests the logical plan `maxIter` deep and the
+    // (localCheckpoint, eager): chaining each round's joins onto the
+    // previous round's plan nests the logical plan `maxIter` deep and the
     // optimizer, not the data, runs the driver out of heap. (For
     // fault-tolerant production reruns swap in checkpoint() with a dir —
     // localCheckpoint trades executor-loss recovery for speed.)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    var e = raw.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
       .localCheckpoint(true)
-    var lastSum = labels.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nlbl")), "dst")
-        .groupBy("src").agg(min("nlbl").as("nbr"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+      // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
+      // v > u re-points at m. Output edges stay oriented src > dst
+      // (m ≤ u < v by construction).
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.join(lsMin, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
         .localCheckpoint(true)
-      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-      labels = next
-      converged = s == lastSum
-      lastSum = s
+      // small-star: for each node u over its smaller neighbors,
+      // m = min(N(u) ∪ {u}) = min(dst); u and every smaller neighbor
+      // (except m itself) re-point at m.
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val ss = ls.join(ssMin, "src").where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      // Exact fixpoint: the round was an identity on the (distinct) edge
+      // set — equal counts + empty set difference. At the fixpoint the
+      // graph is a forest of stars: src = node, dst = its component min.
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
       iter += 1
     }
-    sym.unpersist()
+    if (!converged) {
+      nodes.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter large-star/small-star " +
+          "rounds — convergence is O(log n) rounds, so this input is pathological " +
+          "(raise maxIter only after checking the edge set)")
+    }
+    // Materialize before releasing the node cache: labels reads `nodes`.
+    val labels = nodes
+      .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    nodes.unpersist()
     labels
   }
 

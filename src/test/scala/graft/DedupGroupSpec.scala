@@ -164,6 +164,47 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(assigned == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("connectedComponents: diameter-30 chain converges correctly (beyond min-propagation's round cap)") {
+    import Dedup.connectedComponents
+    // A 31-node path — diameter 30. Min-label propagation at the default
+    // maxIter=20 would have SILENTLY returned partial labels here (the r3
+    // latent wrong-answer path); large-star/small-star needs O(log n)
+    // rounds, so the default cap is ample. Edge order shuffled and ids
+    // descending-biased so nothing depends on input layout.
+    val chain = scala.util.Random.shuffle((0L until 30L).map(i => (i + 1L, i)).toList)
+      .toDF("id_a", "id_b")
+    val comps = connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 31)
+    assert((0L to 30L).forall(comps(_) == 0L), s"chain must collapse to component 0, got $comps")
+  }
+
+  test("connectedComponents: throws on maxIter without fixpoint instead of silent partial labels") {
+    import Dedup.connectedComponents
+    val chain = (0L until 30L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](connectedComponents(chain, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents matches a union-find reference on a random graph") {
+    import Dedup.connectedComponents
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // local union-find ground truth with min-id labels
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    val got = connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
     val df = vecCorpus()
     val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
