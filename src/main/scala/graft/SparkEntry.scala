@@ -514,12 +514,25 @@ object SparkEntry {
 
     "q_dedup_clusters" -> ((s, dir) => {
       // Pairwise near-dups → per-doc canonical component (connected
-      // components by min-label propagation). Edges are the EXACT cosine
-      // pairs so the whole chain stays oracle-checkable (DuckDB recursive
-      // CTE computes the same components).
+      // components). Edges are the EXACT cosine pairs so the whole chain
+      // stays oracle-checkable (DuckDB recursive CTE computes the same
+      // components).
       val emb = t(s, dir, "embeddings")
       val pairs = Dedup.cosineNearDups(emb, col("vec_id"), col("embedding"), threshold = 0.35)
       Dedup.assignClusters(emb, col("vec_id"), pairs)
+    }),
+
+    "q_dedup_clusters_lsh" -> ((s, dir) => {
+      // The end-to-end composition a real corpus dedup runs at 100 TB:
+      // MinHash-banded candidate pairs (no all-pairs stage anywhere) →
+      // connected components → one canonical id per document. LSH recall
+      // is probabilistic → rows-only check here; equality with
+      // clusters-over-exact-pairs at recall-1.0 parameters is spec'd in
+      // DedupGroupSpec.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        Dedup.MinHashParams(jaccardThreshold = 0.4))
+      Dedup.assignClusters(docs, col("doc_id"), pairs.select("id_a", "id_b"))
     }),
 
     // ---- training-data pipeline: text analysis
@@ -1061,8 +1074,9 @@ object SparkEntry {
         | strlen(text) * 2654435761 AS checksum
         |FROM documents""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
-    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh
-    // (LSH candidate generation is probabilistic-recall, not
-    // ANSI-expressible), q_sim_ann (approximate by construction).
+    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
+    // q_dedup_clusters_lsh (LSH candidate generation is
+    // probabilistic-recall, not ANSI-expressible), q_sim_ann (approximate
+    // by construction).
   )
 }

@@ -205,6 +205,48 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("clusters over MinHash pairs == clusters over exact pairs when LSH recall is 1.0") {
+    // The q_dedup_clusters_lsh composition (minhashNearDups →
+    // assignClusters) end-to-end. Planted EXACT duplicate groups at a high
+    // threshold: identical texts have identical signatures, so every true
+    // pair survives banding deterministically (recall 1.0), and wholly
+    // distinct docs share no shingles, so verification kills any stray
+    // band collision (precision is exact either way). Clusters over the
+    // LSH pairs must therefore equal clusters over exact all-pairs
+    // Jaccard edges.
+    val groupTexts = Seq(
+      "first planted duplicate group body with enough distinct tokens to shingle",
+      "second planted group entirely different vocabulary about glaciers and moraines",
+      "third planted group discussing queue theory arrival rates and service times")
+    val docs = (
+      groupTexts.zipWithIndex.flatMap { case (txt, g) =>
+        (0 until 4).map(i => (g * 100L + i, txt)) } ++
+      Seq((900L, "a singleton document with its own unique content and tokens"),
+        (901L, null.asInstanceOf[String]))
+    ).toDF("doc_id", "text")
+    val hp = Dedup.MinHashParams(bands = 8, rowsPerBand = 4, jaccardThreshold = 0.9)
+    val lshPairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"), hp)
+      .select("id_a", "id_b")
+    // exact ground-truth edges: all-pairs token-set Jaccard, locally
+    val toks = docs.where(col("text").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').toSet)
+    val exactPairs = (for {
+      (a, ta) <- toks; (b, tb) <- toks if a < b
+      j = (ta & tb).size.toDouble / (ta | tb).size
+      if j >= 0.9
+    } yield (a, b)).toSeq.toDF("id_a", "id_b")
+    def clusters(edges: DataFrame) =
+      Dedup.assignClusters(docs, col("doc_id"), edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLsh = clusters(lshPairs)
+    val viaExact = clusters(exactPairs)
+    assert(viaLsh == viaExact)
+    // and the clusters are the planted ones: each group collapses to its min id
+    (0 until 3).foreach { g =>
+      (0 until 4).foreach(i => assert(viaLsh(g * 100L + i) == g * 100L)) }
+    assert(viaLsh(900L) == 900L)
+  }
+
   test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
     val df = vecCorpus()
     val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
