@@ -356,17 +356,20 @@ object SparkEntry {
     }),
 
     "q_colf_filter" -> ((s, dir) => {
-      // Data skipping: the write range-partitions on o_orderkey so the 4
-      // part files carry disjoint key ranges in their header min/max
-      // stats; the filtered read then PRUNES 3 of the 4 files at planning
-      // time (SupportsPushDownFilters + ColfPrune) — the scan's I/O is
+      // Data skipping on a NATURALLY-written table: option("sortBy")
+      // declares write-side clustering (DSv2 RequiresDistributionAndOrdering
+      // — Spark plans the range-exchange + sort itself), so part files
+      // carry disjoint o_orderkey ranges in their header min/max stats;
+      // the filtered read then PRUNES most files at planning time
+      // (SupportsPushDownFilters + ColfPrune) — the scan's I/O is
       // proportional to the selected key range, not the table.
       val out = work("q_colf_filter")
       t(s, dir, "orders")
         .select(col("o_orderkey").cast("int").as("o_orderkey"),
           col("o_totalprice"), col("o_orderpriority"))
-        .repartitionByRange(4, col("o_orderkey"))
-        .write.format("colf").mode("overwrite").save(out)
+        .write.format("colf").option("sortBy", "o_orderkey")
+        .option("numFiles", 4) // small table: pin 4 range-disjoint files
+        .mode("overwrite").save(out)
       s.read.format("colf").load(out)
         .where(col("o_orderkey") < 1500)
         .groupBy("o_orderpriority")

@@ -3,6 +3,8 @@ package graft.sources.colf
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
@@ -54,8 +56,28 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     val maxBytes = Option(info.options.get("maxBytesPerFile")).map(_.toLong)
       .getOrElse(ColfWrite.DefaultMaxBytesPerFile)
     require(maxBytes > 0, s"maxBytesPerFile must be positive, got $maxBytes")
+    // option("sortBy", "a,b"): cluster the write on these columns so each
+    // part file covers a tight value range (resolved case-insensitively,
+    // validated at planning).
+    val sortBy = Option(info.options.get("sortBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map { c =>
+        info.schema().fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"colf sortBy column '$c' not in schema ${info.schema().fieldNames.mkString(", ")}"))
+      }
+    val targetBytes = Option(info.options.get("targetPartitionBytes")).map(_.toLong)
+      .getOrElse(0L)
+    require(targetBytes >= 0, s"targetPartitionBytes must be >= 0, got $targetBytes")
+    val numFiles = Option(info.options.get("numFiles")).map(_.toInt).getOrElse(0)
+    require(numFiles >= 0, s"numFiles must be >= 0, got $numFiles")
+    require(numFiles == 0 || targetBytes == 0L,
+      "colf: numFiles and targetPartitionBytes are mutually exclusive " +
+        "(exact partition count vs advisory sizing)")
+    require(numFiles == 0 || sortBy.nonEmpty,
+      "colf: numFiles requires sortBy (it sizes the clustering exchange)")
     new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
-      level)
+      level, sortBy, targetBytes, numFiles)
   }
 }
 
@@ -76,11 +98,61 @@ object ColfWrite {
 }
 
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
-    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int)
+    maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
+    sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0)
     extends Write with BatchWrite
-    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with RequiresDistributionAndOrdering {
 
   override def toBatch: BatchWrite = this
+
+  /** Write-side clustering (`option("sortBy", col)`): declare an ORDERED
+    * distribution + within-partition ordering and let Spark plan the
+    * range-exchange and sort (the declarative DSv2 route — AQE still gets
+    * to size/coalesce the exchange; a hand-rolled repartitionByRange in
+    * user code would not). Each task then receives a contiguous, sorted
+    * value range, so the rolled part files carry tight, disjoint header
+    * min/max stats and [[ColfPrune]] can skip files on naturally-written
+    * tables — selective I/O is the format's identity (SPEC.md:55), and
+    * without clustering the stats never bite on high-entropy layouts.
+    * Empty `sortBy` declares nothing and the write plan is untouched.
+    */
+  private def sortOrders: Array[SortOrder] =
+    sortBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (sortBy.isEmpty) Distributions.unspecified() else Distributions.ordered(sortOrders)
+
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+
+  /** Best-effort by default: Spark then plans a range REBALANCE instead of
+    * a rigid exchange — AQE coalesces small partitions toward the advisory
+    * size AND splits skewed ones (a hot key range stops being one
+    * straggler task/file). Splitting can make two adjacent files share a
+    * boundary value; min/max stats stay correct, so pruning stays sound.
+    * An exact `numFiles` flips to strict: under best-effort the count is
+    * only a hint and AQE would coalesce it away.
+    */
+  override def distributionStrictlyRequired(): Boolean = numFiles > 0
+
+  /** option("numFiles", n): exact partition count for the clustering
+    * exchange — AQE cannot coalesce an exact count, so small sorted tables
+    * (where every partition sits under AQE's min-partition-size floor and
+    * would merge into one file) still get n range-disjoint files. 0 (the
+    * default) lets Spark/AQE pick — file count then tracks data volume,
+    * not a hardcoded knob, which is the right default at scale.
+    */
+  override def requiredNumPartitions(): Int = numFiles
+
+  /** option("targetPartitionBytes", n): advisory per-partition shuffle size
+    * for the clustering exchange — AQE coalesces toward it, so it is the
+    * file-sizing knob for sorted writes (0 = session default advisory
+    * size, which targets the ~100 MB+ range appropriate at scale). Note
+    * AQE's `coalescePartitions.minPartitionSize` (default 1 MiB) floors
+    * the effective size — lower it in-session for sub-MiB experiments.
+    */
+  override def advisoryPartitionSizeInBytes(): Long = targetPartitionBytes
 
   /** Both parent traits default this; Scala requires one explicit pick.
     * Keep the coordinator: exactly one task attempt's files per partition

@@ -211,6 +211,49 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(sq.select($"k").as[Int].collect().toSeq == Seq(3500))
   }
 
+  test("sortBy write option clusters files so pruning bites on a naturally-written table") {
+    val dir = tmp()
+    // SHUFFLED input — without write-side clustering every part file would
+    // span the whole key range and min/max stats could never prune.
+    spark.range(0, 4000)
+      .select((($"id" * 2654435761L) % 4000).cast("int").as("k"),
+        ($"id" % 13).cast("double").as("v"))
+      .write.format("colf").option("sortBy", "k").option("numFiles", 4)
+      .mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".colf")) == 4)
+
+    // the 4 files carry near-disjoint k ranges → a narrow filter keeps 1
+    val q = spark.read.format("colf").load(dir).where($"k" >= 100 && $"k" < 600)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val metrics = scans.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(metrics("colfFilesListed") == 4L)
+    assert(metrics("colfFilesPlanned") <= 1L,
+      s"sorted write should prune 3 of 4 files, got $metrics")
+    // correctness unchanged by pruning: k values are a permutation of 0..3999
+    assert(q.count() == 500)
+
+    // sortBy alone (no numFiles): AQE sizes the exchange; write must
+    // succeed and round-trip (single small file is fine at this scale)
+    val dir2 = tmp()
+    spark.range(0, 1000).select($"id".cast("int").as("k"))
+      .write.format("colf").option("sortBy", "k").mode("overwrite").save(dir2)
+    assert(spark.read.format("colf").load(dir2).count() == 1000)
+
+    // option validation fails at planning, loudly
+    val bad = intercept[Exception] {
+      spark.range(0, 10).select($"id".cast("int").as("k"))
+        .write.format("colf").option("sortBy", "nope").mode("overwrite").save(tmp())
+    }
+    assert(bad.getMessage.contains("sortBy"))
+    val bad2 = intercept[Exception] {
+      spark.range(0, 10).select($"id".cast("int").as("k"))
+        .write.format("colf").option("numFiles", 4).mode("overwrite").save(tmp())
+    }
+    assert(bad2.getMessage.contains("numFiles"))
+  }
+
   test("pruning composes with limit pushdown and count stays exact") {
     val dir = tmp()
     for (i <- 0 until 4)
