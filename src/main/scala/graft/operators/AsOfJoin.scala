@@ -25,8 +25,20 @@ import org.apache.spark.sql.functions._
   *
   * Cost shape: ONE shuffle of |L|+|R| rows on the join keys and a per-key
   * sort — the same cost class as a plain shuffle join, no pair blowup.
-  * A very hot key concentrates its rows in one window partition
-  * (spillable); pre-split such keys by a coarse time bucket if needed.
+  *
+  * Hot keys: without mitigation, all rows of one join key sort in a
+  * single window partition — one device/user owning 90% of a 100-TB
+  * event stream turns the query into one straggler task. Passing
+  * `timeBucketWidth` pre-splits every key's window by a coarse time
+  * bucket: the window partitions on (keys, bucket), and each bucket is
+  * seeded with a synthetic "carry-in" row holding the latest right row
+  * from all EARLIER buckets (computed by a cheap per-(key,bucket)
+  * aggregate + a tiny window over bucket numbers — data volume ≤ one row
+  * per key per bucket, partial-aggregated map-side). A hot key then
+  * spreads over (time range / width) tasks while every left row still
+  * sees its true predecessor. Pick a width coarse enough that per-bucket
+  * row counts fit a task (e.g. a day of events), fine enough to split
+  * the hot key's history.
   *
   * Contract: right time values must be non-null; (keys, rightTime) should
   * be unique on the right side (dedupe first — otherwise which equal-time
@@ -37,12 +49,20 @@ object AsOfJoin {
 
   /** @param joinType "left" keeps unmatched left rows (right columns
     *                 null); "inner" drops them.
+    * @param timeBucketWidth optional hot-key pre-split: window on
+    *                 (keys, floor(time/width)) instead of (keys), with
+    *                 per-bucket carry-in of the latest earlier right row.
+    *                 Width is in the time column's numeric scale (epoch
+    *                 seconds for timestamps).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, joinType: String = "inner"): DataFrame = {
+      leftTime: String, rightTime: String, joinType: String = "inner",
+      timeBucketWidth: Option[Double] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asOfJoin supports inner|left, got $joinType")
     require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    require(timeBucketWidth.forall(_ > 0),
+      s"timeBucketWidth must be positive, got $timeBucketWidth")
 
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val rightCarried = rightTime +: rightPayload
@@ -60,15 +80,58 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    val unioned = lU.unionByName(rU)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = timeBucketWidth match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
-    val matched = lU.unionByName(rU)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-    val kept = if (joinType == "inner") matched.where(col("__m").isNotNull) else matched
+      case Some(width) =>
+        val tType = unioned.schema("__t").dataType
+        val bucketed = unioned.withColumn("__b",
+          floor(col("__t").cast("double") / width).cast("long"))
+        val keyB = keys :+ "__b"
+
+        // Latest right row inside each (key, bucket): a partial-aggregated
+        // groupBy — output is ≤ one row per key per bucket regardless of
+        // how hot the key is, so the carry computation never concentrates.
+        val lastInBucket = bucketed.where(col("__r").isNotNull)
+          .groupBy(keyB.map(col): _*)
+          .agg(max_by(col("__r"), col("__t")).as("__lastr"))
+
+        // Carry-in for bucket b = latest right row over all buckets < b,
+        // for EVERY bucket either side populates (a left-only bucket still
+        // needs its predecessor's state). The window runs over bucket
+        // NUMBERS (tiny), not rows.
+        val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = bucketed.select(keyB.map(col): _*).distinct()
+          .join(lastInBucket, keyB, "left")
+          .withColumn("__carry", last(col("__lastr"), ignoreNulls = true).over(wCarry))
+          .where(col("__carry").isNotNull)
+
+        // Seed each bucket with its carry-in as a synthetic row sorting
+        // before every real in-bucket row: t = bucket start (≤ all
+        // in-bucket times), side = -1 (before right rows on ties).
+        val synth = carry.select(
+          keys.map(col) ++ Seq(
+            (col("__b").cast("double") * width).cast(tType).as("__t"),
+            lit(-1).as("__side"),
+            lit(null).cast(lType).as("__l"), col("__carry").as("__r"),
+            col("__b")): _*)
+
+        val w = Window.partitionBy(keyB.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.unionByName(synth)
+          .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    }
+
+    val leftOnly = matched.where(col("__side") === 1)
+    val kept = if (joinType == "inner") leftOnly.where(col("__m").isNotNull) else leftOnly
     kept.select(
       left.columns.map(c => col(s"__l.$c").as(c)) ++
         rightCarried.map(c => col(s"__m.$c").as(c)): _*)

@@ -51,6 +51,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the union-window form in:\n$plan")
   }
 
+  test("timeBucketWidth pre-split: identical results, hot key spread over many window partitions") {
+    // One key owns 90% of the rows — the r3-flagged straggler shape: with
+    // a plain (key)-partitioned window all 900 rows land in ONE task.
+    val rnd = new scala.util.Random(31)
+    val ls = (0 until 900).map(i => (7L, rnd.nextInt(1000).toLong, i.toLong)) ++
+      (900 until 1000).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rs = Seq.tabulate(60)(i => (7L, i * 17L, 1000L + i)) ++
+      Seq.tabulate(20)(i => (i % 5L, i * 50L, 2000L + i))
+    val lDf = ls.toDF("k", "t", "lid")
+    val rDf = rs.toDF("k", "rt", "rid")
+
+    val plain = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "left")
+    val bucketed = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "left",
+      timeBucketWidth = Some(100.0))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(m(bucketed) == m(plain))
+
+    // the main window really partitions on (key, bucket): the hot key's
+    // rows split across 10 bucket values instead of one partition
+    val winSpecs = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec.length
+    }
+    assert(winSpecs.contains(2), s"expected a (key, bucket) window, specs=$winSpecs")
+    val hotBuckets = ls.filter(_._1 == 7L).map(_._2 / 100).distinct.size
+    assert(hotBuckets == 10, s"hot key should span 10 buckets, got $hotBuckets")
+
+    // inner variant agrees too
+    val pi = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "inner")
+    val bi = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "inner",
+      timeBucketWidth = Some(100.0))
+    assert(m(bi) == m(pi))
+  }
+
+  test("timeBucketWidth: carry-in crosses empty buckets and seeds left-only buckets") {
+    // right rows only in bucket 0; left rows in buckets 3 and 9 — every
+    // match must ride the carry chain across empty buckets.
+    val lDf = Seq((1L, 350L, "a"), (1L, 990L, "b"), (2L, 500L, "c"))
+      .toDF("k", "t", "lv")
+    val rDf = Seq((1L, 10L, "x"), (1L, 40L, "y")).toDF("k", "rt", "rv")
+    val r = AsOfJoin.asOfJoin(lDf, rDf, Seq("k"), "t", "rt", "left",
+      timeBucketWidth = Some(100.0)).orderBy("k", "t").collect()
+    assert(r.toSeq == Seq(
+      Row(1L, 350L, "a", 40L, "y"),
+      Row(1L, 990L, "b", 40L, "y"),
+      Row(2L, 500L, "c", null, null)))
+  }
+
   test("matches a reference nested-loop computation on random data") {
     val rnd = new scala.util.Random(17)
     val ls = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
