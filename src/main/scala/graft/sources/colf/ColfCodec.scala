@@ -137,6 +137,10 @@ object ColfCodec {
       * rules ([[StringStatMaxBytes]]; NaN/Inf doubles drop both bounds).
       */
     def statsMinMax: (Option[Any], Option[Any])
+    /** Equality-skipping Bloom filter — utf8 columns only, None when the
+      * per-file distinct count exceeded [[ColfBloom.MaxDistinct]].
+      */
+    def statsBloom: Option[ColfBloom] = None
     protected def ensureNulls(): Unit =
       if (n >= nulls.length) nulls = java.util.Arrays.copyOf(nulls, nulls.length * 2)
     def appendNull(): Unit
@@ -239,6 +243,10 @@ object ColfCodec {
     private val blob = new java.io.ByteArrayOutputStream(1024)
     private var mnB: Array[Byte] = null
     private var mxB: Array[Byte] = null
+    // Distinct value hashes for the equality bloom; null once the distinct
+    // count passes the cap (the bloom is then dropped — stats stay sound,
+    // equality skipping just doesn't apply to this file).
+    private var valueHashes: java.util.HashSet[java.lang.Long] = new java.util.HashSet()
     /** Bounds compare as UNSIGNED BYTES — the same binary order Spark's
       * UTF8String uses for string predicates, so pruning decisions agree
       * with the engine even where UTF-16 `String.compareTo` would not
@@ -280,8 +288,15 @@ object ColfCodec {
         mnB = java.util.Arrays.copyOfRange(v, off, off + len)
       if (mxB == null || cmpBytes(v, off, len, mxB) > 0)
         mxB = java.util.Arrays.copyOfRange(v, off, off + len)
+      if (valueHashes != null) {
+        valueHashes.add(ColfBloom.hash(v, off, len))
+        if (valueHashes.size() > ColfBloom.MaxDistinct) valueHashes = null
+      }
     }
     def append(s: String): Unit = append(s.getBytes(StandardCharsets.UTF_8))
+    override def statsBloom: Option[ColfBloom] =
+      if (valueHashes == null || valueHashes.isEmpty) None
+      else Some(ColfBloom.build(valueHashes))
     // Null rows record the current cumulative position (see class doc).
     override def appendNull(): Unit = { ensure(); starts(n) = blob.size(); nulls(n) = true; nullCount += 1; n += 1 }
     override def payload(): Array[Byte] = {
@@ -459,7 +474,7 @@ object ColfCodec {
     // reader ignores) — the read side prunes whole files against them.
     val stats = fields.lazyZip(builders).map { (f, b) =>
       val (mn, mx) = b.statsMinMax
-      f.name -> ColfColStats(b.nullCnt, mn, mx)
+      f.name -> ColfColStats(b.nullCnt, mn, mx, b.statsBloom)
     }.toMap
     // nullable in the schema reflects observed nulls (like the reference's
     // inference, writer.py:44-50) OR the declared nullability, whichever

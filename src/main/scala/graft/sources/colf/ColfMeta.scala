@@ -198,6 +198,13 @@ private[graft] object ColfPrune {
   /** v ∈ [min, max] as far as the (possibly partial) bounds can tell.
     * A string `min` may be a truncated prefix (≤ true min): v < minT still
     * proves v < trueMin, so the prune direction stays sound.
+    *
+    * For string equality probes a per-file Bloom filter (when present)
+    * answers beyond min/max: on high-cardinality columns every file spans
+    * ~the whole range so bounds never exclude `id = X`, but a definitive
+    * Bloom miss proves X was never written to this file. The hash is over
+    * the value's UTF-8 bytes — the same bytes the writer hashed — so a
+    * Bloom "no" is exact; a "yes" just keeps the file.
     */
   private def withinBounds(h: ColfHeader, a: String, v: Any): Boolean = {
     if (allNull(h, a)) return false
@@ -206,8 +213,19 @@ private[graft] object ColfPrune {
       case Some(st) =>
         val aboveMin = st.min.forall(mn => cmp(mn, v).forall(_ <= 0))
         val belowMax = st.max.forall(mx => cmp(mx, v).forall(_ >= 0))
-        aboveMin && belowMax
+        aboveMin && belowMax && bloomAllows(st, v)
     }
+  }
+
+  private def bloomAllows(st: ColfColStats, v: Any): Boolean = st.bloom match {
+    case None => true
+    case Some(bf) =>
+      val bytes = v match {
+        case s: String     => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case u: UTF8String => u.getBytes
+        case _             => null // non-string probe: bloom doesn't apply
+      }
+      bytes == null || bf.mightContain(ColfBloom.hash(bytes, 0, bytes.length))
   }
 
   /** Range predicates: keep the file iff some value beyond `v` could exist.

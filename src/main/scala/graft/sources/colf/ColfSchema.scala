@@ -40,9 +40,94 @@ final case class ColfField(name: String, tpe: ColfType, nullable: Boolean)
   * max longer than the truncation cap). A string `min` may be a TRUNCATED
   * PREFIX of the true minimum — still a valid lower bound in binary
   * (UTF8String) order; a string `max` is only written when exact.
+  *
+  * `bloom` (utf8 columns only): a small Bloom filter over the column's
+  * distinct values, for EQUALITY skipping where min/max can't bite — a
+  * high-cardinality id/URL column makes every file span ~the whole sort
+  * range, so range bounds never exclude an equality probe, but a Bloom
+  * answers "id = X" per file with ~1% false positives. False positives
+  * only KEEP files (never prune wrongly); absence (high-distinct columns
+  * past the build cap, legacy files) keeps everything.
   */
-final case class ColfColStats(nullCount: Long, min: Option[Any], max: Option[Any])
+final case class ColfColStats(nullCount: Long, min: Option[Any], max: Option[Any],
+    bloom: Option[ColfBloom] = None)
     extends Serializable
+
+/** Split-hash Bloom filter (Kirsch–Mitzenmacher: the i-th probe bit is
+  * h1 + i·h2 from the two halves of one xxhash64). The WRITER hashes each
+  * value's raw UTF-8 bytes with [[ColfBloom.hash]]; the PRUNER hashes the
+  * filter literal the same way, so membership agrees byte-for-byte with
+  * Spark string equality. Serialized little-endian base64 in the header
+  * JSON — a few tens of KB per column at the 50k-distinct build cap.
+  */
+final case class ColfBloom(bits: Array[Long], k: Int) extends Serializable {
+  private def m: Long = bits.length.toLong * 64L
+
+  def mightContain(h: Long): Boolean = {
+    val h1 = h.toInt
+    val h2 = (h >>> 32).toInt
+    var i = 0
+    while (i < k) {
+      val idx = java.lang.Math.floorMod(h1.toLong + i.toLong * h2.toLong, m)
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def toBase64: String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+}
+
+object ColfBloom {
+  /** Stop collecting per-file distinct hashes past this: a column with
+    * more distinct values per FILE than this would need a bloom too big
+    * for a header that every planning fetch pays for. (Distinct-per-file,
+    * not per-table: even a globally-unique id column builds a bloom as
+    * long as files stay under ~50k rows each... and at normal file sizes
+    * a miss here just means no equality skipping, exactly as before.)
+    */
+  val MaxDistinct = 50000
+  val BitsPerKey = 10 // with k=6 → ~0.6% false-positive rate
+  val K = 6
+
+  /** Stable value hash shared by writer and pruner. */
+  def hash(bytes: Array[Byte], off: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 0L)
+
+  def build(hashes: java.util.Set[java.lang.Long]): ColfBloom = {
+    val nbits = math.max(512L, hashes.size().toLong * BitsPerKey)
+    val bits = new Array[Long](((nbits + 63) / 64).toInt)
+    val m = bits.length.toLong * 64L
+    val it = hashes.iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      val h1 = h.toInt
+      val h2 = (h >>> 32).toInt
+      var i = 0
+      while (i < K) {
+        val idx = java.lang.Math.floorMod(h1.toLong + i.toLong * h2.toLong, m)
+        bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+        i += 1
+      }
+    }
+    ColfBloom(bits, K)
+  }
+
+  def fromBase64(b64: String, k: Int): ColfBloom = {
+    val raw = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bits = new Array[Long](raw.length / 8)
+    var i = 0
+    while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
+    ColfBloom(bits, k)
+  }
+}
 
 /** The header's human-readable schema JSON:
   * {"num_rows": N, "columns": [{"name","type","nullable"}...]}
@@ -74,6 +159,10 @@ final case class ColfSchema(numRows: Long, fields: IndexedSeq[ColfField],
         sb.append(", \"null_count\": ").append(st.nullCount)
         st.min.foreach(v => sb.append(", \"min\": ").append(ColfSchema.statJson(v)))
         st.max.foreach(v => sb.append(", \"max\": ").append(ColfSchema.statJson(v)))
+        st.bloom.foreach { bf =>
+          sb.append(", \"bloom\": \"").append(bf.toBase64)
+            .append("\", \"bloom_k\": ").append(bf.k)
+        }
       }
       sb.append("}")
     }
@@ -126,7 +215,12 @@ object ColfSchema {
             case ColfType.Float64 => c.get(key).asDouble()
             case ColfType.Utf8    => c.get(key).asText()
           })
-        stats += f.name -> ColfColStats(c.get("null_count").asLong(), bound("min"), bound("max"))
+        val bloom =
+          if (c.has("bloom") && c.has("bloom_k"))
+            Some(ColfBloom.fromBase64(c.get("bloom").asText(), c.get("bloom_k").asInt()))
+          else None
+        stats += f.name -> ColfColStats(c.get("null_count").asLong(), bound("min"),
+          bound("max"), bloom)
       }
       f
     }

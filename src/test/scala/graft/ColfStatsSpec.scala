@@ -211,6 +211,77 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(sq.select($"k").as[Int].collect().toSeq == Seq(3500))
   }
 
+  // ------------------------------------------------------ equality blooms
+
+  test("bloom: contains every inserted value, JSON round-trips, cap drops it") {
+    val b = new ColfCodec.StringColumnBuilder
+    val vals = (0 until 5000).map(i => s"doc-$i-${i * 2654435761L}%07x") :+ "" :+ "héllo→世界"
+    vals.foreach(b.append)
+    val bf = b.statsBloom.get
+    def contains(bf: ColfBloom, s: String): Boolean = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      bf.mightContain(ColfBloom.hash(bytes, 0, bytes.length))
+    }
+    assert(vals.forall(contains(bf, _)), "bloom must never miss an inserted value")
+    // a bloom this size rejects almost all absent probes
+    val misses = (0 until 1000).count(i => !contains(bf, s"absent-$i"))
+    assert(misses > 950, s"expected <5% false positives, got ${1000 - misses}")
+
+    // survives the header JSON round trip bit-for-bit
+    val (mn, mx) = b.statsMinMax
+    val schema = ColfSchema(vals.length.toLong,
+      scala.collection.immutable.ArraySeq(ColfField("s", ColfType.Utf8, false)),
+      Map("s" -> ColfColStats(0L, mn, mx, Some(bf))))
+    val back = ColfSchema.fromJson(schema.toJson).stats("s").bloom.get
+    assert(back.k == bf.k && java.util.Arrays.equals(back.bits, bf.bits))
+
+    // past the distinct cap the bloom is dropped, not degraded
+    val big = new ColfCodec.StringColumnBuilder
+    (0 to ColfBloom.MaxDistinct).foreach(i => big.append(s"v$i"))
+    assert(big.statsBloom.isEmpty)
+    // all-null / empty columns carry none either
+    val empty = new ColfCodec.StringColumnBuilder
+    empty.appendNull()
+    assert(empty.statsBloom.isEmpty)
+  }
+
+  test("bloom prunes string-equality probes where min/max keeps every file") {
+    val dir = tmp()
+    // Each file holds ids from a distinct residue class mod 4, so every
+    // file spans ~the ENTIRE lexicographic range — min/max alone can
+    // never exclude an equality probe.
+    for (i <- 0 until 4)
+      spark.range(0, 2000)
+        .select(concat(lit("id-"), lpad(($"id" * 4 + i).cast("string"), 6, "0")).as("doc_id"),
+          ($"id" + i).cast("int").as("n"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".colf")) == 4)
+
+    // "id-000005" = 4*1+1 → lives only in file 1; min/max keeps all 4
+    val q = spark.read.format("colf").load(dir).where($"doc_id" === "id-000005")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val metrics = scans.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(metrics("colfFilesListed") == 4L)
+    assert(metrics("colfFilesPlanned") <= 2L,
+      s"bloom should prune most files on an equality probe, got $metrics")
+    assert(q.select($"n").as[Int].collect().toSeq == Seq(2)) // id 5 = 4*1+1, n=1+1
+
+    // IN list: probes from two residue classes keep ≤ 2 files (+FP slack)
+    val qin = spark.read.format("colf").load(dir)
+      .where($"doc_id".isin("id-000004", "id-000006"))
+    val sin = qin.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val min2 = sin.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(min2("colfFilesPlanned") <= 3L, s"IN probe should prune, got $min2")
+    assert(qin.count() == 2)
+
+    // absent value: bloom prunes everything, result still correct (empty)
+    assert(spark.read.format("colf").load(dir).where($"doc_id" === "id-999999x").count() == 0)
+  }
+
   test("sortBy write option clusters files so pruning bites on a naturally-written table") {
     val dir = tmp()
     // SHUFFLED input — without write-side clustering every part file would
@@ -428,7 +499,9 @@ class ColfStatsSpec extends AnyFunSuite {
     val in = new java.io.BufferedInputStream(new java.io.FileInputStream(part))
     val header = try ColfCodec.readHeader(in) finally in.close()
     assert(header.schema.stats("k") == ColfColStats(0L, Some(1), Some(3)))
-    assert(header.schema.stats("s") == ColfColStats(0L, Some("a"), Some("c")))
+    val s = header.schema.stats("s")
+    assert((s.nullCount, s.min, s.max) == ((0L, Some("a"), Some("c"))))
+    assert(s.bloom.nonEmpty, "string column should carry an equality bloom")
     val outCsv = Files.createTempFile("colf_stats_compat", ".csv").toString
     val py = new ProcessBuilder("python3", "/root/reference/reader.py",
       "custom_to_csv", part.getAbsolutePath, outCsv).redirectErrorStream(true).start()
