@@ -1,6 +1,6 @@
 package graft.sources.colf
 
-import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.{Executors, ThreadFactory}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.conf.Configuration
@@ -31,8 +31,25 @@ private[graft] object ColfHeaderCache {
   /** Test instrumentation: number of ACTUAL filesystem header reads. */
   val fetches = new AtomicLong(0)
 
-  private val MaxEntries = 1 << 17 // headers are ~100s of bytes; ~tens of MB cap
-  private val cache = new ConcurrentHashMap[(String, Long, Long), ColfHeader]()
+  /** Entry cap (headers are ~100s of bytes–tens of KB with blooms; the cap
+    * bounds driver heap at tens–hundreds of MB). Var so specs can shrink
+    * it; production never mutates it.
+    */
+  @volatile private[graft] var maxEntries: Int = 1 << 17
+
+  /** Access-ordered LRU: filling the cache evicts only the LEAST RECENTLY
+    * USED entries, so a directory sweep that overflows the cap no longer
+    * wipes the hot working set the next query needs (the previous
+    * wholesale clear() evicted everything at exactly the wrong moment).
+    * Map operations are microseconds under one lock vs milliseconds of
+    * FS I/O per miss — contention is irrelevant next to what a miss costs.
+    */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), ColfHeader](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), ColfHeader]): Boolean =
+        size() > maxEntries
+    })
 
   private lazy val pool = Executors.newFixedThreadPool(32, new ThreadFactory {
     private val n = new AtomicLong(0)
@@ -51,8 +68,7 @@ private[graft] object ColfHeaderCache {
     val path = new Path(ref.path)
     val in = path.getFileSystem(conf).open(path)
     val h = try ColfCodec.readHeader(in) finally in.close()
-    if (cache.size() >= MaxEntries) cache.clear() // crude but safe bound
-    cache.put(key, h)
+    cache.put(key, h) // LRU-bounded: inserts past the cap evict cold entries
     h
   }
 

@@ -356,6 +356,42 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(ColfHeaderCache.fetches.get() == afterFirst)
   }
 
+  test("header cache LRU: cold churn past the cap keeps the hot working set, fetches bounded") {
+    // Build one hot 2-file directory and 8 cold single-file directories.
+    def mkDir(rows: Int, parts: Int): String = {
+      val d = tmp()
+      spark.range(rows).select($"id".cast("int").as("k"))
+        .repartition(parts).write.format("colf").mode("overwrite").save(d)
+      d
+    }
+    val hot = mkDir(100, 2)
+    val colds = Seq.fill(8)(mkDir(10, 1))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def refs(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => ColfFileRef(f.getAbsolutePath, f.length(), f.lastModified())).toSeq
+    val hotRefs = refs(hot)
+    assert(hotRefs.size == 2)
+
+    val saved = ColfHeaderCache.maxEntries
+    try {
+      ColfHeaderCache.maxEntries = 4
+      val base = ColfHeaderCache.fetches.get()
+      ColfHeaderCache.getAll(hotRefs, conf) // hot set in cache: 2 fetches
+      // interleave cold churn (10 distinct files > cap) with hot re-reads;
+      // the old wholesale clear() wiped the hot set every time the cap
+      // tripped — LRU keeps refreshing it, so hot re-reads stay free
+      colds.foreach { c =>
+        ColfHeaderCache.getAll(refs(c), conf)
+        ColfHeaderCache.getAll(hotRefs, conf)
+      }
+      val spent = ColfHeaderCache.fetches.get() - base
+      // 2 hot + 8 cold misses; every hot re-read (16 lookups) must hit
+      assert(spent == 10L, s"expected 10 fetches (2 hot + 8 cold, hot re-reads free), got $spent")
+    } finally ColfHeaderCache.maxEntries = saved
+  }
+
   test("streaming sink: one commit per microbatch epoch, epoch-scoped file names") {
     val inDir = tmp()
     val outDir = tmp()
