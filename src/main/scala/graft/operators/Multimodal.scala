@@ -109,6 +109,50 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Double,
+      channels: Int, bits: Int, frames: Long, duration_secs: Double)
+
+  /** REAL audio metadata decode (JDK `javax.sound.sampled`, zero new
+    * deps): WAV/AIFF/AU header parse via
+    * `AudioSystem.getAudioFileFormat`, which reads the container header
+    * without decoding samples — the same header-only cost model as
+    * [[decodeImages]]. Emits sample rate, channel count, bits per sample,
+    * frame count and duration (frames / frame rate).
+    *
+    * Poison rows (null media, non-audio bytes, truncated headers) degrade
+    * to -1 fields instead of failing the task; filter `sample_rate >= 0`
+    * to keep decoded rows. Compressed formats without a JDK provider
+    * (mp3, ogg) land in the same degraded bucket — a real pipeline slots
+    * its codec into this exact per-partition iterator. No video container
+    * parser ships with the JDK (see [[resizeImages]] note).
+    */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map(audioMeta)
+    }
+  }
+
+  private def audioMeta(r: MediaRow): AudioMeta = {
+    if (r.media == null) return AudioMeta(r.doc_id, 0, -1.0, -1, -1, -1L, -1.0)
+    try {
+      // ByteArrayInputStream supports mark/reset, which the provider
+      // probe requires; header parse only — samples are never decoded.
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(r.media))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val dur =
+        if (frames >= 0 && fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble
+        else -1.0
+      AudioMeta(r.doc_id, r.media.length, fmt.getSampleRate.toDouble,
+        fmt.getChannels, fmt.getSampleSizeInBits, frames, dur)
+    } catch {
+      case _: Exception => AudioMeta(r.doc_id, r.media.length, -1.0, -1, -1, -1L, -1.0)
+    }
+  }
+
   private def imageMeta(r: MediaRow): MediaMeta = {
     // null media is a poison row like any other: degrade, don't NPE
     if (r.media == null) return MediaMeta(r.doc_id, 0, -1, -1, 0L)

@@ -254,6 +254,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(0).checksum == crc.getValue)
   }
 
+  test("decodeAudio reads real WAV/AIFF headers; junk bytes degrade to -1") {
+    import javax.sound.sampled._
+    // a real 16-bit PCM WAV: 8000 Hz stereo, 4000 frames = 0.5 s
+    def wav(rate: Float, channels: Int, frames: Int, fileType: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, fileType, bos)
+      bos.toByteArray
+    }
+    val w = wav(8000f, 2, 4000, AudioFileFormat.Type.WAVE)
+    val a = wav(44100f, 1, 441, AudioFileFormat.Type.AIFF)
+    val junk = "not audio at all, just text bytes".getBytes("UTF-8")
+    val df = Seq((1L, w, "audio/wav"), (2L, a, "audio/aiff"), (3L, junk, "text/plain"),
+      (4L, null.asInstanceOf[Array[Byte]], "audio/wav"))
+      .toDF("doc_id", "media", "media_type")
+    val metas = Multimodal.decodeAudio(df).collect().sortBy(_.doc_id)
+    assert(metas(0).sample_rate == 8000.0 && metas(0).channels == 2 && metas(0).bits == 16)
+    assert(metas(0).frames == 4000L && math.abs(metas(0).duration_secs - 0.5) < 1e-9)
+    assert(metas(1).sample_rate == 44100.0 && metas(1).channels == 1 &&
+      math.abs(metas(1).duration_secs - 0.01) < 1e-9)
+    // poison rows degrade, never NPE/kill the task
+    assert(metas(2).sample_rate == -1.0 && metas(2).n_bytes == junk.length)
+    assert(metas(3).sample_rate == -1.0 && metas(3).n_bytes == 0)
+  }
+
   test("contamination finds every verbatim eval leak and nothing else") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
