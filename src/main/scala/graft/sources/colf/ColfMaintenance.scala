@@ -32,14 +32,21 @@ object ColfMaintenance {
     * unambiguous). Accept that window or front a manifest-based table
     * format.
     *
+    * @param sortBy optional re-clustering: the rewrite range-partitions +
+    *               sorts on these columns (the writer's `sortBy` path), so
+    *               compaction doubles as layout OPTIMIZE — compacted files
+    *               get tight disjoint min/max stats and pruning starts
+    *               biting on a table whose original write order had none.
     * @return (filesBefore, filesAfter)
     */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = ColfWrite.DefaultMaxBytesPerFile): (Int, Int) = {
+      targetBytes: Long = ColfWrite.DefaultMaxBytesPerFile,
+      sortBy: Seq[String] = Seq.empty): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = ColfUtil.driverHadoopConf()
     val before = ColfUtil.resolveFileRefs(Seq(dir), conf)
-    if (before.lengthCompare(1) <= 0) return (before.length, before.length)
+    if (before.lengthCompare(1) <= 0 && sortBy.isEmpty)
+      return (before.length, before.length)
 
     val totalBytes = before.map(_.size).sum
     val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -48,10 +55,15 @@ object ColfMaintenance {
     // file's schema would silently drop later-added columns — and the
     // delete below would make that loss permanent. Type conflicts still
     // fail loudly before anything is written or deleted.
-    spark.read.format("colf").option("mergeSchema", "true")
+    val df = spark.read.format("colf").option("mergeSchema", "true")
       .load(before.map(_.path): _*)
-      .coalesce(nParts)
-      .write.format("colf").mode("append").save(dir)
+    val writer =
+      if (sortBy.nonEmpty)
+        df.write.format("colf")
+          .option("sortBy", sortBy.mkString(","))
+          .option("numFiles", nParts)
+      else df.coalesce(nParts).write.format("colf")
+    writer.mode("append").save(dir)
 
     val fs = new Path(dir).getFileSystem(conf)
     before.foreach { r =>

@@ -63,6 +63,11 @@ object ColfTools {
       val (b, a) = ColfMaintenance.compact(spark, dir, targetMb.toLong * 1024 * 1024)
       println(s"compacted $dir: $b files -> $a files")
 
+    case Array("compact", dir, targetMb, sortCols) =>
+      val (b, a) = ColfMaintenance.compact(spark, dir, targetMb.toLong * 1024 * 1024,
+        sortCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      println(s"compacted $dir (sorted by $sortCols): $b files -> $a files")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -83,7 +88,7 @@ object ColfTools {
            |  custom_to_csv <in_dir_or_file> <out.csv>
            |  read_columns  <in_dir_or_file> <col1,col2,...>
            |  stats         <in_dir_or_file>
-           |  compact       <dir> [targetMB]""".stripMargin)
+           |  compact       <dir> [targetMB [sortCol1,sortCol2]]""".stripMargin)
       sys.exit(2)
   }
 

@@ -192,30 +192,35 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val conf = ColfUtil.driverHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    // 1) Rename every temp into place. New names embed this write's unique
-    //    queryId, so they can never collide with pre-existing data files.
-    val committed = scala.collection.mutable.HashSet.empty[String]
-    messages.foreach {
-      case ColfCommitMessage(files) => files.foreach { case (tmp, fin) =>
-        val src = new Path(tmp)
-        val dst = new Path(fin)
-        if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
-        if (!fs.rename(src, dst))
-          throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
-        committed += dst.getName
-      }
-      case _ => ()
+    // 1) Rename every temp into place — IN PARALLEL: a serial rename loop
+    //    is the driver's commit wall-clock at 10⁵ part files on a remote
+    //    FS (each rename is an RPC round trip). Hadoop FileSystem handles
+    //    are thread-safe; any failed rename still fails the whole commit
+    //    loudly. New names embed this write's unique queryId, so they can
+    //    never collide with pre-existing data files.
+    val pairs = messages.toSeq.flatMap {
+      case ColfCommitMessage(files) => files
+      case _                        => Seq.empty
+    }
+    val committed = pairs.map { case (_, fin) => new Path(fin).getName }.toSet
+    ColfHeaderCache.mapParallel(pairs) { case (tmp, fin) =>
+      val src = new Path(tmp)
+      val dst = new Path(fin)
+      if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
     }
     // 2) Deferred truncate LAST: a crash anywhere above leaves old data
     //    fully intact (plus invisible temps / some new files) — a superset,
-    //    never a partial table.
+    //    never a partial table. Deletes are parallel for the same reason
+    //    renames are.
     if (truncate && fs.exists(dirPath)) {
-      fs.listStatus(dirPath).foreach { st =>
+      val stale = fs.listStatus(dirPath).toSeq.filter { st =>
         val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
-            !committed.contains(n))
-          fs.delete(st.getPath, false)
+        st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
+          !committed.contains(n)
       }
+      ColfHeaderCache.mapParallel(stale)(st => fs.delete(st.getPath, false))
     }
     deleteQueryTemps(fs)
   }

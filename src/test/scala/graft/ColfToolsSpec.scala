@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.colf.ColfTools
+import graft.sources.colf.{ColfMaintenance, ColfTools}
 
 /** CLI parity spec: the reference's E1/E2 pipeline (csv → colf → csv)
   * driven through ColfTools on the reference's own sample data, compared
@@ -73,6 +73,42 @@ class ColfToolsSpec extends AnyFunSuite {
     assert(back.where($"k" === 777).select($"s").as[String].head() == "v777")
     // no temps, no stale files
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".colf.tmp")))
+  }
+
+  test("compact with sortBy re-clusters the layout so pruning starts biting") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_compact_sort").toString
+    // 8 files, each spanning the WHOLE key range (round-robin residues) —
+    // stats pruning is useless on this layout
+    for (i <- 0 until 8)
+      spark.range(0, 500).select(($"id" * 8 + i).cast("int").as("k"))
+        .coalesce(1).write.format("colf").mode("append").save(dir)
+    def planned(q: org.apache.spark.sql.DataFrame): Long =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.scan.reportDriverMetrics().collectFirst {
+        case m if m.name == "colfFilesPlanned" => m.value
+      }.get
+    val before = spark.read.format("colf").load(dir).where($"k" < 500)
+    assert(planned(before) == 8L, "unsorted layout must not prune")
+
+    // re-cluster (tiny byte target so the toy table still yields several
+    // range-disjoint files)
+    ColfMaintenance.compact(spark, dir, targetBytes = 4096, sortBy = Seq("k"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith("."))
+    assert(files.length >= 2, s"expected multiple sorted files, got ${files.length}")
+    val after = spark.read.format("colf").load(dir).where($"k" < 500)
+    assert(planned(after) < files.length, "sorted layout must prune")
+    assert(after.count() == 500)
+    assert(spark.read.format("colf").load(dir).count() == 4000)
+    assert(spark.read.format("colf").load(dir).agg(sum($"k")).head.getLong(0) ==
+      (0L until 4000L).sum)
+
+    // CLI arg shape: a further sorted compaction through run() keeps data
+    ColfTools.run(spark, Array("compact", dir, "64", "k"))
+    assert(spark.read.format("colf").load(dir).count() == 4000)
   }
 
   test("custom_to_csv emits a header-only file for a zero-row table") {
