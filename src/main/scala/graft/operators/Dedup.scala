@@ -481,14 +481,18 @@ object Dedup {
     while (iter < maxIter && !converged) {
       // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
       // v > u re-points at m. Output edges stay oriented src > dst
-      // (m ≤ u < v by construction).
+      // (m ≤ u < v by construction). `ls` feeds two consumers in the same
+      // round — PERSIST (lazy cache), don't checkpoint: one eager
+      // materialization per round (ss below) instead of two halves the
+      // per-round job count, and ss's checkpoint still truncates lineage
+      // before the next round chains onto it.
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
       val ls = sym.join(lsMin, "src").where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // small-star: for each node u over its smaller neighbors,
       // m = min(N(u) ∪ {u}) = min(dst); u and every smaller neighbor
       // (except m itself) re-point at m.
@@ -498,6 +502,7 @@ object Dedup {
         .union(ssMin.select(col("src"), col("m").as("dst")))
         .distinct()
         .localCheckpoint(true)
+      ls.unpersist()
       // Exact fixpoint: the round was an identity on the (distinct) edge
       // set — equal counts + empty set difference. At the fixpoint the
       // graph is a forest of stars: src = node, dst = its component min.
