@@ -274,6 +274,45 @@ object SparkEntry {
       operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us", "left")
     }),
 
+    "q_stream_asof" -> ((s, dir) => {
+      // STREAMING point-in-time join (StreamingOps.asOfJoinStream): the
+      // same enrichment as q_asof_join, run as two file streams →
+      // watermarks → stateful as-of join → memory sink, drained with
+      // AvailableNow. Times compare at millisecond precision (the
+      // watermark's granularity) on both engines. Sentinel rows one day
+      // past the newest event push the final watermark over every real
+      // left so the whole result finalizes before the stream drains; the
+      // sentinels themselves are filtered back out. The oracle is DuckDB's
+      // native ASOF LEFT JOIN over the same millisecond-truncated times.
+      import org.apache.spark.sql.streaming.Trigger
+      val evs = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("t_ts"))
+      val pur = t(s, dir, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("p_ts"),
+          col("event_id").as("pe"))
+        .groupBy("user_id", "p_ts").agg(min("pe").as("purchase_id"))
+      val sentinel = expr("timestamp_millis(1900000000000)") // far past any test event
+      val lIn = work("q_stream_asof_l")
+      val rIn = work("q_stream_asof_r")
+      evs.unionByName(s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        sentinel.as("t_ts"))).write.mode("overwrite").parquet(lIn)
+      pur.unionByName(s.range(1).select(lit(-1L).as("user_id"), sentinel.as("p_ts"),
+        lit(-1L).as("purchase_id"))).write.mode("overwrite").parquet(rIn)
+      val lS = s.readStream.schema(s.read.parquet(lIn).schema).parquet(lIn)
+        .withWatermark("t_ts", "0 seconds")
+      val rS = s.readStream.schema(s.read.parquet(rIn).schema).parquet(rIn)
+        .withWatermark("p_ts", "0 seconds")
+      val joined = streaming.StreamingOps.asOfJoinStream(lS, rS, Seq("user_id"), "t_ts", "p_ts")
+      val qname = s"graft_stream_asof_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname).where(col("event_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("t_ts")).as("t_ms"), unix_millis(col("p_ts")).as("p_ms"),
+          col("purchase_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // Point-in-interval join via bucketized equi-join (RangeJoin): each
       // customer balance finds the overlapping nation-derived bands. The
@@ -801,6 +840,14 @@ object SparkEntry {
         |  SELECT user_id, epoch_us(ts) AS p_us, min(event_id) AS purchase_id
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)) r
         |ON l.user_id = r.user_id AND l.t_us >= r.p_us""".stripMargin,
+
+    "q_stream_asof" ->
+      """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events) l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_ms(ts) AS p_ms, min(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_ms(ts)) r
+        |ON l.user_id = r.user_id AND l.t_ms >= r.p_ms""".stripMargin,
 
     "q_range_join" ->
       """SELECT c_custkey, c_acctbal, n_nationkey, lo, hi

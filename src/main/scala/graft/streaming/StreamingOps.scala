@@ -1,12 +1,131 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming operators (the
   * `KeyValueGroupedDataset.flatMapGroupsWithState` surface).
   */
 object StreamingOps {
+
+  /** Per-key buffer for [[asOfJoinStream]]: left events not yet finalized
+    * by the watermark, and the right rows still eligible to match some
+    * future left, each as (eventTimeMs, payload struct). Serialized with
+    * kryo (which requires a public class) — state never needs a columnar
+    * encoding.
+    */
+  final case class AsOfBuf(lefts: List[(Long, Row)], rights: List[(Long, Row)])
+
+  /** STREAMING as-of (temporal) join: enrich each left event with the
+    * latest right row at-or-before its event time, per key — the
+    * streaming counterpart of [[graft.operators.AsOfJoin]] with the same
+    * DataFrame surface and output schema (features to the newest
+    * checkpoint, trades to the prevailing quote), left-join semantics
+    * (unmatched lefts carry null right columns).
+    *
+    * Both time columns must be TimestampType and BOTH inputs must carry a
+    * `withWatermark` upstream (the query watermark is their MIN; the
+    * watermarked attribute rides into the envelope by direct column
+    * reference, which is why this is a DataFrame operator — a typed
+    * `.map` would strip the event-time tag). A left event at time t is
+    * emitted only once the watermark passes t, i.e. once every right row
+    * that could precede it has arrived; until then it buffers in state,
+    * and an `EventTimeTimeout` anchored at the earliest pending left
+    * flushes it even if its key never sees another row.
+    *
+    * State is bounded by the watermark delay, not the stream length: each
+    * batch finalizes + drops ripe lefts and garbage-collects rights down
+    * to (the single latest right at-or-before the watermark) + (rights
+    * still above it). The retained latest right — one row per key — is
+    * the irreducible floor for as-of semantics (any future left may still
+    * match it); idle keys hold exactly one row, the same floor a
+    * compacted changelog topic keeps.
+    *
+    * Late data: a left arriving AFTER the watermark passed its event time
+    * finalizes immediately against the retained rights — exact unless the
+    * right row it should have matched was already superseded at the
+    * watermark (the standard late-data tradeoff; widen the watermark
+    * delay to shrink it). Times compare at millisecond precision (the
+    * watermark's own granularity). Contract: (keys, rightTime) unique on
+    * the right side, as in the batch operator.
+    */
+  def asOfJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.apache.spark.sql.types.{StructType, TimestampType}
+    require(keys.nonEmpty, "asOfJoinStream needs at least one key column")
+    require(left.schema(leftTime).dataType == TimestampType &&
+      right.schema(rightTime).dataType == TimestampType,
+      "asOfJoinStream needs TimestampType time columns (they carry the watermark)")
+
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val rightCarried = rightTime +: rightPayload
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightCarried.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    // __ts is the original watermarked column (aliases keep the event-time
+    // metadata, so the stateful operator below sees a watermark).
+    val lU = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__ts"), lit(1).as("__side"),
+        lStruct.as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val rU = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
+    val env = lU.unionByName(rU)
+    val envSchema = env.schema
+    val nKeys = keys.length
+    val tsIdx = nKeys
+    val sideIdx = nKeys + 1
+    val lIdx = nKeys + 2
+    val rIdx = nKeys + 3
+    val keySchema = StructType(keys.map(k => envSchema(k)))
+    val outSchema = StructType(
+      left.schema.fields ++
+        rightCarried.map(c => right.schema(c).copy(nullable = true)))
+    val nRight = rightCarried.length
+
+    implicit val stateEnc: Encoder[AsOfBuf] = Encoders.kryo[AsOfBuf]
+    env.as(Encoders.row(envSchema))
+      .groupByKey(r => Row.fromSeq((0 until nKeys).map(r.get)))(Encoders.row(keySchema))
+      .flatMapGroupsWithState[AsOfBuf, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Row, it: Iterator[Row], state: GroupState[AsOfBuf]) =>
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val incoming = it.toList // empty on a pure timeout invocation
+          def tsOf(r: Row): Long = r.getAs[java.sql.Timestamp](tsIdx).getTime
+          val allLefts = st.lefts ++ incoming.collect {
+            case r if r.getInt(sideIdx) == 1 => (tsOf(r), r.getStruct(lIdx))
+          }
+          val rightsSorted = (st.rights ++ incoming.collect {
+            case r if r.getInt(sideIdx) == 0 => (tsOf(r), r.getStruct(rIdx))
+          }).sortBy(_._1)
+          val wm = state.getCurrentWatermarkMs()
+          // finalize: every left at-or-before the watermark has seen all
+          // its candidate rights — match and emit in event-time order
+          val (ripe, pending) = allLefts.partition(_._1 <= wm)
+          val out = ripe.sortBy(_._1).map { case (t, l) =>
+            val m = rightsSorted.takeWhile(_._1 <= t).lastOption
+            Row.fromSeq(l.toSeq ++ m.map(_._2.toSeq).getOrElse(Seq.fill(nRight)(null)))
+          }
+          // GC rights: the latest at-or-before the watermark can still
+          // match any future left; anything older is unreachable
+          val lastIdx = rightsSorted.lastIndexWhere(_._1 <= wm)
+          val keptRights = (if (lastIdx >= 0) List(rightsSorted(lastIdx)) else Nil) :::
+            rightsSorted.filter(_._1 > wm)
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, keptRights))
+            // flush buffered lefts when the watermark passes the earliest
+            // one, even if this key never sees another row (must stay
+            // strictly ahead of the current watermark per the API)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }(stateEnc, Encoders.row(outSchema))
+  }
 
   /** Streaming exact dedup: emit the first row seen per key, suppress every
     * later occurrence — state persists across microbatches, so a key seen
