@@ -554,6 +554,25 @@ object SparkEntry {
       operators.Sampling.assignSplits(t(s, dir, "documents").select(col("doc_id")),
         col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    "q_stratified_sample" -> ((s, dir) =>
+      // Per-stratum deterministic downsampling (keep 25% of src0, 100% of
+      // src1, 50% of everything else) — membership is a pure function of
+      // (doc_id, salt), so the DuckDB oracle recomputes the identical
+      // selection from the same md5 buckets.
+      operators.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 0.25, "src1" -> 1.0), defaultFraction = 0.5)),
+
+    "q_per_source_cap" -> ((s, dir) =>
+      // Curation cap: at most 12 docs per source, chosen deterministically
+      // by md5 rank (not arrival order) — "cap the boilerplate-heavy
+      // domain" without a partitioning-dependent result. WindowGroupLimit
+      // keeps the shuffle bounded at ~n rows per group per map task.
+      operators.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), n = 12)),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // Pairwise near-dups → per-doc canonical component (connected
       // components). Edges are the EXACT cosine pairs so the whole chain
@@ -971,6 +990,26 @@ object SparkEntry {
          |FROM (SELECT doc_id, substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
          |      FROM documents)""".stripMargin
     },
+
+    "q_stratified_sample" -> {
+      val t25 = operators.Sampling.thresholdHex(0.25)
+      val t100 = operators.Sampling.thresholdHex(1.0)
+      val t50 = operators.Sampling.thresholdHex(0.5)
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |  FROM documents)
+         |WHERE h < CASE source WHEN 'src0' THEN '$t25'
+         |  WHEN 'src1' THEN '$t100' ELSE '$t50' END""".stripMargin
+    },
+
+    "q_per_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 12""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE pairs AS (

@@ -33,6 +33,47 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.where(hexKey(id, salt) < lit(thresholdHex(fraction)))
 
+  /** STRATIFIED deterministic sample: an independent keep-fraction per
+    * stratum (e.g. downsample web crawl to 10% while keeping 100% of
+    * books). Strata absent from `fractions` keep `defaultFraction`.
+    * Membership stays a pure function of (id, salt) — the stratum only
+    * selects the threshold — so growing one stratum never reshuffles
+    * another's sample, and any engine with md5 reproduces the selection.
+    */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val key = hexKey(id, salt)
+    val thr = fractions.foldLeft[Option[Column]](None) { case (acc, (s, f)) =>
+      val t = lit(thresholdHex(f))
+      Some(acc match {
+        case None    => when(stratum === lit(s), t)
+        case Some(e) => e.when(stratum === lit(s), t)
+      })
+    } match {
+      case None    => lit(thresholdHex(defaultFraction))
+      case Some(e) => e.otherwise(lit(thresholdHex(defaultFraction)))
+    }
+    df.where(key < thr)
+  }
+
+  /** Cap rows per group at `n`, deterministically: rank by md5 hex (id as
+    * tiebreak) inside each group and keep the first n — "at most 50k docs
+    * per domain" without any dependence on arrival order or partitioning.
+    * One shuffle on the group column; Spark's WindowGroupLimit pushes the
+    * rank-≤-n filter map-side, so the shuffle carries at most ~n rows per
+    * group per map task, not the whole group.
+    */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, s"capPerGroup needs a positive cap, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(hexKey(id, salt).asc, id.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Assign every row a named split with the given weights (must sum to
     * ~1; the last split takes the remainder). Returns the input plus a
     * `split` column.

@@ -318,6 +318,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("stratified sample and per-group cap are deterministic and bounded") {
+    import graft.operators.Sampling
+    val df = spark.range(3000)
+      .select($"id", concat(lit("g"), ($"id" % 3).cast("string")).as("grp"))
+    // per-stratum rates hold and membership matches the flat sample of the
+    // same fraction (the stratum only picks the threshold)
+    val strat = Sampling.stratifiedSample(df, $"id", $"grp",
+      Map("g0" -> 0.2, "g1" -> 1.0), defaultFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = strat.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("g1") == 1000, "fraction 1.0 must keep the whole stratum")
+    assert(math.abs(byGrp("g0") / 1000.0 - 0.2) < 0.06)
+    assert(math.abs(byGrp("g2") / 1000.0 - 0.5) < 0.06)
+    val flat20 = Sampling.deterministicSample(df.where($"grp" === "g0"), $"id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strat.filter(_._2 == "g0").map(_._1).toSet == flat20)
+
+    // cap: exactly n survivors per group, invariant to partitioning
+    val capped = Sampling.capPerGroup(df, $"grp", $"id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.groupBy(_._2).view.mapValues(_.length).toMap.values.forall(_ == 7))
+    val capped13 = Sampling.capPerGroup(df.repartition(13), $"grp", $"id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(capped.toSet == capped13.toSet)
+    // a group smaller than the cap survives whole
+    val tiny = Sampling.capPerGroup(df.where($"id" < 5), $"grp", $"id", n = 7).count()
+    assert(tiny == 5)
+    // the rank-≤-n filter is pushed map-side (bounded shuffle)
+    val plan = Sampling.capPerGroup(df, $"grp", $"id", n = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("resizeImages rescales real images; junk payloads become null media") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
