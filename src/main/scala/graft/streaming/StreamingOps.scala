@@ -10,11 +10,12 @@ object StreamingOps {
 
   /** Per-key buffer for [[asOfJoinStream]]: left events not yet finalized
     * by the watermark, and the right rows still eligible to match some
-    * future left, each as (eventTimeMs, payload struct). Serialized with
-    * kryo (which requires a public class) — state never needs a columnar
-    * encoding.
+    * future left, each as (eventTimeMs, payload VALUES). Values are raw
+    * `Seq[Any]`, not `Row` — a `GenericRowWithSchema` would kryo-serialize
+    * its entire `StructType` into the state store alongside every
+    * buffered row. Public because kryo requires it.
     */
-  final case class AsOfBuf(lefts: List[(Long, Row)], rights: List[(Long, Row)])
+  final case class AsOfBuf(lefts: List[(Long, Seq[Any])], rights: List[(Long, Seq[Any])])
 
   /** STREAMING as-of (temporal) join: enrich each left event with the
     * latest right row at-or-before its event time, per key — the
@@ -96,10 +97,10 @@ object StreamingOps {
           val incoming = it.toList // empty on a pure timeout invocation
           def tsOf(r: Row): Long = r.getAs[java.sql.Timestamp](tsIdx).getTime
           val allLefts = st.lefts ++ incoming.collect {
-            case r if r.getInt(sideIdx) == 1 => (tsOf(r), r.getStruct(lIdx))
+            case r if r.getInt(sideIdx) == 1 => (tsOf(r), r.getStruct(lIdx).toSeq)
           }
           val rightsSorted = (st.rights ++ incoming.collect {
-            case r if r.getInt(sideIdx) == 0 => (tsOf(r), r.getStruct(rIdx))
+            case r if r.getInt(sideIdx) == 0 => (tsOf(r), r.getStruct(rIdx).toSeq)
           }).sortBy(_._1)
           val wm = state.getCurrentWatermarkMs()
           // finalize: every left at-or-before the watermark has seen all
@@ -107,7 +108,7 @@ object StreamingOps {
           val (ripe, pending) = allLefts.partition(_._1 <= wm)
           val out = ripe.sortBy(_._1).map { case (t, l) =>
             val m = rightsSorted.takeWhile(_._1 <= t).lastOption
-            Row.fromSeq(l.toSeq ++ m.map(_._2.toSeq).getOrElse(Seq.fill(nRight)(null)))
+            Row.fromSeq(l ++ m.map(_._2).getOrElse(Seq.fill(nRight)(null)))
           }
           // GC rights: the latest at-or-before the watermark can still
           // match any future left; anything older is unreachable
