@@ -633,6 +633,10 @@ object SparkEntry {
     // Vocabulary building: corpus-wide token frequencies, top-k. The
     // explode shuffles (token, partial-count) pairs thanks to map-side
     // combine, not raw tokens.
+    "q_repetition" -> ((s, dir) =>
+      operators.TextAnalysis.repetitionStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     "q_word_freq" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -1093,6 +1097,19 @@ object SparkEntry {
         |        FROM documents) GROUP BY token
         |    ) d ON tf.token = d.token)
         |) WHERE rank <= 5""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id, n_tokens, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+        |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_ratio
+        |FROM (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM (
+        |    SELECT doc_id, token, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY doc_id, token)
+        |  GROUP BY doc_id)""".stripMargin,
 
     "q_word_freq" ->
       """SELECT token, count(*) AS n FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -49,6 +49,29 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Repetition signals per document (the Gopher/MassiveText-style
+    * filters): duplicate-token ratio (1 − distinct/total) and
+    * top-token dominance (most frequent token's share). A
+    * machine-generated or boilerplate page repeats itself; thresholds on
+    * these two columns are the standard cheap cut before any model-based
+    * scoring. Shape: explode → two partial-aggregated groupBys (map-side
+    * combine both times); the ratios divide exact longs, so independent
+    * engines reproduce the doubles bit-for-bit. Docs with null text drop
+    * out (no tokens, nothing to score).
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val perTok = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    perTok.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double")).as("top_ratio"))
   }
 
   def tokenCount(text: Column): Column = size(tokens(text))

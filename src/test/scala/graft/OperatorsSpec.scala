@@ -318,6 +318,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("repetitionStats: duplicate-token and top-token ratios on known docs") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct: dup 0.75, top 1.0
+      (2L, "a b c d"),            // all distinct: dup 0.0, top 0.25
+      (3L, "spam spam ham eggs"), // dup 0.25, top 0.5
+      (4L, null.asInstanceOf[String])) // null text → no row
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, $"doc_id", $"text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((4L, 1L, 0.75, 1.0)))
+    assert(r(2L) == ((4L, 4L, 0.0, 0.25)))
+    assert(r(3L) == ((4L, 3L, 0.25, 0.5)))
+  }
+
   test("stratified sample and per-group cap are deterministic and bounded") {
     import graft.operators.Sampling
     val df = spark.range(3000)
