@@ -547,6 +547,17 @@ object SparkEntry {
         evalSet, col("eval_id"), col("text"))
     }),
 
+    "q_ngram_contamination" -> ((s, dir) => {
+      // N-gram decontamination: eval set = every 20th doc's text; any
+      // corpus doc sharing ≥1 distinct 5-gram is flagged with the shared
+      // count (catches partial/quoted leaks, not just verbatim copies).
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("eval_id"), col("text"))
+      Dedup.ngramContamination(docs, col("doc_id"), col("text"),
+        evalSet, col("eval_id"), col("text"), n = 5)
+    }),
+
     "q_sample_split" -> ((s, dir) =>
       // Deterministic 80/10/10 split: membership is a pure function of
       // (doc_id, salt) via md5 hex buckets — reproducible by any engine,
@@ -982,6 +993,26 @@ object SparkEntry {
         |JOIN (SELECT doc_id + 1000000 AS eval_id, md5(text) AS h, length(text) AS l
         |      FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL) e
         |ON c.h = e.h AND c.l = e.l""".stripMargin,
+
+    "q_ngram_contamination" ->
+      """WITH cg AS (
+        |  SELECT DISTINCT doc_id AS corpus_id, md5(gram) AS g FROM (
+        |    SELECT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS t
+        |      FROM documents WHERE text IS NOT NULL),
+        |      UNNEST(range(0, len(t)-5+1)) AS u(i)
+        |    WHERE len(t) >= 5)
+        |), eg AS (
+        |  SELECT DISTINCT doc_id + 1000000 AS eval_id, md5(gram) AS g FROM (
+        |    SELECT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS t
+        |      FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL),
+        |      UNNEST(range(0, len(t)-5+1)) AS u(i)
+        |    WHERE len(t) >= 5)
+        |)
+        |SELECT corpus_id, eval_id, count(*) AS shared_ngrams
+        |FROM cg JOIN eg USING (g)
+        |GROUP BY corpus_id, eval_id""".stripMargin,
 
     "q_sample_split" -> {
       // thresholds computed by the SAME double arithmetic as

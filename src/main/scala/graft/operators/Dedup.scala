@@ -433,6 +433,41 @@ object Dedup {
       .select("corpus_id", "eval_id")
   }
 
+  /** N-GRAM-overlap decontamination — the standard upgrade over
+    * [[contamination]]'s verbatim digests: a corpus doc is flagged when it
+    * shares ≥ `minShared` distinct token n-grams with any eval doc, which
+    * catches evals quoted inside larger pages, reformatted copies, and
+    * partial leaks that whole-text hashing misses (13 is the usual n for
+    * natural-language evals; the default here).
+    *
+    * Scale shape: each side explodes to DISTINCT (id, md5(gram)) pairs
+    * map-side — 16-byte digests shuffle, never gram text — then one
+    * equi-join on the digest and a partial-aggregated count. Cost is
+    * Σ tokens on each side plus a join keyed on grams that actually
+    * collide; docs shorter than n tokens are strictly unflaggable (no
+    * whole-doc fallback — a 3-token doc is not a 13-gram leak). md5 keeps
+    * the digest engine-reproducible (the DuckDB oracle recomputes it).
+    *
+    * Output: (corpus_id, eval_id, shared_ngrams).
+    */
+  def ngramContamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      eval: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 13, minShared: Long = 1L): DataFrame = {
+    require(n > 0 && minShared > 0, s"need positive n/minShared, got $n/$minShared")
+    def grams(df: DataFrame, id: Column, text: Column, idName: String) =
+      df.where(text.isNotNull)
+        .select(id.as(idName), TextAnalysis.tokens(text).as("__t"))
+        .where(size(col("__t")) >= n)
+        .select(col(idName), explode(transform(
+          sequence(lit(0), size(col("__t")) - n),
+          i => unhex(md5(concat_ws(" ", slice(col("__t"), i + 1, lit(n))).cast("binary"))))).as("__g"))
+        .distinct()
+    grams(corpus, corpusId, corpusText, "corpus_id")
+      .join(grams(eval, evalId, evalText, "eval_id"), Seq("__g"))
+      .groupBy("corpus_id", "eval_id").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   // --------------------------------------------------- cluster assignment
 
   /** Connected components over near-dup pairs: every id that appears in

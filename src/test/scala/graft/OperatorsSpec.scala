@@ -281,6 +281,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(3).sample_rate == -1.0 && metas(3).n_bytes == 0)
   }
 
+  test("ngramContamination flags partial leaks verbatim hashing misses") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "intro words then the secret eval question text here and a long tail"),
+      (2L, "totally unrelated content about rivers and mountains flowing north today"),
+      (3L, "the secret eval question text"), // exact eval copy
+      (4L, "short doc"),                     // < n tokens: unflaggable
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the secret eval question text")).toDF("eval_id", "text")
+    val got = Dedup.ngramContamination(corpus, col("doc_id"), col("text"),
+      eval, col("eval_id"), col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 QUOTES the eval inside a larger page (verbatim digest join
+    // would miss it); doc 3 is the exact copy; 2/4/5 are clean
+    assert(got == Set((1L, 100L, 1L), (3L, 100L, 1L)), s"got $got")
+    // minShared above the overlap suppresses the flag
+    assert(Dedup.ngramContamination(corpus, col("doc_id"), col("text"),
+      eval, col("eval_id"), col("text"), n = 5, minShared = 2L).count() == 0)
+    // counts are DISTINCT shared grams: a doc repeating the eval twice
+    // still shares exactly the eval's own gram set
+    val rep = Seq((9L, "the secret eval question text and the secret eval question text"))
+      .toDF("doc_id", "text")
+    val r9 = Dedup.ngramContamination(rep, col("doc_id"), col("text"),
+      eval, col("eval_id"), col("text"), n = 5).collect()
+    assert(r9.length == 1 && r9(0).getLong(2) == 1L)
+  }
+
   test("contamination finds every verbatim eval leak and nothing else") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
