@@ -703,6 +703,12 @@ object SparkEntry {
     "q_embed_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), col("label"), col("embedding"))),
 
+    "q_embed_normalize" -> ((s, dir) =>
+      Similarity.l2Normalize(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))),
+
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))),
+
     // ---- training-data pipeline: multimodal plumbing
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.toMediaTable(t(s, dir, "documents"))).toDF()),
@@ -1203,6 +1209,20 @@ object SparkEntry {
       """SELECT label AS grp, count(*) AS n,
         | CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_embed_normalize" ->
+      """SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm,
+        |  CASE WHEN sqrt(list_dot_product(e, e)) > 0
+        |    THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS unit
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id,
+        |  CASE WHEN mx > 0 THEN 127.0 / mx END AS scale,
+        |  CASE WHEN mx > 0
+        |    THEN list_transform(e, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) END AS q
+        |FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

@@ -259,4 +259,37 @@ object Similarity {
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         sum(col("nrm").cast("decimal(28,12)")).cast("double").as("sum_norm"))
+
+  /** L2-normalize embeddings to unit vectors — the prep step before
+    * cosine reduces to a dot product (inner-product ANN over unit
+    * vectors IS cosine ANN, and pre-normalizing once beats re-deriving
+    * norms in every query). Map-only; the norm rides along. Zero and
+    * null vectors normalize to null (there is no unit direction), never
+    * to NaN components.
+    */
+  def l2Normalize(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = asDouble(vec)
+    val n = norm(v)
+    df.select(id.as("vec_id"), n.as("norm"),
+      when(n > 0, transform(v, x => x / n)).as("unit"))
+  }
+
+  /** Scalar int8 quantization per vector: scale = 127 / max|x|, each
+    * component stored as floor(x·scale + 0.5) — 4-8× smaller embedding
+    * tables with the scale kept for dequantization. The floor(x+0.5) form
+    * (not `round`) is deliberate: floor is exactly specified by IEEE, so
+    * any engine reproduces the codes bit-for-bit, while `round`'s
+    * half-case convention varies by engine. Components land in [-127,127]
+    * (int8-safe; emitted as int — the colf type lattice and parquet both
+    * store the narrow form). All-zero / null vectors quantize to null.
+    * Map-only.
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = asDouble(vec)
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / mx
+    df.select(id.as("vec_id"),
+      when(mx > 0, scale).as("scale"),
+      when(mx > 0, transform(v, x => floor(x * scale + lit(0.5)).cast("int"))).as("q"))
+  }
 }

@@ -218,6 +218,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("l2Normalize and quantizeInt8: exact units/codes, zero vectors degrade to null") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1, Array(3.0f, 4.0f)),
+      (2, Array(0.0f, 0.0f)),          // no direction → null unit/codes
+      (3, Array(-0.5f, 0.25f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val u = Similarity.l2Normalize(df, $"vec_id", $"embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(u(1).getDouble(1) == 5.0)
+    assert(u(1).getSeq[Double](2) == Seq(0.6, 0.8))
+    assert(u(2).isNullAt(2))
+    val q = Similarity.quantizeInt8(df, $"vec_id", $"embedding")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(q(1).getDouble(1) == 127.0 / 4.0)
+    assert(q(1).getSeq[Int](2) == Seq(95, 127)) // floor(3*31.75+.5)=95
+    assert(q(2).isNullAt(1) && q(2).isNullAt(2))
+    assert(q(3).getSeq[Int](2) == Seq(-63, 32, 127)) // floor(-63.5+.5), floor(31.75+.5)
+    // round-trip error bounded by half a code step
+    val dequant = q(3).getSeq[Int](2).map(_ / q(3).getDouble(1))
+    dequant.zip(Seq(-0.5, 0.25, 1.0)).foreach { case (d, x) =>
+      assert(math.abs(d - x) <= 0.5 / q(3).getDouble(1) + 1e-12) }
+  }
+
   test("normStats sums norms exactly per group") {
     val df = Seq((0, Array(3.0f, 4.0f)), (0, Array(6.0f, 8.0f)), (1, Array(1.0f, 0.0f)))
       .toDF("label", "embedding")
