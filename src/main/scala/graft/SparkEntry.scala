@@ -415,6 +415,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
     }),
 
+    "q_colf_partitioned" -> ((s, dir) => {
+      // Hive-layout partitioned table: write customers partitioned by
+      // market segment (k=v subdirs, values not stored in the files),
+      // then read back ONE segment — the filter prunes whole partition
+      // directories with zero header I/O and the path value rejoins the
+      // rows as a typed column.
+      val out = work("q_colf_partitioned")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+        .where(col("c_mktsegment") === "BUILDING")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
+    }),
+
     "q_colf_stream_sink" -> ((s, dir) => {
       // Structured Streaming INTO the colf format: a file-source stream
       // drained with AvailableNow through the DSv2 streaming sink (one
@@ -928,6 +946,12 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 1500
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_colf_partitioned" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_colf_stream_sink" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal FROM customer",

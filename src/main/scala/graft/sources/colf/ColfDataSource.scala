@@ -40,6 +40,23 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
+    val dataSchema = inferDataSchema(files, options, conf)
+    // Hive-layout partition columns append after the file columns, typed
+    // by the format's own inference lattice over the observed values.
+    val partCols = ColfPartitions.partitionCols(files)
+    partCols.foldLeft(dataSchema) { (acc, pc) =>
+      if (acc.fieldNames.contains(pc))
+        throw new IllegalArgumentException(
+          s"colf: partition directory column '$pc' collides with a file column of " +
+            "the same name")
+      val values = files.flatMap(_.partValues.get(pc))
+      acc.add(StructField(pc, ColfUtil.sparkType(ColfPartitions.inferType(values)),
+        nullable = false))
+    }
+  }
+
+  private def inferDataSchema(files: Seq[ColfFileRef], options: CaseInsensitiveStringMap,
+      conf: Configuration): StructType = {
     if (options.getBoolean("mergeSchema", false)) {
       // Schema evolution across a directory written over time: the table
       // schema is the ORDERED UNION of every file's fields (first
@@ -114,8 +131,31 @@ private[colf] object ColfUtil {
     * trips per file. Driver-side. Many explicit paths (e.g. compaction's
     * exact-file read) resolve in parallel — one status RPC per path would
     * otherwise serialize on FS latency.
+    *
+    * Hive-layout partitioning: a subdirectory named `k=v` is descended
+    * into, its (k, v) recorded on every file beneath it (arbitrary
+    * nesting: `dt=2024-01-01/lang=en/part.colf`). Other subdirectories
+    * are ignored, as before — only the explicit `k=v` shape opts a path
+    * segment into the table schema.
     */
   def resolveFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] = {
+    def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+        values: Map[String, String]): Seq[ColfFileRef] = {
+      val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+      val here = entries
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".colf") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(s => ColfFileRef(s.getPath.toString, s.getLen, s.getModificationTime, values))
+      val below = entries
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") && s.getPath.getName.count(_ == '=') == 1)
+        .flatMap { s =>
+          val Array(k, v) = s.getPath.getName.split("=", 2)
+          if (k.isEmpty) Seq.empty
+          else walk(fs, s.getPath, values + (k -> v))
+        }
+      here ++ below
+    }
     ColfHeaderCache.mapParallel(paths) { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -123,12 +163,7 @@ private[colf] object ColfUtil {
         if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
       }
       matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".colf") &&
-              !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-            .sortBy(_.getPath.getName)
-            .map(s => ColfFileRef(s.getPath.toString, s.getLen, s.getModificationTime))
+        if (st.isDirectory) walk(fs, st.getPath, Map.empty)
         else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
       }
     }.flatten
@@ -183,15 +218,18 @@ private[colf] object ColfUtil {
     val maxBytes: Long =
       try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
       catch { case _: Throwable => 128L * 1024 * 1024 }
-    val sized = refs.map(r => r.path -> r.size).sortBy(-_._2)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    sized.foreach { case (f, sz) =>
-      bins.indexWhere { case (_, total) => total + sz <= maxBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
-        case i  => val (fs0, total) = bins(i); fs0 += f; bins(i) = (fs0, total + sz)
+    val sized = refs.sortBy(-_.size)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[ColfFileRef], Long)]
+    sized.foreach { r =>
+      bins.indexWhere { case (_, total) => total + r.size <= maxBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(r), r.size))
+        case i  => val (fs0, total) = bins(i); fs0 += r; bins(i) = (fs0, total + r.size)
       }
     }
-    bins.map { case (fs0, _) => ColfInputPartition(fs0.toSeq): InputPartition }.toArray
+    bins.map { case (fs0, _) =>
+      ColfInputPartition(fs0.map(_.path).toSeq, fs0.map(_.partValues).toSeq): InputPartition
+    }.toArray
   }
 }
 
@@ -342,18 +380,35 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
 
-  /** Stats-based data skipping: drop every file whose header min/max/
-    * null-count proves no row can match the pushed filters. One parallel
-    * batched header fetch (cached across queries over unchanged files);
-    * files written without stats are always kept.
+  /** Data skipping, cheapest test first: (1) EXACT partition pruning from
+    * the `k=v` path values — zero I/O, so a selective partition predicate
+    * at 10⁵ files never even fetches the losers' headers; (2) header
+    * min/max/null-count stats pruning on the survivors (one parallel
+    * batched fetch, cached across queries over unchanged files). Files
+    * written without stats are always kept.
     */
   private lazy val prunedRefs: Seq[ColfFileRef] =
     if (filters.isEmpty) allRefs
     else {
-      val headers = ColfHeaderCache.getAll(allRefs, conf)
-      allRefs.lazyZip(headers).collect {
+      val partKept = allRefs.filter { r =>
+        r.partValues.isEmpty ||
+          filters.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
+      }
+      val headers = ColfHeaderCache.getAll(partKept, conf)
+      partKept.lazyZip(headers).collect {
         case (r, h) if ColfPrune.mayMatch(h, filters) => r
       }.toSeq
+    }
+
+  /** Partition-path values parsed to the TABLE schema's type for the
+    * column (so pruning compares ints as ints, not strings).
+    */
+  private def typedPartValues(r: ColfFileRef): Map[String, Any] =
+    r.partValues.flatMap { case (k, v) =>
+      fullSchema.fields.find(_.name == k).flatMap { f =>
+        scala.util.Try(ColfPartitions.typedValue(v, ColfUtil.colfType(f.dataType))).toOption
+          .map(k -> _)
+      }
     }
 
   /** Under a pushed limit, take files (in name order) until their header
@@ -462,13 +517,18 @@ private class ColfFilesPlannedMetric extends org.apache.spark.sql.connector.metr
 private case class ColfDriverMetric(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
-case class ColfInputPartition(files: Seq[String]) extends InputPartition
+case class ColfInputPartition(files: Seq[String],
+    partValues: Seq[Map[String, String]] = Seq.empty) extends InputPartition {
+  /** Raw `k=v` values for file i (empty when the layout is flat). */
+  def valuesFor(i: Int): Map[String, String] =
+    if (partValues.isEmpty) Map.empty else partValues(i)
+}
 
 class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition].files, required,
+    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition], required,
       missingAsNull, conf)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
@@ -480,8 +540,30 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition].files, required,
+    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition], required,
       missingAsNull, conf)
+}
+
+/** Per-file split of the required schema into decoder-read data columns
+  * and path-derived partition constants (typed per the session schema).
+  * `emit(i)` says where required field i comes from: Left(dataIdx) reads
+  * the decoded column, Right(value) is the file-constant.
+  */
+private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, String]) {
+  val dataRequired: StructType = StructType(required.fields.filterNot(f => raw.contains(f.name)))
+  val emit: IndexedSeq[Either[Int, Any]] = {
+    var d = -1
+    required.fields.toIndexedSeq.map { f =>
+      if (raw.contains(f.name))
+        Right(try ColfPartitions.typedValue(raw(f.name), ColfUtil.colfType(f.dataType))
+        catch {
+          case e: Exception => throw new java.io.IOException(
+            s"colf: partition value '${raw(f.name)}' for column '${f.name}' does not " +
+              s"parse as ${f.dataType.simpleString}", e)
+        })
+      else { d += 1; Left(d) }
+    }
+  }
 }
 
 /** Shared selective-decode: seek straight to each required block via the
@@ -562,9 +644,10 @@ private[colf] class ColfFileDecoder(file: String, required: StructType,
 }
 
 /** Row-based read path (kept for engines/paths that ask for rows).
-  * Streams the partition's files sequentially, preserving file order.
+  * Streams the partition's files sequentially, preserving file order;
+  * partition-path columns materialize as per-file constants.
   */
-class ColfPartitionReader(files: Seq[String], required: StructType,
+class ColfPartitionReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
@@ -572,8 +655,11 @@ class ColfPartitionReader(files: Seq[String], required: StructType,
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
+  private val files = part.files
   private var fileIdx = -1
   private var dec: ColfFileDecoder = null
+  private var plan: ColfFilePlan = null
+  private var constants: Array[Any] = null
   private var row = -1
 
   override def next(): Boolean = {
@@ -582,7 +668,13 @@ class ColfPartitionReader(files: Seq[String], required: StructType,
       if (dec != null) { dec.close(); dec = null }
       fileIdx += 1
       if (fileIdx >= files.length) return false
-      dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull, conf.value)
+      plan = new ColfFilePlan(required, part.valuesFor(fileIdx))
+      constants = plan.emit.map {
+        case Right(v: String) => UTF8String.fromString(v): Any
+        case Right(v)         => v
+        case Left(_)          => null
+      }.toArray
+      dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
       row = 0
     }
     true
@@ -590,19 +682,22 @@ class ColfPartitionReader(files: Seq[String], required: StructType,
 
   override def get(): InternalRow = {
     val cols = dec.cols
-    val values = new Array[Any](cols.length)
+    val values = new Array[Any](plan.emit.length)
     var c = 0
-    while (c < cols.length) {
-      val col = cols(c)
-      values(c) =
-        if (col.isNullAt(row)) null
-        else col.tpe match {
-          case ColfType.Int32   => col.ints(row)
-          case ColfType.Float64 => col.doubles(row)
-          case ColfType.Utf8 =>
-            UTF8String.fromBytes(col.strBlob, col.strStarts(row),
-              col.strEnds(row) - col.strStarts(row))
-        }
+    while (c < plan.emit.length) {
+      values(c) = plan.emit(c) match {
+        case Right(_) => constants(c)
+        case Left(d) =>
+          val col = cols(d)
+          if (col.isNullAt(row)) null
+          else col.tpe match {
+            case ColfType.Int32   => col.ints(row)
+            case ColfType.Float64 => col.doubles(row)
+            case ColfType.Utf8 =>
+              UTF8String.fromBytes(col.strBlob, col.strStarts(row),
+                col.strEnds(row) - col.strStarts(row))
+          }
+      }
       c += 1
     }
     new GenericInternalRow(values)
@@ -645,13 +740,48 @@ private[colf] class ColfColumnVector(dec: ColfCodec.DecodedColumn)
     new UnsupportedOperationException(s"COLF vector has no $t accessor (type is ${dec.tpe.name})")
 }
 
-/** Columnar read: one zero-copy batch per file, files in order. */
-class ColfColumnarReader(files: Seq[String], required: StructType,
+/** Constant vector for a partition-path column: every row of the file
+  * shares the value, so the "column" is one boxed constant — zero
+  * decode, zero storage.
+  */
+private[colf] class ColfConstantVector(dt: org.apache.spark.sql.types.DataType, value: Any)
+    extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val utf8 = value match {
+    case s: String => UTF8String.fromString(s)
+    case _         => null
+  }
+  override def close(): Unit = ()
+  override def hasNull: Boolean = value == null
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = value == null
+  override def getInt(i: Int): Int = value.asInstanceOf[Int]
+  override def getDouble(i: Int): Double = value.asInstanceOf[Double]
+  override def getUTF8String(i: Int): UTF8String = utf8
+  override def getBoolean(i: Int): Boolean = throw unsupported("boolean")
+  override def getByte(i: Int): Byte = throw unsupported("byte")
+  override def getShort(i: Int): Short = throw unsupported("short")
+  override def getLong(i: Int): Long = throw unsupported("long")
+  override def getFloat(i: Int): Float = throw unsupported("float")
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = throw unsupported("array")
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = throw unsupported("map")
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = throw unsupported("decimal")
+  override def getBinary(i: Int): Array[Byte] = throw unsupported("binary")
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector = throw unsupported("child")
+  private def unsupported(t: String) =
+    new UnsupportedOperationException(s"COLF constant vector has no $t accessor")
+}
+
+/** Columnar read: one zero-copy batch per file, files in order;
+  * partition-path columns ride as constant vectors.
+  */
+class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
+  private val files = part.files
   private var fileIdx = -1
   private var dec: ColfFileDecoder = null
   private var batch: ColumnarBatch = null
@@ -660,9 +790,13 @@ class ColfColumnarReader(files: Seq[String], required: StructType,
     if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    dec = new ColfFileDecoder(files(fileIdx), required, missingAsNull, conf.value)
-    batch = new ColumnarBatch(
-      dec.cols.map(c => new ColfColumnVector(c): ColumnVector), dec.numRows)
+    val plan = new ColfFilePlan(required, part.valuesFor(fileIdx))
+    dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
+    val vectors = plan.emit.zipWithIndex.map {
+      case (Left(d), _)  => new ColfColumnVector(dec.cols(d)): ColumnVector
+      case (Right(v), i) => new ColfConstantVector(required.fields(i).dataType, v): ColumnVector
+    }
+    batch = new ColumnarBatch(vectors.toArray, dec.numRows)
     true
   }
 

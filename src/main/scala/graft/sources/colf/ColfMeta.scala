@@ -9,13 +9,102 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A resolved .colf data file plus the directory-listing metadata that
-  * came for free with it (FileStatus length + mtime). Carrying these
+  * came for free with it (FileStatus length + mtime), and any hive-style
+  * `k=v` partition values parsed from its directory path. Carrying these
   * avoids a second getFileStatus round trip per file at planning time —
   * at 10⁵–10⁶ part files on a remote FS those RPCs are the driver's
   * wall-clock, not the data.
   */
-final case class ColfFileRef(path: String, size: Long, mtime: Long)
+final case class ColfFileRef(path: String, size: Long, mtime: Long,
+    partValues: Map[String, String] = Map.empty)
     extends Serializable
+
+/** Hive-layout partition support: `k=v` path segments become typed table
+  * columns, and filters on them prune files EXACTLY (no header I/O at
+  * all — the decisive difference from stats pruning at 10⁵⁺ files:
+  * a `dt = '2024-01-01'` probe touches only that date's files).
+  */
+private[graft] object ColfPartitions {
+
+  /** Partition column names across a listing, in sorted order (path
+    * discovery order is nondeterministic; the schema must not be).
+    */
+  def partitionCols(refs: Seq[ColfFileRef]): Seq[String] =
+    refs.flatMap(_.partValues.keys).distinct.sorted
+
+  /** Narrowest COLF type that parses EVERY observed value of a partition
+    * column — the format's own inference lattice (int32 ≺ float64 ≺ utf8)
+    * applied to path segments.
+    */
+  def inferType(values: Iterable[String]): ColfType =
+    if (values.forall(v => scala.util.Try(v.toInt).isSuccess)) ColfType.Int32
+    else if (values.forall(v => scala.util.Try(v.toDouble).isSuccess)) ColfType.Float64
+    else ColfType.Utf8
+
+  def typedValue(raw: String, tpe: ColfType): Any = tpe match {
+    case ColfType.Int32   => raw.toInt
+    case ColfType.Float64 => raw.toDouble
+    case ColfType.Utf8    => raw
+  }
+
+  /** Exact partition pruning: can a file with these typed partition
+    * values satisfy the filter? Unlike header-stats pruning this is an
+    * exact evaluation, not a bound check — but it must stay conservative
+    * for anything it cannot see: filters over non-partition attributes
+    * answer true (the stats/residual layers own them).
+    */
+  def mayMatch(values: Map[String, Any], f: Filter): Boolean = {
+    def known(a: String): Boolean = values.contains(a)
+    def cmp(a: String, v: Any): Option[Int] = (values(a), v) match {
+      case (x: Int, y: Number) => y match {
+        // fractional probe against an int partition compares in double
+        // space (long truncation would mis-prune e.g. p < 4.5 on p=4)
+        case _: java.lang.Double | _: java.lang.Float =>
+          Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+        case bd: java.math.BigDecimal =>
+          Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(bd))
+        case _ => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+      }
+      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+      case (x: String, y: String) =>
+        Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
+      case _ => None
+    }
+    f match {
+      case And(l, r) => mayMatch(values, l) && mayMatch(values, r)
+      case Or(l, r)  => mayMatch(values, l) || mayMatch(values, r)
+      case Not(c)    => !provablyMatchesAll(values, c)
+      case EqualTo(a, v) if known(a)       => cmp(a, v).forall(_ == 0)
+      case EqualNullSafe(a, v) if known(a) => v != null && cmp(a, v).forall(_ == 0)
+      case In(a, vs) if known(a) =>
+        vs != null && vs.exists(v => v != null && cmp(a, v).forall(_ == 0))
+      case GreaterThan(a, v) if known(a)        => cmp(a, v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) if known(a) => cmp(a, v).forall(_ >= 0)
+      case LessThan(a, v) if known(a)           => cmp(a, v).forall(_ < 0)
+      case LessThanOrEqual(a, v) if known(a)    => cmp(a, v).forall(_ <= 0)
+      case IsNull(a) if known(a)    => false // path-derived values are never null
+      case IsNotNull(a) if known(a) => true
+      case StringStartsWith(a, p) if known(a) => values(a) match {
+        case s: String => s.startsWith(p)
+        case _         => true
+      }
+      case _ => true
+    }
+  }
+
+  /** For Not-pushdown only: true iff the filter PROVABLY matches every
+    * row of the file given these partition values (then Not(c) matches
+    * none). Conservative false whenever unsure.
+    */
+  private def provablyMatchesAll(values: Map[String, Any], f: Filter): Boolean = f match {
+    case EqualTo(a, v) if values.contains(a) =>
+      mayMatch(values, EqualTo(a, v)) // constant per file: may ⇒ all
+    case In(a, vs) if values.contains(a) => mayMatch(values, In(a, vs))
+    case IsNotNull(a) if values.contains(a) => true
+    case _ => false
+  }
+}
 
 /** Driver-side header cache + parallel fetch.
   *

@@ -74,10 +74,25 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     require(numFiles == 0 || targetBytes == 0L,
       "colf: numFiles and targetPartitionBytes are mutually exclusive " +
         "(exact partition count vs advisory sizing)")
-    require(numFiles == 0 || sortBy.nonEmpty,
-      "colf: numFiles requires sortBy (it sizes the clustering exchange)")
+    // option("partitionBy", "a,b"): hive-layout partitioned write — values
+    // become k=v path segments (and are NOT stored in the files), so reads
+    // partition-prune with zero I/O.
+    val partitionBy = Option(info.options.get("partitionBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map { c =>
+        info.schema().fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"colf partitionBy column '$c' not in schema " +
+              info.schema().fieldNames.mkString(", ")))
+      }
+    require(partitionBy.intersect(sortBy).isEmpty,
+      "colf: a column cannot be in both partitionBy and sortBy")
+    require(partitionBy.size < info.schema().size,
+      "colf: partitionBy cannot cover every column (files would be empty)")
+    require(numFiles == 0 || sortBy.nonEmpty || partitionBy.nonEmpty,
+      "colf: numFiles requires sortBy or partitionBy (it sizes the clustering exchange)")
     new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
-      level, sortBy, targetBytes, numFiles)
+      level, sortBy, targetBytes, numFiles, partitionBy)
   }
 }
 
@@ -99,7 +114,8 @@ object ColfWrite {
 
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
-    sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0)
+    sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0,
+    partitionBy: Seq[String] = Seq.empty)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -117,14 +133,24 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     * without clustering the stats never bite on high-entropy layouts.
     * Empty `sortBy` declares nothing and the write plan is untouched.
     */
-  private def sortOrders: Array[SortOrder] =
-    sortBy.map(c => Expressions.sort(Expressions.column(c),
+  private def asOrders(cols: Seq[String]): Array[SortOrder] =
+    cols.map(c => Expressions.sort(Expressions.column(c),
       SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
 
+  /** With `partitionBy`, tasks must also see each partition's rows as one
+    * CONTIGUOUS, ordered run (partition cols lead the ordering), so the
+    * writer holds builders for exactly ONE partition value at a time —
+    * bounded memory no matter how many distinct values a task gets.
+    */
   override def requiredDistribution(): Distribution =
-    if (sortBy.isEmpty) Distributions.unspecified() else Distributions.ordered(sortOrders)
+    if (partitionBy.nonEmpty && sortBy.isEmpty)
+      Distributions.clustered(partitionBy.map(Expressions.column).toArray[
+        org.apache.spark.sql.connector.expressions.Expression])
+    else if (partitionBy.nonEmpty || sortBy.nonEmpty)
+      Distributions.ordered(asOrders(partitionBy ++ sortBy))
+    else Distributions.unspecified()
 
-  override def requiredOrdering(): Array[SortOrder] = sortOrders
+  override def requiredOrdering(): Array[SortOrder] = asOrders(partitionBy ++ sortBy)
 
   /** Best-effort by default: Spark then plans a range REBALANCE instead of
     * a rigid exchange — AQE coalesces small partitions toward the advisory
@@ -178,7 +204,8 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) fs.mkdirs(path)
     new ColfDataWriterFactory(dir, schema, queryId, maxRowsPerFile, maxBytesPerFile,
-      compressionLevel, new org.apache.spark.util.SerializableConfiguration(conf))
+      compressionLevel, new org.apache.spark.util.SerializableConfiguration(conf),
+      partitionBy)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -213,16 +240,28 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     // 2) Deferred truncate LAST: a crash anywhere above leaves old data
     //    fully intact (plus invisible temps / some new files) — a superset,
     //    never a partial table. Deletes are parallel for the same reason
-    //    renames are.
+    //    renames are. The walk descends k=v partition dirs, so overwrite
+    //    of a partitioned table replaces EVERY partition's old files.
     if (truncate && fs.exists(dirPath)) {
-      val stale = fs.listStatus(dirPath).toSeq.filter { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
+      val stale = walkFiles(fs, dirPath).filter { p =>
+        val n = p.getName
+        n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
           !committed.contains(n)
       }
-      ColfHeaderCache.mapParallel(stale)(st => fs.delete(st.getPath, false))
+      ColfHeaderCache.mapParallel(stale)(p => fs.delete(p, false))
     }
     deleteQueryTemps(fs)
+  }
+
+  /** All files under `dir`, descending into `k=v` partition subdirs
+    * (hidden/underscore dirs skipped) — mirrors the reader's listing.
+    */
+  private def walkFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+    val entries = fs.listStatus(dir).toSeq
+    entries.filter(_.isFile).map(_.getPath) ++
+      entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_") && s.getPath.getName.contains('='))
+        .flatMap(s => walkFiles(fs, s.getPath))
   }
 
   private def doAbort(messages: Array[WriterCommitMessage]): Unit = {
@@ -253,10 +292,10 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     */
   private def deleteQueryTemps(fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val dirPath = new Path(dir)
-    if (fs.exists(dirPath)) fs.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && n.startsWith(".") && n.contains(queryId) && n.endsWith(".colf.tmp"))
-        fs.delete(st.getPath, false)
+    if (fs.exists(dirPath)) walkFiles(fs, dirPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".") && n.contains(queryId) && n.endsWith(".colf.tmp"))
+        fs.delete(p, false)
     }
   }
 }
@@ -267,19 +306,20 @@ case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitM
 class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     conf: org.apache.spark.util.SerializableConfiguration =
-      new org.apache.spark.util.SerializableConfiguration(new Configuration()))
+      new org.apache.spark.util.SerializableConfiguration(new Configuration()),
+    partitionBy: Seq[String] = Seq.empty)
     extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
-      maxBytesPerFile, compressionLevel, conf)
+      maxBytesPerFile, compressionLevel, conf, None, partitionBy)
 
   /** Streaming epochs reuse the batch writer with the epoch id folded into
     * file names, making a replayed epoch overwrite itself on commit.
     */
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ColfDataWriter(dir, schema, queryId, partitionId, taskId, maxRowsPerFile,
-      maxBytesPerFile, compressionLevel, conf, Some(epochId))
+      maxBytesPerFile, compressionLevel, conf, Some(epochId), partitionBy)
 }
 
 class ColfDataWriter(
@@ -287,14 +327,43 @@ class ColfDataWriter(
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     conf: org.apache.spark.util.SerializableConfiguration =
       new org.apache.spark.util.SerializableConfiguration(new Configuration()),
-    epoch: Option[Long] = None)
+    epoch: Option[Long] = None, partitionBy: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
-  private val fields = ColfUtil.colfFields(schema)
+  // Partition columns route to k=v path segments; only the remaining
+  // (data) columns are written into the files, hive-style.
+  private val partPos: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val partTypes: Array[org.apache.spark.sql.types.DataType] =
+    partPos.map(schema.fields(_).dataType)
+  private val dataPos: Array[Int] =
+    schema.fields.indices.filterNot(partPos.contains).toArray
+  private val fields = ColfUtil.colfFields(
+    StructType(dataPos.map(schema.fields(_))))
   private var builders: IndexedSeq[ColfCodec.ColumnBuilder] = freshBuilders()
   private val ncols = fields.length
   private var fileSeq = 0
+  // Rows arrive ordered by the partition columns (requiredOrdering), so
+  // one partition value is active at a time — a value change flushes.
+  private var currentPart: Seq[String] = null
   private var written = List.empty[(Path, Path)] // (temp, final), newest first
+
+  private def renderPartValues(record: InternalRow): Seq[String] =
+    partPos.indices.map { i =>
+      val p = partPos(i)
+      require(!record.isNullAt(p),
+        s"colf partitionBy: null value in partition column '${partitionBy(i)}' " +
+          "(hive-layout paths cannot encode null)")
+      val v = partTypes(i) match {
+        case org.apache.spark.sql.types.IntegerType => record.getInt(p).toString
+        case org.apache.spark.sql.types.DoubleType  => record.getDouble(p).toString
+        case _ => record.getUTF8String(p).toString
+      }
+      require(v.nonEmpty && !v.contains('/') && !v.contains('=') &&
+        !v.startsWith(".") && !v.startsWith("_"),
+        s"colf partitionBy: value '$v' of column '${partitionBy(i)}' cannot form " +
+          "a k=v path segment")
+      v
+    }
 
   private def freshBuilders(): IndexedSeq[ColfCodec.ColumnBuilder] =
     fields.map(f => ColfCodec.builderFor(f.tpe))
@@ -307,14 +376,23 @@ class ColfDataWriter(
   }
 
   override def write(record: InternalRow): Unit = {
+    if (partPos.nonEmpty) {
+      val vals = renderPartValues(record)
+      if (currentPart == null) currentPart = vals
+      else if (currentPart != vals) {
+        if (builders.head.count > 0) { flushFile(); builders = freshBuilders() }
+        currentPart = vals
+      }
+    }
     var c = 0
     while (c < ncols) {
-      if (record.isNullAt(c)) builders(c).appendNull()
+      val p = dataPos(c)
+      if (record.isNullAt(p)) builders(c).appendNull()
       else builders(c) match {
-        case b: ColfCodec.IntColumnBuilder    => b.append(record.getInt(c))
-        case b: ColfCodec.DoubleColumnBuilder => b.append(record.getDouble(c))
+        case b: ColfCodec.IntColumnBuilder    => b.append(record.getInt(p))
+        case b: ColfCodec.DoubleColumnBuilder => b.append(record.getDouble(p))
         case b: ColfCodec.StringColumnBuilder =>
-          b.append(record.getUTF8String(c).getBytes)
+          b.append(record.getUTF8String(p).getBytes)
       }
       c += 1
     }
@@ -325,14 +403,20 @@ class ColfDataWriter(
     }
   }
 
-  /** Writes the currently buffered rows as one part file (temp name). */
+  /** Writes the currently buffered rows as one part file (temp name), in
+    * the active partition's k=v subdirectory when partitioning.
+    */
   private def flushFile(): Unit = {
     val e = epoch.map(id => s"e$id-").getOrElse("")
-    val fin = new Path(dir, f"part-$e$partitionId%05d-$fileSeq%03d-$queryId.colf")
-    val tmp = new Path(dir, f".part-$e$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
+    val outDir =
+      if (partPos.isEmpty || currentPart == null) new Path(dir)
+      else new Path(dir, partitionBy.zip(currentPart)
+        .map { case (k, v) => s"$k=$v" }.mkString("/"))
+    val fin = new Path(outDir, f"part-$e$partitionId%05d-$fileSeq%03d-$queryId.colf")
+    val tmp = new Path(outDir, f".part-$e$partitionId%05d-$fileSeq%03d-$queryId-$taskId.colf.tmp")
     fileSeq += 1
     val fs = tmp.getFileSystem(conf.value)
-    val out = fs.create(tmp, false) // fail loudly on collision
+    val out = fs.create(tmp, false) // fail loudly on collision; creates parent dirs
     try ColfCodec.writeFile(out, fields, builders, compressionLevel)
     finally out.close()
     written ::= (tmp, fin)
@@ -343,9 +427,13 @@ class ColfDataWriter(
     // Empty partitions emit no file — except partition 0 when the task wrote
     // nothing at all, so an all-empty DataFrame still round-trips its schema
     // (fixing the reference's own zero-row writer bug, writer.py:153-154 /
-    // SURVEY.md §5). Streaming epochs skip this: an empty microbatch must
-    // not litter one empty part file per trigger.
-    if (rows > 0 || (partitionId == 0 && written.isEmpty && epoch.isEmpty)) flushFile()
+    // SURVEY.md §5). Streaming epochs skip this, and so do partitioned
+    // writes (a zero-row table has no partition value to place a file
+    // under): an empty microbatch must not litter one empty part file per
+    // trigger.
+    if (rows > 0 ||
+        (partitionId == 0 && written.isEmpty && epoch.isEmpty && partPos.isEmpty))
+      flushFile()
     ColfCommitMessage(written.reverse.map { case (t, f) => (t.toString, f.toString) })
   }
 

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.colf._
+
+/** Hive-layout partitioned colf tables: option("partitionBy", ...) writes
+  * `k=v` subdirectories (values NOT stored in the files), reads type the
+  * path values back as table columns, and filters on them prune files
+  * with ZERO header I/O — the first-order organization knob for a
+  * 100-TB table.
+  */
+class ColfPartitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("colf_part_test").toString
+
+  /** All .colf data files under dir, descending k=v subdirs. */
+  private def colfFiles(dir: String): Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val es = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      es.filter(f => f.isFile && f.getName.endsWith(".colf") && !f.getName.startsWith(".")) ++
+        es.filter(f => f.isDirectory && f.getName.contains('=')).flatMap(walk)
+    }
+    walk(new java.io.File(dir))
+  }
+
+  private def planned(q: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+
+  test("partitioned write/read roundtrip with typed partition columns") {
+    val dir = tmp()
+    val df = spark.range(0, 1200)
+      .select($"id".cast("int").as("k"), ($"id" % 3).cast("int").as("bucket"),
+        concat(lit("lang"), ($"id" % 2).cast("string")).as("lang"),
+        ($"id" % 7).cast("double").as("v"))
+    df.write.format("colf").option("partitionBy", "bucket,lang")
+      .mode("overwrite").save(dir)
+
+    // hive layout on disk, two levels, no partition cols inside the files
+    val l1 = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(l1.toSeq == Seq("bucket=0", "bucket=1", "bucket=2"))
+    val l2 = new java.io.File(dir, "bucket=0").listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(l2.toSeq == Seq("lang=lang0", "lang=lang1"))
+    val aPart = colfFiles(dir).head.getAbsolutePath
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(aPart))
+    val header = try ColfCodec.readHeader(in) finally in.close()
+    assert(header.schema.fields.map(_.name).toSeq == Seq("k", "v"),
+      "partition columns must not be stored in the files")
+
+    val back = spark.read.format("colf").load(dir)
+    // partition cols appended (sorted) after file cols, typed by inference
+    assert(back.schema.fieldNames.toSeq == Seq("k", "v", "bucket", "lang"))
+    assert(back.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.schema("lang").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.count() == 1200)
+    val got = back.select("k", "bucket", "lang", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val want = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("partition filters prune files with zero header I/O") {
+    val dir = tmp()
+    spark.range(0, 900)
+      .select($"id".cast("int").as("k"), ($"id" % 3).cast("int").as("bucket"))
+      .write.format("colf").option("partitionBy", "bucket").mode("overwrite").save(dir)
+    val nFiles = colfFiles(dir).size
+    assert(nFiles >= 3)
+
+    val q = spark.read.format("colf").load(dir).where($"bucket" === 1)
+    val before = ColfHeaderCache.fetches.get()
+    val m = planned(q)
+    val statFetches = ColfHeaderCache.fetches.get() - before
+    assert(m("colfFilesListed") == nFiles.toLong)
+    assert(m("colfFilesPlanned") < nFiles.toLong, s"partition filter must prune, got $m")
+    // losers never even had their headers fetched (exact path pruning)
+    assert(statFetches <= m("colfFilesPlanned"),
+      s"expected header I/O only for survivors, fetched $statFetches of $m")
+    assert(q.count() == 300)
+    assert(q.agg(sum($"k")).as[Long].head() == (0 until 900).filter(_ % 3 == 1).sum)
+
+    // combined partition + data-column pruning composes
+    val q2 = spark.read.format("colf").load(dir).where($"bucket" === 1 && $"k" < 0)
+    assert(q2.count() == 0)
+    // IN and range shapes on the partition column
+    assert(spark.read.format("colf").load(dir).where($"bucket".isin(0, 2)).count() == 600)
+    assert(spark.read.format("colf").load(dir).where($"bucket" >= 2).count() == 300)
+  }
+
+  test("projection of only a partition column, overwrite and append semantics") {
+    val dir = tmp()
+    def write(n: Int, mode: String) =
+      spark.range(0, n).select($"id".cast("int").as("k"), lit(7).as("dt"))
+        .write.format("colf").option("partitionBy", "dt").mode(mode).save(dir)
+    write(100, "overwrite")
+    assert(spark.read.format("colf").load(dir).select("dt").distinct().as[Int].collect()
+      .toSeq == Seq(7))
+    write(50, "append")
+    assert(spark.read.format("colf").load(dir).count() == 150)
+    write(40, "overwrite") // replaces files INSIDE the partition dirs
+    assert(spark.read.format("colf").load(dir).count() == 40)
+    assert(!new java.io.File(dir + "/dt=7").listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("null partition values and bad options fail loudly") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      Seq((1, null.asInstanceOf[String]), (2, "ok")).toDF("k", "p")
+        .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("null") || e.getCause != null)
+    val e2 = intercept[Exception] {
+      spark.range(3).select($"id".cast("int").as("k"))
+        .write.format("colf").option("partitionBy", "k").mode("overwrite").save(tmp())
+    }
+    assert(e2.getMessage.contains("every column"))
+    val e3 = intercept[Exception] {
+      Seq((1, "a/b")).toDF("k", "p")
+        .write.format("colf").option("partitionBy", "p").mode("overwrite").save(tmp())
+    }
+    assert(e3.getMessage.contains("path segment") || e3.getCause != null)
+  }
+
+  test("compaction and sortBy compose with partitioned layouts") {
+    val dir = tmp()
+    // many small appends into the same partitions → small-file residue
+    for (_ <- 0 until 4)
+      spark.range(0, 300)
+        .select($"id".cast("int").as("k"), ($"id" % 2).cast("int").as("p"))
+        .write.format("colf").option("partitionBy", "p").mode("append").save(dir)
+    assert(spark.read.format("colf").load(dir).count() == 1200)
+    // sortBy within partitions: files ordered by k inside each p=... dir
+    val dir2 = tmp()
+    spark.range(0, 1000)
+      .select((($"id" * 2654435761L) % 1000).cast("int").as("k"),
+        ($"id" % 2).cast("int").as("p"))
+      .write.format("colf").option("partitionBy", "p").option("sortBy", "k")
+      .option("numFiles", 4).mode("overwrite").save(dir2)
+    val q = spark.read.format("colf").load(dir2).where($"p" === 1 && $"k" < 100)
+    val m = planned(q)
+    assert(m("colfFilesPlanned") < m("colfFilesListed"),
+      s"partition+sort layout must prune, got $m")
+    assert(q.count() == spark.read.format("colf").load(dir2)
+      .where($"p" === 1 && $"k" < 100).collect().length)
+  }
+}
