@@ -721,11 +721,22 @@ object SparkEntry {
     "q_embed_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), col("label"), col("embedding"))),
 
+    // The operators return array columns (that's their real shape); the
+    // harness queries explode to one row per vector component because the
+    // driver's compare sorts rows with pandas, and array cells are
+    // unhashable there (r4 `err` rows). Exploded scalars ARE the stronger
+    // check anyway: every component is hash-compared, not just the array
+    // as an opaque value. posexplode drops null arrays (zero-norm /
+    // all-zero vectors) — the oracle filters the same rows out.
     "q_embed_normalize" -> ((s, dir) =>
-      Similarity.l2Normalize(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))),
+      Similarity.l2Normalize(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("norm"), posexplode(col("unit")))
+        .select(col("vec_id"), (col("pos") + 1).as("idx"), col("norm"), col("col").as("u"))),
 
     "q_embed_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))),
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("scale"), posexplode(col("q")))
+        .select(col("vec_id"), (col("pos") + 1).as("idx"), col("scale"), col("col").as("qv"))),
 
     // ---- training-data pipeline: multimodal plumbing
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1234,19 +1245,26 @@ object SparkEntry {
         | CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
         |FROM embeddings GROUP BY label""".stripMargin,
 
+    // Zipped unnest: multiple unnest() calls in one SELECT advance in
+    // lockstep in DuckDB, so idx pairs with its component. Division /
+    // floor are IEEE-exact per row (same operands, same op order as the
+    // Spark side) → bit-identical doubles.
     "q_embed_normalize" ->
-      """SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm,
-        |  CASE WHEN sqrt(list_dot_product(e, e)) > 0
-        |    THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e))) END AS unit
-        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin,
+      """SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(e))) AS INTEGER) AS idx,
+        |  sqrt(list_dot_product(e, e)) AS norm,
+        |  unnest(list_transform(e, x -> x / sqrt(list_dot_product(e, e)))) AS u
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |WHERE sqrt(list_dot_product(e, e)) > 0""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id,
-        |  CASE WHEN mx > 0 THEN 127.0 / mx END AS scale,
-        |  CASE WHEN mx > 0
-        |    THEN list_transform(e, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) END AS q
+        |  CAST(unnest(generate_series(1, len(e))) AS INTEGER) AS idx,
+        |  127.0 / mx AS scale,
+        |  unnest(list_transform(e, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER))) AS qv
         |FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
-        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))""".stripMargin,
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+        |WHERE mx > 0""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

@@ -486,8 +486,16 @@ object Dedup {
     * O(log n) rounds REGARDLESS of diameter (min-label propagation, the
     * naive alternative, needs O(diameter) rounds — a long chain of
     * near-dup documents would exhaust any fixed cap). The fixpoint test
-    * is exact — identical edge multiset between rounds (count + set
-    * difference), no hash-collision early exit.
+    * is exact and structural — the edge set is a star forest (every src
+    * occurs in exactly one edge and no node is both a src and a dst),
+    * which under the src>dst orientation invariant is precisely the
+    * round operator's fixpoint. Testing the CURRENT set directly (one
+    * small aggregation) replaces both the old count+set-difference pair
+    * of jobs AND the extra confirming identity round they required; no
+    * hash-collision early exit. Why it's equivalent: rounds preserve
+    * connected components, so a star forest has one star per original
+    * component; the component minimum can never be a src (src>dst), so
+    * it must be that star's root — exactly the terminal state.
     *
     * If `maxIter` rounds don't reach the fixpoint this THROWS rather than
     * returning partially-propagated labels (silently-wrong clusters mean
@@ -497,7 +505,15 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val raw = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    // Materialize the edge list ONCE before anything reads it: `edges` is
+    // typically the tail of a whole LSH pipeline, and three consumers pull
+    // it (the node set, the initial orientation, and — transitively — the
+    // final labels join). Without this eager cut the upstream candidate/
+    // verification DAG re-executes per consumer; with it, everything
+    // downstream reads one small materialized (src,dst) table.
+    val raw = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = raw.select(col("src").as("id")).union(raw.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // Iterative DataFrames MUST truncate lineage each round
@@ -511,8 +527,18 @@ object Dedup {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
       .localCheckpoint(true)
+    // Star-forest test == fixpoint test (see doc comment). One shuffle on
+    // the (small, checkpointed) edge set: a node violates iff it has
+    // outgoing edges and either more than one of them or any incoming one.
+    def isStarForest(edgeSet: DataFrame): Boolean = edgeSet
+      .select(col("src").as("n"), col("dst"))
+      .unionByName(edgeSet.select(col("dst").as("n"), lit(null).cast("long").as("dst")))
+      .groupBy("n")
+      .agg(count(col("dst")).as("outs"), count(lit(1)).as("total"))
+      .where(col("outs") > 0 && (col("outs") =!= 1 || col("total") =!= col("outs")))
+      .isEmpty
     var iter = 0
-    var converged = false
+    var converged = isStarForest(e)
     while (iter < maxIter && !converged) {
       // large-star: for each node u, m = min(N(u) ∪ {u}); every neighbor
       // v > u re-points at m. Output edges stay oriented src > dst
@@ -538,12 +564,9 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       ls.unpersist()
-      // Exact fixpoint: the round was an identity on the (distinct) edge
-      // set — equal counts + empty set difference. At the fixpoint the
-      // graph is a forest of stars: src = node, dst = its component min.
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
       e = ss
       iter += 1
+      converged = isStarForest(e)
     }
     if (!converged) {
       nodes.unpersist()
