@@ -672,6 +672,28 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // Pre-training chunking: ≤32 whitespace tokens per training example,
+    // 8-token overlap. Map-only explode — no shuffle anywhere.
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+        maxTokens = 32, overlap = 8)),
+
+    // PII scrubbing. The synthetic corpus carries no PII, so the harness
+    // plants a deterministic email/IP/phone per doc (identically in the
+    // oracle SQL) — the compare then verifies actual redaction and
+    // counting, not a no-op pass-through.
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          col("text"), lit(" reach u"), col("doc_id"), lit("@example.com or 10.0."),
+          col("doc_id") % 256, lit(".7 tel +1415555"), col("doc_id") % 9000 + 1000
+        ).as("planted"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("planted")).as("redacted"),
+          TextAnalysis.emailCount(col("planted")).as("n_emails"),
+          TextAnalysis.ipv4Count(col("planted")).as("n_ips"),
+          TextAnalysis.phoneCount(col("planted")).as("n_phones"))),
+
     "q_histogram" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
@@ -1187,6 +1209,34 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // DuckDB list slices are 1-based with an inclusive end, so
+    // toks[i*24+1 : i*24+32] covers the same 32 tokens as Spark's
+    // slice(toks, i*24+1, 32); both truncate at the end of the list.
+    "q_chunk" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+        |  CAST(len(toks[(i*24+1):(i*24+32)]) AS INTEGER) AS chunk_tokens
+        |FROM (
+        |  SELECT doc_id, toks, unnest(generate_series(0,
+        |    CASE WHEN len(toks) <= 32 THEN 0
+        |         ELSE CAST(ceil((len(toks)-32)/24.0) AS INTEGER) END)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(planted, '\+\d{7,15}')) AS INTEGER) AS n_phones
+        |FROM (SELECT doc_id,
+        |  text || ' reach u' || doc_id || '@example.com or 10.0.' || (doc_id % 256)
+        |       || '.7 tel +1415555' || (doc_id % 9000 + 1000) AS planted
+        |FROM documents)""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,

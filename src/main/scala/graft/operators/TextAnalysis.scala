@@ -159,4 +159,75 @@ object TextAnalysis {
     */
   def shingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /** Split documents into overlapping fixed-token-budget chunks — the
+    * standard pre-training/RAG prep step ("pack ≤N tokens per training
+    * example, overlap O so no boundary context is lost"). Chunk i covers
+    * tokens [i·stride, i·stride + maxTokens) with stride =
+    * maxTokens − overlap; the last chunk may be short, and a doc with
+    * ≤ maxTokens tokens yields exactly one chunk.
+    *
+    * Map-only: tokenize, derive the chunk count arithmetically, explode a
+    * 0..nChunks-1 sequence, slice — no shuffle, no UDF, all inside
+    * whole-stage codegen, so at 100 TB it scales with input splits like
+    * any projection. Null-text docs produce no chunks (explode of a null
+    * sequence), mirroring the tokenizer ops above.
+    */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - maxTokens).cast("double") / stride).cast("int") + 1)
+    val piece = df
+      .select(id.as("doc_id"), toks.as("__toks"), n.as("n_tokens"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+    val part = slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens))
+    piece.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+      array_join(part, " ").as("chunk_text"),
+      size(part).as("chunk_tokens"))
+  }
+
+  // ------------------------------------------------------------------ PII
+  //
+  // Redaction patterns chosen to parse identically under Java regex
+  // (Spark codegen'd regexp_replace) and RE2 (DuckDB, Go tooling): no
+  // backreferences, no lookaround, only greedy quantifiers over character
+  // classes — constructs on which leftmost-first (Java) and
+  // leftmost-longest (RE2) agree.
+
+  /** RFC-casual email addresses. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4.5
+    * still match only a 4-group prefix window, never silently skip).
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** E.164-style international phone numbers: + then 7-15 digits. The
+    * deliberately-narrow form — loose "anything with 7 digits and dashes"
+    * patterns false-positive on IDs and version numbers at corpus scale.
+    */
+  val PhonePattern = "\\+\\d{7,15}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Scrub emails, IPv4s and international phone numbers, in that fixed
+    * order (emails first — a plus-tagged address like a+1234567@x.com
+    * must become one `<EMAIL>`, not a `a<PHONE>@x.com` splice). Map-only
+    * codegen'd regexp_replace chain; count the matches separately (on the
+    * original text) when an audit trail is needed.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
 }

@@ -55,6 +55,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Seq("x y"))
   }
 
+  test("chunkTokens: stride/overlap coverage, short docs, nulls") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "short doc"),                      // 2 tokens -> one chunk
+      (3L, null.asInstanceOf[String]),        // no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, $"doc_id", $"text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getInt(4)))
+    // stride 3: starts 0,3,6 cover tokens 1-4, 4-7, 7-10
+    assert(got.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "short doc", 2)))
+    // consecutive chunks of the same doc share exactly `overlap` tokens
+    val c = got.filter(_._1 == 1L).map(_._3.split(" ").toSeq).toSeq
+    assert(c.sliding(2).forall { case Seq(a, b) => a.takeRight(1) == b.take(1) })
+    // a chunk count is never 0 and every token lands in some chunk
+    assert(c.flatten.distinct.size == 10)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, $"doc_id", $"text", maxTokens = 4, overlap = 4)
+    }
+  }
+
+  test("redactPii scrubs emails/IPs/phones; counts audit the originals") {
+    val df = Seq(
+      (1L, "mail bob.smith+tag@corp.example.org and carol@ex.io now"),
+      (2L, "host 192.168.0.17 gateway 10.0.0.1"),
+      (3L, "call +14155552671 or +442071838750"),
+      (4L, "a+1234567@x.com keeps its plus tag inside the email"),
+      (5L, "nothing to hide here 1.2 v3.4.5 plus plain 5551234"),
+      (6L, null.asInstanceOf[String]),
+    ).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.redactPii($"text").as("red"),
+        TextAnalysis.emailCount($"text").as("e"),
+        TextAnalysis.ipv4Count($"text").as("i"),
+        TextAnalysis.phoneCount($"text").as("p"))
+      .orderBy("id").collect()
+    assert(r(0).getString(1) == "mail <EMAIL> and <EMAIL> now")
+    assert((r(0).getInt(2), r(0).getInt(3), r(0).getInt(4)) == ((2, 0, 0)))
+    assert(r(1).getString(1) == "host <IP> gateway <IP>")
+    assert(r(2).getString(1) == "call <PHONE> or <PHONE>")
+    // email-first ordering: the plus-tagged local part never becomes <PHONE>
+    assert(r(3).getString(1).startsWith("<EMAIL> keeps"))
+    // version strings and bare 7-digit runs are NOT redacted
+    assert(r(4).getString(1) == "nothing to hide here 1.2 v3.4.5 plus plain 5551234")
+    assert(r(5).get(1) == null)
+  }
+
   // ------------------------------------------------------------ dedup
 
   test("exactKeepFirst keeps the smallest tie-break row per key") {
