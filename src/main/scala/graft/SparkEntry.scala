@@ -246,6 +246,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
+    "q_bucketed_join" -> ((s, dir) => {
+      // Co-located join: both fact tables written bucketed (and
+      // bucket-sorted) on the join key, so the sort-merge join reads
+      // bucket i against bucket i with NO exchange — the shuffle that
+      // dominates a 100-TB fact-fact join is paid once at write time and
+      // amortized over every subsequent join. (BucketedJoinSpec asserts
+      // the exchange-free plan, and that the sorted-bucket-scan flag also
+      // elides the defensive per-side sorts; the merge hint keeps Spark
+      // from broadcasting the small sf0.01 side, which would dodge the
+      // very plan this query exists to exercise.)
+      import org.apache.spark.sql.SaveMode
+      val loc = work("q_bucketed_join")
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      // repartition(n, key) = the bucket hash (murmur3 pmod n), so each
+      // bucket lands in ONE file — the layout Spark requires before it
+      // trusts the written sort order and elides the merge-join sorts.
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode(SaveMode.Overwrite).option("path", s"$loc/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode(SaveMode.Overwrite).option("path", s"$loc/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      s.table("graft_li_b").hint("merge")
+        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
+    }),
+
     "q_outer_join" -> ((s, dir) => {
       // Full outer: positive-balance customers vs their big-order rollup —
       // unmatched rows survive on BOTH sides (customers without big
@@ -355,6 +386,23 @@ object SparkEntry {
       val out = work("q_colf_write_roundtrip")
       t(s, dir, "nation").write.format("colf").mode("overwrite").save(out)
       s.read.format("colf").load(out).select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // Built-in source/sink breadth beyond parquet+colf+csv: JSON-lines and
+    // ORC roundtrips. Explicit read schemas — inference is a scan of its
+    // own and non-deterministic on corner types; a 100-TB pipeline always
+    // pins the schema.
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = work("q_json_roundtrip")
+      t(s, dir, "nation").write.mode("overwrite").json(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(out)
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = work("q_orc_roundtrip")
+      t(s, dir, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum2(col("s_acctbal")).as("total_bal"))
     }),
 
     "q_colf_project" -> ((s, dir) => {
@@ -915,6 +963,13 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // Bucketing changes the plan, never the result: same oracle join.
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_outer_join" ->
       """SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_big, o.sum_big
         |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
@@ -965,6 +1020,13 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
 
     "q_colf_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_json_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
     "q_colf_project" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal FROM customer",
