@@ -405,6 +405,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("s_acctbal")).as("total_bal"))
     }),
 
+    // Multi-dimensional clustering: write orders z-ordered on
+    // (o_custkey, o_totalprice), then probe a rectangle in that space —
+    // the scan prunes files on BOTH dimensions (ZOrderSpec pins the
+    // files-planned evidence; here the oracle pins the results).
+    "q_colf_zorder" -> ((s, dir) => {
+      val out = work("q_colf_zorder")
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"))
+      operators.ZOrder.cluster(src, Seq("o_custkey", "o_totalprice"),
+        bits = 4, numPartitions = 8)
+        .write.format("colf").mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+        .where(col("o_custkey") >= 100 && col("o_custkey") < 400 &&
+          col("o_totalprice") >= 50000 && col("o_totalprice") < 150000)
+    }),
+
     "q_colf_project" -> ((s, dir) => {
       val out = work("q_colf_project")
       t(s, dir, "customer")
@@ -1027,6 +1045,13 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    "q_colf_zorder" ->
+      """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+        | CAST(o_custkey AS INTEGER) AS o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 400
+        |  AND o_totalprice >= 50000 AND o_totalprice < 150000""".stripMargin,
 
     "q_colf_project" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal FROM customer",
