@@ -678,6 +678,25 @@ object SparkEntry {
       Dedup.assignClusters(emb, col("vec_id"), pairs)
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Continuous-ingestion dedup: the corpus is 80% of documents; the
+      // arriving batch is built from corpus docs verbatim (-> exact),
+      // with an appended token (-> near), and as md5 gibberish
+      // (-> novel). Statuses are deterministic for exact/novel; the
+      // near tier is LSH-recall-dependent -> rows-only check here, with
+      // the planted-statuses behavior pinned in DedupGroupSpec.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 10 < 8)
+      val sample = docs.where(col("doc_id") % 10 < 8 && col("doc_id") % 4 === 0)
+      val delta = sample.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" appended-tail-token")))
+          .otherwise(md5(col("text"))).as("text"))
+      Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"),
+        Dedup.MinHashParams(jaccardThreshold = 0.4))
+    }),
+
     "q_dedup_clusters_lsh" -> ((s, dir) => {
       // The end-to-end composition a real corpus dedup runs at 100 TB:
       // MinHash-banded candidate pairs (no all-pairs stage anywhere) →
@@ -1411,8 +1430,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
     // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
-    // q_dedup_clusters_lsh (LSH candidate generation is
-    // probabilistic-recall, not ANSI-expressible), q_sim_ann (approximate
-    // by construction).
+    // q_dedup_clusters_lsh / q_dedup_incremental (LSH candidate generation
+    // is probabilistic-recall, not ANSI-expressible), q_sim_ann
+    // (approximate by construction).
   )
 }

@@ -147,11 +147,18 @@ object Dedup {
     * (id_a < id_b) pairs. This is the scale path: the join is a plain
     * hash-partitioned equi-join on the band key.
     */
-  def minhashCandidates(sigs: DataFrame, p: MinHashParams): DataFrame = {
+  /** (id, band, bucket) rows — one per band per signature. Shared by the
+    * self-join (in-corpus dedup) and the bipartite probe (incremental).
+    */
+  private def bandBuckets(sigs: DataFrame, p: MinHashParams): DataFrame = {
     val bandKeys = (0 until p.bands).map { j =>
       xxhash64(lit(j) +: (0 until p.rowsPerBand).map(r => col("sig")(j * p.rowsPerBand + r)): _*)
     }
-    val bands = sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidates(sigs: DataFrame, p: MinHashParams): DataFrame = {
+    val bands = bandBuckets(sigs, p)
     val l = bands.toDF("id_a", "band", "bucket")
     val r = bands.toDF("id_b", "band", "bucket")
     l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
@@ -466,6 +473,93 @@ object Dedup {
       .join(grams(eval, evalId, evalText, "eval_id"), Seq("__g"))
       .groupBy("corpus_id", "eval_id").agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
+  }
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Incremental (delta-vs-corpus) dedup: classify each NEWLY-ARRIVING
+    * document against an EXISTING corpus — the query a continuously
+    * ingesting training pipeline actually runs (the corpus was deduped
+    * once; each batch only needs "is this new?", never a corpus
+    * re-cluster).
+    *
+    * Output: (id, status, matched_id, jaccard) with status ∈
+    * exact | near | novel.
+    *  - exact: verbatim copy of some corpus doc — xxhash64 digest join,
+    *    so corpus TEXT never shuffles, only 8-byte digests;
+    *    matched_id = smallest such corpus id, jaccard = 1.0.
+    *  - near: MinHash band-key probe of the delta signatures against the
+    *    corpus signatures (a BIPARTITE equi-join — no corpus self-join
+    *    anywhere), exact-Jaccard-verified on the candidate texts only;
+    *    matched_id = the best match (highest jaccard, ties to the
+    *    smallest corpus id).
+    *  - novel: neither (null-text deltas are novel by definition).
+    *
+    * Both sides collapse exact-duplicate texts to one representative
+    * before banding (the same flood guard as [[minhashNearDups]]), so m
+    * identical corpus boilerplate docs enter the probe once. At 100 TB
+    * the corpus-side signature scan is the amortizable cost — persist
+    * `minhashSignatures(corpus, ...)` once and feed batches against it;
+    * per-batch work then scales with the DELTA, not the corpus.
+    */
+  def incrementalDedup(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      delta: DataFrame, deltaId: Column, deltaText: Column,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val c = corpus.where(corpusText.isNotNull)
+      .select(corpusId.as("id"), corpusText.as("__text"))
+    val d = delta.select(deltaId.as("id"), deltaText.as("__text"))
+
+    // exact tier: digest join (every delta row, dup or not, gets its row)
+    val cDig = c.select(xxhash64(col("__text")).as("__fp"), col("id").as("cid"))
+      .groupBy("__fp").agg(min("cid").as("matched_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dKeyed = d.withColumn("__fp", xxhash64(col("__text")))
+    val exact = dKeyed.join(cDig, "__fp")
+      .select(col("id"), lit("exact").as("status"),
+        col("matched_id").cast("long").as("matched_id"), lit(1.0).as("jaccard"))
+
+    // near tier: band-probe the not-exact remainder against corpus reps
+    val rest = dKeyed.where(col("__text").isNotNull)
+      .join(cDig.select("__fp"), Seq("__fp"), "left_anti")
+    val (restMembers, restReps) = fingerprintGroups(rest.select(col("id"), col("__text")))
+    val (_, cReps) = fingerprintGroups(c)
+    val dSigs = minhashSignatures(restReps, col("id"), col("__text"), p)
+    val cSigs = minhashSignatures(cReps, col("id"), col("__text"), p)
+    val cand = bandBuckets(dSigs, p)
+      .join(bandBuckets(cSigs, p).toDF("cid", "band", "bucket"), Seq("band", "bucket"))
+      .select("id", "cid").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dSh = restReps.join(cand.select("id").distinct(), "id")
+      .select(col("id"), shingleUdf(p.shingleSize)(col("__text")).as("sh_d"))
+    val cSh = cReps.select(col("id").as("cid"), col("__text"))
+      .join(cand.select("cid").distinct(), "cid")
+      .select(col("cid"), shingleUdf(p.shingleSize)(col("__text")).as("sh_c"))
+    val best = cand.join(dSh, "id").join(cSh, "cid")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_d"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_c"))).cast("double"))
+      .where(col("jaccard") >= p.jaccardThreshold)
+      // argmax(jaccard) with ties to the SMALLEST corpus id: lexicographic
+      // struct max over (jaccard, -cid)
+      .groupBy("id")
+      .agg(max(struct(col("jaccard"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("id").as("rep_id"), col("b.jaccard").as("jaccard"),
+        (-col("b.ncid")).cast("long").as("matched_id"))
+    // expand rep-level matches to every member of the duplicate group
+    val near = restMembers.toDF("__fp", "member_id")
+      .join(restReps.select(col("__fp"), col("id").as("rep_id")), "__fp")
+      .join(best, "rep_id")
+      .select(col("member_id").as("id"), lit("near").as("status"),
+        col("matched_id"), col("jaccard"))
+
+    val matched = exact.unionByName(near)
+    val novel = d.select(col("id"))
+      .join(matched.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit("novel").as("status"),
+        lit(null).cast("long").as("matched_id"),
+        lit(null).cast("double").as("jaccard"))
+    matched.unionByName(novel)
   }
 
   // --------------------------------------------------- cluster assignment

@@ -18,6 +18,42 @@ class DedupGroupSpec extends AnyFunSuite {
 
   private val p = Dedup.MinHashParams(bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
 
+  test("incrementalDedup: exact / near / novel tiers, flood guard, determinism") {
+    val corpus = Seq(
+      (1L, "spark reads the columnar table and scans only the blocks it needs for the plan"),
+      (2L, "a totally different corpus document about distributed join strategies and shuffles"),
+      (3L, "spark reads the columnar table and scans only the blocks it needs for the plan"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank at dawn today"),
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // verbatim copy of docs 1/3 -> exact, matched to the SMALLEST id (1)
+      (100L, "spark reads the columnar table and scans only the blocks it needs for the plan"),
+      // one-word edit of doc 4 -> near
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank at dusk today"),
+      // nothing like the corpus -> novel
+      (102L, "cooking pasta with fresh basil tomato sauce and a pinch of sea salt tonight"),
+      // exact-dup FLOOD in the delta: all collapse to one banding rep
+      (103L, "the quick brown fox jumps over the lazy dog near the river bank at dusk today"),
+      (104L, "the quick brown fox jumps over the lazy dog near the river bank at dusk today"),
+      // null text -> novel
+      (105L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+        delta, col("doc_id"), col("text"), p)
+      .orderBy("id")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.get(2)), x.isNullAt(3)))
+    assert(r.map(t => t._1 -> t._2).toSeq == Seq(
+      100L -> "exact", 101L -> "near", 102L -> "novel",
+      103L -> "near", 104L -> "near", 105L -> "novel"))
+    assert(r(0)._3.contains(1L))                      // smallest exact match id
+    assert(Seq(1, 3, 4).forall(i => r(i)._3.contains(4L))) // near matches doc 4
+    assert(r(2)._3.isEmpty && r(5)._3.isEmpty)        // novel: null matched_id
+    assert(r(2)._4 && r(5)._4)                        // novel: null jaccard
+    // statuses are a partition of the delta: one row per delta doc
+    assert(r.length == 6)
+  }
+
   test("10k identical docs enter banding as ONE row; candidates stay linear") {
     val boiler = "the same boilerplate legal disclaimer text appears on every single page of this site"
     val docs = ((0L until 10000L).map(i => (i, boiler)) ++ Seq(
