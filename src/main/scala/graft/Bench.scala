@@ -18,10 +18,11 @@ object Bench {
     "q_window", "q_topk", "q_events_window", "q_asof_join",
     "q_colf_scan_full", "q_colf_project", "q_colf_agg", "q_colf_filter",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cosine_lsh",
-    "q_dedup_clusters_lsh",
+    "q_dedup_clusters_lsh", "q_dedup_incremental",
     "q_sim_bruteforce", "q_sim_ann", "q_sim_ivf",
     "q_text_stats", "q_quality_score", "q_word_freq", "q_tfidf", "q_sessionize",
     "q_curation_pipeline",
+    "q_chunk", "q_pii_redact", "q_colf_zorder", "q_bucketed_join",
   )
 
   def main(args: Array[String]): Unit = {

@@ -763,6 +763,16 @@ object SparkEntry {
       TextAnalysis.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
         maxTokens = 32, overlap = 8)),
 
+    // Sequence packing: concat-and-chunk the whole corpus token stream at
+    // a 64-token budget (docs span pack boundaries). The global prefix
+    // sum underneath runs distributed (range exchange + per-range window
+    // + bounded per-partition offsets) — NOT a one-task global window —
+    // but its value is partitioning-invariant, so DuckDB's true global
+    // window is an exact oracle.
+    "q_pack" -> ((s, dir) =>
+      operators.Packing.packTokenStream(t(s, dir, "documents"),
+        col("doc_id"), col("text"), budget = 64)),
+
     // PII scrubbing. The synthetic corpus carries no PII, so the harness
     // plants a deterministic email/IP/phone per doc (identically in the
     // oracle SQL) — the compare then verifies actual redaction and
@@ -1315,6 +1325,19 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_pack" ->
+      """SELECT id, n_tokens, CAST(p AS BIGINT) AS pack_id,
+        |  CAST(greatest(s, p*64) - p*64 AS BIGINT) AS pack_offset,
+        |  CAST(least(c, (p+1)*64) - greatest(s, p*64) AS BIGINT) AS n_in_pack
+        |FROM (
+        |  SELECT id, n_tokens, s, c, unnest(generate_series(s // 64, (c-1) // 64)) AS p
+        |  FROM (
+        |    SELECT doc_id AS id, n_tokens,
+        |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS s,
+        |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |    FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |          FROM documents WHERE text IS NOT NULL)))""".stripMargin,
 
     // DuckDB list slices are 1-based with an inclusive end, so
     // toks[i*24+1 : i*24+32] covers the same 32 tokens as Spark's
