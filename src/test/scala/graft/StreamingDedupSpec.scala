@@ -41,6 +41,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.map(_._1).sorted.toSeq == batchKeys)
   }
 
+  test("incremental dedup composes per micro-batch against a static corpus") {
+    // The continuous-ingestion deployment shape: the STATIC corpus is
+    // classified against by every arriving micro-batch via foreachBatch —
+    // incrementalDedup is deterministic per batch and the corpus side is
+    // reusable, so streaming results equal the one-shot batch run.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "spark reads the columnar table and scans only the blocks it needs for the plan"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank at dawn today"),
+    ).toDF("doc_id", "text")
+    val inDir = Files.createTempDirectory("stream_incdedup").toString
+    val batch1 = Seq(
+      (100L, "spark reads the columnar table and scans only the blocks it needs for the plan"),
+      (101L, "cooking pasta with fresh basil tomato sauce and a pinch of sea salt tonight"))
+    val batch2 = Seq(
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank at dusk today"))
+    batch1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    batch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+
+    val p = Dedup.MinHashParams(bands = 8, rowsPerBand = 4, jaccardThreshold = 0.4)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Long])]
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+          delta, col("doc_id"), col("text"), p)
+        acc.synchronized {
+          acc ++= r.collect().map(x =>
+            (x.getLong(0), x.getString(1), if (x.isNullAt(2)) None else Some(x.getLong(2))))
+        }
+        ()
+      }.start()
+    q.awaitTermination()
+
+    val streamed = acc.sortBy(_._1).toSeq
+    val batch = Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+        (batch1 ++ batch2).toDF("doc_id", "text"), col("doc_id"), col("text"), p)
+      .collect().map(x =>
+        (x.getLong(0), x.getString(1), if (x.isNullAt(2)) None else Some(x.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(t => t._1 -> t._2) ==
+      Seq(100L -> "exact", 101L -> "novel", 102L -> "near"))
+  }
+
   test("firstPerKeyExpiring ages state out past the event-time horizon") {
     // Horizon 10s, watermark delay 0: a key seen once is suppressed while
     // the watermark stays inside its horizon, then FORGOTTEN (and
