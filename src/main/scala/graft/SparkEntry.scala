@@ -678,6 +678,15 @@ object SparkEntry {
       Dedup.assignClusters(emb, col("vec_id"), pairs)
     }),
 
+    "q_weighted_mix" -> ((s, dir) =>
+      // Corpus assembly: src0 upsampled 2.5x (2 full epochs + a
+      // deterministic md5 half), src1 cut to a quarter, everything else
+      // kept once. Map-only; the oracle reproduces the exact multiset.
+      operators.Sampling.weightedMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0)),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // Continuous-ingestion dedup: the corpus is 80% of documents; the
       // arriving batch is built from corpus docs verbatim (-> exact),
@@ -1203,6 +1212,20 @@ object SparkEntry {
          |  CASE WHEN h < '$t1' THEN 'train' WHEN h < '$t2' THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT doc_id, substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
          |      FROM documents)""".stripMargin
+    },
+
+    "q_weighted_mix" -> {
+      val half = operators.Sampling.thresholdHex(0.5)
+      val quarter = operators.Sampling.thresholdHex(0.25)
+      val none = operators.Sampling.thresholdHex(0.0)
+      s"""SELECT doc_id, source, CAST(e AS INTEGER) AS epoch
+         |FROM (
+         |  SELECT doc_id, source, unnest(generate_series(0,
+         |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+         |    + CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |        CASE source WHEN 'src0' THEN '$half' WHEN 'src1' THEN '$quarter' ELSE '$none' END
+         |      THEN 1 ELSE 0 END - 1)) AS e
+         |  FROM documents)""".stripMargin
     },
 
     "q_stratified_sample" -> {

@@ -97,4 +97,45 @@ object Sampling {
     }
     df.withColumn("split", split)
   }
+
+  /** Weighted (temperature) source mixing — the corpus-assembly step that
+    * up/down-weights data sources before training ("books ×2.5, crawl
+    * ×0.5"). A row with weight w is emitted floor(w) times always, plus
+    * one more iff its md5 bucket falls under frac(w) — so expected copies
+    * = w exactly, membership of the fractional copy is the same pure
+    * function of (id, salt) as every sampler here, and replicas are
+    * distinguished by an `epoch` column (0-based) for downstream
+    * shuffling/curriculum logic.
+    *
+    * Map-only (a literal CASE over the weight table plus one explode); no
+    * shuffle, no RNG state — any engine with md5 reproduces the exact
+    * multiset. Sources absent from `weights` take `defaultWeight`; w = 0
+    * drops the source entirely (explode of an empty sequence).
+    */
+  def weightedMix(df: DataFrame, id: Column, stratum: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 64.0),
+      "weights must be in [0, 64] (an epoch factor, not a free multiplier)")
+    val key = hexKey(id, salt)
+    def caseOver[A](f: Double => A, toLit: A => Column): Column = {
+      val e0 = weights.toSeq.sortBy(_._1).foldLeft[Option[Column]](None) {
+        case (acc, (s, w)) =>
+          Some(acc match {
+            case None    => when(stratum === lit(s), toLit(f(w)))
+            case Some(e) => e.when(stratum === lit(s), toLit(f(w)))
+          })
+      }
+      e0 match {
+        case None    => toLit(f(defaultWeight))
+        case Some(e) => e.otherwise(toLit(f(defaultWeight)))
+      }
+    }
+    val floorCopies = caseOver[Int](w => math.floor(w).toInt, (i: Int) => lit(i))
+    val fracThr = caseOver[String](w => thresholdHex(w - math.floor(w)), (s: String) => lit(s))
+    val nCopies = floorCopies + when(key < fracThr, 1).otherwise(0)
+    // explode(null) drops the row — exactly right for nCopies == 0
+    df.withColumn("epoch",
+      explode(when(nCopies > 0, sequence(lit(0), nCopies - 1))))
+  }
 }

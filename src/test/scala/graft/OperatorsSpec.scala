@@ -55,6 +55,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Seq("x y"))
   }
 
+  test("weightedMix: exact epoch floors, md5 fractional tier, zero drops") {
+    val df = (0L until 9000L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
+      .toDF("id", "src")
+    val mixed = Sampling.weightedMix(df, $"id", $"src",
+      Map("a" -> 2.5, "b" -> 0.25, "c" -> 0.0), defaultWeight = 1.0)
+    val perSrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 3000 docs ×2.5 expected; md5 tier is deterministic, tolerance
+    // only covers the hash's uniformity, not run-to-run noise
+    assert(perSrc("a") >= 7200 && perSrc("a") <= 7800, s"got ${perSrc("a")}")
+    assert(perSrc("b") >= 600 && perSrc("b") <= 900, s"got ${perSrc("b")}")
+    assert(!perSrc.contains("c"), "zero weight must drop the source")
+    // epochs are contiguous 0..n-1 per doc
+    val epochs = mixed.where($"src" === "a").groupBy("id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("mn"), max("epoch").as("mx"))
+    assert(epochs.where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).isEmpty)
+    assert(epochs.where(col("n") < 2 || col("n") > 3).isEmpty)
+    // pure function of (id, salt): partitioning cannot change the multiset
+    val again = Sampling.weightedMix(df.repartition(17), $"id", $"src",
+      Map("a" -> 2.5, "b" -> 0.25, "c" -> 0.0), defaultWeight = 1.0)
+    assert(mixed.except(again).isEmpty && again.except(mixed).isEmpty)
+    assert(mixed.count() == again.count())
+  }
+
   test("chunkTokens: stride/overlap coverage, short docs, nulls") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
