@@ -811,6 +811,19 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90"),
           max(col("o_totalprice")).as("mx"))),
 
+    // Sketch aggregates: HyperLogLog++ distinct counts and a quantile
+    // sketch — at 100 TB these replace their exact forms wherever a
+    // bounded-memory one-pass answer is enough (the exact percentile
+    // holds every value per group; the sketch holds ~KBs). Sketch
+    // estimates are engine-specific -> rows-only check here; the error
+    // bounds vs exact are pinned in OperatorsSpec.
+    "q_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_sketch"),
+          count(lit(1)).as("n"))),
+
     // End-to-end curation composition: score -> filter -> dedup, the whole
     // path a corpus takes before training. One scan, one shuffle (the
     // dedup groupBy); scoring and filtering stay map-side.
@@ -1478,6 +1491,7 @@ object SparkEntry {
     // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
     // q_dedup_clusters_lsh / q_dedup_incremental (LSH candidate generation
     // is probabilistic-recall, not ANSI-expressible), q_sim_ann
-    // (approximate by construction).
+    // (approximate by construction), q_sketches (HLL++/quantile-sketch
+    // estimates are engine-specific; error bounds spec'd vs exact).
   )
 }

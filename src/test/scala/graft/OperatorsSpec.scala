@@ -55,6 +55,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Seq("x y"))
   }
 
+  test("sketch aggregates stay within declared error of the exact answer") {
+    val df = (0 until 200000).map(i => (i % 37231, (i % 9973).toDouble)).toDF("k", "v")
+    val r = df.agg(
+      approx_count_distinct($"k", rsd = 0.02).as("ad"),
+      expr("approx_percentile(v, 0.5, 10000)").as("p50s"),
+      countDistinct($"k").as("d"),
+      expr("percentile(v, 0.5)").as("p50")).head()
+    val (ad, d) = (r.getLong(0), r.getLong(2))
+    // HLL++ at rsd 2%: allow 3 sigma
+    assert(math.abs(ad - d).toDouble / d < 0.06, s"approx $ad vs exact $d")
+    // quantile sketch at accuracy 10000: rank error <= n/10000; generous
+    // value bound via neighboring exact percentiles
+    val (lo, hi) = df.agg(expr("percentile(v, 0.49)"), expr("percentile(v, 0.51)"))
+      .as[(Double, Double)].head()
+    assert(r.getDouble(1) >= lo && r.getDouble(1) <= hi,
+      s"sketch p50 ${r.getDouble(1)} outside [$lo, $hi]")
+  }
+
   test("weightedMix: exact epoch floors, md5 fractional tier, zero drops") {
     val df = (0L until 9000L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
       .toDF("id", "src")
