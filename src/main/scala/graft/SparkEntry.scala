@@ -877,6 +877,15 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), posexplode(col("q")))
         .select(col("vec_id"), (col("pos") + 1).as("idx"), col("scale"), col("col").as("qv"))),
 
+    // JL dimensionality reduction 64 -> 8; the deterministic ±1 matrix is
+    // reproduced literally in the oracle SQL, so projections are
+    // bit-exact. Exploded like the other embedding queries.
+    "q_embed_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        outDims = 8)
+        .select(col("id").as("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), (col("pos") + 1).as("idx"), col("col").as("p"))),
+
     // ---- training-data pipeline: multimodal plumbing
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.toMediaTable(t(s, dir, "documents"))).toDF()),
@@ -1480,6 +1489,23 @@ object SparkEntry {
         |FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
         |WHERE mx > 0""".stripMargin,
+
+    "q_embed_project" -> {
+      // The SAME matrix the operator derives (java.util.Random's
+      // algorithm is javadoc-specified), rendered as list literals; same
+      // op order (dot, then * scale) -> bit-identical doubles.
+      val m = operators.Similarity.projectionMatrix(inDims = 64, outDims = 8, seed = 42L)
+      val scale = 1.0 / math.sqrt(8.0)
+      val dots = m.map { row =>
+        val lits = row.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"list_dot_product(e, CAST([$lits] AS DOUBLE[])) * $scale"
+      }.mkString(",\n    ")
+      s"""SELECT vec_id,
+         |  CAST(unnest(generate_series(1, 8)) AS INTEGER) AS idx,
+         |  unnest([
+         |    $dots]) AS p
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

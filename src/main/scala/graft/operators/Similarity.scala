@@ -250,6 +250,39 @@ object Similarity {
       coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame =
     ivfSearch(ivfPrepare(corpus, coarseBits, dim, seed), queries, k, nProbe)
 
+  /** Deterministic ±1 random-projection matrix (Achlioptas/JL): outDims
+    * rows of inDims entries in {−1, +1}, from java.util.Random(seed) —
+    * whose algorithm is SPECIFIED by its javadoc, so every JVM (and the
+    * oracle, which receives the rows as literals) derives the identical
+    * matrix. Row-major; scaling by 1/√outDims is left to the caller (kept
+    * out so the codes stay exactly ±1-summed integers in spirit).
+    */
+  def projectionMatrix(inDims: Int, outDims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(outDims, inDims)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Johnson-Lindenstrauss dimensionality reduction: project embeddings
+    * onto `outDims` deterministic ±1 directions (scaled 1/√outDims, the
+    * Achlioptas estimator — pairwise distances preserved in expectation).
+    * The shrink step before storing or ANN-indexing very wide embeddings:
+    * map-only, one codegen'd [[dot]] per output dimension per row, matrix
+    * lives in the plan as literals (KBs — never a shuffle or broadcast).
+    * Output: (id, proj array<double>).
+    */
+  def randomProject(df: DataFrame, id: Column, vec: Column,
+      outDims: Int, seed: Long = 42L): DataFrame = {
+    require(outDims >= 1 && outDims <= 4096, s"outDims must be in [1,4096], got $outDims")
+    val v = asDouble(vec)
+    val probe = df.select(size(v)).limit(1).collect()
+    require(probe.nonEmpty, "randomProject needs a non-empty input to derive inDims")
+    val inDims = probe(0).getInt(0)
+    val m = projectionMatrix(inDims, outDims, seed)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = m.map(row => dot(v, lit(row)) * scale)
+    df.select(id.as("id"), array(comps.toIndexedSeq: _*).as("proj"))
+  }
+
   /** Per-group embedding statistics (count + exact norm sum). The norm is a
     * per-row double (deterministic); the cross-row sum goes through a
     * decimal so partial-aggregation order cannot perturb the result.

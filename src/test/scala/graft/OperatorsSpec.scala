@@ -55,6 +55,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == Seq("x y"))
   }
 
+  test("randomProject: deterministic matrix, JL distance preservation") {
+    val m1 = Similarity.projectionMatrix(16, 4, 7L)
+    val m2 = Similarity.projectionMatrix(16, 4, 7L)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(Similarity.projectionMatrix(16, 4, 8L).map(_.toSeq).toSeq != m1.map(_.toSeq).toSeq)
+
+    // JL: pairwise distances survive 64 -> 32 within a modest distortion
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian()))).toSeq
+    val df = vecs.toDF("id", "v")
+    val proj = Similarity.randomProject(df, $"id", $"v", outDims = 32, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.toMap.map { case (k, v) => k -> v }
+    val ratios = for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+    } yield d(proj(i), proj(j)) / d(orig(i), orig(j))
+    assert(ratios.forall(r => r > 0.5 && r < 1.7),
+      s"distorted beyond JL expectation: min ${ratios.min}, max ${ratios.max}")
+  }
+
   test("sketch aggregates stay within declared error of the exact answer") {
     val df = (0 until 200000).map(i => (i % 37231, (i % 9973).toDouble)).toDF("k", "v")
     val r = df.agg(
