@@ -246,6 +246,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // Interval×interval overlap join via shared bucketization (exactly
+      // one emission per pair — no dedup shuffle, no nested loop).
+      val a = t(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("a_id"), col("o_totalprice").as("a_lo"),
+          (col("o_totalprice") + 30000).as("a_hi"))
+      val b = t(s, dir, "orders").where(col("o_orderkey") % 100 === 50)
+        .select(col("o_orderkey").as("b_id"), col("o_totalprice").as("b_lo"),
+          (col("o_totalprice") + 30000).as("b_hi"))
+      operators.RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 30000)
+        .select("a_id", "b_id", "a_lo", "b_lo")
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // Co-located join: both fact tables written bucketed (and
       // bucket-sorted) on the join key, so the sort-merge join reads
@@ -1081,6 +1095,14 @@ object SparkEntry {
         |    CAST(n_nationkey * 400.0 - 1000.0 + 600.0 AS DOUBLE) AS hi
         |  FROM nation) bands
         |ON c_acctbal BETWEEN lo AND hi""".stripMargin,
+
+    "q_interval_overlap" ->
+      """SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+        |  a.o_totalprice AS a_lo, b.o_totalprice AS b_lo
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) a
+        |JOIN (SELECT * FROM orders WHERE o_orderkey % 100 = 50) b
+        |  ON a.o_totalprice <= b.o_totalprice + 30000
+        | AND b.o_totalprice <= a.o_totalprice + 30000""".stripMargin,
 
     "q_vec_dot_sql" ->
       """SELECT vec_id,

@@ -43,4 +43,35 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pair left intervals `[aLo, aHi]` with right
+    * intervals `[bLo, bHi]` that overlap (`aLo ≤ bHi ∧ bLo ≤ aHi`,
+    * optionally under equi-keys) — validity windows × validity windows,
+    * sessions × incidents, shard ranges × shard ranges.
+    *
+    * Same bucketization as [[pointInInterval]], with one twist: two
+    * overlapping intervals share EVERY bucket their intersection covers,
+    * so a bare bucket equi-join would emit the pair once per shared
+    * bucket. Instead of a distinct pass (a full extra shuffle of the
+    * output), the join keeps a pair only in the FIRST bucket both cover —
+    * `bucket == max(floor(aLo/w), floor(bLo/w))` — which every
+    * overlapping pair satisfies in exactly one bucket and disjoint pairs
+    * never do. Replication cost is ×(span/w + 1) per side, as before;
+    * negative-length intervals are dropped.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String, bucketWidth: Double,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c / lit(bucketWidth)).cast("long")
+    val l = left.where(col(aHi) >= col(aLo))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(aLo)), bucketOf(col(aHi)))))
+    val r = right.where(col(bHi) >= col(bLo))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(bLo)), bucketOf(col(bHi)))))
+    l.join(r, keys :+ "__bucket")
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bucket") === greatest(bucketOf(col(aLo)), bucketOf(col(bLo))))
+      .drop("__bucket")
+  }
 }

@@ -43,6 +43,29 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(r == Set((1L, 100L), (2L, 100L)))
   }
 
+  test("intervalOverlap equals the naive overlap join, each pair exactly once") {
+    val rnd = new scala.util.Random(11)
+    val a = (0L until 300L).map { i =>
+      val lo = rnd.nextInt(1000).toDouble; (i, lo, lo + rnd.nextInt(40))
+    }.toDF("a_id", "a_lo", "a_hi")
+    val b = (0L until 300L).map { i =>
+      val lo = rnd.nextInt(1000).toDouble; (i, lo, lo + rnd.nextInt(40))
+    }.toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 25.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // Seq compare: the first-shared-bucket guard means no pair appears
+    // twice even though overlapping intervals share many buckets
+    assert(got.sorted == expected.sorted)
+    assert(got.nonEmpty && got.size == got.distinct.size)
+    // wide intervals spanning many buckets still emit once
+    val wide = Seq((1L, 0.0, 990.0)).toDF("a_id", "a_lo", "a_hi")
+    val w = RangeJoin.intervalOverlap(wide, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 25.0)
+    // exactly once per genuinely-overlapping b (those starting <= a_hi)
+    assert(w.count() == b.where($"b_lo" <= 990.0).count())
+  }
+
   test("plan is a hash equi-join on the bucket — no nested-loop") {
     val pts = spark.range(100).select($"id".as("pid"), ($"id" % 50).cast("double").as("v"))
     val ivals = spark.range(10).select($"id".as("iid"),
