@@ -23,6 +23,7 @@ object Bench {
     "q_text_stats", "q_quality_score", "q_word_freq", "q_tfidf", "q_sessionize",
     "q_curation_pipeline",
     "q_chunk", "q_pii_redact", "q_colf_zorder", "q_bucketed_join",
+    "q_pack", "q_interval_overlap",
   )
 
   def main(args: Array[String]): Unit = {

@@ -376,7 +376,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
 
@@ -452,8 +452,47 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       filterPart + limit.map(n => s" PushedLimit: $n").getOrElse("")
   }
 
+  // ------------------------------------------------- runtime filtering
+  //
+  // DPP-style execution-time pruning: when this scan joins a filtered
+  // dimension, Spark hands the build side's join-key values here (as an
+  // `In` filter piggybacking the existing broadcast — no extra job) and
+  // the scan re-prunes FILES before planning tasks. Every table column is
+  // filterable: partition-path values prune exactly, header min/max stats
+  // prune ranges, and the per-column Blooms are tailor-made for exactly
+  // this `In`-of-join-keys shape. Pruning is superset-safe (mayMatch),
+  // and Spark still applies the real join predicate afterwards.
+
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // Only columns in the scan OUTPUT are offerable (Spark resolves these
+  // against the pruned read schema, not the table schema).
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+
+  /** Re-prune `base` under the runtime filters (same two-tier path as the
+    * static pruning: partition values first — zero I/O — then cached
+    * headers).
+    */
+  private def applyRuntimeFilters(base: Seq[ColfFileRef]): Seq[ColfFileRef] =
+    if (runtimeFilters.isEmpty) base
+    else {
+      val fs = runtimeFilters.toSeq
+      val partKept = base.filter { r =>
+        r.partValues.isEmpty || fs.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
+      }
+      val headers = ColfHeaderCache.getAll(partKept, conf)
+      partKept.lazyZip(headers).collect {
+        case (r, h) if ColfPrune.mayMatch(h, fs) => r
+      }.toSeq
+    }
+
+  private def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
+
   /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]]. */
-  override def planInputPartitions(): Array[InputPartition] = ColfUtil.binPack(refs)
+  override def planInputPartitions(): Array[InputPartition] = ColfUtil.binPack(plannedRefs)
 
   /** Micro-batch streaming read of an append-only colf directory; offsets,
     * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
@@ -470,7 +509,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(ColfDriverMetric("colfFilesListed", allRefs.length.toLong),
-      ColfDriverMetric("colfFilesPlanned", refs.length.toLong))
+      ColfDriverMetric("colfFilesPlanned", plannedRefs.length.toLong))
 
   /** Row counts are free when headers were already loaded for planning
     * (pruning/limit) — expose them exactly so Catalyst/AQE can size joins

@@ -282,6 +282,44 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).where($"doc_id" === "id-999999x").count() == 0)
   }
 
+  test("runtime filtering: a join's build side prunes colf FILES at execution") {
+    val dir = tmp()
+    // fact table range-clustered on k -> 4 files with disjoint k ranges
+    spark.range(0, 4000)
+      .select($"id".cast("int").as("k"), ($"id" % 7).cast("double").as("v"))
+      .write.format("colf").option("sortBy", "k").option("numFiles", 4)
+      .mode("overwrite").save(dir)
+    // dim table: after its own filter, only keys 100..199 survive — all in
+    // the fact's first file
+    val dim = spark.range(0, 4000)
+      .select($"id".cast("int").as("dk"), ($"id" % 40).cast("int").as("cat"))
+    val fact = spark.read.format("colf").load(dir)
+    val joined = fact.join(broadcast(dim.where($"cat" === 5 && $"dk" < 200)),
+      $"k" === $"dk")
+    val n = joined.count()
+    // cat==5 ⇔ dk%40==5 → dk in {5,45,85,125,165} ∩ [0,200) = 5 rows
+    assert(n == 5, s"got $n")
+    // the join plan is AQE-wrapped; descend into the finalized plan
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val e = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      e +: e.children.flatMap(all)
+    }
+    val scans = all(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // the scan carries a runtime filter and planned fewer files than listed
+    assert(scans.exists(_.toString.contains("RuntimeFilters: [")),
+      s"no runtime filter on the colf scan:\n${joined.queryExecution.executedPlan}")
+    val metrics = scans.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(metrics("colfFilesListed") == 4L)
+    assert(metrics("colfFilesPlanned") <= 1L,
+      s"runtime IN filter should prune to the one matching file, got $metrics")
+  }
+
   test("sortBy write option clusters files so pruning bites on a naturally-written table") {
     val dir = tmp()
     // SHUFFLED input — without write-side clustering every part file would
