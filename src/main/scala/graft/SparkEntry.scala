@@ -419,6 +419,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("s_acctbal")).as("total_bal"))
     }),
 
+    // DPP-style runtime filtering: the broadcast dim's surviving join
+    // keys re-prune colf FILES at execution (SupportsRuntimeFiltering;
+    // plan+metric evidence in ColfStatsSpec — here the oracle pins the
+    // joined results).
+    "q_colf_runtime_prune" -> ((s, dir) => {
+      val out = work("q_colf_runtime_prune")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.format("colf").option("sortBy", "l_orderkey").option("numFiles", 4)
+        .mode("overwrite").save(out)
+      val dim = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 3000)
+        .select(col("o_orderkey").cast("int").as("o_orderkey"))
+      s.read.format("colf").load(out)
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // Multi-dimensional clustering: write orders z-ordered on
     // (o_custkey, o_totalprice), then probe a rectangle in that space —
     // the scan prunes files on BOTH dimensions (ZOrderSpec pins the
@@ -786,6 +806,24 @@ object SparkEntry {
       TextAnalysis.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
         maxTokens = 32, overlap = 8)),
 
+    // CCNet-style line-level boilerplate removal. The synthetic docs are
+    // single-line, so the harness plants structure (identically in the
+    // oracle): an 8-token line split, a banner line on every doc and a
+    // second one on even ids — those cross the doc-frequency threshold
+    // and are removed; body lines survive in order.
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val body = array_join(transform(
+        sequence(lit(0), ((size(toks) - lit(1)) / lit(8)).cast("int")),
+        i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n")
+      val planted = docs.select(col("doc_id"), concat(
+        lit("terms of service apply\n"),
+        when(col("doc_id") % 2 === 0, lit("subscribe to the newsletter\n")).otherwise(lit("")),
+        body).as("text"))
+      TextAnalysis.dropBoilerplateLines(planted, col("doc_id"), col("text"), minDocFreq = 5)
+    }),
+
     // Sequence packing: concat-and-chunk the whole corpus token stream at
     // a 64-token budget (docs span pack boundaries). The global prefix
     // sum underneath runs distributed (range exchange + per-range window
@@ -1128,6 +1166,13 @@ object SparkEntry {
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
+    "q_colf_runtime_prune" ->
+      """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 3000
+        |GROUP BY l_orderkey""".stripMargin,
+
     "q_colf_zorder" ->
       """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
         | CAST(o_custkey AS INTEGER) AS o_custkey, o_totalprice
@@ -1392,6 +1437,35 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'terms of service apply' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to the newsletter' || chr(10) ELSE '' END ||
+        |    array_to_string(list_transform(generate_series(0, (len(toks)-1)//8),
+        |      i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')), chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), lines AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(1, len(ls))) AS INTEGER) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)
+        |), boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |  WHERE df >= 5
+        |), kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM boiler)
+        |)
+        |SELECT d.doc_id AS id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0) AS n_dropped
+        |FROM planted d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
 
     "q_pack" ->
       """SELECT id, n_tokens, CAST(p AS BIGINT) AS pack_id,

@@ -192,6 +192,46 @@ object TextAnalysis {
       size(part).as("chunk_tokens"))
   }
 
+  /** CCNet-style line-level boilerplate removal: drop every line that
+    * appears (verbatim) in ≥ `minDocFreq` DISTINCT documents — cookie
+    * banners, nav bars, license footers — and reassemble each document
+    * from its surviving lines in original order.
+    *
+    * Scale shape: lines explode once; the frequency aggregation is
+    * map-side-combined on (line, doc) then (line); the dictionary of
+    * boilerplate lines (freq ≥ threshold) is TINY relative to the corpus
+    * — it broadcasts, and the removal join is a broadcast LEFT ANTI, so
+    * corpus lines never shuffle again. Reassembly is one groupBy(doc)
+    * with sort_array on (pos, line) structs — per-doc state bounded by
+    * document length. Docs whose every line was boilerplate survive with
+    * empty text (the caller decides to drop or keep them); null-text
+    * docs pass through as null.
+    */
+  def dropBoilerplateLines(df: DataFrame, id: Column, text: Column,
+      minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = df.where(text.isNotNull)
+      .select(id.as("id"), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val boiler = lines.select(col("line"), col("id")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select("line")
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(id.as("id"), text.as("__text"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__text").isNotNull, coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        when(col("__text").isNotNull, coalesce(col("n_kept"), lit(0L))).as("n_kept"),
+        when(col("__text").isNotNull,
+          size(split(col("__text"), "\n")) - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   // ------------------------------------------------------------------ PII
   //
   // Redaction patterns chosen to parse identically under Java regex

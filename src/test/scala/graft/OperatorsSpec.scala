@@ -145,6 +145,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropBoilerplateLines removes frequent lines, keeps order, handles edges") {
+    val df = Seq(
+      (1L, "BANNER\nunique line one\nFOOTER"),
+      (2L, "BANNER\nunique line two\nFOOTER"),
+      (3L, "BANNER\nanother body line\nand one more\nFOOTER"),
+      (4L, "BANNER\nFOOTER"),                 // all boilerplate -> empty
+      (5L, "totally unique document text"),   // untouched
+      (6L, null.asInstanceOf[String]),        // null passes through
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dropBoilerplateLines(df, $"doc_id", $"text", minDocFreq = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, "unique line one", 1L, 2L),
+      (2L, "unique line two", 1L, 2L),
+      (3L, "another body line\nand one more", 2L, 2L),
+      (4L, "", 0L, 2L),
+      (5L, "totally unique document text", 1L, 0L),
+      (6L, null, -1L, -1L)))
+  }
+
   test("redactPii scrubs emails/IPs/phones; counts audit the originals") {
     val df = Seq(
       (1L, "mail bob.smith+tag@corp.example.org and carol@ex.io now"),
