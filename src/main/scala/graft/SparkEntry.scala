@@ -806,6 +806,17 @@ object SparkEntry {
       TextAnalysis.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
         maxTokens = 32, overlap = 8)),
 
+    // The text operators through their SQL registry names — a pure-SQL
+    // user gets the same codegen'd kernels (GraftFunctions / the
+    // spark.sql.extensions hook).
+    "q_sql_text_funcs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT doc_id, token_count(text) AS n_tokens,
+               |  quality_score(text) AS quality, lang_id(text) AS lang_pred
+               |FROM graft_docs_v""".stripMargin)
+    }),
+
     // CCNet-style line-level boilerplate removal. The synthetic docs are
     // single-line, so the harness plants structure (identically in the
     // oracle): an 8-token line split, a banner line on every doc and a
@@ -1401,6 +1412,30 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    // Same formulas as q_quality_score / q_lang_id, reached through the
+    // SQL function registry on the Spark side.
+    "q_sql_text_funcs" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString("\n    ")
+      s"""SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |    + (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.3
+         |    + (1.0 - CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.2 AS quality,
+         |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    $cases
+         |  END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, text, length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $StopList)) AS n_stop,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |    $scores
+         |  FROM documents)""".stripMargin
+    },
 
     "q_tfidf" ->
       """SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (

@@ -12,6 +12,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Column → Catalyst expression via the FULL ColumnNode conversion (the
+    * one Dataset.select applies), yielding `UnresolvedFunction` nodes the
+    * analyzer can resolve. [[expression]] is a thin wrapper fine for
+    * already-resolved trees; function-registry BUILDERS need this form —
+    * a wrapped unresolved node would survive analysis and fail at
+    * codegen.
+    */
+  def resolvableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** The session's Hadoop conf WITH session-level `spark.hadoop.*` /
     * `fs.*` overrides applied — `sessionState` is `private[sql]` in
     * Spark 4, so connectors can't call `newHadoopConf()` directly.

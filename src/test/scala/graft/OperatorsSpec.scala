@@ -580,6 +580,19 @@ class OperatorsSpec extends AnyFunSuite {
     // ragged arrays → null, matching the DataFrame-side semantics
     assert(spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
       .collect()(0).isNullAt(0))
+    // the lifted text operators answer through SQL exactly like their
+    // DataFrame forms (same Column composition underneath)
+    val r = spark.sql(
+      """SELECT token_count('a b c') AS n,
+        |  lang_id('the quick brown fox is happy and it was fun') AS l,
+        |  redact_pii('mail bob@ex.io now') AS red,
+        |  quality_score('') AS q0""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "en")
+    assert(r.getString(2) == "mail <EMAIL> now")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(spark.sql("SELECT doc_fingerprint('x') AS f").collect()(0).getLong(0) ==
+      spark.range(1).select(TextAnalysis.fingerprint(lit("x"))).collect()(0).getLong(0))
     // the cluster-wide SparkSessionExtensions entry point is constructible
     // by name (as spark.sql.extensions would) and applies without error
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
