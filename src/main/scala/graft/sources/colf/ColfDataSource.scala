@@ -242,7 +242,24 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
+
+  /** Hive-layout partition columns, derived from the directory layout once
+    * per table instance (the same listing schema inference already pays).
+    */
+  private lazy val layoutPartitionCols: Seq[String] =
+    ColfPartitions.partitionCols(
+      ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf()))
+
+  /** Declared as identity transforms, so SQL `INSERT OVERWRITE ...
+    * PARTITION (k=v)` resolves the static spec into an overwrite filter
+    * against this table.
+    */
+  override lazy val partitioning: Array[Transform] =
+    layoutPartitionCols
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // non-positive caps would make the stream stall silently (every batch
@@ -258,8 +275,14 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       positive("maxRowsPerTrigger", _.toLong))
   }
 
+  /** SQL INSERT paths (DDL tables) don't carry write options, so the
+    * table's own layout-derived partition columns serve as the default —
+    * without it an INSERT into a partitioned table would write flat
+    * root-level files with partition values stored in-file, breaking the
+    * layout the readers partition-prune on.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ColfWriteBuilder(paths, info)
+    new ColfWriteBuilder(paths, info, layoutPartitionCols)
 }
 
 /** Projection pushdown: Catalyst's V2ScanRelationPushDown hands us the

@@ -93,13 +93,22 @@ private[graft] object ColfPartitions {
     }
   }
 
-  /** For Not-pushdown only: true iff the filter PROVABLY matches every
-    * row of the file given these partition values (then Not(c) matches
-    * none). Conservative false whenever unsure.
+  /** True iff the filter PROVABLY matches every row of the file given
+    * these partition values — partition values are constant per file, so
+    * may-match ⇒ all-match for the equality shapes. Conservative false
+    * whenever unsure. Used for Not-pushdown above and for the DELETE side
+    * of filter-based INSERT OVERWRITE (a file is replaced only when every
+    * row in it provably matches the overwrite condition — anything less
+    * would delete rows the condition never selected).
     */
-  private def provablyMatchesAll(values: Map[String, Any], f: Filter): Boolean = f match {
+  private[colf] def provablyMatchesAll(values: Map[String, Any], f: Filter): Boolean = f match {
+    case _: org.apache.spark.sql.sources.AlwaysTrue => true
+    case And(l, r) =>
+      provablyMatchesAll(values, l) && provablyMatchesAll(values, r)
     case EqualTo(a, v) if values.contains(a) =>
       mayMatch(values, EqualTo(a, v)) // constant per file: may ⇒ all
+    case EqualNullSafe(a, v) if values.contains(a) =>
+      mayMatch(values, EqualNullSafe(a, v))
     case In(a, vs) if values.contains(a) => mayMatch(values, In(a, vs))
     case IsNotNull(a) if values.contains(a) => true
     case _ => false

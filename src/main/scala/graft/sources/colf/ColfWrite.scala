@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
 /** DSv2 write path: each task buffers columns and emits part files. The
@@ -37,11 +38,35 @@ import org.apache.spark.sql.types._
   *    converges;
   *  - task abort deletes that task's temps; job abort deletes all temps.
   */
-class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
+    defaultPartitionBy: Seq[String] = Seq.empty)
+    extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite with SupportsDynamicOverwrite {
   private var truncateMode = false
+  private var overwriteFilters: Seq[Filter] = Seq.empty
+  private var dynamicMode = false
 
   override def truncate(): WriteBuilder = { truncateMode = true; this }
+
+  /** Filter-based INSERT OVERWRITE (the static `PARTITION (k=v)` SQL spec
+    * arrives here as equality filters). All-`AlwaysTrue` degenerates to
+    * truncate; anything else is validated in [[build]] against the
+    * partition layout — replacement happens at file granularity, so only
+    * conditions that whole partition directories provably satisfy are
+    * accepted.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateMode = true
+    else overwriteFilters = filters.toSeq
+    this
+  }
+
+  /** Dynamic partition overwrite: replace exactly the partitions the new
+    * data writes into, leave every other partition untouched — the
+    * idempotent re-ingestion mode ("recompute day X") at any scale.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamicMode = true; this }
 
   override def build(): Write = {
     require(paths.size == 1, s"colf write requires exactly one output path, got $paths")
@@ -77,8 +102,11 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     // option("partitionBy", "a,b"): hive-layout partitioned write — values
     // become k=v path segments (and are NOT stored in the files), so reads
     // partition-prune with zero I/O.
-    val partitionBy = Option(info.options.get("partitionBy")).toSeq
-      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val partitionBy = (Option(info.options.get("partitionBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)) match {
+        case Seq() => defaultPartitionBy // DDL INSERTs: the table's layout
+        case opt   => opt
+      })
       .map { c =>
         info.schema().fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(
@@ -91,8 +119,28 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
       "colf: partitionBy cannot cover every column (files would be empty)")
     require(numFiles == 0 || sortBy.nonEmpty || partitionBy.nonEmpty,
       "colf: numFiles requires sortBy or partitionBy (it sizes the clustering exchange)")
+    // Filter/dynamic overwrite replace whole FILES, so they are sound only
+    // at partition granularity: conditions must cover partition columns
+    // with shapes whose truth is constant per partition directory.
+    if (overwriteFilters.nonEmpty || dynamicMode)
+      require(partitionBy.nonEmpty,
+        "colf: filter/dynamic overwrite requires a partitioned table " +
+          "(option(\"partitionBy\", ...)) — file-level replacement is only " +
+          "sound when every row of a replaced file matches the condition")
+    def supportedShape(f: Filter): Boolean = f match {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case org.apache.spark.sql.sources.And(l, r) => supportedShape(l) && supportedShape(r)
+      case org.apache.spark.sql.sources.EqualTo(a, _) => partitionBy.exists(_.equalsIgnoreCase(a))
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+        v != null && partitionBy.exists(_.equalsIgnoreCase(a))
+      case org.apache.spark.sql.sources.In(a, _) => partitionBy.exists(_.equalsIgnoreCase(a))
+      case _ => false
+    }
+    overwriteFilters.foreach(f => require(supportedShape(f),
+      s"colf: unsupported overwrite condition $f — only equality/IN over " +
+        s"partition columns (${partitionBy.mkString(", ")}) replaces files soundly"))
     new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
-      level, sortBy, targetBytes, numFiles, partitionBy)
+      level, sortBy, targetBytes, numFiles, partitionBy, overwriteFilters, dynamicMode)
   }
 }
 
@@ -115,7 +163,8 @@ object ColfWrite {
 class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Boolean,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0,
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty, overwriteFilters: Seq[Filter] = Seq.empty,
+    dynamicOverwrite: Boolean = false)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -237,17 +286,33 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
     }
-    // 2) Deferred truncate LAST: a crash anywhere above leaves old data
+    // 2) Deferred deletes LAST: a crash anywhere above leaves old data
     //    fully intact (plus invisible temps / some new files) — a superset,
     //    never a partial table. Deletes are parallel for the same reason
-    //    renames are. The walk descends k=v partition dirs, so overwrite
-    //    of a partitioned table replaces EVERY partition's old files.
-    if (truncate && fs.exists(dirPath)) {
-      val stale = walkFiles(fs, dirPath).filter { p =>
+    //    renames are. The walk descends k=v partition dirs. Scope:
+    //    - truncate: every old file (full overwrite);
+    //    - dynamic overwrite: old files only in partition dirs that
+    //      RECEIVED new files this commit;
+    //    - filter overwrite: old files whose partition-path values
+    //      PROVABLY satisfy the condition (constant per directory — a
+    //      file is never deleted on a maybe).
+    if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty) && fs.exists(dirPath)) {
+      val old = walkFiles(fs, dirPath).filter { p =>
         val n = p.getName
         n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
           !committed.contains(n)
       }
+      val stale =
+        if (truncate) old
+        else if (dynamicOverwrite) {
+          val touchedDirs = pairs.map { case (_, fin) => new Path(fin).getParent.toString }.toSet
+          old.filter(p => touchedDirs.contains(p.getParent.toString))
+        } else {
+          old.filter { p =>
+            val typed = typedPartValues(dirPath, p)
+            overwriteFilters.forall(ColfPartitions.provablyMatchesAll(typed, _))
+          }
+        }
       ColfHeaderCache.mapParallel(stale)(p => fs.delete(p, false))
     }
     deleteQueryTemps(fs)
@@ -262,6 +327,28 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       entries.filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith("_") && s.getPath.getName.contains('='))
         .flatMap(s => walkFiles(fs, s.getPath))
+  }
+
+  /** Typed partition values from the `k=v` path segments between the table
+    * root and `file`, typed by the write schema (mirrors the scan side's
+    * typedPartValues so overwrite filters compare ints as ints).
+    */
+  private def typedPartValues(root: Path, file: Path): Map[String, Any] = {
+    var p = file.getParent
+    var segs = List.empty[(String, String)]
+    while (p != null && p.toString != root.toString) {
+      val n = p.getName
+      val i = n.indexOf('=')
+      if (i > 0) segs ::= (n.substring(0, i), n.substring(i + 1))
+      p = p.getParent
+    }
+    segs.flatMap { case (k, v) =>
+      schema.fields.find(_.name.equalsIgnoreCase(k)).flatMap { f =>
+        scala.util.Try(
+          ColfPartitions.typedValue(v, ColfUtil.colfType(f.dataType))).toOption
+          .map(f.name -> _)
+      }
+    }.toMap
   }
 
   private def doAbort(messages: Array[WriterCommitMessage]): Unit = {

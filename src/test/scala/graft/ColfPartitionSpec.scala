@@ -131,6 +131,64 @@ class ColfPartitionSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("path segment") || e3.getCause != null)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named partition") {
+    val dir = tmp()
+    spark.range(0, 100)
+      .select($"id".cast("int").as("k"), ($"id" % 2).cast("int").as("p"))
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    val table = s"colf_ow_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir', partitionBy 'p')")
+    try {
+      assert(spark.table(table).count() == 100)
+      // static partition spec: p=1 replaced with one row, p=0 untouched
+      spark.sql(s"INSERT OVERWRITE $table PARTITION (p = 1) VALUES (777)")
+      val after = spark.table(table)
+      assert(after.where($"p" === 1).select("k").as[Int].collect().toSeq == Seq(777))
+      assert(after.where($"p" === 0).count() == 50)
+      // full INSERT OVERWRITE (no spec) truncates everything first
+      spark.sql(s"INSERT OVERWRITE $table VALUES (1, 0), (2, 1)")
+      assert(spark.table(table).count() == 2)
+    } finally spark.sql(s"DROP TABLE $table")
+  }
+
+  test("dynamic partition overwrite replaces only the partitions written") {
+    val dir = tmp()
+    spark.range(0, 90)
+      .select($"id".cast("int").as("k"), ($"id" % 3).cast("int").as("p"))
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    val table = s"colf_dyn_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir', partitionBy 'p')")
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.get(mode)
+    spark.conf.set(mode, "dynamic")
+    try {
+      // new data touches p=0 and p=2 only; p=1 must survive untouched
+      spark.sql(s"INSERT OVERWRITE $table VALUES (100, 0), (101, 2), (102, 2)")
+      val after = spark.table(table)
+      assert(after.where($"p" === 0).select("k").as[Int].collect().toSeq == Seq(100))
+      assert(after.where($"p" === 1).count() == 30)
+      assert(after.where($"p" === 2).select("k").as[Int].collect().sorted.toSeq ==
+        Seq(101, 102))
+    } finally {
+      spark.conf.set(mode, old)
+      spark.sql(s"DROP TABLE $table")
+    }
+  }
+
+  test("filter overwrite on an unpartitioned table is rejected loudly") {
+    val dir = tmp()
+    spark.range(5).select($"id".cast("int").as("k"), ($"id" % 2).cast("int").as("p"))
+      .write.format("colf").mode("overwrite").save(dir)
+    val table = s"colf_flat_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $table PARTITION (p = 1) VALUES (9)")
+      }
+      assert(e.getMessage != null)
+    } finally spark.sql(s"DROP TABLE $table")
+  }
+
   test("compaction and sortBy compose with partitioned layouts") {
     val dir = tmp()
     // many small appends into the same partitions → small-file residue
