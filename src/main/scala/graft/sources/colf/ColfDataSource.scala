@@ -201,6 +201,19 @@ private[colf] object ColfUtil {
   def sparkSchema(s: ColfSchema): StructType =
     StructType(s.fields.map(f => StructField(f.name, sparkType(f.tpe), f.nullable)))
 
+  /** Partition-path values parsed to the TABLE schema's type for the
+    * column (so pruning/absorption compares ints as ints, not strings).
+    * Unparseable or unknown-column values are silently dropped — callers
+    * needing guarantees gate on the table's exactPartCols set.
+    */
+  def typedPartValues(r: ColfFileRef, schema: StructType): Map[String, Any] =
+    r.partValues.flatMap { case (k, v) =>
+      schema.fields.find(_.name == k).flatMap { f =>
+        scala.util.Try(ColfPartitions.typedValue(v, colfType(f.dataType))).toOption
+          .map(k -> _)
+      }
+    }
+
   def colfFields(s: StructType): IndexedSeq[ColfField] =
     ArraySeq.unsafeWrapArray(
       s.fields.map(f => ColfField(f.name, colfType(f.dataType), f.nullable)))
@@ -248,9 +261,29 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   /** Hive-layout partition columns, derived from the directory layout once
     * per table instance (the same listing schema inference already pays).
     */
+  private lazy val layoutRefs: Seq[ColfFileRef] =
+    ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf())
+
   private lazy val layoutPartitionCols: Seq[String] =
-    ColfPartitions.partitionCols(
-      ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf()))
+    ColfPartitions.partitionCols(layoutRefs)
+
+  /** Partition columns with a value present AND parseable (under the
+    * table schema's type) on EVERY file — the set over which filters can
+    * be absorbed (evaluated exactly per file, removed from Spark's
+    * residual set) and aggregates answered from metadata. A mixed layout
+    * (some flat files) or an unparseable value keeps the column out: its
+    * filters then stay residual, which is always correct.
+    */
+  private lazy val exactPartCols: Set[String] =
+    layoutPartitionCols.filter { pc =>
+      schema.fields.find(_.name == pc).exists { f =>
+        layoutRefs.nonEmpty && layoutRefs.forall { r =>
+          r.partValues.get(pc).exists(v =>
+            scala.util.Try(
+              ColfPartitions.typedValue(v, ColfUtil.colfType(f.dataType))).isSuccess)
+        }
+      }
+    }.toSet
 
   /** Declared as identity transforms, so SQL `INSERT OVERWRITE ...
     * PARTITION (k=v)` resolves the static spec into an overwrite filter
@@ -272,7 +305,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       }
     new ColfScanBuilder(paths, schema, mergeSchema,
       positive("maxFilesPerTrigger", _.toInt),
-      positive("maxRowsPerTrigger", _.toLong))
+      positive("maxRowsPerTrigger", _.toLong),
+      exactPartCols, layoutPartitionCols)
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -298,15 +332,17 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   */
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
+    layoutPartitionCols: Seq[String] = Seq.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
   private val conf = ColfUtil.driverHadoopConf()
   private var required: StructType = fullSchema
-  private var countPushed = false
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
+  private var absorbed: Seq[Filter] = Seq.empty
 
   /** LIMIT n plans only enough FILES to cover n rows (header row counts
     * are free), instead of scanning the whole directory and discarding.
@@ -316,16 +352,26 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Keep the stats-prunable subset for file skipping; hand EVERYTHING
-    * back as residual — the scan may return false positives from kept
-    * files and Spark's own filter finishes the job (overlap of pushed and
-    * residual sets is explicitly allowed by the DSv2 contract).
+  /** Two tiers. Filters EXACTLY decidable from partition-path values on
+    * every file are ABSORBED — dropped from the residual set, applied at
+    * file granularity by the scan — which both removes per-row work and,
+    * decisively, removes the post-scan Filter node so Catalyst can offer
+    * aggregate pushdown on filtered queries (`count(*) WHERE dt = X`
+    * stays header-only). Everything else: keep the stats-prunable subset
+    * for file skipping and hand it back as residual — the scan may return
+    * false positives from kept files and Spark's own filter finishes the
+    * job (overlap of pushed and residual sets is explicitly allowed by
+    * the DSv2 contract).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(ColfPrune.prunable)
-    filters
+    val (abs, res) = filters.partition(f =>
+      exactPartCols.nonEmpty && ColfPartitions.exactShape(f, exactPartCols, fullSchema))
+    absorbed = ArraySeq.unsafeWrapArray(abs)
+    pushed = res.filter(ColfPrune.prunable)
+    res
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] =
+    pushed ++ absorbed.filterNot(pushed.contains)
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve file column order; an empty projection (count(*)) keeps
@@ -333,75 +379,264 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     required = requiredSchema
   }
 
-  /** COUNT(*) with no grouping is answered entirely from file headers
-    * (num_rows, SPEC.md:27): zero column blocks read, zero data bytes
-    * decompressed — counting a multi-TB directory costs one header read
-    * per file. Catalyst only offers the aggregate when nothing below it
-    * (filters) is left unpushed, so correctness is its problem, not ours.
-    */
-  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[aggregate.CountStar]
+  // ------------------------------------------------ aggregate pushdown
+  //
+  // COUNT(*) / COUNT(col) / MIN / MAX — optionally GROUPed BY partition
+  // columns, optionally under absorbed partition filters — are answered
+  // entirely from file headers (num_rows SPEC.md:27 + the writer's
+  // null_count/min/max stats keys): zero column blocks read, zero data
+  // bytes decompressed. Aggregating a multi-TB directory costs one
+  // cached header fetch per file. Exactness is validated per file at
+  // push time (pushAggregation refuses — falling back to a normal scan —
+  // whenever any file's stats can't prove the answer: missing stats,
+  // non-finite doubles, possibly-truncated string minima, a 0.0 double
+  // bound that may mask a normalized -0.0).
 
-  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    if (!supportCompletePushDown(agg)) return false
-    countPushed = true
-    true
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def shapeOk(agg: aggregate.Aggregation): Boolean = {
+    val colOk = (n: String) =>
+      fullSchema.fieldNames.contains(n) &&
+        (!layoutPartitionCols.contains(n) || exactPartCols(n))
+    agg.groupByExpressions.forall(e => fieldName(e).exists(exactPartCols)) &&
+      agg.aggregateExpressions.forall {
+        case _: aggregate.CountStar => true
+        case c: aggregate.Count => !c.isDistinct && fieldName(c.column).exists(colOk)
+        case m: aggregate.Min   => fieldName(m.column).exists(colOk)
+        case m: aggregate.Max   => fieldName(m.column).exists(colOk)
+        case _ => false
+      }
   }
 
-  override def build(): Scan =
-    if (countPushed) new ColfCountScan(paths, conf)
-    else new ColfScan(paths, fullSchema, required, mergeSchema, limit,
-      ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger)
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    shapeOk(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    shapeOk(agg) && {
+      metaAgg = computeMetaAgg(agg)
+      metaAgg.isDefined
+    }
+
+  /** Driver-side evaluation of the pushed aggregation from headers alone.
+    * None = some file can't prove its contribution exactly → no pushdown
+    * (Spark plans the ordinary scan+aggregate; correctness never rests on
+    * stats). Spark's complete-pushdown contract expects the scan schema
+    * as group columns THEN aggregate columns, rows being final results.
+    */
+  private def computeMetaAgg(
+      agg: aggregate.Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
+    val groupCols = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
+    val refs = ColfUtil.resolveFileRefs(paths, conf)
+    val kept = refs.filter { r =>
+      val tv = ColfUtil.typedPartValues(r, fullSchema)
+      absorbed.forall(f => ColfPartitions.evalExact(tv, f) match {
+        case Some(b) => b
+        case None    => return None // listing changed under us: stay safe
+      })
+    }
+    val live = kept.lazyZip(ColfHeaderCache.getAll(kept, conf))
+      .filter { case (_, h) => h.schema.numRows > 0 }.toSeq
+
+    // One group per distinct partition-value tuple; a single global group
+    // (which must emit a row even over zero files) when no grouping.
+    val groups: Seq[(Seq[Any], Seq[(ColfFileRef, ColfHeader)])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, live))
+      else live.groupBy { case (r, _) =>
+        val tv = ColfUtil.typedPartValues(r, fullSchema)
+        groupCols.map(tv(_))
+      }.toSeq
+
+    def ordered(a: Any, b: Any): Option[Int] = ColfPartitions.cmpValues(a, b)
+
+    /** Min/max of `col` over one group's files, `None` = refuse pushdown,
+      * `Some(null)` = SQL NULL (no non-null values in the group).
+      */
+    def minMax(files: Seq[(ColfFileRef, ColfHeader)], col: String,
+        wantMax: Boolean): Option[Any] = {
+      val bounds = Seq.newBuilder[Any]
+      if (exactPartCols(col)) {
+        files.foreach { case (r, _) =>
+          bounds += ColfUtil.typedPartValues(r, fullSchema)(col)
+        }
+      } else files.foreach { case (_, h) =>
+        val i = h.schema.fields.indexWhere(_.name == col)
+        val allNull = (i >= 0 && h.metas(i).compSize == 0L) || i < 0 ||
+          h.schema.stats.get(col).exists(_.nullCount == h.schema.numRows)
+        if (!allNull) h.schema.stats.get(col).flatMap(st => if (wantMax) st.max else st.min) match {
+          case Some(b) => bounds += b
+          case None    => return None // no stats / non-finite / dropped bound
+        }
+      }
+      val bs = bounds.result()
+      if (bs.isEmpty) return Some(null)
+      var w = bs.head
+      bs.tail.foreach { b =>
+        ordered(b, w) match {
+          case Some(c) => if ((wantMax && c > 0) || (!wantMax && c < 0)) w = b
+          case None    => return None
+        }
+      }
+      w match {
+        // a 0.0 bound may be a normalized -0.0 (writer folds the zeros so
+        // range pruning can't mis-fire); MIN/MAX must distinguish them
+        case d: java.lang.Double if d.doubleValue() == 0.0d => None
+        // a string min at/near the truncation cap may be a prefix of the
+        // true minimum (a shorter one is provably exact; max is only ever
+        // stored exact)
+        case s: String if !wantMax &&
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length >
+            ColfCodec.StringStatMaxBytes - 4 => None
+        case v => Some(v)
+      }
+    }
+
+    /** COUNT(col): non-null row count, provable per file from the
+      * has-nulls flag (false ⇒ none), the all-null encoding, or the
+      * null_count stat.
+      */
+    def countCol(files: Seq[(ColfFileRef, ColfHeader)], col: String): Option[Long] = {
+      if (exactPartCols(col)) return Some(files.map(_._2.schema.numRows).sum)
+      var total = 0L
+      files.foreach { case (_, h) =>
+        val i = h.schema.fields.indexWhere(_.name == col)
+        if (i < 0) () // mergeSchema: column absent from this file = all null
+        else if (h.metas(i).compSize == 0L) ()
+        else if (!h.metas(i).hasNulls) total += h.schema.numRows
+        else h.schema.stats.get(col) match {
+          case Some(st) => total += h.schema.numRows - st.nullCount
+          case None     => return None
+        }
+      }
+      Some(total)
+    }
+
+    val fieldsB = Seq.newBuilder[StructField]
+    groupCols.foreach { c =>
+      fieldsB += fullSchema.fields.find(_.name == c).get.copy(nullable = false)
+    }
+    agg.aggregateExpressions.foreach {
+      case _: aggregate.CountStar =>
+        fieldsB += StructField("count(*)", LongType, nullable = false)
+      case c: aggregate.Count =>
+        fieldsB += StructField(s"count(${fieldName(c.column).get})", LongType, nullable = false)
+      case m: aggregate.Min =>
+        val n = fieldName(m.column).get
+        fieldsB += StructField(s"min($n)",
+          fullSchema.fields.find(_.name == n).get.dataType, nullable = true)
+      case m: aggregate.Max =>
+        val n = fieldName(m.column).get
+        fieldsB += StructField(s"max($n)",
+          fullSchema.fields.find(_.name == n).get.dataType, nullable = true)
+      case _ => return None
+    }
+
+    val rows = groups.map { case (key, files) =>
+      val vals = Seq.newBuilder[Any]
+      vals ++= key
+      agg.aggregateExpressions.foreach {
+        case _: aggregate.CountStar => vals += files.map(_._2.schema.numRows).sum
+        case c: aggregate.Count =>
+          vals += (countCol(files, fieldName(c.column).get) match {
+            case Some(n) => n
+            case None    => return None
+          })
+        case m: aggregate.Min =>
+          vals += (minMax(files, fieldName(m.column).get, wantMax = false) match {
+            case Some(v) => v
+            case None    => return None
+          })
+        case m: aggregate.Max =>
+          vals += (minMax(files, fieldName(m.column).get, wantMax = true) match {
+            case Some(v) => v
+            case None    => return None
+          })
+        case _ => return None
+      }
+      vals.result()
+    }
+    val desc = s"colf ${paths.mkString(",")} PushedAggregates: " +
+      s"[${agg.aggregateExpressions.map(_.toString).mkString(", ")}]" +
+      (if (groupCols.nonEmpty) s", GroupBy: [${groupCols.mkString(", ")}]" else "") +
+      (if (absorbed.nonEmpty) s", PartitionFilters: [${absorbed.mkString(", ")}]" else "") +
+      " (header-only)"
+    Some((StructType(fieldsB.result()), rows, desc))
+  }
+
+  override def build(): Scan = metaAgg match {
+    case Some((schema, rows, desc)) => new ColfMetaAggScan(schema, rows, desc)
+    case None =>
+      new ColfScan(paths, fullSchema, required, mergeSchema, limit,
+        ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
+        absorbed)
+  }
 }
 
-/** Metadata-only scan backing a pushed-down COUNT(*). Headers come
-  * through the parallel cache: counting a directory is one batched fetch
-  * (and free on a re-count of unchanged files).
+/** Metadata-only scan backing a pushed-down aggregation: the rows were
+  * already computed on the driver from cached headers; a single one-row
+  * input partition ships the VALUES, not the file list.
   */
-class ColfCountScan(paths: Seq[String], conf: Configuration) extends Scan with Batch {
-  private lazy val total: Long = {
-    val refs = ColfUtil.resolveFileRefs(paths, conf)
-    ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum
-  }
-
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-
+class ColfMetaAggScan(schema: StructType, rows: Seq[Seq[Any]], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def description(): String = desc
 
-  override def description(): String =
-    s"colf ${paths.mkString(",")} PushedAggregates: [COUNT(*)] (header-only)"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val t = total // resolve on the driver; ship the value, not the file list
-    Array(ColfCountPartition(t))
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ColfMetaAggPartition(rows))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
         new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = { val r = !emitted; emitted = true; r }
-          override def get(): org.apache.spark.sql.catalyst.InternalRow =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](p.asInstanceOf[ColfCountPartition].count))
+          private val it = p.asInstanceOf[ColfMetaAggPartition].rows.iterator
+          private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+          override def next(): Boolean = it.hasNext && {
+            cur = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              it.next().map {
+                case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case v         => v
+              }.toArray)
+            true
+          }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
           override def close(): Unit = ()
         }
     }
 }
 
-case class ColfCountPartition(count: Long) extends InputPartition
+case class ColfMetaAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
-    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
+    absorbed: Seq[Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
+
+  /** Absorbed partition filters are NOT re-evaluated by Spark (the
+    * builder removed them from the residual set), so their file-level
+    * application here must be exact — and it is, by the builder's
+    * exactShape gate over the table's verified partition columns. A file
+    * that defeats exact evaluation anyway (the listing changed shape
+    * between table resolution and scan) fails loudly rather than leaking
+    * rows the dropped filter should have removed.
+    */
+  private lazy val absorbedRefs: Seq[ColfFileRef] =
+    if (absorbed.isEmpty) allRefs
+    else allRefs.filter { r =>
+      val tv = typedPartValues(r)
+      absorbed.forall(f => ColfPartitions.evalExact(tv, f).getOrElse(
+        throw new IllegalStateException(
+          s"colf: absorbed partition filter $f is undecidable for ${r.path} — " +
+            "the directory layout changed since the table was resolved")))
+    }
 
   /** Data skipping, cheapest test first: (1) EXACT partition pruning from
     * the `k=v` path values — zero I/O, so a selective partition predicate
@@ -411,9 +646,9 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * written without stats are always kept.
     */
   private lazy val prunedRefs: Seq[ColfFileRef] =
-    if (filters.isEmpty) allRefs
+    if (filters.isEmpty) absorbedRefs
     else {
-      val partKept = allRefs.filter { r =>
+      val partKept = absorbedRefs.filter { r =>
         r.partValues.isEmpty ||
           filters.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
       }
@@ -423,16 +658,8 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       }.toSeq
     }
 
-  /** Partition-path values parsed to the TABLE schema's type for the
-    * column (so pruning compares ints as ints, not strings).
-    */
   private def typedPartValues(r: ColfFileRef): Map[String, Any] =
-    r.partValues.flatMap { case (k, v) =>
-      fullSchema.fields.find(_.name == k).flatMap { f =>
-        scala.util.Try(ColfPartitions.typedValue(v, ColfUtil.colfType(f.dataType))).toOption
-          .map(k -> _)
-      }
-    }
+    ColfUtil.typedPartValues(r, fullSchema)
 
   /** Under a pushed limit, take files (in name order) until their header
     * row counts cover it — a `limit 10` on a thousand-file directory opens
@@ -459,7 +686,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * doesn't need a precise count to be planned as "big".
     */
   private def headersNeeded: Boolean =
-    filters.nonEmpty || limit.isDefined ||
+    filters.nonEmpty || absorbed.nonEmpty || limit.isDefined ||
       allRefs.lengthCompare(ColfScan.StatsExactMaxFiles) <= 0
 
   override def readSchema(): StructType = required
@@ -467,12 +694,16 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 
   override def description(): String = {
+    val absorbedPart =
+      if (absorbed.isEmpty) ""
+      else s" PartitionFilters: [${absorbed.mkString(", ")}]" +
+        s", files after partition pruning: ${absorbedRefs.length}/${allRefs.length}"
     val filterPart =
       if (filters.isEmpty) ""
       else s" PushedFilters: [${filters.mkString(", ")}]" +
         s", files after pruning: ${prunedRefs.length}/${allRefs.length}"
     s"colf ${paths.mkString(",")} [${required.fieldNames.mkString(", ")}]" +
-      filterPart + limit.map(n => s" PushedLimit: $n").getOrElse("")
+      absorbedPart + filterPart + limit.map(n => s" PushedLimit: $n").getOrElse("")
   }
 
   // ------------------------------------------------- runtime filtering
@@ -522,7 +753,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf,
-      maxFilesPerTrigger, maxRowsPerTrigger)
+      maxFilesPerTrigger, maxRowsPerTrigger, absorbed, fullSchema)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))

@@ -47,6 +47,27 @@ private[graft] object ColfPartitions {
     case ColfType.Utf8    => raw
   }
 
+  /** Spark-order comparison of a typed partition value `x` against a
+    * filter value `v`. None when the pair is incomparable (unexpected
+    * runtime type) — exactness claims must then be dropped.
+    */
+  private[colf] def cmpValues(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (x: Int, y: Number) => y match {
+      // fractional probe against an int partition compares in double
+      // space (long truncation would mis-prune e.g. p < 4.5 on p=4)
+      case _: java.lang.Double | _: java.lang.Float =>
+        Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
+      case bd: java.math.BigDecimal =>
+        Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(bd))
+      case _ => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+    }
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: String, y: String) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+    case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
+    case _ => None
+  }
+
   /** Exact partition pruning: can a file with these typed partition
     * values satisfy the filter? Unlike header-stats pruning this is an
     * exact evaluation, not a bound check — but it must stay conservative
@@ -55,22 +76,7 @@ private[graft] object ColfPartitions {
     */
   def mayMatch(values: Map[String, Any], f: Filter): Boolean = {
     def known(a: String): Boolean = values.contains(a)
-    def cmp(a: String, v: Any): Option[Int] = (values(a), v) match {
-      case (x: Int, y: Number) => y match {
-        // fractional probe against an int partition compares in double
-        // space (long truncation would mis-prune e.g. p < 4.5 on p=4)
-        case _: java.lang.Double | _: java.lang.Float =>
-          Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
-        case bd: java.math.BigDecimal =>
-          Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(bd))
-        case _ => Some(java.lang.Long.compare(x.toLong, y.longValue()))
-      }
-      case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-      case (x: String, y: String) =>
-        Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
-      case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
-      case _ => None
-    }
+    def cmp(a: String, v: Any): Option[Int] = cmpValues(values(a), v)
     f match {
       case And(l, r) => mayMatch(values, l) && mayMatch(values, r)
       case Or(l, r)  => mayMatch(values, l) || mayMatch(values, r)
@@ -112,6 +118,102 @@ private[graft] object ColfPartitions {
     case In(a, vs) if values.contains(a) => mayMatch(values, In(a, vs))
     case IsNotNull(a) if values.contains(a) => true
     case _ => false
+  }
+
+  /** EXACT truth of a filter for a file whose referenced columns all have
+    * the (non-null) constant `values` — None when the shape or a value
+    * pair is undecidable. Some(b) means every row of the file evaluates
+    * the filter to exactly `b`: the basis for ABSORBING partition-column
+    * filters at plan time (files kept by Some(true) need no per-row
+    * re-evaluation; Some(false) files are pruned exactly). Unlike
+    * [[mayMatch]] there is no conservative default: conservative-keep
+    * would emit rows the dropped residual filter should have removed.
+    */
+  def evalExact(values: Map[String, Any], f: Filter): Option[Boolean] = {
+    def known(a: String): Boolean = values.contains(a)
+    def cmp(a: String, v: Any): Option[Int] =
+      if (v == null) None else cmpValues(values(a), v)
+    f match {
+      case _: AlwaysTrue  => Some(true)
+      case _: AlwaysFalse => Some(false)
+      case And(l, r) => (evalExact(values, l), evalExact(values, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (evalExact(values, l), evalExact(values, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(c) => evalExact(values, c).map(!_)
+      // x = null / x > null etc. are SQL-null, which filters treat as
+      // false — partition values themselves are never null (path-derived).
+      case EqualTo(a, v) if known(a) =>
+        if (v == null) Some(false) else cmp(a, v).map(_ == 0)
+      case EqualNullSafe(a, v) if known(a) =>
+        if (v == null) Some(false) else cmp(a, v).map(_ == 0)
+      case In(a, vs) if known(a) =>
+        if (vs == null) Some(false)
+        else {
+          val cs = vs.toSeq.filter(_ != null).map(v => cmp(a, v))
+          if (cs.exists(_.contains(0))) Some(true)
+          else if (cs.forall(_.isDefined)) Some(false)
+          else None
+        }
+      case GreaterThan(a, v) if known(a)        => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) if known(a) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, v) if known(a)           => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) if known(a)    => cmp(a, v).map(_ <= 0)
+      case IsNull(a) if known(a)                => Some(false)
+      case IsNotNull(a) if known(a)             => Some(true)
+      case StringStartsWith(a, p) if known(a) => values(a) match {
+        case s: String => Some(p != null && s.startsWith(p))
+        case _         => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Structural guarantee that [[evalExact]] decides this filter for ANY
+    * file carrying typed values for `cols` — every referenced attribute is
+    * one of `cols` and every node is a shape whose value pair is
+    * comparable under the column's Spark type. Checked once at scan
+    * planning; filters passing it are absorbed (removed from the residual
+    * set Spark re-evaluates).
+    */
+  def exactShape(f: Filter, cols: Set[String],
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    def comparable(a: String, v: Any): Boolean =
+      cols(a) && v != null && schema.fields.find(_.name == a).exists { fd =>
+        (fd.dataType, v) match {
+          case (IntegerType | DoubleType, _: Number) => true
+          case (StringType, _: String)               => true
+          case (StringType, _: UTF8String)           => true
+          case _                                     => false
+        }
+      }
+    f match {
+      case _: AlwaysTrue | _: AlwaysFalse => true
+      case And(l, r) => exactShape(l, cols, schema) && exactShape(r, cols, schema)
+      case Or(l, r)  => exactShape(l, cols, schema) && exactShape(r, cols, schema)
+      case Not(c)    => exactShape(c, cols, schema)
+      case EqualTo(a, v)            => cols(a) && (v == null || comparable(a, v))
+      case EqualNullSafe(a, v)      => cols(a) && (v == null || comparable(a, v))
+      case In(a, vs) =>
+        cols(a) && vs != null && vs.forall(v => v == null || comparable(a, v))
+      case GreaterThan(a, v)        => comparable(a, v)
+      case GreaterThanOrEqual(a, v) => comparable(a, v)
+      case LessThan(a, v)           => comparable(a, v)
+      case LessThanOrEqual(a, v)    => comparable(a, v)
+      case IsNull(a)                => cols(a)
+      case IsNotNull(a)             => cols(a)
+      case StringStartsWith(a, p) =>
+        cols(a) && p != null &&
+          schema.fields.find(_.name == a).exists(_.dataType == StringType)
+      case _ => false
+    }
   }
 }
 

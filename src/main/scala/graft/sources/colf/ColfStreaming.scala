@@ -49,7 +49,8 @@ object ColfSourceOffset {
   */
 class ColfMicroBatchStream(paths: Seq[String], required: StructType,
     mergeSchema: Boolean, filters: Seq[Filter], conf: Configuration,
-    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
+    absorbed: Seq[Filter] = Seq.empty, fullSchema: StructType = StructType(Nil))
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Trigger.AvailableNow snapshot: batches drain up to the files present
@@ -166,7 +167,18 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
     val e = end.asInstanceOf[ColfSourceOffset]
     val sNames = s.names.toSet
     val eNames = e.names.toSet
-    val batch = list().filter(r => isAfter(r, s, sNames) && !isAfter(r, e, eNames))
+    val batch0 = list().filter(r => isAfter(r, s, sNames) && !isAfter(r, e, eNames))
+    // Absorbed partition filters are not re-evaluated by Spark, so their
+    // file-level application must be exact — undecidable fails loudly
+    // (see ColfScan.absorbedRefs; new files must keep the layout shape).
+    val batch =
+      if (absorbed.isEmpty) batch0
+      else batch0.filter { r =>
+        val tv = ColfUtil.typedPartValues(r, fullSchema)
+        absorbed.forall(f => ColfPartitions.evalExact(tv, f).getOrElse(
+          throw new IllegalStateException(
+            s"colf stream: absorbed partition filter $f undecidable for ${r.path}")))
+      }
     val pruned =
       if (filters.isEmpty) batch
       else {
