@@ -248,7 +248,8 @@ private[colf] object ColfUtil {
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
     mergeSchema: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"colf:${paths.mkString(",")}"
 
@@ -317,6 +318,50 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ColfWriteBuilder(paths, info, layoutPartitionCols)
+
+  // ------------------------------------------------------- DELETE FROM
+  //
+  // The format's deletion granule is the FILE (one block per column, no
+  // row groups), so `DELETE FROM t WHERE c` is supported exactly when
+  // every file's rows are PROVABLY all-matching (delete it) or provably
+  // none-matching (keep it) from partition-path values alone. Anything
+  // finer — a predicate over data columns — reports "cannot delete",
+  // and Spark surfaces that loudly instead of this table guessing.
+  // Deletes are idempotent file removals: a crash mid-way leaves a
+  // subset of the matching files deleted and a re-run completes the
+  // operation; readers never see partially-deleted ROWS.
+
+  /** Files to delete under the conjunction of `filters`, or None when
+    * some file is neither provably all-matching nor provably
+    * none-matching (file-level deletion would be unsound).
+    */
+  private def deletePlan(filters: Array[Filter]): Option[Seq[ColfFileRef]] = {
+    val refs = ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf())
+    val toDelete = Seq.newBuilder[ColfFileRef]
+    refs.foreach { r =>
+      val tv = ColfUtil.typedPartValues(r, schema)
+      val evs = filters.toSeq.map(f => ColfPartitions.evalExact(tv, f))
+      if (evs.forall(_.contains(true))) toDelete += r
+      else if (evs.exists(_.contains(false))) () // provably untouched: keep
+      else return None
+    }
+    Some(toDelete.result())
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conf = ColfUtil.driverHadoopConf()
+    val files = deletePlan(filters).getOrElse(throw new IllegalStateException(
+      s"colf DELETE: condition ${filters.mkString(" AND ")} is no longer " +
+        "decidable at file granularity — the directory layout changed " +
+        "between analysis and execution"))
+    ColfHeaderCache.mapParallel(files) { r =>
+      val p = new org.apache.hadoop.fs.Path(r.path)
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
 }
 
 /** Projection pushdown: Catalyst's V2ScanRelationPushDown hands us the

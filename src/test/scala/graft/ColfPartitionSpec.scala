@@ -189,6 +189,29 @@ class ColfPartitionSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE $table")
   }
 
+  test("DELETE FROM removes exactly the provable partitions; data predicates rejected") {
+    val dir = tmp()
+    spark.range(0, 90)
+      .select($"id".cast("int").as("k"), ($"id" % 3).cast("int").as("p"))
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    val table = s"colf_del_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir', partitionBy 'p')")
+    try {
+      spark.sql(s"DELETE FROM $table WHERE p = 1")
+      val after = spark.table(table)
+      assert(after.count() == 60)
+      assert(after.where($"p" === 1).count() == 0)
+      assert(after.where($"p" === 0).count() == 30 && after.where($"p" === 2).count() == 30)
+      // range shapes are exactly decidable on partition values too
+      spark.sql(s"DELETE FROM $table WHERE p > 1")
+      assert(spark.table(table).select("p").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+      // a data-column predicate cannot delete at file granularity: loud error
+      val e = intercept[Exception] { spark.sql(s"DELETE FROM $table WHERE k = 5") }
+      assert(e.getMessage != null)
+      assert(spark.table(table).count() == 30) // nothing was deleted
+    } finally spark.sql(s"DROP TABLE $table")
+  }
+
   test("compaction and sortBy compose with partitioned layouts") {
     val dir = tmp()
     // many small appends into the same partitions → small-file residue
