@@ -533,6 +533,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
     }),
 
+    "q_colf_overwrite" -> ((s, dir) => {
+      // SQL INSERT OVERWRITE with a static partition spec: exactly one
+      // partition's files are replaced (file-granular, crash-safe
+      // rename-first commit); every other partition must come through
+      // byte-identical. The idempotent re-ingestion primitive — at 100 TB
+      // "recompute one day/segment" must never rewrite the other 99%.
+      val out = work("q_colf_overwrite")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(out)
+      val tbl = "graft_colf_overwrite_t"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING colf OPTIONS (path '$out', partitionBy 'c_mktsegment')")
+      try {
+        t(s, dir, "customer").createOrReplaceTempView("graft_ow_src")
+        s.sql(s"""INSERT OVERWRITE $tbl PARTITION (c_mktsegment = 'BUILDING')
+                 |SELECT CAST(c_custkey + 100000 AS INT), c_acctbal * 2
+                 |FROM graft_ow_src WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      } finally s.sql(s"DROP TABLE $tbl")
+      s.read.format("colf").load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"),
+          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+    }),
+
+    "q_colf_delete" -> ((s, dir) => {
+      // SQL DELETE FROM at file granularity: the predicate is provably
+      // constant per partition directory, so whole partitions vanish with
+      // zero data reads and zero rewrites of surviving files.
+      val out = work("q_colf_delete")
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(out)
+      val tbl = "graft_colf_delete_t"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING colf OPTIONS (path '$out', partitionBy 'c_mktsegment')")
+      try s.sql(s"DELETE FROM $tbl WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE')")
+      finally s.sql(s"DROP TABLE $tbl")
+      s.read.format("colf").load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    "q_colf_meta_agg" -> ((s, dir) => {
+      // Metadata-only aggregation: COUNT(*)/COUNT(col)/MIN/MAX grouped by
+      // the partition column are answered from file headers alone — the
+      // plan carries no data-block reads at all (ColfMetaAggSpec proves it
+      // by destroying the blocks; here the oracle pins the values). At
+      // 100 TB this is the difference between a catalog lookup and a
+      // full-table scan for the daily "how much data / what id range"
+      // profile query.
+      val out = work("q_colf_meta_agg")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_quantity"), col("l_linestatus"), col("l_returnflag"))
+        .write.format("colf").option("partitionBy", "l_returnflag")
+        .option("maxRowsPerFile", "100000").mode("overwrite").save(out)
+      s.read.format("colf").load(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), count(col("l_quantity")).as("n_qty"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_linestatus").as("min_mode"), max("l_linestatus").as("max_mode"))
+    }),
+
     "q_colf_stream_sink" -> ((s, dir) => {
       // Structured Streaming INTO the colf format: a file-source stream
       // drained with AvailableNow through the DSv2 streaming sink (one
@@ -1210,6 +1279,32 @@ object SparkEntry {
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_colf_overwrite" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | min(ck) AS min_ck, max(ck) AS max_ck
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey AS INTEGER) AS ck
+        |  FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal * 2, CAST(c_custkey + 100000 AS INTEGER)
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) GROUP BY c_mktsegment""".stripMargin,
+
+    "q_colf_delete" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment NOT IN ('MACHINERY', 'FURNITURE')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_colf_meta_agg" ->
+      """SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
+        | CAST(min(l_orderkey) AS INTEGER) AS min_ok,
+        | CAST(max(l_orderkey) AS INTEGER) AS max_ok,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | min(l_linestatus) AS min_mode, max(l_linestatus) AS max_mode
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_colf_stream_sink" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal FROM customer",
