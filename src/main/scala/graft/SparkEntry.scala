@@ -696,6 +696,25 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), substring(col("text"), 1, 40), col("doc_id"))),
 
+    "q_dedup_normalized" -> ((s, dir) => {
+      // Exact dedup over the CCNet-style canonical form: planted casing /
+      // punctuation / whitespace variants of the corpus's duplicate docs
+      // collapse back into one group; raw exact dedup would miss them
+      // all. Normalization is map-side codegen'd built-ins — the dedup
+      // shuffle itself is unchanged (one groupBy on the normalized key).
+      val docs = t(s, dir, "documents")
+      val planted = docs.withColumn("text2",
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" !!!  ")))
+          .otherwise(col("text")))
+      planted
+        .select(col("doc_id"),
+          operators.TextAnalysis.normalizeForDedup(substring(col("text2"), 1, 40))
+            .as("norm"))
+        .groupBy("norm")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+    }),
+
     "q_dedup_keep_first" -> ((s, dir) =>
       Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
         .select("doc_id", "lang", "source")),
@@ -1348,6 +1367,16 @@ object SparkEntry {
 
     "q_dedup_keep_first" ->
       "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source",
+
+    "q_dedup_normalized" ->
+      """SELECT norm, count(*) AS n, min(doc_id) AS first_id FROM (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(substr(
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |         WHEN doc_id % 3 = 1 THEN text || ' !!!  '
+        |         ELSE text END, 1, 40)),
+        |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |GROUP BY norm""".stripMargin,
 
     "q_ngram_jaccard" ->
       """SELECT id_a, id_b, jaccard FROM (

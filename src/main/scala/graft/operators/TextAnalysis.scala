@@ -143,6 +143,21 @@ object TextAnalysis {
   /** 64-bit whole-document fingerprint (content-addressing / exact dedup key). */
   def fingerprint(text: Column): Column = xxhash64(text)
 
+  /** CCNet-style dedup normalization: lowercase, punctuation → space,
+    * whitespace runs collapsed, ends trimmed — so trivially-different
+    * copies (casing, punctuation, reflowed whitespace) share one exact
+    * dedup key. Deliberately NOT a linguistic normalization (no stemming,
+    * no unicode folding): the point is a cheap, deterministic,
+    * engine-portable canonical form, all codegen'd built-ins — the
+    * normalized key feeds [[graft.operators.Dedup]] exactly like raw
+    * text. Reference: CCNet (Wenzek et al. 2020) §3.1 deduplication
+    * normalization; same shape as the reference's whitespace-null rule
+    * (writer.py:130-131) taken to the dedup use case.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
   /** Word n-gram shingles, distinct. Short docs (< n tokens) produce their
     * single full-text shingle so every doc has a non-empty set.
     */

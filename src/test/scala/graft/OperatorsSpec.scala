@@ -507,6 +507,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("normalizeForDedup collapses case/punct/whitespace variants to one key") {
+    val df = Seq(
+      (1, "The quick brown fox."),
+      (2, "THE QUICK   BROWN FOX!!!"),
+      (3, "  the, quick; brown... fox  "),
+      (4, "a different document"),
+      (5, null.asInstanceOf[String])).toDF("id", "text")
+    val keyed = df.select($"id", TextAnalysis.normalizeForDedup($"text").as("k"))
+    val byKey = keyed.where($"k".isNotNull).groupBy("k")
+      .agg(count(lit(1)).as("n"), min("id").as("first")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(keyed.where($"id" === 1).head.getString(1) == "the quick brown fox")
+    assert(byKey("the quick brown fox") == (3L, 1))
+    assert(byKey("a different document") == (1L, 4))
+    // null text stays null (never groups with the empty string)
+    assert(keyed.where($"id" === 5).head.isNullAt(1))
+    // digits survive; only punctuation folds
+    val d = Seq("v2.0-beta  build 7").toDF("text")
+      .select(TextAnalysis.normalizeForDedup($"text")).head.getString(0)
+    assert(d == "v2 0 beta build 7")
+  }
+
   test("repetitionStats: duplicate-token and top-token ratios on known docs") {
     import graft.operators.TextAnalysis
     val docs = Seq(
