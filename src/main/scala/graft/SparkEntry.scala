@@ -719,6 +719,22 @@ object SparkEntry {
       Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
         .select("doc_id", "lang", "source")),
 
+    "q_span_dedup" -> ((s, dir) => {
+      // Exact substring (duplicate n-gram span) removal, Lee et al. 2021:
+      // a 10-token boilerplate tail planted on every 4th doc generates
+      // cross-document duplicate 8-grams; every occurrence but the
+      // globally first is erased IN PLACE while each doc's unique text
+      // survives. Only (id, pos, hash) rows shuffle — never text.
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val planted = docs.withColumn("text2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" graft span alpha beta gamma delta epsilon zeta eta theta")))
+          .otherwise(col("text")))
+      Dedup.removeDuplicateSpans(planted, col("doc_id"), col("text2"), n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
         Dedup.MinHashParams(jaccardThreshold = 0.4))),
@@ -1377,6 +1393,44 @@ object SparkEntry {
         |    '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |  FROM documents)
         |GROUP BY norm""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' graft span alpha beta gamma delta epsilon zeta eta theta'
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM planted
+        |), occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], ' ') AS gram
+        |  FROM toks, UNNEST(range(0, len(t)-8+1)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), rem AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+        |      count(*) OVER (PARTITION BY gram) AS c
+        |    FROM occ) WHERE c > 1 AND rk > 1
+        |), marked AS (
+        |  SELECT DISTINCT doc_id, pos + off AS p FROM rem, UNNEST(range(0, 8)) AS o(off)
+        |), tokpos AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(0, len(t)-1)) AS INTEGER) AS p,
+        |    unnest(t) AS tok
+        |  FROM toks
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+        |  LEFT JOIN marked m ON m.doc_id = tp.doc_id AND m.p = tp.p
+        |  WHERE m.doc_id IS NULL
+        |)
+        |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text,
+        |  CAST(d.n AS INTEGER) AS n_tokens,
+        |  CAST(d.n - coalesce(k.nk, 0) AS INTEGER) AS n_removed
+        |FROM (SELECT doc_id, len(t) AS n FROM toks) d
+        |LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS ct,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
 
     "q_ngram_jaccard" ->
       """SELECT id_a, id_b, jaccard FROM (

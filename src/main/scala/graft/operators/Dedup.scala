@@ -708,4 +708,63 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Duplicate-SPAN removal — exact substring dedup at token granularity
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021, the ExactSubstr variant): every occurrence of a token
+    * n-gram that appears more than once in the corpus is REMOVED from the
+    * text except the globally first occurrence (smallest (id, position)),
+    * and overlapping removed spans merge naturally. Unlike whole-document
+    * dedup this erases the repeated boilerplate/quotation itself while
+    * keeping each document's unique remainder.
+    *
+    * Their suffix-array formulation is a single-machine algorithm; this
+    * is the shuffle-native equivalent: one row per token position
+    * carrying only (id, pos, xxhash64(gram)) — the TEXT never shuffles —
+    * then a groupBy(hash) for the global winner, a co-partitioned join
+    * to tag the losers, and a per-doc span list folded back map-side with
+    * index-aware higher-order functions (no second pass over the corpus,
+    * no per-token join). Skewed hashes (a banner repeated in 10⁶ docs)
+    * stay safe: the aggregate is a min, not a collect, and the tag join
+    * fans a single winner row out to that hash's occurrences.
+    *
+    * Output: (id, clean_text, n_tokens, n_removed). Null-text rows pass
+    * through with clean_text null; docs shorter than n tokens are never
+    * candidates (no n-gram exists). Cost per doc of reassembly is
+    * O(tokens × removedSpans) — the pathological case (a doc that is one
+    * token repeated) degrades to O(tokens²) on that doc only.
+    */
+  def removeDuplicateSpans(df: DataFrame, id: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val base = df.select(id.as("__id"), text.as("__text"))
+      .withColumn("__toks",
+        when(col("__text").isNotNull, split(col("__text"), " ")))
+
+    // (id, pos, hash) per n-gram occurrence — 24 bytes/row into the shuffle
+    val occ = base.where(col("__toks").isNotNull && size(col("__toks")) >= n)
+      .select(col("__id"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__pos"),
+        col("__toks"))
+      .select(col("__id"), col("__pos"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), col("__pos") + 1, lit(n)))).as("__h"))
+
+    // Global first occurrence per duplicated hash; losers become spans.
+    val winners = occ.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"), count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+    val removals = occ.join(winners, "__h")
+      .where(struct(col("__id"), col("__pos")) =!= col("__w"))
+      .groupBy("__id").agg(collect_list(col("__pos")).as("__starts"))
+
+    base.join(removals, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) =>
+          !exists(col("__starts"), s => i >= s && i < s + n)))
+      .select(col("id"),
+        when(col("__toks").isNotNull, concat_ws(" ", col("__kept"))).as("clean_text"),
+        coalesce(size(col("__toks")), lit(0)).as("n_tokens"),
+        coalesce(size(col("__toks")) - size(col("__kept")), lit(0)).as("n_removed"))
+  }
 }

@@ -507,6 +507,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("removeDuplicateSpans erases repeated n-grams except the first occurrence") {
+    val docs = Seq(
+      (1, "one two three four five six seven eight tailA"),
+      (2, "zero one two three four five six seven eight tailB"),
+      (3, "totally unrelated words that never repeat anywhere at all"),
+      // internal repetition: an 8-token phrase repeated back to back
+      (4, "p q r s t u v w p q r s t u v w"),
+      (5, "short doc"),
+      (6, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, $"doc_id", $"text", n = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+
+    // doc 1 owns the global first occurrence of the shared 8-gram: untouched
+    assert(out(1) == (("one two three four five six seven eight tailA", 9, 0)))
+    // doc 2's copy at pos 1 is a loser: those 8 tokens vanish, rest survives
+    assert(out(2) == (("zero tailB", 10, 8)))
+    assert(out(3)._3 == 0)
+    // periodic doc: every gram (i, i+8) pair duplicates; the second period
+    // is covered by spans starting at 8..8 (losers), first 8 tokens stay
+    assert(out(4) == (("p q r s t u v w", 16, 8)))
+    // < n tokens: no grams, untouched
+    assert(out(5) == (("short doc", 2, 0)))
+    // null text passes through
+    assert(out(6) == ((null, 0, 0)))
+  }
+
   test("normalizeForDedup collapses case/punct/whitespace variants to one key") {
     val df = Seq(
       (1, "The quick brown fox."),
