@@ -693,6 +693,23 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline: dedup
+    "q_upsert" -> ((s, dir) => {
+      // MERGE semantics as one shuffle (union + min_by winner): every
+      // 10th customer's balance is restated, every 100th appears again
+      // under a new key as an insert; untouched rows pass through
+      // byte-identical.
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = target.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" (updated)")).as("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+        .unionByName(target.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            lit(0.0).as("c_acctbal")))
+      operators.Upsert(target, updates, Seq("c_custkey"))
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), substring(col("text"), 1, 40), col("doc_id"))),
 
@@ -1380,6 +1397,15 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT substr(text, 1, 40) AS key, count(*) AS n, min(doc_id) AS first_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_upsert" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_name || ' (updated)' ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, 0.0 FROM customer WHERE c_custkey % 100 = 0)""".stripMargin,
 
     "q_dedup_keep_first" ->
       "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source",

@@ -507,6 +507,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
   }
 
+  test("upsert: updates replace, new keys insert, others pass through") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "name", "v")
+    val updates = Seq((2, "b2", 99.0), (4, "d", 40.0)).toDF("k", "name", "v")
+    val out = Upsert(target, updates, Seq("k")).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(1 -> ("a", 10.0), 2 -> ("b2", 99.0),
+      3 -> ("c", 30.0), 4 -> ("d", 40.0)))
+    // column order preserved; update schema may arrive permuted
+    val permuted = Seq((99.0, 5, "e")).toDF("v", "k", "name")
+    val out2 = Upsert(target, permuted, Seq("k"))
+    assert(out2.columns.toSeq == Seq("k", "name", "v"))
+    assert(out2.count() == 4)
+  }
+
   test("removeDuplicateSpans erases repeated n-grams except the first occurrence") {
     val docs = Seq(
       (1, "one two three four five six seven eight tailA"),
