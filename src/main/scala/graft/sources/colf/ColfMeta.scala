@@ -50,22 +50,32 @@ private[graft] object ColfPartitions {
   /** Spark-order comparison of a typed partition value `x` against a
     * filter value `v`. None when the pair is incomparable (unexpected
     * runtime type) — exactness claims must then be dropped.
+    *
+    * Doubles compare in Spark's SQL order: NaN sorts largest and equals
+    * itself (Double.compare already does both), and -0.0 == 0.0 — the
+    * zeros are normalized on BOTH sides before comparing, else a
+    * partition directory `p=-0.0` probed with `p = 0.0` would wrongly
+    * prune (Double.compare puts -0.0 strictly below 0.0).
     */
-  private[colf] def cmpValues(x: Any, v: Any): Option[Int] = (x, v) match {
-    case (x: Int, y: Number) => y match {
-      // fractional probe against an int partition compares in double
-      // space (long truncation would mis-prune e.g. p < 4.5 on p=4)
-      case _: java.lang.Double | _: java.lang.Float =>
-        Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
-      case bd: java.math.BigDecimal =>
-        Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(bd))
-      case _ => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+  private[colf] def cmpValues(x: Any, v: Any): Option[Int] = {
+    def norm(d: Double): Double = if (d == 0.0d) 0.0d else d
+    (x, v) match {
+      case (x: Int, y: Number) => y match {
+        // fractional probe against an int partition compares in double
+        // space (long truncation would mis-prune e.g. p < 4.5 on p=4)
+        case _: java.lang.Double | _: java.lang.Float =>
+          Some(java.lang.Double.compare(x.toDouble, norm(y.doubleValue())))
+        case bd: java.math.BigDecimal =>
+          Some(java.math.BigDecimal.valueOf(x.toLong).compareTo(bd))
+        case _ => Some(java.lang.Long.compare(x.toLong, y.longValue()))
+      }
+      case (x: Double, y: Number) =>
+        Some(java.lang.Double.compare(norm(x), norm(y.doubleValue())))
+      case (x: String, y: String) =>
+        Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
+      case _ => None
     }
-    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-    case (x: String, y: String) =>
-      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
-    case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
-    case _ => None
   }
 
   /** Exact partition pruning: can a file with these typed partition

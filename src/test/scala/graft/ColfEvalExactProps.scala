@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAllNoShrink
+
+import graft.sources.colf.ColfPartitions
+
+/** SOUNDNESS of partition-filter absorption: filters that
+  * `ColfPartitions.exactShape` accepts are dropped from Spark's residual
+  * set and applied ONLY at file granularity via `evalExact` — so a
+  * divergence between `evalExact` and Spark's own row-level predicate
+  * semantics silently returns wrong rows (kept files emit everything;
+  * pruned files emit nothing; nobody re-checks). Two properties, swept
+  * over generated typed partition values and filter trees (null probes,
+  * cross-typed numeric probes, unknown attributes, Not/Or nesting,
+  * NaN / -0.0 / unicode edges):
+  *
+  *  1. exactShape ⇒ evalExact decides (the scan's loud-failure path is
+  *     unreachable for gated filters);
+  *  2. whenever evalExact answers, the answer equals Spark's evaluation
+  *     of the same predicate over a one-row DataFrame of those values
+  *     (WHERE semantics: a NULL-valued predicate keeps nothing).
+  */
+object ColfEvalExactProps extends Properties("ColfEvalExact") {
+
+  private lazy val spark: SparkSession = SparkTest.session
+
+  private val schema = StructType(Seq(
+    StructField("p_i", IntegerType, nullable = false),
+    StructField("p_d", DoubleType, nullable = false),
+    StructField("p_s", StringType, nullable = false)))
+  private val partCols = Set("p_i", "p_d", "p_s")
+
+  private val genInt: Gen[Int] =
+    Gen.frequency(4 -> Gen.choose(-20, 20), 1 -> Gen.oneOf(Int.MinValue, Int.MaxValue, 0))
+  private val genDouble: Gen[Double] = Gen.frequency(
+    4 -> Gen.choose(-20.0, 20.0).map(d => math.rint(d * 4) / 4),
+    1 -> Gen.oneOf(0.0, -0.0, Double.NaN, 1.0 / 3.0))
+  private val genStr: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("a", "b", "zz", "dt=x", "日本語", ""),
+    1 -> Gen.asciiPrintableStr.map(_.take(6)))
+
+  /** Probe values for one attribute: its own value region, cross-typed
+    * numerics, nulls, and garbage types the gate must reject.
+    */
+  private def genProbe(attr: String): Gen[Any] = attr match {
+    case "p_i" => Gen.frequency(
+      4 -> genInt.map(x => x: java.lang.Integer),
+      2 -> genDouble.map(x => x: java.lang.Double), // fractional probe on int col
+      2 -> genInt.map(x => x.toLong: java.lang.Long),
+      1 -> Gen.const(null),
+      1 -> Gen.const("not_a_number"))
+    case "p_d" => Gen.frequency(
+      4 -> genDouble.map(x => x: java.lang.Double),
+      2 -> genInt.map(x => x: java.lang.Integer),
+      1 -> Gen.const(null),
+      1 -> Gen.const(java.math.BigDecimal.valueOf(25, 1)))
+    case _ => Gen.frequency(
+      5 -> genStr,
+      1 -> Gen.const(null),
+      1 -> genInt.map(x => x: java.lang.Integer)) // type-mismatched probe
+  }
+
+  private def genLeaf(attr: String): Gen[Filter] = {
+    val v = genProbe(attr)
+    Gen.oneOf(
+      v.map(EqualTo(attr, _)),
+      v.map(EqualNullSafe(attr, _)),
+      v.map(GreaterThan(attr, _)),
+      v.map(GreaterThanOrEqual(attr, _)),
+      v.map(LessThan(attr, _)),
+      v.map(LessThanOrEqual(attr, _)),
+      Gen.listOfN(3, v).map(vs => In(attr, vs.toArray)),
+      Gen.const(IsNull(attr)),
+      Gen.const(IsNotNull(attr)),
+      Gen.oneOf(genStr, Gen.const(null: String)).map(StringStartsWith(attr, _)))
+  }
+
+  private val genAttr: Gen[String] =
+    Gen.frequency(5 -> Gen.oneOf("p_i", "p_d", "p_s"), 1 -> Gen.const("k_unknown"))
+
+  private def genFilter(depth: Int): Gen[Filter] =
+    if (depth <= 0) genAttr.flatMap(genLeaf)
+    else Gen.frequency(
+      3 -> genAttr.flatMap(genLeaf),
+      1 -> Gen.lzy(for {
+        l <- genFilter(depth - 1); r <- genFilter(depth - 1)
+      } yield And(l, r)),
+      1 -> Gen.lzy(for {
+        l <- genFilter(depth - 1); r <- genFilter(depth - 1)
+      } yield Or(l, r)),
+      1 -> Gen.lzy(genFilter(depth - 1).map(Not)),
+      1 -> Gen.const(AlwaysTrue), 1 -> Gen.const(AlwaysFalse))
+
+  /** The filter as Spark would evaluate it post-scan (the semantics the
+    * absorbed filter must reproduce exactly).
+    */
+  private def toColumn(f: Filter): Column = f match {
+    case EqualTo(a, v)            => col(a) === lit(v)
+    case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+    case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a)                => col(a).isNull
+    case IsNotNull(a)             => col(a).isNotNull
+    case StringStartsWith(a, p)   => col(a).startsWith(lit(p))
+    case And(l, r)                => toColumn(l) && toColumn(r)
+    case Or(l, r)                 => toColumn(l) || toColumn(r)
+    case Not(c)                   => !toColumn(c)
+    case _: AlwaysTrue            => lit(true)
+    case _: AlwaysFalse           => lit(false)
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  private val genCase = for {
+    i <- genInt; d <- genDouble; s <- genStr
+    f <- genFilter(2)
+  } yield (i, d, s, f)
+
+  property("exactShape gates evalExact; evalExact matches Spark row semantics") =
+    forAllNoShrink(genCase) { case (i, d, s, f) =>
+      val values: Map[String, Any] = Map("p_i" -> i, "p_d" -> d, "p_s" -> s)
+      val decided = ColfPartitions.evalExact(values, f)
+      val gated = ColfPartitions.exactShape(f, partCols, schema)
+      // 1. the gate never admits an undecidable filter
+      val gateSound = !gated || decided.isDefined
+      // 2. a decided answer equals Spark's own evaluation
+      val sparkAgrees = decided match {
+        case None => true
+        case Some(b) =>
+          import spark.implicits._
+          val row = Seq((i, d, s)).toDF("p_i", "p_d", "p_s")
+          // Spark may reject the predicate at analysis (a garbage-typed
+          // lit); then the gate must have rejected it too
+          scala.util.Try(row.where(toColumn(f)).count() == 1L) match {
+            case scala.util.Success(kept) => kept == b
+            case scala.util.Failure(_)    => !gated
+          }
+      }
+      if (!(gateSound && sparkAgrees))
+        println(s"COUNTEREXAMPLE values=$values filter=$f decided=$decided gated=$gated")
+      gateSound && sparkAgrees
+    }
+}
