@@ -1041,6 +1041,15 @@ object SparkEntry {
       Similarity.ivfTopK(corpus, corpus.where(col("id") < 8), k = 5)
     }),
 
+    "q_sim_pq" -> ((s, dir) => {
+      // Product-quantization ANN (ADC + exact refine): candidates scored
+      // by per-query lookup tables over m-byte codes — the memory-
+      // bandwidth-optimal full-sweep path at 100 TB of embeddings.
+      val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqTopK(corpus, corpus.where(col("id") < 8), k = 5,
+        m = 8, bits = 6, refine = 8)
+    }),
+
     "q_embed_stats" -> ((s, dir) =>
       Similarity.normStats(t(s, dir, "embeddings"), col("label"), col("embedding"))),
 
@@ -1851,8 +1860,9 @@ object SparkEntry {
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
     // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
     // q_dedup_clusters_lsh / q_dedup_incremental (LSH candidate generation
-    // is probabilistic-recall, not ANSI-expressible), q_sim_ann
-    // (approximate by construction), q_sketches (HLL++/quantile-sketch
-    // estimates are engine-specific; error bounds spec'd vs exact).
+    // is probabilistic-recall, not ANSI-expressible), q_sim_ann / q_sim_pq
+    // (approximate by construction; PQ exactness properties spec'd),
+    // q_sketches (HLL++/quantile-sketch estimates are engine-specific;
+    // error bounds spec'd vs exact).
   )
 }

@@ -307,6 +307,121 @@ object Similarity {
       when(n > 0, transform(v, x => x / n)).as("unit"))
   }
 
+  // --------------------------- product quantization (ADC + exact refine)
+
+  /** PQ index: per-vector codes (m small ints replacing dim doubles) +
+    * per-subspace codebooks + the exact per-vector norm. `codes` keeps
+    * the raw vector too so the refine stage can re-rank candidates
+    * exactly without a second source scan.
+    */
+  final case class PqIndex private[Similarity] (
+      codes: DataFrame, codebooks: DataFrame, m: Int, bits: Int, subDim: Int) {
+    def unpersist(): Unit = { codes.unpersist(); codebooks.unpersist() }
+  }
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+    * subvectors, quantize each against a per-subspace codebook, and score
+    * candidates by Asymmetric Distance Computation — a per-query lookup
+    * table of subspace dot products, so scoring one candidate costs m
+    * array lookups against an m-BYTE code instead of dim multiplies
+    * against dim×8 bytes. At 100 TB of embeddings the scan is memory-
+    * bandwidth-bound, and 8 codes vs 64 doubles is the 64× bandwidth
+    * reduction that makes full-corpus ANN sweeps feasible.
+    *
+    * Codebook "training" is deterministic, not k-means: subvectors are
+    * bucketed by random-hyperplane signature (same machinery as
+    * [[lshTopK]]/[[ivfTopK]]) and each bucket's EXACT decimal mean is its
+    * centroid — reproducible across runs/partitionings, one aggregate
+    * per subspace instead of k-means iterations, and empty codes simply
+    * never occur (a code exists iff some vector produced it).
+    */
+  def pqBuild(corpus: DataFrame, m: Int = 8, bits: Int = 4, dim: Int = 64,
+      seed: Long = 42L): PqIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val idx = pqPrepare(corpus, m, bits, dim, seed)
+    idx.codes.persist(StorageLevel.MEMORY_AND_DISK)
+    idx.codebooks.persist(StorageLevel.MEMORY_AND_DISK)
+    idx
+  }
+
+  private def pqPrepare(corpus: DataFrame, m: Int, bits: Int, dim: Int,
+      seed: Long): PqIndex = {
+    require(dim % m == 0, s"pq: dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
+      .withColumn("nbr_nrm", norm(col("nbr_vec")))
+    // per-subspace signature = the vector's code in that subspace (map-side)
+    val codeCols = (0 until m).map { s =>
+      signature(slice(col("nbr_vec"), s * subDim + 1, subDim),
+        hyperplanes(bits, subDim, seed + s)).as(s"__c$s")
+    }
+    val coded = c0.select(col("nbr_id") +: col("nbr_vec") +: col("nbr_nrm") +: codeCols: _*)
+      .select(col("nbr_id"), col("nbr_vec"), col("nbr_nrm"),
+        array((0 until m).map(s => col(s"__c$s")): _*).as("codes"))
+    // codebooks: exact decimal mean of each (subspace, code) bucket
+    val cbooks = coded
+      .select(posexplode(col("codes")).as(Seq("s", "code")), col("nbr_vec"))
+      .select(col("s"), col("code"),
+        slice(col("nbr_vec"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+      .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("s", "code", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("mn"))
+      .groupBy("s", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        t => t.getField("mn")).as("centroid"))
+    PqIndex(coded, cbooks, m, bits, subDim)
+  }
+
+  /** ADC search + exact refine: per-query subspace lookup tables are
+    * computed against the (tiny, broadcast) codebooks, candidates are
+    * ranked map-side by table lookups over the codes, the best
+    * k×`refine` are re-ranked with exact dot products, and the final
+    * top-k is the same bounded two-stage aggregate every other strategy
+    * uses. refine×k ≥ corpus degenerates to the exact brute force.
+    */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
+    val subDim = index.subDim
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    // lut[s][code] = dot(q_s, centroid(s, code)) — nested maps, so sparse
+    // code ids need no padding and nothing orders a map-bearing struct;
+    // Q × m × ≤2^bits rows, trivially small
+    val lut = q.crossJoin(broadcast(index.codebooks))
+      .withColumn("p",
+        dot(slice(col("q_vec"), col("s") * subDim + 1, lit(subDim)), col("centroid")))
+      .groupBy("query_id", "s")
+      .agg(map_from_entries(collect_list(struct(col("code"), col("p")))).as("mp"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("s"), col("mp")))).as("lut"))
+    val qFull = q.join(lut, "query_id")
+    // ADC pass: map-only over the codes (the broadcast is the query side)
+    val scored = index.codes
+      .crossJoin(broadcast(qFull.select(col("query_id"), col("q_nrm"), col("lut"))))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(index.m - 1)),
+          (c, s) => element_at(element_at(col("lut"), s), c)),
+        lit(0.0d), (acc, x) => acc + x))
+      .select(col("query_id"), col("nbr_id"),
+        (col("adc") / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
+    val cands = topKPerQuery(scored, k * refine).select("query_id", "nbr_id")
+    // exact refine of the small candidate set
+    val exact = broadcast(cands)
+      .join(index.codes.select(col("nbr_id"), col("nbr_vec"), col("nbr_nrm")), "nbr_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("nbr_id"),
+        (dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
+  /** One-shot PQ ANN: build + search (see [[pqBuild]]/[[pqSearch]] to
+    * amortize the codebooks across query batches).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      bits: Int = 4, refine: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
+    pqSearch(pqPrepare(corpus, m, bits, dim, seed), queries, k, refine)
+
   /** Scalar int8 quantization per vector: scale = 127 / max|x|, each
     * component stored as floor(x·scale + 0.5) — 4-8× smaller embedding
     * tables with the scale kept for dequantization. The floor(x+0.5) form

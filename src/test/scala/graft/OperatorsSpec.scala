@@ -305,6 +305,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byQ.values.forall(rs => rs.map(_._3).sorted.sameElements(1 to rs.length)))
   }
 
+  test("pqTopK: exhaustive refine equals brute force; codes are m small ints") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val brute = Similarity.bruteForceTopK(df, q, k = 3).collect().map(key).toSet
+    // k×refine ≥ corpus: the ADC pass passes everything to the exact
+    // refine, so the result must equal brute force bit-for-bit
+    val exhaustive = Similarity.pqTopK(df, q, k = 3, m = 4, bits = 3,
+      refine = 40, dim = 8).collect().map(key).toSet
+    assert(exhaustive == brute)
+    // codes: m entries, each within the signature range
+    val idx = Similarity.pqBuild(df, m = 4, bits = 3, dim = 8)
+    try {
+      val codes = idx.codes.select($"codes").collect().map(_.getSeq[Long](0))
+      assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0L && x < 8L)))
+    } finally idx.unpersist()
+  }
+
+  test("pq ADC ranking finds planted near-duplicates without refine help") {
+    // 10 tight clusters: the nearest neighbor of each query is its
+    // planted twin; ADC over 4-bit codes must surface it at rank 1 even
+    // with refine = 1 (no exact re-rank beyond the candidate set itself)
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 3))
+    val rows = (0 until 10).flatMap { c =>
+      Seq((c.toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)),
+        ((c + 100).toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)))
+    }
+    val df = rows.toDF("id", "vec")
+    val q = df.where($"id" < 10)
+    val top1 = Similarity.pqTopK(df, q, k = 1, m = 4, bits = 4, refine = 1, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 10L).foreach { c =>
+      assert(top1(c) == c + 100, s"query $c: ADC rank-1 was ${top1(c)}, want ${c + 100}")
+    }
+  }
+
   test("one-shot ANN calls leak no cached blocks; index builds persist until released") {
     val vecs = (0L until 30L).map(i => (i, Array.fill(8)((i % 5).toFloat + 1f)))
     val df = vecs.toDF("id", "vec")
