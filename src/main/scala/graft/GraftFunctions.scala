@@ -53,7 +53,10 @@ object GraftFunctions {
         lift1("token_count")(TextAnalysis.tokenCount)),
       (FunctionIdentifier("doc_fingerprint"),
         new ExpressionInfo(TextAnalysis.getClass.getName, "doc_fingerprint"),
-        lift1("doc_fingerprint")(TextAnalysis.fingerprint)))
+        lift1("doc_fingerprint")(TextAnalysis.fingerprint)),
+      (FunctionIdentifier("normalize_dedup"),
+        new ExpressionInfo(TextAnalysis.getClass.getName, "normalize_dedup"),
+        lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)))
   }
 
   def register(spark: SparkSession): Unit =

@@ -696,6 +696,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     assert(spark.sql("SELECT doc_fingerprint('x') AS f").collect()(0).getLong(0) ==
       spark.range(1).select(TextAnalysis.fingerprint(lit("x"))).collect()(0).getLong(0))
+    assert(spark.sql("SELECT normalize_dedup('  The, QUICK   fox!! ') AS n")
+      .collect()(0).getString(0) == "the quick fox")
     // the cluster-wide SparkSessionExtensions entry point is constructible
     // by name (as spark.sql.extensions would) and applies without error
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
