@@ -561,6 +561,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.count() == 4)
   }
 
+  test("streaming upsert: micro-batched updates merge into a partitioned colf table") {
+    // The incremental-ingestion composition at scale: each arriving
+    // micro-batch MERGEs into the live table (Upsert), and the merged
+    // state lands via dynamic partition overwrite — only partitions the
+    // batch touched are rewritten. Final table state must equal a
+    // one-shot batch upsert of all updates.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("stream_upsert_tbl").toString
+    val inDir = Files.createTempDirectory("stream_upsert_in").toString
+    Seq((1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 1))
+      .toDF("k", "v", "p")
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    // two micro-batches: an update in p=0, an insert in p=1, then an
+    // update of the batch-1 insert (cross-batch chaining)
+    Seq((2, "b2", 0), (5, "e", 1)).toDF("k", "v", "p")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Seq((5, "e2", 1)).toDF("k", "v", "p")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val oldMode = spark.conf.get(mode)
+    spark.conf.set(mode, "dynamic")
+    try {
+      val q = spark.readStream.schema("k INT, v STRING, p INT").parquet(inDir)
+        .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+          val current = spark.read.format("colf").load(dir)
+          val touched = delta.select("p").distinct()
+          val merged = Upsert(current, delta, Seq("k"))
+            .join(broadcast(touched), Seq("p"), "left_semi")
+          merged.select("k", "v", "p") // partition col must come through
+            .write.format("colf").option("partitionBy", "p")
+            .mode("overwrite").save(dir)
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set(mode, oldMode)
+
+    val fin = spark.read.format("colf").load(dir)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(fin == Map(1 -> ("a", 0), 2 -> ("b2", 0), 3 -> ("c", 1),
+      4 -> ("d", 1), 5 -> ("e2", 1)))
+  }
+
   test("removeDuplicateSpans erases repeated n-grams except the first occurrence") {
     val docs = Seq(
       (1, "one two three four five six seven eight tailA"),
