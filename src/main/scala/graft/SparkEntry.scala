@@ -111,6 +111,23 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    "q_window_funcs" -> ((s, dir) => {
+      // Analytic-function breadth over one deterministic ordering
+      // (o_orderkey is unique per customer): navigation (lag/lead),
+      // frame-based (first_value), and distribution (ntile, cume_dist)
+      // functions in a single window pass.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(w).as("first_price"),
+        row_number().over(w).cast("int").as("rn"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
@@ -1127,6 +1144,17 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
