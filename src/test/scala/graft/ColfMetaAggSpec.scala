@@ -168,6 +168,32 @@ class ColfMetaAggSpec extends AnyFunSuite {
       (0L until 1000L).filter(_ % 4 == 2).sum)
   }
 
+  test("layout corrupted after table resolution fails loudly, never silently") {
+    // A flat file dropped into a partitioned directory AFTER the table
+    // resolved its partition columns defeats exact evaluation of an
+    // absorbed filter. The residual re-check is gone, so the only sound
+    // behaviors are pruning-by-proof or a loud error — silently emitting
+    // (or dropping) the stray file's rows is the one forbidden outcome.
+    val dir = tmp(); writePartitioned(dir)
+    val t = spark.read.format("colf").load(dir)
+    // force the table to verify its partition layout while it is clean,
+    // so the later filter IS absorbed (worst case for a layout change)
+    assert(t.where($"p" === 3).count() == 250)
+    val stray = tmp()
+    spark.range(0, 7).selectExpr("cast(id as int) as k", "cast(id as double) as x",
+        "cast(id as string) as s")
+      .write.format("colf").mode("overwrite").save(stray)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stray)).toArray
+      .map(_.toString).filter(_.endsWith(".colf")).head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(dir, "stray.colf"))
+    val e = intercept[Exception] { t.where($"p" === 2).count() }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else x.toString +: chain(x.getCause)
+    assert(chain(e).exists(s => s.contains("undecidable") || s.contains("has no column")),
+      chain(e).mkString(" | "))
+  }
+
   test("unpartitioned flat layout: no absorption, pushdown still works globally") {
     val dir = tmp()
     spark.range(0, 100).selectExpr("cast(id as int) as k")
