@@ -11,6 +11,37 @@ import org.apache.spark.sql.SparkSession
   */
 object ColfMaintenance {
 
+  /** Remove orphaned write temps (`.*-<queryId>-*.colf.tmp`) left by a
+    * hard driver kill — the one crash the rename-first commit protocol
+    * cannot self-clean (task/job abort handles every softer failure).
+    * Temps are invisible to readers (dot-prefixed), so this is hygiene,
+    * not correctness — but at 10⁵ part files a year of kill -9s is real
+    * storage. `graceMs` protects IN-FLIGHT writes: a temp younger than
+    * the grace window may belong to a running job and is left alone
+    * (default 24 h — no sane single write runs longer). Returns
+    * (tempsSeen, tempsDeleted). Idempotent; safe to run concurrently
+    * with writers given an honest grace window.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      graceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return (0, 0)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      files ++ dirs.flatMap(d => walk(d.getPath))
+    }
+    val temps = walk(root).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(".") && n.endsWith(".colf.tmp")
+    }
+    val stale = temps.filter(_.getModificationTime < cutoff)
+    ColfHeaderCache.mapParallel(stale)(st => fs.delete(st.getPath, false))
+    (temps.length, stale.length)
+  }
+
   /** Rewrite `dir` into ~`targetBytes`-sized part files (compressed size
     * basis; the writer's own rolling caps still bound each file).
     *

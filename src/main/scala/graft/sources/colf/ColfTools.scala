@@ -68,6 +68,15 @@ object ColfTools {
         sortCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       println(s"compacted $dir (sorted by $sortCols): $b files -> $a files")
 
+    case Array("vacuum", dir) =>
+      val (seen, deleted) = ColfMaintenance.vacuum(spark, dir)
+      println(s"vacuumed $dir: $deleted of $seen orphaned temps removed")
+
+    case Array("vacuum", dir, graceMinutes) =>
+      val (seen, deleted) =
+        ColfMaintenance.vacuum(spark, dir, graceMinutes.toLong * 60 * 1000)
+      println(s"vacuumed $dir: $deleted of $seen orphaned temps removed")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -88,7 +97,8 @@ object ColfTools {
            |  custom_to_csv <in_dir_or_file> <out.csv>
            |  read_columns  <in_dir_or_file> <col1,col2,...>
            |  stats         <in_dir_or_file>
-           |  compact       <dir> [targetMB [sortCol1,sortCol2]]""".stripMargin)
+           |  compact       <dir> [targetMB [sortCol1,sortCol2]]
+           |  vacuum        <dir> [graceMinutes]""".stripMargin)
       sys.exit(2)
   }
 

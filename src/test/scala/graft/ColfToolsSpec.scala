@@ -18,6 +18,31 @@ class ColfToolsSpec extends AnyFunSuite {
 
   private val sample = "/root/reference/sample_small.csv"
 
+  test("vacuum removes only stale orphaned temps, honors grace, keeps data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_vacuum").toString
+    Seq((1, 0), (2, 1)).toDF("k", "p")
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    // orphaned temps: root-level and inside a partition dir (a kill -9
+    // mid-write leaves exactly these)
+    val t1 = Paths.get(dir, ".part-0-dead123-0.colf.tmp")
+    val t2 = Paths.get(dir, "p=0", ".part-1-dead123-0.colf.tmp")
+    Files.write(t1, Array[Byte](1, 2, 3)); Files.write(t2, Array[Byte](4))
+    // a fresh temp (inside grace) must survive — it may be a live write
+    val (seen1, del1) = ColfMaintenance.vacuum(spark, dir)
+    assert(seen1 == 2 && del1 == 0)
+    // age the temps past the grace window, vacuum again
+    Seq(t1, t2).foreach(p => p.toFile.setLastModified(
+      System.currentTimeMillis() - 25L * 3600 * 1000))
+    val (seen2, del2) = ColfMaintenance.vacuum(spark, dir)
+    assert(seen2 == 2 && del2 == 2)
+    assert(!Files.exists(t1) && !Files.exists(t2))
+    // data untouched
+    assert(spark.read.format("colf").load(dir).count() == 2)
+    // idempotent on a clean directory
+    assert(ColfMaintenance.vacuum(spark, dir) == ((0, 0)))
+  }
+
   test("csv_to_custom then custom_to_csv roundtrips the reference sample") {
     assume(Files.exists(Paths.get(sample)))
     val colfDir = Files.createTempDirectory("tools_colf").toString
