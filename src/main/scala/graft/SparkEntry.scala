@@ -791,6 +791,16 @@ object SparkEntry {
       Dedup.cosineNearDupsLSH(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.35)),
 
+    "q_dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: coarse hyperplane buckets → within-bucket exact cosine
+      // pairs → connected components → keep the min id per component.
+      // coarseBits = 4 exercises REAL bucketing and stays oracle-checkable:
+      // the planes are deterministic, rendered as literals in the oracle
+      // SQL, so DuckDB independently recomputes bucket assignment, the
+      // within-bucket pair set, and the components.
+      Dedup.semanticDedup(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.35, coarseBits = 4)),
+
     "q_contamination" -> ((s, dir) => {
       // Decontamination: which corpus docs verbatim-duplicate an "eval
       // set"? The eval set here is every 20th document re-keyed into its
@@ -1514,6 +1524,43 @@ object SparkEntry {
         |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
+
+    "q_dedup_semantic" -> {
+      // The SAME coarse planes the operator derives (seeded
+      // scala.util.Random gaussians), rendered as shortest-round-trip
+      // double literals — DuckDB's correctly-rounded parse recovers the
+      // identical doubles, so bucket signs, pair cosines, and components
+      // are all recomputed independently. Within-bucket ALL-pairs here
+      // equals the operator's rep-pairs + intra-group star edges at
+      // component level (identical vectors share a bucket).
+      val hp = operators.Similarity.hyperplanes(4, 64, 42L)
+      def planeLit(p: Array[Double]) =
+        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val bucket = hp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE bk AS (
+         |  SELECT vec_id, e, $bucket AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+         |)
+         |SELECT id, component, id = component AS keep FROM (
+         |  SELECT v.vec_id AS id,
+         |    least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component
+         |  FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+         |  GROUP BY v.vec_id)""".stripMargin
+    },
 
     "q_contamination" ->
       """SELECT c.doc_id AS corpus_id, e.eval_id

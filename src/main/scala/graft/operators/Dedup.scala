@@ -416,6 +416,92 @@ object Dedup {
     expandGroupPairs(repPairs, reps, members, "cos", selfCos)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * coarse-quantize embeddings into ≤2^`coarseBits` buckets by
+    * deterministic random-hyperplane signature (the same coarse quantizer
+    * [[Similarity.ivfTopK]] uses for its inverted lists), compute exact
+    * pairwise cosine ONLY within each bucket, connect pairs ≥ `threshold`
+    * into components, and keep one representative — the smallest id — per
+    * component. Unlike token-level near-dup ([[minhashNearDups]]) this
+    * collapses *semantic* duplicates: paraphrases and re-renderings whose
+    * embeddings nearly coincide while their shingle sets don't.
+    *
+    * Scale shape: the pair stage is an equi-join on the bucket key —
+    * Σ bucket², never N², exactly like [[blockedTokenJaccard]] — and
+    * exact-duplicate vectors enter it ONCE via the same fingerprint
+    * pre-grouping every LSH path uses: m identical vectors contribute
+    * m−1 star edges to the component stage, not m² verified pairs.
+    * Approximate like SemDeDup itself: a near-dup pair split across
+    * buckets is missed (more bits → smaller buckets, lower recall;
+    * identical vectors are immune — they share a fingerprint, not just a
+    * bucket). `coarseBits = 0` is one global bucket: components equal
+    * [[assignClusters]] over [[cosineNearDups]] exactly (spec'd in
+    * DedupGroupSpec).
+    *
+    * Output: (id, component, keep) for EVERY input row — `keep` is the
+    * dedup decision. Null and all-zero vectors have no direction: their
+    * cosine with anything is null, they pair with nothing, and they stay
+    * singleton keepers — matching the exact path's treatment.
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      coarseBits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(coarseBits >= 0 && coarseBits <= 62, s"coarseBits must be in [0,62], got $coarseBits")
+    val hp = Similarity.hyperplanes(coarseBits, dim, seed)
+    def bucketOf(vCol: Column): Column =
+      if (coarseBits == 0) lit(0L)
+      else (0 until coarseBits).map { i =>
+        val plane = array(hp(i).map(lit): _*)
+        when(Similarity.dot(vCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val keyed = df.where(vec.isNotNull)
+      .select(id.cast("long").as("id"), Similarity.asDouble(vec).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("__fp", xxhash64(col("v")))
+    val members = keyed.select(col("__fp"), col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed.groupBy("__fp")
+      .agg(min_by(struct(col("id"), col("v"), col("nrm")), col("id")).as("r"))
+      .select(col("__fp"), col("r.id").as("id"), col("r.v").as("v"), col("r.nrm").as("nrm"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Within-bucket exact pairwise over distinct vectors: a plain
+    // hash-partitioned self-equi-join on the bucket key (AQE-skew-
+    // splittable), scored with the shared fixed-order cosine.
+    // Zero-norm guard: the `when` keeps the division unevaluated for
+    // zero vectors (ANSI mode would throw on 0/0; either way a zero
+    // vector must never qualify — it has no direction).
+    val side = reps.select(col("bucket"), col("id"), col("v"), col("nrm"))
+    val repPairs = side.toDF("bucket", "id_a", "v_a", "nrm_a")
+      .join(side.toDF("bucket", "id_b", "v_b", "nrm_b"), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) /
+        when(col("nrm_a") * col("nrm_b") > 0, col("nrm_a") * col("nrm_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    // Intra-group star edges: representative → member for every group
+    // whose self-cosine clears the threshold (i.e. non-degenerate equal
+    // vectors; a zero vector's self-cosine is null and never qualifies).
+    val intra = reps
+      .where((Similarity.dot(col("v"), col("v")) /
+        when(col("nrm") * col("nrm") > 0, col("nrm") * col("nrm"))) >= threshold)
+      .select(col("__fp"), col("id").as("id_a"))
+      .join(members.toDF("__fp", "id_b"), "__fp")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    // connectedComponents eagerly materializes the edge set up front, so
+    // the caches are consumed by the time it returns.
+    val comps = connectedComponents(repPairs.unionByName(intra))
+    members.unpersist()
+    reps.unpersist()
+    df.select(id.cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
+  }
+
   // ------------------------------------------------- contamination check
 
   /** Eval-set decontamination: every (corpus row, eval row) pair whose

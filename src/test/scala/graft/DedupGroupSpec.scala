@@ -293,4 +293,55 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(lsh.exists { case (a, b, _) => a == 5L && b == 102L })
     assert(lsh.exists { case (a, b, _) => a == 100L && b == 101L })
   }
+
+  test("semanticDedup with coarseBits=0 equals clusters over exact cosine pairs") {
+    val df = vecCorpus()
+    val exactPairs = Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9)
+      .select("id_a", "id_b")
+    val expected = Dedup.assignClusters(df, col("vec_id"), exactPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.semanticDedup(df, col("vec_id"), col("embedding"), 0.9,
+        coarseBits = 0, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == expected)
+    // keep is exactly the id==component decision, one keeper per component
+    got.foreach { case (id, comp, keep) => assert(keep == (id == comp)) }
+    assert(got.count(_._3) == expected.values.toSet.size)
+    // the planted dups collapsed: 3/100/101 one component, 5/102 another
+    assert(Set(100L, 101L).forall(expected(_) == expected(3L)))
+    assert(expected(102L) == expected(5L))
+  }
+
+  test("semanticDedup: identical vectors dedup at ANY coarseBits; drops are exact-precision") {
+    val df = vecCorpus()
+    val exactComp = Dedup.assignClusters(df, col("vec_id"),
+        Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9)
+          .select("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.semanticDedup(df, col("vec_id"), col("embedding"), 0.9,
+        coarseBits = 5, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val comp = got.map(t => t._1 -> t._2).toMap
+    // identical vectors share a fingerprint, not just a bucket — immune to
+    // bucket splits: 3/100/101 always land in one component
+    assert(comp(100L) == comp(3L) && comp(101L) == comp(3L))
+    // approximate recall, exact precision: every non-singleton component
+    // semanticDedup forms is within a component the exact path forms
+    got.filter(t => t._1 != t._2).foreach { case (id, c, _) =>
+      assert(exactComp(id) == exactComp(c)) }
+  }
+
+  test("semanticDedup: null and zero vectors stay singleton keepers") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(1.0f)),   // identical pair
+      (3L, Array.fill(4)(0.0f)), (4L, Array.fill(4)(0.0f)),   // zero vectors
+      (5L, null.asInstanceOf[Array[Float]]))                  // null vector
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, col("vec_id"), col("embedding"), 0.5,
+        coarseBits = 2, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(1L, 3L, 4L, 5L))
+  }
 }
