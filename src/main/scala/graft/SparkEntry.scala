@@ -389,6 +389,15 @@ object SparkEntry {
         .select("c_custkey", "c_acctbal", "n_nationkey", "lo", "hi")
     }),
 
+    "q_fuzzy_join" -> ((s, dir) =>
+      // Approximate string join (record linkage): customer-name pairs
+      // within edit distance 1, via COMPLETE length-band blocking + a
+      // threshold-bounded levenshtein — a hash equi-join on the bucket,
+      // never an all-pairs nested loop. The oracle recomputes the same
+      // pairs with DuckDB's levenshtein over an explicit pair join.
+      operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"), maxDist = 1)),
+
     "q_vec_dot_sql" -> ((s, dir) => {
       // The custom codegen DotProduct expression exposed to SQL users via
       // GraftFunctions/GraftExtensions (SparkSessionExtensions hook).
@@ -1320,6 +1329,15 @@ object SparkEntry {
         |JOIN (SELECT * FROM orders WHERE o_orderkey % 100 = 50) b
         |  ON a.o_totalprice <= b.o_totalprice + 30000
         | AND b.o_totalprice <= a.o_totalprice + 30000""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT id_a, id_b, dist FROM (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |) WHERE dist <= 1""".stripMargin,
 
     "q_vec_dot_sql" ->
       """SELECT vec_id,
