@@ -957,6 +957,13 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    "q_heavy_hitters" -> ((s, dir) =>
+      // Exact heavy hitters (tokens with count > n/(capacity+1)) via the
+      // two-pass Misra-Gries plan: bounded sketch -> candidate superset ->
+      // exact counts of candidates only. Deterministic despite the
+      // merge-order-dependent sketch, so fully oracle-checkable.
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), col("text"), capacity = 50)),
+
     // Pre-training chunking: ≤32 whitespace tokens per training example,
     // 8-token overlap. Map-only explode — no shuffle anywhere.
     "q_chunk" -> ((s, dir) =>
@@ -1778,6 +1785,14 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT term, count(*) AS cnt FROM toks
+        |GROUP BY term
+        |HAVING count(*) > (SELECT count(*) FROM toks) / 51.0""".stripMargin,
 
     "q_line_dedup" ->
       """WITH planted AS (

@@ -51,6 +51,41 @@ object TextAnalysis {
         col("score"), col("rank").cast("int").as("rank"))
   }
 
+  /** Exact corpus heavy hitters — every token whose true count exceeds
+    * n/(capacity+1) — via the classic two-pass sketch-then-count plan:
+    *
+    * Pass 1: a [[graft.functions.MisraGries]] summary plus the exact
+    * token total in ONE partially-aggregated pass; the summary's
+    * candidate set provably contains every qualifying token (the
+    * n/(k+1) bound holds under any merge order), and it is ≤ capacity
+    * entries — a bounded, broadcastable list, NEVER a full-vocabulary
+    * shuffle. Pass 2: exact counts for candidate occurrences only
+    * (broadcast semi-filter), keep those above the threshold.
+    *
+    * The output is EXACT and deterministic even though the sketch
+    * contents are merge-order-dependent: false candidates die at the
+    * final threshold, and true heavy hitters can't be missed. At 100 TB
+    * a full `groupBy(token)` shuffles the whole vocabulary to find the
+    * handful of frequent terms; this shuffles ≤ capacity candidates'
+    * occurrences. The ≤capacity collect to the driver is bounded by the
+    * caller's parameter, not the data.
+    */
+  def heavyHitters(df: DataFrame, text: Column, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = df.where(text.isNotNull).select(explode(tokens(text)).as("term"))
+    val mg = udaf(new graft.functions.MisraGries(capacity), Encoders.STRING)
+    val pass1 = toks.agg(mg(col("term")).as("mg"), count(lit(1)).as("n"))
+      .select(col("n"), col("mg.items.term").as("cands"))
+      .collect()(0)
+    val n = pass1.getLong(0)
+    val cands = pass1.getSeq[String](1)
+    if (cands.isEmpty) return toks.select(col("term"), lit(0L).as("cnt")).limit(0)
+    toks.where(col("term").isin(cands: _*))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(n) / lit(capacity + 1.0))
+  }
+
   /** Repetition signals per document (the Gopher/MassiveText-style
     * filters): duplicate-token ratio (1 − distinct/total) and
     * top-token dominance (most frequent token's share). A
