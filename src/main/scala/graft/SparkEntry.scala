@@ -964,6 +964,12 @@ object SparkEntry {
       // merge-order-dependent sketch, so fully oracle-checkable.
       TextAnalysis.heavyHitters(t(s, dir, "documents"), col("text"), capacity = 50)),
 
+    "q_inverted_index" -> ((s, dir) =>
+      // Postings build with df-band vocabulary pruning: hapax terms
+      // (df < 2) and the stopword tier (df > 400 of 500 docs) dropped.
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), col("doc_id"), col("text"),
+        minDf = 2, maxDf = 400)),
+
     // Pre-training chunking: ≤32 whitespace tokens per training example,
     // 8-token overlap. Map-only explode — no shuffle anywhere.
     "q_chunk" -> ((s, dir) =>
@@ -1793,6 +1799,19 @@ object SparkEntry {
         |SELECT term, count(*) AS cnt FROM toks
         |GROUP BY term
         |HAVING count(*) > (SELECT count(*) FROM toks) / 51.0""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY term, doc_id
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  GROUP BY term HAVING count(*) >= 2 AND count(*) <= 400
+        |)
+        |SELECT t.term, d.df, t.doc_id, t.tf
+        |FROM tf t JOIN dfreq d USING (term)""".stripMargin,
 
     "q_line_dedup" ->
       """WITH planted AS (

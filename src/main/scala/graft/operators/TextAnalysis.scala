@@ -86,6 +86,28 @@ object TextAnalysis {
       .where(col("cnt") > lit(n) / lit(capacity + 1.0))
   }
 
+  /** Inverted-index (postings) build with document-frequency-band
+    * vocabulary pruning: one row per surviving (term, doc) with the term
+    * frequency and the term's document frequency. `minDf` cuts hapax/
+    * noise terms, `maxDf` cuts the stopword tier — the standard
+    * vocabulary trim before a search or retrieval index ships.
+    *
+    * Shape (same scale skeleton as [[tfIdfTopTerms]]): explode →
+    * partial-aggregated (term, doc) counts; document frequencies from a
+    * second aggregation of that already-collapsed table; one equi-join
+    * back on the term. No windows, no driver collect; every stage is
+    * key-partitioned and AQE-splittable on hot terms.
+    */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      minDf: Long = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    val tf = df.where(text.isNotNull)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    tf.join(dfreq, "term").select("term", "df", "doc_id", "tf")
+  }
+
   /** Repetition signals per document (the Gopher/MassiveText-style
     * filters): duplicate-token ratio (1 − distinct/total) and
     * top-token dominance (most frequent token's share). A
