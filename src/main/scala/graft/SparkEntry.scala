@@ -654,6 +654,31 @@ object SparkEntry {
       s.read.format("colf").load(out)
     }),
 
+    "q_colf_versioned" -> ((s, dir) => {
+      // Snapshot versioning end-to-end: v1 = even doc ids (manifest
+      // created), v2 = an OVERWRITE with ids divisible by 3 — old files
+      // retained, new manifest appended. The query reads BOTH snapshots
+      // (versionAsOf + latest) and the oracle recomputes each from the
+      // source parquet, value-checking that time travel returns exactly
+      // the overwritten-away rows.
+      val out = work("q_colf_versioned")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"), col("lang"))
+      docs.where(col("doc_id") % 2 === 0).write.format("colf")
+        .option("manifest", "true").mode("append").save(out)
+      docs.where(col("doc_id") % 3 === 0).write.format("colf")
+        .mode("overwrite").save(out)
+      val v1 = s.read.format("colf").option("versionAsOf", 1).load(out)
+        .withColumn("snap", lit("v1"))
+      val v2 = s.read.format("colf").load(out).withColumn("snap", lit("v2"))
+      v1.unionByName(v2)
+    }),
+
     "q_colf_stream_source" -> ((s, dir) => {
       // Structured Streaming FROM the colf format (MICRO_BATCH_READ): an
       // aggregation over the streamed directory, drained with AvailableNow
@@ -1438,6 +1463,13 @@ object SparkEntry {
 
     "q_colf_stream_sink" ->
       "SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name, c_acctbal FROM customer",
+
+    "q_colf_versioned" ->
+      """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'v1' AS snap
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'v2' AS snap
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_colf_stream_source" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -36,7 +36,8 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = ColfUtil.driverHadoopConf()
-    val files = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf)
+    val files = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf,
+      ColfUtil.versionAsOf(options))
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
@@ -98,7 +99,8 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false))
+    new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false),
+      ColfUtil.versionAsOf(opts))
   }
 }
 
@@ -113,6 +115,18 @@ private[colf] object ColfUtil {
     SparkSession.getActiveSession
       .map(GraftSqlBridge.sessionHadoopConf)
       .getOrElse(new Configuration())
+
+  /** `option("versionAsOf", n)`: pin reads to snapshot n of a versioned
+    * table ([[ColfVersions]]). Absent → latest version (or the live
+    * listing on unversioned tables).
+    */
+  def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      val n = scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
+        s"colf: versionAsOf must be a version number, got '$v'"))
+      require(n >= 1, s"colf: versionAsOf must be >= 1, got $n")
+      n
+    }
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { json =>
@@ -138,7 +152,20 @@ private[colf] object ColfUtil {
     * are ignored, as before — only the explicit `k=v` shape opts a path
     * segment into the table schema.
     */
-  def resolveFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] = {
+  def resolveFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] =
+    resolveFileRefs(paths, conf, None)
+
+  /** As above, with snapshot selection: a DIRECTORY that carries
+    * [[ColfVersions]] manifests resolves to one version's exact file
+    * list (`versionAsOf`, default latest) instead of the live listing —
+    * so concurrent commits never change a running scan's file set and
+    * retained old versions stay readable. Directories without manifests
+    * (and explicit file/glob-of-file paths) behave as before;
+    * `versionAsOf` on an unversioned path fails loudly rather than
+    * silently reading the wrong snapshot.
+    */
+  def resolveFileRefs(paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long]): Seq[ColfFileRef] = {
     def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
         values: Map[String, String]): Seq[ColfFileRef] = {
       val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
@@ -163,8 +190,20 @@ private[colf] object ColfUtil {
         if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
       }
       matched.flatMap { st =>
-        if (st.isDirectory) walk(fs, st.getPath, Map.empty)
-        else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
+        if (st.isDirectory) {
+          versionAsOf match {
+            case Some(v) =>
+              ColfVersions.toRefs(fs, st.getPath, ColfVersions.read(fs, st.getPath, v))
+            case None =>
+              ColfVersions.latest(fs, st.getPath) match {
+                case Some((_, entries)) => ColfVersions.toRefs(fs, st.getPath, entries)
+                case None               => walk(fs, st.getPath, Map.empty)
+              }
+          }
+        } else if (versionAsOf.isDefined) {
+          throw new IllegalArgumentException(
+            s"colf: versionAsOf requires a versioned table DIRECTORY; got file ${st.getPath}")
+        } else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
       }
     }.flatten
   }
@@ -247,7 +286,7 @@ private[colf] object ColfUtil {
 }
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false, versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -263,7 +302,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     * per table instance (the same listing schema inference already pays).
     */
   private lazy val layoutRefs: Seq[ColfFileRef] =
-    ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf())
+    ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf(), versionAsOf)
 
   private lazy val layoutPartitionCols: Seq[String] =
     ColfPartitions.partitionCols(layoutRefs)
@@ -307,7 +346,9 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     new ColfScanBuilder(paths, schema, mergeSchema,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
-      exactPartCols, layoutPartitionCols)
+      exactPartCols, layoutPartitionCols,
+      // per-read option overrides the table-level pin
+      ColfUtil.versionAsOf(options).orElse(versionAsOf))
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -357,7 +398,31 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       s"colf DELETE: condition ${filters.mkString(" AND ")} is no longer " +
         "decidable at file granularity — the directory layout changed " +
         "between analysis and execution"))
-    ColfHeaderCache.mapParallel(files) { r =>
+    // Versioned roots (ColfVersions): the delete is a MANIFEST flip — the
+    // next version simply omits the files, which stay on disk backing
+    // earlier versions until vacuumVersions. Unversioned paths delete
+    // physically, as before.
+    val handled = scala.collection.mutable.Set.empty[String]
+    paths.foreach { p =>
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root) && fs.getFileStatus(root).isDirectory &&
+          ColfVersions.enabled(fs, root)) {
+        val q = fs.makeQualified(root).toString
+        val deletedUnder = files.map(_.path).filter(_.startsWith(q + "/"))
+        if (deletedUnder.nonEmpty) {
+          val deletedRel = deletedUnder.map(_.substring(q.length + 1)).toSet
+          def build(prev: Seq[ColfVersions.Entry]) =
+            prev.filterNot(e => deletedRel(e.relPath))
+          val prev0 = ColfVersions.latest(fs, root).map(_._2).getOrElse(Seq.empty)
+          ColfVersions.append(fs, root, build(prev0),
+            recompute = l => build(l.map(_._2).getOrElse(Seq.empty)))
+          handled ++= deletedUnder
+        }
+      }
+    }
+    val physical = files.filterNot(r => handled.contains(r.path))
+    ColfHeaderCache.mapParallel(physical) { r =>
       val p = new org.apache.hadoop.fs.Path(r.path)
       p.getFileSystem(conf).delete(p, false)
     }
@@ -378,7 +443,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
-    layoutPartitionCols: Seq[String] = Seq.empty)
+    layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -476,7 +541,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   private def computeMetaAgg(
       agg: aggregate.Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
     val groupCols = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
-    val refs = ColfUtil.resolveFileRefs(paths, conf)
+    val refs = ColfUtil.resolveFileRefs(paths, conf, versionAsOf)
     val kept = refs.filter { r =>
       val tv = ColfUtil.typedPartValues(r, fullSchema)
       absorbed.forall(f => ColfPartitions.evalExact(tv, f) match {
@@ -617,7 +682,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     case None =>
       new ColfScan(paths, fullSchema, required, mergeSchema, limit,
         ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
-        absorbed)
+        absorbed, versionAsOf)
   }
 }
 
@@ -660,10 +725,11 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
-    absorbed: Seq[Filter] = Seq.empty)
+    absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
-  private lazy val allRefs: Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
+  private lazy val allRefs: Seq[ColfFileRef] =
+    ColfUtil.resolveFileRefs(paths, conf, versionAsOf)
 
   /** Absorbed partition filters are NOT re-evaluated by Spark (the
     * builder removed them from the residual set), so their file-level

@@ -94,13 +94,74 @@ object ColfMaintenance {
           .option("sortBy", sortBy.mkString(","))
           .option("numFiles", nParts)
       else df.coalesce(nParts).write.format("colf")
-    writer.mode("append").save(dir)
 
-    val fs = new Path(dir).getFileSystem(conf)
-    before.foreach { r =>
-      if (!fs.delete(new Path(r.path), false))
-        throw new java.io.IOException(s"compact: failed to delete ${r.path}")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (ColfVersions.enabled(fs, root)) {
+      // Versioned table: ONE atomic manifest flip — the rewrite's append
+      // suppresses its own manifest (__skipManifest) so no reader ever
+      // sees the transient old∪new duplicate state, then the compaction
+      // publishes (previous − inputs) ∪ outputs as the next version.
+      // Inputs stay on disk backing earlier versions (vacuumVersions
+      // reclaims); the crash window the unversioned path documents
+      // (duplicates between write commit and the deletes) is GONE — a
+      // crash before the manifest append leaves invisible new files only.
+      val diskBefore = ColfVersions.listDataFiles(fs, root).map(_.relPath).toSet
+      writer.option("__skipManifest", "true").mode("append").save(dir)
+      val newEntries = ColfVersions.listDataFiles(fs, root)
+        .filterNot(e => diskBefore.contains(e.relPath))
+      val beforeRel = before.map(r =>
+        ColfVersions.relativize(fs, root, new Path(r.path))).toSet
+      def build(prev: Seq[ColfVersions.Entry]) =
+        prev.filterNot(e => beforeRel(e.relPath)) ++ newEntries
+      val prev0 = ColfVersions.latest(fs, root).map(_._2).getOrElse(Seq.empty)
+      ColfVersions.append(fs, root, build(prev0),
+        recompute = l => build(l.map(_._2).getOrElse(Seq.empty)))
+    } else {
+      writer.mode("append").save(dir)
+      before.foreach { r =>
+        if (!fs.delete(new Path(r.path), false))
+          throw new java.io.IOException(s"compact: failed to delete ${r.path}")
+      }
     }
     (before.length, ColfUtil.resolveFileRefs(Seq(dir), conf).length)
+  }
+
+  /** Turn snapshot versioning ON for an existing table: v1 = the current
+    * listing. From here every connector commit appends the next version
+    * (see [[ColfVersions]]); pass `option("manifest", "true")` on a first
+    * WRITE to enable at creation instead. Returns the created version.
+    */
+  def enableVersioning(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!ColfVersions.enabled(fs, root), s"colf: $dir is already versioned")
+    ColfVersions.append(fs, root, ColfVersions.listDataFiles(fs, root))
+  }
+
+  /** Reclaim versioned-table storage: keep the last `retainLast`
+    * versions, delete every manifest before them and every data file
+    * referenced ONLY by them. The latest version's files are always
+    * retained (retainLast >= 1), so readers of current data are never
+    * disturbed; readers pinned (`versionAsOf`) to a pruned version fail
+    * loudly on their next planning pass rather than reading holes.
+    * Returns (dataFilesDeleted, versionsPruned). Idempotent.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int = 2): (Int, Int) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = ColfVersions.listVersions(fs, root)
+    if (versions.isEmpty) return (0, 0)
+    val (pruned, retained) = versions.splitAt(math.max(0, versions.length - retainLast))
+    val referenced = retained.flatMap(v => ColfVersions.read(fs, root, v))
+      .map(_.relPath).toSet
+    val stale = ColfVersions.listDataFiles(fs, root)
+      .filterNot(e => referenced.contains(e.relPath))
+    ColfHeaderCache.mapParallel(stale)(e => fs.delete(new Path(root, e.relPath), false))
+    pruned.foreach { v =>
+      fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)
+    }
+    (stale.length, pruned.length)
   }
 }

@@ -1,0 +1,193 @@
+package graft.sources.colf
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Manifest-based snapshot versioning for colf directories — the
+  * "front a manifest-based table format" step [[ColfMaintenance.compact]]
+  * points at, and the isolation layer a 1000-executor cluster needs:
+  * with directory listing alone, an OVERWRITE's deferred deletes can
+  * yank files out from under a concurrent reader mid-scan, and a
+  * reader that lists during a commit sees a superset. With manifests,
+  * every commit appends an immutable version file and every read plans
+  * from ONE version's exact file list — writers never disturb a
+  * running scan, and old versions stay readable until vacuumed.
+  *
+  * Layout: `dir/_graft_versions/v%012d.json`, each the COMPLETE live
+  * set at that version: `{"version":N,"files":[{"p":relPath,"s":size,
+  * "m":mtime},...]}`. Relative paths keep the table relocatable; size
+  * and mtime ride along so planning needs zero per-file status RPCs
+  * (same contract as the directory listing). The underscore prefix
+  * keeps the subdirectory invisible to the data-file walk AND to the
+  * reference reader's tooling.
+  *
+  * Versioning is OPT-IN per table: the first write with
+  * `option("manifest", "true")` creates v1; from then on every commit
+  * through this connector (batch append/overwrite, dynamic/static
+  * partition overwrite, DELETE FROM, streaming epochs, compaction)
+  * appends the next version, and overwritten/deleted files are
+  * RETAINED on disk for older versions until
+  * [[ColfMaintenance.vacuumVersions]] prunes them. Tables without a
+  * `_graft_versions` directory behave exactly as before (listing-based
+  * planning, physical deletes at commit).
+  *
+  * Concurrency: a version file is written to a dot-temp and renamed —
+  * rename-to-existing fails on Hadoop filesystems, so two racing
+  * committers cannot both claim version N; the loser recomputes from
+  * the new latest and retries (bounded optimistic retry).
+  */
+object ColfVersions {
+
+  val VersionsDir = "_graft_versions"
+
+  /** One live data file: path RELATIVE to the table root (k=v partition
+    * segments included), plus the size/mtime planning needs.
+    */
+  final case class Entry(relPath: String, size: Long, mtime: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def versionsPath(root: Path): Path = new Path(root, VersionsDir)
+
+  private def versionFile(root: Path, v: Long): Path =
+    new Path(versionsPath(root), f"v$v%012d.json")
+
+  /** Is versioning enabled on this table (any manifest present)? */
+  def enabled(fs: FileSystem, root: Path): Boolean =
+    latestVersion(fs, root).isDefined
+
+  /** All committed versions, ascending. */
+  def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val vp = versionsPath(root)
+    if (!fs.exists(vp)) return Seq.empty
+    fs.listStatus(vp).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .sorted
+  }
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    listVersions(fs, root).lastOption
+
+  /** Read one version's entries. Fails loudly on a missing version —
+    * either it never existed or vacuum pruned it.
+    */
+  def read(fs: FileSystem, root: Path, version: Long): Seq[Entry] = {
+    val p = versionFile(root, version)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"colf: version $version of $root does not exist " +
+          s"(available: ${listVersions(fs, root).mkString(", ")})")
+    val in = fs.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val files = node.get("files")
+    (0 until files.size()).map { i =>
+      val f = files.get(i)
+      Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong())
+    }
+  }
+
+  /** Entries of the latest version, or None when versioning is off. */
+  def latest(fs: FileSystem, root: Path): Option[(Long, Seq[Entry])] =
+    latestVersion(fs, root).map(v => v -> read(fs, root, v))
+
+  private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"""{"version":$version,"files":[""")
+    entries.zipWithIndex.foreach { case (e, i) =>
+      if (i > 0) sb.append(',')
+      // relPaths come from our own writers (no quotes/control chars possible
+      // in k=v segments or part names), but escape defensively anyway
+      val p = e.relPath.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      }
+      sb.append(s"""{"p":"$p","s":${e.size},"m":${e.mtime}}""")
+    }
+    sb.append("]}")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Append the next version with `entries` as the complete live set.
+    * Optimistic: computes next = latest+1, writes a temp, renames; a
+    * racing committer that claimed the slot makes the rename fail, and
+    * the caller-supplied `recompute` derives a fresh entry set against
+    * the new latest before retrying. Returns the committed version.
+    */
+  def append(fs: FileSystem, root: Path,
+      entries: Seq[Entry],
+      recompute: Option[(Long, Seq[Entry])] => Seq[Entry] = null,
+      maxRetries: Int = 5): Long = {
+    var attempt = 0
+    var current = entries
+    while (true) {
+      val prev = latestVersion(fs, root)
+      val next = prev.getOrElse(0L) + 1
+      val vp = versionsPath(root)
+      if (!fs.exists(vp)) fs.mkdirs(vp)
+      val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(render(next, current)) finally out.close()
+      val dst = versionFile(root, next)
+      // rename-to-existing returns false on Hadoop filesystems: the slot
+      // was claimed by a concurrent committer
+      if (!fs.exists(dst) && fs.rename(tmp, dst)) return next
+      fs.delete(tmp, false)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.io.IOException(
+          s"colf: lost the manifest race $maxRetries times at $root — " +
+            "pathological commit contention")
+      if (recompute != null) current = recompute(latest(fs, root))
+    }
+    -1 // unreachable
+  }
+
+  /** Relative path of `file` under `root` (both made absolute/qualified
+    * first). Fails if `file` is not under `root`.
+    */
+  def relativize(fs: FileSystem, root: Path, file: Path): String = {
+    val r = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val f = fs.makeQualified(file).toUri.getPath
+    require(f.startsWith(r + "/"), s"colf: $file is not under table root $root")
+    f.substring(r.length + 1)
+  }
+
+  /** Manifest entries → fully-resolved [[ColfFileRef]]s, partition values
+    * parsed from the relative path's k=v segments (same single-'=' rule
+    * as the directory walk).
+    */
+  def toRefs(fs: FileSystem, root: Path, entries: Seq[Entry]): Seq[ColfFileRef] = {
+    val q = fs.makeQualified(root)
+    entries.map { e =>
+      val segs = e.relPath.split('/')
+      val partValues = segs.dropRight(1).toSeq
+        .filter(s => s.count(_ == '=') == 1 && !s.startsWith("=") &&
+          !s.startsWith(".") && !s.startsWith("_"))
+        .map { s => val Array(k, v) = s.split("=", 2); k -> v }
+        .toMap
+      ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime, partValues)
+    }
+  }
+
+  /** The raw on-disk data files under `root` (the listing walk, ignoring
+    * manifests) — what the table would look like WITHOUT versioning.
+    * Used to seed the first manifest and by compaction's before/after
+    * diff.
+    */
+  def listDataFiles(fs: FileSystem, root: Path): Seq[Entry] = {
+    def walk(dir: Path, prefix: String): Seq[Entry] = {
+      val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+      val here = entries
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".colf") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(s => Entry(prefix + s.getPath.getName, s.getLen, s.getModificationTime))
+      val below = entries
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") && s.getPath.getName.count(_ == '=') == 1)
+        .flatMap(s => walk(s.getPath, prefix + s.getPath.getName + "/"))
+      here ++ below
+    }
+    if (!fs.exists(root)) Seq.empty else walk(root, "")
+  }
+}

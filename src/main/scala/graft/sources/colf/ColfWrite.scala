@@ -139,8 +139,15 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
     overwriteFilters.foreach(f => require(supportedShape(f),
       s"colf: unsupported overwrite condition $f — only equality/IN over " +
         s"partition columns (${partitionBy.mkString(", ")}) replaces files soundly"))
+    // option("manifest", "true") ENABLES snapshot versioning on first use
+    // (ColfVersions); once a table has manifests every later write keeps
+    // them current regardless of the option. __skipManifest is internal
+    // (compaction composes its own single atomic version).
+    val manifestOpt = Option(info.options.get("manifest")).exists(_.toBoolean)
+    val skipManifest = Option(info.options.get("__skipManifest")).exists(_.toBoolean)
     new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
-      level, sortBy, targetBytes, numFiles, partitionBy, overwriteFilters, dynamicMode)
+      level, sortBy, targetBytes, numFiles, partitionBy, overwriteFilters, dynamicMode,
+      manifestOpt, skipManifest)
   }
 }
 
@@ -164,7 +171,8 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0,
     partitionBy: Seq[String] = Seq.empty, overwriteFilters: Seq[Filter] = Seq.empty,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false, manifestOpt: Boolean = false,
+    skipManifest: Boolean = false)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -286,17 +294,44 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
     }
-    // 2) Deferred deletes LAST: a crash anywhere above leaves old data
-    //    fully intact (plus invisible temps / some new files) — a superset,
-    //    never a partial table. Deletes are parallel for the same reason
-    //    renames are. The walk descends k=v partition dirs. Scope:
-    //    - truncate: every old file (full overwrite);
-    //    - dynamic overwrite: old files only in partition dirs that
-    //      RECEIVED new files this commit;
-    //    - filter overwrite: old files whose partition-path values
-    //      PROVABLY satisfy the condition (constant per directory — a
-    //      file is never deleted on a maybe).
-    if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty) && fs.exists(dirPath)) {
+    val versioned = manifestOpt || ColfVersions.enabled(fs, dirPath)
+    if (versioned && !skipManifest) {
+      val rootAbs = fs.makeQualified(dirPath).toUri.getPath.stripSuffix("/")
+      touchedRelDirs = pairs.map { case (_, fin) =>
+        val p = fs.makeQualified(new Path(fin).getParent).toUri.getPath
+        if (p == rootAbs) "" else p.stripPrefix(rootAbs + "/")
+      }.toSet
+      // Snapshot versioning (ColfVersions): append the next manifest as
+      // the commit's visibility switch. Replaced files are NOT deleted —
+      // they back earlier versions until vacuumVersions reclaims them —
+      // and a reader planning from version N is immune to this commit
+      // entirely. The logical "old" state is the previous manifest (or
+      // the pre-commit listing when this write CREATES versioning).
+      val newNames = committed
+      def buildEntries(prev: Seq[ColfVersions.Entry]): Seq[ColfVersions.Entry] = {
+        val survivors = prev.filterNot { e =>
+          val name = e.relPath.split('/').last
+          newNames.contains(name) || isReplaced(dirPath, e)
+        }
+        survivors ++ committedEntries(fs, dirPath, pairs)
+      }
+      val prev0 = ColfVersions.latest(fs, dirPath).map(_._2).getOrElse(
+        ColfVersions.listDataFiles(fs, dirPath)
+          .filterNot(e => newNames.contains(e.relPath.split('/').last)))
+      ColfVersions.append(fs, dirPath, buildEntries(prev0),
+        recompute = latest => buildEntries(latest.map(_._2).getOrElse(Seq.empty)))
+    } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty) && fs.exists(dirPath)) {
+      // 2) Deferred deletes LAST (unversioned tables): a crash anywhere
+      //    above leaves old data fully intact (plus invisible temps / some
+      //    new files) — a superset, never a partial table. Deletes are
+      //    parallel for the same reason renames are. The walk descends
+      //    k=v partition dirs. Scope:
+      //    - truncate: every old file (full overwrite);
+      //    - dynamic overwrite: old files only in partition dirs that
+      //      RECEIVED new files this commit;
+      //    - filter overwrite: old files whose partition-path values
+      //      PROVABLY satisfy the condition (constant per directory — a
+      //      file is never deleted on a maybe).
       val old = walkFiles(fs, dirPath).filter { p =>
         val n = p.getName
         n.endsWith(".colf") && !n.startsWith(".") && !n.startsWith("_") &&
@@ -317,6 +352,48 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     }
     deleteQueryTemps(fs)
   }
+
+  /** Is a previous-version entry logically REPLACED by this commit (the
+    * manifest-mode analogue of the unversioned deferred-delete scope)?
+    */
+  private def isReplaced(root: Path, e: ColfVersions.Entry): Boolean = {
+    if (truncate) return true
+    if (!dynamicOverwrite && overwriteFilters.isEmpty) return false
+    val relDir = e.relPath.split('/').dropRight(1).mkString("/")
+    if (dynamicOverwrite) touchedRelDirs.contains(relDir)
+    else {
+      val typed = typedFromRel(e.relPath)
+      overwriteFilters.forall(ColfPartitions.provablyMatchesAll(typed, _))
+    }
+  }
+
+  /** This commit's target partition dirs, relative to the table root. */
+  private var touchedRelDirs: Set[String] = Set.empty
+
+  /** Typed partition values from a manifest entry's relative path. */
+  private def typedFromRel(relPath: String): Map[String, Any] =
+    relPath.split('/').dropRight(1).toSeq
+      .filter(_.count(_ == '=') == 1)
+      .flatMap { s =>
+        val Array(k, v) = s.split("=", 2)
+        schema.fields.find(_.name.equalsIgnoreCase(k)).flatMap { f =>
+          scala.util.Try(
+            ColfPartitions.typedValue(v, ColfUtil.colfType(f.dataType))).toOption
+            .map(f.name -> _)
+        }
+      }.toMap
+
+  /** Manifest entries for the files this commit renamed into place (one
+    * parallel status batch for sizes/mtimes).
+    */
+  private def committedEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      pairs: Seq[(String, String)]): Seq[ColfVersions.Entry] =
+    ColfHeaderCache.mapParallel(pairs) { case (_, fin) =>
+      val p = new Path(fin)
+      val st = fs.getFileStatus(p)
+      ColfVersions.Entry(ColfVersions.relativize(fs, root, p), st.getLen,
+        st.getModificationTime)
+    }
 
   /** All files under `dir`, descending into `k=v` partition subdirs
     * (hidden/underscore dirs skipped) — mirrors the reader's listing.

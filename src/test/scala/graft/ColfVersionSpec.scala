@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.colf.{ColfMaintenance, ColfVersions}
+
+/** Manifest-based snapshot versioning (ColfVersions): opt-in per table,
+  * every commit appends an immutable version, reads plan from ONE
+  * version's file list, old versions stay readable (`versionAsOf`)
+  * until vacuumed, and overwrite/delete/compaction become manifest
+  * flips instead of physical deletes — the isolation layer that keeps a
+  * 1000-executor reader's file set stable under concurrent commits.
+  */
+class ColfVersionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("colf_ver_test").toString
+
+  private def colfFiles(dir: String): Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val es = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      es.filter(f => f.isFile && f.getName.endsWith(".colf") && !f.getName.startsWith(".")) ++
+        es.filter(f => f.isDirectory && f.getName.contains('=')).flatMap(walk)
+    }
+    walk(new java.io.File(dir))
+  }
+
+  private def versions(dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    ColfVersions.listVersions(root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  test("overwrite under versioning: old version stays readable, files retained") {
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    assert(versions(dir) == Seq(1L))
+    val filesV1 = colfFiles(dir).map(_.getName).toSet
+
+    Seq((10, "x"), (20, "y"), (30, "z")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("overwrite").save(dir) // no option: auto-maintained
+    assert(versions(dir) == Seq(1L, 2L))
+    // physical retention: v1's files still on disk alongside v2's
+    assert(filesV1.subsetOf(colfFiles(dir).map(_.getName).toSet))
+
+    // latest read = v2; pinned read = v1
+    assert(spark.read.format("colf").load(dir).select("k").as[Int].collect().sorted
+      === Array(10, 20, 30))
+    assert(spark.read.format("colf").option("versionAsOf", 1).load(dir)
+      .select("k").as[Int].collect().sorted === Array(1, 2))
+    // appends accumulate
+    Seq((40, "w")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    assert(versions(dir) == Seq(1L, 2L, 3L))
+    assert(spark.read.format("colf").load(dir).count() == 4)
+    assert(spark.read.format("colf").option("versionAsOf", 2).load(dir).count() == 3)
+  }
+
+  test("unversioned tables are untouched: no manifest appears, overwrite deletes") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(dir)
+    val old = colfFiles(dir).map(_.getName).toSet
+    Seq((2, "b")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    assert(versions(dir).isEmpty)
+    assert(!new java.io.File(dir, ColfVersions.VersionsDir).exists())
+    assert(colfFiles(dir).map(_.getName).toSet.intersect(old).isEmpty)
+  }
+
+  test("dynamic partition overwrite flips only touched partitions in the manifest") {
+    val dir = tmp()
+    Seq((1, "p1"), (2, "p2")).toDF("k", "p")
+      .repartition(col("p")).write.format("colf")
+      .option("partitionBy", "p").option("manifest", "true").mode("append").save(dir)
+    val table = s"colf_ver_dyn_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir', partitionBy 'p')")
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.get(mode)
+    spark.conf.set(mode, "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $table VALUES (99, 'p2')")
+    finally { spark.conf.set(mode, old); spark.sql(s"DROP TABLE $table") }
+    val cur = spark.read.format("colf").load(dir)
+      .select("k", "p").as[(Int, String)].collect().toSet
+    assert(cur == Set((1, "p1"), (99, "p2")))
+    val v1 = spark.read.format("colf").option("versionAsOf", 1).load(dir)
+      .select("k", "p").as[(Int, String)].collect().toSet
+    assert(v1 == Set((1, "p1"), (2, "p2")))
+  }
+
+  test("DELETE FROM on a versioned table is a manifest flip; vacuum reclaims") {
+    val dir = tmp()
+    Seq((1, "p1"), (2, "p2"), (3, "p2")).toDF("k", "p")
+      .repartition(col("p")).write.format("colf")
+      .option("partitionBy", "p").option("manifest", "true").mode("append").save(dir)
+    val nFilesBefore = colfFiles(dir).length
+    spark.read.format("colf").load(dir).createOrReplaceTempView("colf_ver_del")
+    spark.sql("DELETE FROM colf_ver_del WHERE p = 'p2'")
+    assert(versions(dir) == Seq(1L, 2L))
+    // logical delete only: all bytes still present
+    assert(colfFiles(dir).length == nFilesBefore)
+    assert(spark.read.format("colf").load(dir).select("k").as[Int].collect().toSet == Set(1))
+    assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 3)
+
+    // vacuum to the latest version only: p2's files go, v1 becomes unreadable
+    val (deleted, pruned) = ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1)
+    assert(deleted > 0 && pruned == 1)
+    assert(spark.read.format("colf").load(dir).select("k").as[Int].collect().toSet == Set(1))
+    val e = intercept[Exception] {
+      spark.read.format("colf").option("versionAsOf", 1).load(dir).collect()
+    }
+    assert(e.getMessage.contains("version 1"))
+  }
+
+  test("compaction publishes ONE atomic version: never a duplicate-visible state") {
+    val dir = tmp()
+    val df = (1 to 100).toDF("k").withColumn("v", col("k").cast("string"))
+    df.repartition(10).write.format("colf").option("manifest", "true").mode("append").save(dir)
+    assert(colfFiles(dir).length == 10)
+    val (nBefore, nAfter) = ColfMaintenance.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == 10 && nAfter == 1)
+    // exactly one new version beyond the initial write (no intermediate
+    // old-union-new manifest), and the data is intact
+    assert(versions(dir) == Seq(1L, 2L))
+    assert(spark.read.format("colf").load(dir).count() == 100)
+    assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 100)
+    // inputs retained for v1 until vacuum
+    assert(colfFiles(dir).length == 11)
+    ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1)
+    assert(colfFiles(dir).length == 1)
+    assert(spark.read.format("colf").load(dir).count() == 100)
+  }
+
+  test("enableVersioning snapshots an existing table; readers pin mid-overwrite state") {
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.format("colf").mode("append").save(dir)
+    assert(ColfMaintenance.enableVersioning(spark, dir) == 1L)
+    // a reader resolves v1's exact file list; a subsequent overwrite
+    // cannot disturb it (files retained, manifest immutable)
+    val pinned = spark.read.format("colf").option("versionAsOf", 1).load(dir)
+    Seq((9, "z")).toDF("k", "v").write.format("colf").mode("overwrite").save(dir)
+    assert(pinned.select("k").as[Int].collect().sorted === Array(1, 2))
+    assert(spark.read.format("colf").load(dir).select("k").as[Int].collect() === Array(9))
+    intercept[IllegalArgumentException] {
+      ColfMaintenance.enableVersioning(spark, dir)
+    }
+  }
+
+  test("versionAsOf on an unversioned table fails loudly") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("colf").option("versionAsOf", 1).load(dir).collect()
+    }
+    assert(e.getMessage.contains("version"))
+  }
+}
