@@ -77,6 +77,28 @@ object ColfTools {
         ColfMaintenance.vacuum(spark, dir, graceMinutes.toLong * 60 * 1000)
       println(s"vacuumed $dir: $deleted of $seen orphaned temps removed")
 
+    case Array("enable_versioning", dir) =>
+      val v = ColfMaintenance.enableVersioning(spark, dir)
+      println(s"versioning enabled on $dir at version $v")
+
+    case Array("versions", dir) =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val vs = ColfVersions.listVersions(fs, root)
+      if (vs.isEmpty) println(s"$dir is not versioned")
+      else vs.foreach { v =>
+        val es = ColfVersions.read(fs, root, v)
+        println(s"v$v: ${es.length} files, ${es.map(_.size).sum} bytes")
+      }
+
+    case Array("vacuum_versions", dir) =>
+      val (files, vers) = ColfMaintenance.vacuumVersions(spark, dir)
+      println(s"vacuumed $dir: $files unreferenced data files, $vers old versions removed")
+
+    case Array("vacuum_versions", dir, retain) =>
+      val (files, vers) = ColfMaintenance.vacuumVersions(spark, dir, retain.toInt)
+      println(s"vacuumed $dir: $files unreferenced data files, $vers old versions removed")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -98,7 +120,10 @@ object ColfTools {
            |  read_columns  <in_dir_or_file> <col1,col2,...>
            |  stats         <in_dir_or_file>
            |  compact       <dir> [targetMB [sortCol1,sortCol2]]
-           |  vacuum        <dir> [graceMinutes]""".stripMargin)
+           |  vacuum        <dir> [graceMinutes]
+           |  enable_versioning <dir>
+           |  versions      <dir>
+           |  vacuum_versions <dir> [retainLast]""".stripMargin)
       sys.exit(2)
   }
 
