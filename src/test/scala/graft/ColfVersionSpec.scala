@@ -150,6 +150,52 @@ class ColfVersionSpec extends AnyFunSuite {
     }
   }
 
+  test("racing manifest appends: every committer lands a distinct contiguous version") {
+    val dir = tmp()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val n = 12
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val v = ColfVersions.append(fs, root,
+              Seq(ColfVersions.Entry(s"f$i.colf", i.toLong, 0L)),
+              recompute = _ => Seq(ColfVersions.Entry(s"f$i.colf", i.toLong, 0L)),
+              maxRetries = 64)
+            got.add(v)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // no committer lost: n distinct versions, contiguous from 1
+    assert(got.size == n)
+    assert(versions(dir) == (1L to n.toLong))
+  }
+
+  test("streaming source over a versioned table reads the manifest view, not retained files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    // overwrite: the three old rows stay ON DISK for v1 but leave the
+    // manifest — a listing-based source would wrongly re-ingest them
+    Seq((10, "x")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("overwrite").save(dir)
+    assert(colfFiles(dir).length == 2) // both versions' bytes present
+    val qname = s"colf_ver_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("colf").load(dir)
+      .writeStream.format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(qname).select("k").as[Int].collect().sorted
+    assert(rows === Array(10)) // v2 only — never v1's retained bytes
+  }
+
   test("versionAsOf on an unversioned table fails loudly") {
     val dir = tmp()
     Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(dir)
