@@ -679,6 +679,27 @@ object SparkEntry {
       v1.unionByName(v2)
     }),
 
+    "q_colf_changes" -> ((s, dir) => {
+      // Incremental recompute primitive: v1 = even doc ids, an APPEND
+      // adds the div-3 ids as v2; changesSinceVersion=1 must read
+      // EXACTLY the appended files — the "process what arrived since my
+      // last run" pattern without a streaming checkpoint. Oracle = the
+      // appended rows recomputed from the source parquet.
+      val out = work("q_colf_changes")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"), col("lang"))
+      docs.where(col("doc_id") % 2 === 0).write.format("colf")
+        .option("manifest", "true").mode("append").save(out)
+      docs.where(col("doc_id") % 3 === 0).write.format("colf")
+        .mode("append").save(out)
+      s.read.format("colf").option("changesSinceVersion", 1).load(out)
+    }),
+
     "q_colf_stream_source" -> ((s, dir) => {
       // Structured Streaming FROM the colf format (MICRO_BATCH_READ): an
       // aggregation over the streamed directory, drained with AvailableNow
@@ -1469,6 +1490,10 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'v2' AS snap
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_colf_changes" ->
+      """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_colf_stream_source" ->

@@ -36,8 +36,13 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = ColfUtil.driverHadoopConf()
-    val files = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf,
-      ColfUtil.versionAsOf(options))
+    val sel = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf,
+      ColfUtil.versionAsOf(options), ColfUtil.changesSince(options))
+    // an empty incremental delta still has a schema: fall back to the
+    // latest snapshot's files for inference only (the scan stays empty)
+    val files =
+      if (sel.nonEmpty || ColfUtil.changesSince(options).isEmpty) sel
+      else ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf, None)
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
@@ -100,7 +105,7 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false),
-      ColfUtil.versionAsOf(opts))
+      ColfUtil.versionAsOf(opts), ColfUtil.changesSince(opts))
   }
 }
 
@@ -121,10 +126,26 @@ private[colf] object ColfUtil {
     * listing on unversioned tables).
     */
   def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map { v =>
+    parseVersion(options, "versionAsOf")
+
+  /** `option("changesSinceVersion", n)`: read ONLY the files the latest
+    * version added relative to version n — the incremental-recompute
+    * primitive ("process what arrived since my last run") for versioned
+    * append-mostly tables, without a streaming checkpoint. Mutually
+    * exclusive with versionAsOf.
+    */
+  def changesSince(options: CaseInsensitiveStringMap): Option[Long] = {
+    val c = parseVersion(options, "changesSinceVersion")
+    require(c.isEmpty || versionAsOf(options).isEmpty,
+      "colf: versionAsOf and changesSinceVersion are mutually exclusive")
+    c
+  }
+
+  private def parseVersion(options: CaseInsensitiveStringMap, key: String): Option[Long] =
+    Option(options.get(key)).map { v =>
       val n = scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
-        s"colf: versionAsOf must be a version number, got '$v'"))
-      require(n >= 1, s"colf: versionAsOf must be >= 1, got $n")
+        s"colf: $key must be a version number, got '$v'"))
+      require(n >= 1, s"colf: $key must be >= 1, got $n")
       n
     }
 
@@ -165,7 +186,11 @@ private[colf] object ColfUtil {
     * silently reading the wrong snapshot.
     */
   def resolveFileRefs(paths: Seq[String], conf: Configuration,
-      versionAsOf: Option[Long]): Seq[ColfFileRef] = {
+      versionAsOf: Option[Long]): Seq[ColfFileRef] =
+    resolveFileRefs(paths, conf, versionAsOf, None)
+
+  def resolveFileRefs(paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long], changesSince: Option[Long]): Seq[ColfFileRef] = {
     def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
         values: Map[String, String]): Seq[ColfFileRef] = {
       val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
@@ -191,18 +216,28 @@ private[colf] object ColfUtil {
       }
       matched.flatMap { st =>
         if (st.isDirectory) {
-          versionAsOf match {
-            case Some(v) =>
+          (versionAsOf, changesSince) match {
+            case (Some(v), _) =>
               ColfVersions.toRefs(fs, st.getPath, ColfVersions.read(fs, st.getPath, v))
-            case None =>
+            case (None, Some(since)) =>
+              // incremental read: latest's entries minus version `since`'s
+              // (by relative path — files are immutable once committed)
+              val base = ColfVersions.read(fs, st.getPath, since).map(_.relPath).toSet
+              val cur = ColfVersions.latest(fs, st.getPath).map(_._2).getOrElse(
+                throw new IllegalArgumentException(
+                  s"colf: changesSinceVersion requires a versioned table; " +
+                    s"${st.getPath} has no manifests"))
+              ColfVersions.toRefs(fs, st.getPath, cur.filterNot(e => base.contains(e.relPath)))
+            case (None, None) =>
               ColfVersions.latest(fs, st.getPath) match {
                 case Some((_, entries)) => ColfVersions.toRefs(fs, st.getPath, entries)
                 case None               => walk(fs, st.getPath, Map.empty)
               }
           }
-        } else if (versionAsOf.isDefined) {
+        } else if (versionAsOf.isDefined || changesSince.isDefined) {
           throw new IllegalArgumentException(
-            s"colf: versionAsOf requires a versioned table DIRECTORY; got file ${st.getPath}")
+            s"colf: versionAsOf/changesSinceVersion require a versioned table DIRECTORY; " +
+              s"got file ${st.getPath}")
         } else Seq(ColfFileRef(st.getPath.toString, st.getLen, st.getModificationTime))
       }
     }.flatten
@@ -286,7 +321,8 @@ private[colf] object ColfUtil {
 }
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
-    mergeSchema: Boolean = false, versionAsOf: Option[Long] = None)
+    mergeSchema: Boolean = false, versionAsOf: Option[Long] = None,
+    changesSince: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -347,8 +383,9 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
       exactPartCols, layoutPartitionCols,
-      // per-read option overrides the table-level pin
-      ColfUtil.versionAsOf(options).orElse(versionAsOf))
+      // per-read options override the table-level pins
+      ColfUtil.versionAsOf(options).orElse(versionAsOf),
+      ColfUtil.changesSince(options).orElse(changesSince))
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -443,7 +480,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
-    layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None)
+    layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None,
+    changesSince: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -541,7 +579,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   private def computeMetaAgg(
       agg: aggregate.Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
     val groupCols = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
-    val refs = ColfUtil.resolveFileRefs(paths, conf, versionAsOf)
+    val refs = ColfUtil.resolveFileRefs(paths, conf, versionAsOf, changesSince)
     val kept = refs.filter { r =>
       val tv = ColfUtil.typedPartValues(r, fullSchema)
       absorbed.forall(f => ColfPartitions.evalExact(tv, f) match {
@@ -682,7 +720,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     case None =>
       new ColfScan(paths, fullSchema, required, mergeSchema, limit,
         ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
-        absorbed, versionAsOf)
+        absorbed, versionAsOf, changesSince)
   }
 }
 
@@ -725,11 +763,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     mergeSchema: Boolean = false, limit: Option[Int] = None,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
-    absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None)
+    absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None,
+    changesSince: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val allRefs: Seq[ColfFileRef] =
-    ColfUtil.resolveFileRefs(paths, conf, versionAsOf)
+    ColfUtil.resolveFileRefs(paths, conf, versionAsOf, changesSince)
 
   /** Absorbed partition filters are NOT re-evaluated by Spark (the
     * builder removed them from the residual set), so their file-level

@@ -196,6 +196,35 @@ class ColfVersionSpec extends AnyFunSuite {
     assert(rows === Array(10)) // v2 only — never v1's retained bytes
   }
 
+  test("changesSinceVersion reads exactly the delta; empty delta is an empty scan") {
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    Seq((5, "e")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    // delta since v1 = appends of v2+v3; since v2 = v3 only
+    assert(spark.read.format("colf").option("changesSinceVersion", 1).load(dir)
+      .select("k").as[Int].collect().sorted === Array(3, 4, 5))
+    assert(spark.read.format("colf").option("changesSinceVersion", 2).load(dir)
+      .select("k").as[Int].collect().sorted === Array(5))
+    // delta since the latest version: empty scan, schema still inferred
+    val empty = spark.read.format("colf").option("changesSinceVersion", 3).load(dir)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    assert(empty.count() == 0)
+    // unversioned table: loud failure, and the option combo is rejected
+    val plain = tmp()
+    Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(plain)
+    intercept[Exception] {
+      spark.read.format("colf").option("changesSinceVersion", 1).load(plain).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("colf").option("changesSinceVersion", 1)
+        .option("versionAsOf", 1).load(dir).collect()
+    }
+  }
+
   test("versionAsOf on an unversioned table fails loudly") {
     val dir = tmp()
     Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(dir)
