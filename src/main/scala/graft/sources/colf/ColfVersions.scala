@@ -108,6 +108,18 @@ object ColfVersions {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** Per-table-root monitors serializing SAME-PROCESS appends: local
+    * filesystems rename with plain POSIX semantics (destination silently
+    * overwritten, data and .crc sidecar renamed non-atomically), so two
+    * threads of one driver racing the same slot could interleave into a
+    * checksum-corrupt manifest. Cross-PROCESS claims rely on the
+    * filesystem's atomic fail-if-destination-exists rename (HDFS
+    * guarantees it; object stores without atomic rename need an external
+    * committer lock, as with every rename-based table format).
+    */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Append the next version with `entries` as the complete live set.
     * Optimistic: computes next = latest+1, writes a temp, renames; a
     * racing committer that claimed the slot makes the rename fail, and
@@ -118,6 +130,17 @@ object ColfVersions {
       entries: Seq[Entry],
       recompute: Option[(Long, Seq[Entry])] => Seq[Entry] = null,
       maxRetries: Int = 5): Long = {
+    val lock = appendLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized {
+      appendLocked(fs, root, entries, recompute, maxRetries)
+    }
+  }
+
+  private def appendLocked(fs: FileSystem, root: Path,
+      entries: Seq[Entry],
+      recompute: Option[(Long, Seq[Entry])] => Seq[Entry],
+      maxRetries: Int): Long = {
     var attempt = 0
     var current = entries
     while (true) {
