@@ -62,6 +62,54 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       seed: Long = 42L) {
     def numHashes: Int = bands * rowsPerBand
+
+    /** P[≥1 band collision] for a pair of true Jaccard j — the S-curve
+      * this banding implements.
+      */
+    def collisionProb(j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+  }
+
+  object MinHashParams {
+    /** Pick (bands, rowsPerBand) for a target threshold within a hash
+      * budget (MMDS ch.3): among factorizations b·r ≤ maxHashes, minimize
+      * the S-curve's total error mass — candidate-pair probability below
+      * the threshold (wasted verification work) plus MISS probability
+      * above it (lost recall, weighted `missWeight`× because a missed
+      * dup silently survives dedup while a false candidate merely costs
+      * a verification that rejects it). The returned params place the
+      * curve's steep section at `threshold` instead of leaving the
+      * caller to hand-tune banding per corpus.
+      */
+    def forThreshold(threshold: Double, maxHashes: Int = 128,
+        shingleSize: Int = 3, seed: Long = 42L,
+        missWeight: Double = 4.0): MinHashParams = {
+      require(threshold > 0 && threshold < 1,
+        s"threshold must be in (0,1), got $threshold")
+      require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+      val cands = for {
+        r <- 1 to 16
+        b <- 1 to maxHashes / r
+        if b * r >= 2
+      } yield MinHashParams(b, r, shingleSize, threshold, seed)
+      def errorMass(p: MinHashParams): Double = {
+        // trapezoid the curve on a fixed grid: below-threshold area =
+        // false-candidate mass, above-threshold miss area = (1 - curve)
+        val n = 100
+        var below = 0.0
+        var above = 0.0
+        var i = 0
+        while (i <= n) {
+          val j = i.toDouble / n
+          val c = p.collisionProb(j)
+          val w = if (i == 0 || i == n) 0.5 else 1.0
+          if (j < threshold) below += w * c else above += w * (1.0 - c)
+          i += 1
+        }
+        (below + missWeight * above) / n
+      }
+      cands.minBy(p => (errorMass(p), p.numHashes))
+    }
   }
 
   /** df(id, text) → df(id, sig: array<long>[numHashes]). One pass, no

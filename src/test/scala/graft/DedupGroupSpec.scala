@@ -294,6 +294,30 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(lsh.exists { case (a, b, _) => a == 100L && b == 101L })
   }
 
+  test("MinHashParams.forThreshold places the S-curve at the threshold within budget") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9); maxHashes <- Seq(64, 128)) {
+      val p2 = Dedup.MinHashParams.forThreshold(t, maxHashes)
+      assert(p2.numHashes <= maxHashes, s"t=$t budget blown: ${p2.numHashes}")
+      // steep capture just above the threshold, low candidate mass below
+      assert(p2.collisionProb(math.min(t + 0.15, 1.0)) >= 0.95, s"t=$t recall side")
+      assert(p2.collisionProb(math.max(t - 0.25, 0.0)) <= 0.4, s"t=$t precision side")
+      // the curve is monotone in j
+      val probs = (0 to 20).map(i => p2.collisionProb(i / 20.0))
+      assert(probs.zip(probs.tail).forall { case (a, b) => b >= a - 1e-12 })
+    }
+    // planner output drives the real pipeline: planted dups found at 0.8
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank at dawn"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank at dusk"),
+      (3L, "completely different text about distributed columnar query engines today"),
+    ).toDF("doc_id", "text")
+    val planned = Dedup.MinHashParams.forThreshold(0.6, 128)
+    val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+        planned.copy(jaccardThreshold = 0.6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("semanticDedup with coarseBits=0 equals clusters over exact cosine pairs") {
     val df = vecCorpus()
     val exactPairs = Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9)
