@@ -482,6 +482,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(3).sample_rate == -1.0 && metas(3).n_bytes == 0)
   }
 
+  test("decodeVideo parses real MP4 box structure; junk/truncation degrade to -1") {
+    // hand-build a minimal faithful ISO BMFF file: ftyp + moov(mvhd v0 +
+    // trak(tkhd v0)) with full-size payloads, exactly the byte layout a
+    // muxer emits
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val mvhd = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(be32(0))              // version 0 + flags
+      p.write(be32(0)); p.write(be32(0)) // creation, modification
+      p.write(be32(600))            // timescale
+      p.write(be32(1800))           // duration -> 3.0 s
+      p.write(new Array[Byte](80))  // rate..next_track (full v0 payload = 100)
+      p.toByteArray
+    }
+    val tkhd = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(be32(3))              // version 0 + flags (enabled|in-movie)
+      p.write(be32(0)); p.write(be32(0)) // creation, modification
+      p.write(be32(1))              // track id
+      p.write(new Array[Byte](60))  // reserved..matrix (width lands at offset 76)
+      p.write(be32(640L << 16))     // width, 16.16 fixed point
+      p.write(be32(360L << 16))     // height
+      p.toByteArray
+    }
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    val junk = "certainly not an mp4 container".getBytes("UTF-8")
+    val truncated = mp4.take(mp4.length / 2)
+    val df = Seq((1L, mp4, "video/mp4"), (2L, junk, "text/plain"),
+      (3L, truncated, "video/mp4"), (4L, null.asInstanceOf[Array[Byte]], "video/mp4"))
+      .toDF("doc_id", "media", "media_type")
+    val metas = Multimodal.decodeVideo(df).collect().sortBy(_.doc_id)
+    assert(metas(0).brand == "isom" && metas(0).timescale == 600L)
+    assert(math.abs(metas(0).duration_secs - 3.0) < 1e-9)
+    assert(metas(0).width == 640.0 && metas(0).height == 360.0)
+    // poison rows degrade, never NPE/kill the task
+    assert(metas(1).timescale == -1L && metas(1).n_bytes == junk.length)
+    assert(metas(2).timescale == -1L)
+    assert(metas(3).timescale == -1L && metas(3).n_bytes == 0)
+  }
+
   test("ngramContamination flags partial leaks verbatim hashing misses") {
     import graft.operators.Dedup
     val corpus = Seq(
