@@ -1010,6 +1010,15 @@ object SparkEntry {
       // merge-order-dependent sketch, so fully oracle-checkable.
       TextAnalysis.heavyHitters(t(s, dir, "documents"), col("text"), capacity = 50)),
 
+    "q_profile" -> ((s, dir) =>
+      // Column profiling in ONE aggregation pass (rows, nulls, exact
+      // distinct per column). maybe_lang plants real nulls so the null
+      // accounting is exercised; the oracle recomputes every number.
+      operators.Profile.profile(
+        t(s, dir, "documents").withColumn("maybe_lang",
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang"))),
+        Seq("doc_id", "lang", "source", "maybe_lang"))),
+
     "q_inverted_index" -> ((s, dir) =>
       // Postings build with df-band vocabulary pruning: hapax terms
       // (df < 2) and the stopword tier (df > 400 of 500 docs) dropped.
@@ -1856,6 +1865,17 @@ object SparkEntry {
         |SELECT term, count(*) AS cnt FROM toks
         |GROUP BY term
         |HAVING count(*) > (SELECT count(*) FROM toks) / 51.0""".stripMargin,
+
+    "q_profile" ->
+      """WITH d AS (
+        |  SELECT *, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS maybe_lang
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct FROM d
+        |UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang) FROM d
+        |UNION ALL SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source) FROM d
+        |UNION ALL SELECT 'maybe_lang', count(*), count(*) - count(maybe_lang),
+        |  count(DISTINCT maybe_lang) FROM d""".stripMargin,
 
     "q_inverted_index" ->
       """WITH tf AS (
