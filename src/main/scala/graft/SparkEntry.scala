@@ -679,6 +679,26 @@ object SparkEntry {
       v1.unionByName(v2)
     }),
 
+    "q_colf_version_diff" -> ((s, dir) => {
+      // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
+      // diffVersions(1) must tag exactly the odd div-3 rows `added` and
+      // the even non-div-3 rows `removed`; the oracle recomputes both
+      // sets from the source parquet.
+      val out = work("q_colf_version_diff")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"))
+      docs.where(col("doc_id") % 2 === 0).write.format("colf")
+        .option("manifest", "true").mode("append").save(out)
+      docs.where(col("doc_id") % 3 === 0).write.format("colf")
+        .mode("overwrite").save(out)
+      sources.colf.ColfMaintenance.diffVersions(s, out, from = 1)
+    }),
+
     "q_colf_changes" -> ((s, dir) => {
       // Incremental recompute primitive: v1 = even doc ids, an APPEND
       // adds the div-3 ids as v2; changesSinceVersion=1 must read
@@ -1504,6 +1524,13 @@ object SparkEntry {
     "q_colf_changes" ->
       """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_colf_version_diff" ->
+      """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, 'added' AS change
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+        |UNION ALL
+        |SELECT CAST(doc_id AS INTEGER) AS doc_id, source, 'removed' AS change
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0""".stripMargin,
 
     "q_colf_stream_source" ->
       """SELECT c_mktsegment, count(*) AS n,

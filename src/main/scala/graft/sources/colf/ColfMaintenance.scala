@@ -139,6 +139,28 @@ object ColfMaintenance {
     ColfVersions.append(fs, root, ColfVersions.listDataFiles(fs, root))
   }
 
+  /** Row-level snapshot diff of a versioned table: what changed between
+    * version `from` and version `to` (default: latest)? Returns the full
+    * rows tagged `added` / `removed` — multiset semantics via
+    * `exceptAll`, so duplicate-row count changes surface too. The "what
+    * did yesterday's ingest actually change" audit: both sides are
+    * manifest-planned scans, the diff is two hash-partitioned anti
+    * joins, and for append-only histories the `added` side reduces to
+    * the [[ColfVersions]] file delta (`changesSinceVersion`) without
+    * scanning the overlap.
+    */
+  def diffVersions(spark: SparkSession, dir: String, from: Long,
+      to: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val older = spark.read.format("colf").option("versionAsOf", from).load(dir)
+    val newer = to match {
+      case Some(v) => spark.read.format("colf").option("versionAsOf", v).load(dir)
+      case None    => spark.read.format("colf").load(dir)
+    }
+    newer.exceptAll(older).withColumn("change", lit("added"))
+      .unionByName(older.exceptAll(newer).withColumn("change", lit("removed")))
+  }
+
   /** Reclaim versioned-table storage: keep the last `retainLast`
     * versions, delete every manifest before them and every data file
     * referenced ONLY by them. The latest version's files are always
