@@ -39,6 +39,17 @@ object SparkEntry {
   /** Scratch dir for sink round-trips (colf/csv write-then-read queries). */
   private def work(name: String): String = s"/tmp/graft_work/$name"
 
+  /** Recursive delete for scratch dirs — write queries that need fresh
+    * state (checkpoints, versioned tables) start from nothing.
+    */
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Exact 2-dp decimal view of a money-ish double column. */
   private def dec2(c: Column): Column = c.cast("decimal(14,2)")
 
@@ -637,12 +648,8 @@ object SparkEntry {
       val in = work("q_colf_stream_sink_in")
       val out = work("q_colf_stream_sink_out")
       val ckpt = work("q_colf_stream_sink_ckpt")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(ckpt)) // fresh checkpoint: reprocess from scratch
-      rm(new java.io.File(out))
+      rmDir(ckpt) // fresh checkpoint: reprocess from scratch
+      rmDir(out)
       t(s, dir, "customer")
         .select(col("c_custkey").cast("int").as("c_custkey"), col("c_name"), col("c_acctbal"))
         .write.mode("overwrite").parquet(in)
@@ -662,11 +669,7 @@ object SparkEntry {
       // source parquet, value-checking that time travel returns exactly
       // the overwritten-away rows.
       val out = work("q_colf_versioned")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(out))
+      rmDir(out)
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("int").as("doc_id"), col("source"), col("lang"))
       docs.where(col("doc_id") % 2 === 0).write.format("colf")
@@ -685,11 +688,7 @@ object SparkEntry {
       // the even non-div-3 rows `removed`; the oracle recomputes both
       // sets from the source parquet.
       val out = work("q_colf_version_diff")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(out))
+      rmDir(out)
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("int").as("doc_id"), col("source"))
       docs.where(col("doc_id") % 2 === 0).write.format("colf")
@@ -706,11 +705,7 @@ object SparkEntry {
       // last run" pattern without a streaming checkpoint. Oracle = the
       // appended rows recomputed from the source parquet.
       val out = work("q_colf_changes")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(out))
+      rmDir(out)
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("int").as("doc_id"), col("source"), col("lang"))
       docs.where(col("doc_id") % 2 === 0).write.format("colf")

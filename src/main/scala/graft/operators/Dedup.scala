@@ -544,10 +544,7 @@ object Dedup {
     val comps = connectedComponents(repPairs.unionByName(intra))
     members.unpersist()
     reps.unpersist()
-    df.select(id.cast("long").as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .withColumn("keep", col("id") === col("component"))
+    labelRows(df, id, comps).withColumn("keep", col("id") === col("component"))
   }
 
   // ------------------------------------------------- contamination check
@@ -817,12 +814,17 @@ object Dedup {
     * any pair output ([[cosineNearDups]], [[minhashNearDups]], ...) as
     * `edges`; downstream, `keep component == id` is the dedup decision.
     */
-  def assignClusters(df: DataFrame, id: Column, edges: DataFrame): DataFrame = {
-    val comps = connectedComponents(edges)
+  def assignClusters(df: DataFrame, id: Column, edges: DataFrame): DataFrame =
+    labelRows(df, id, connectedComponents(edges))
+
+  /** Every row's component label (docs in no pair are their own
+    * singleton) — the shared tail of [[assignClusters]] and
+    * [[semanticDedup]].
+    */
+  private def labelRows(df: DataFrame, id: Column, comps: DataFrame): DataFrame =
     df.select(id.cast("long").as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-  }
 
   /** Exact token-set Jaccard for all pairs inside a grouping column (e.g.
     * same source/bucket) — the "blocked" exact variant: the self-join is

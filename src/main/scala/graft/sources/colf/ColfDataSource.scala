@@ -38,11 +38,14 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
     val conf = ColfUtil.driverHadoopConf()
     val sel = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf,
       ColfUtil.versionAsOf(options), ColfUtil.changesSince(options))
-    // an empty incremental delta still has a schema: fall back to the
-    // latest snapshot's files for inference only (the scan stays empty)
+    // an empty SNAPSHOT still has a schema — an empty incremental delta,
+    // or a versioned table whose latest manifest lists nothing after a
+    // full DELETE: infer from the retained on-disk files (the raw
+    // listing); the scan itself stays empty. A genuinely file-less
+    // directory still errors below.
     val files =
-      if (sel.nonEmpty || ColfUtil.changesSince(options).isEmpty) sel
-      else ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf, None)
+      if (sel.nonEmpty) sel
+      else ColfUtil.listingFileRefs(ColfUtil.paths(options), conf)
     if (files.isEmpty)
       throw new IllegalArgumentException(
         s"No .colf files found at ${ColfUtil.paths(options).mkString(", ")}")
@@ -189,8 +192,16 @@ private[colf] object ColfUtil {
       versionAsOf: Option[Long]): Seq[ColfFileRef] =
     resolveFileRefs(paths, conf, versionAsOf, None)
 
+  /** The raw directory listing, ignoring any manifests — what the table
+    * holds ON DISK (retained old versions included). Schema-fallback and
+    * maintenance use only.
+    */
+  def listingFileRefs(paths: Seq[String], conf: Configuration): Seq[ColfFileRef] =
+    resolveFileRefs(paths, conf, None, None, ignoreManifests = true)
+
   def resolveFileRefs(paths: Seq[String], conf: Configuration,
-      versionAsOf: Option[Long], changesSince: Option[Long]): Seq[ColfFileRef] = {
+      versionAsOf: Option[Long], changesSince: Option[Long],
+      ignoreManifests: Boolean = false): Seq[ColfFileRef] = {
     def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
         values: Map[String, String]): Seq[ColfFileRef] = {
       val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
@@ -215,7 +226,8 @@ private[colf] object ColfUtil {
         if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
       }
       matched.flatMap { st =>
-        if (st.isDirectory) {
+        if (st.isDirectory && ignoreManifests) walk(fs, st.getPath, Map.empty)
+        else if (st.isDirectory) {
           (versionAsOf, changesSince) match {
             case (Some(v), _) =>
               ColfVersions.toRefs(fs, st.getPath, ColfVersions.read(fs, st.getPath, v))
@@ -379,13 +391,19 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
         require(num.gt(n, num.zero), s"colf option $name must be positive, got $v")
         n
       }
+    // a per-read time-travel option REPLACES every table-level pin (a
+    // table pinned to versionAsOf read with changesSinceVersion must not
+    // silently combine into "old full snapshot"); absent per-read
+    // options, the table-level pins apply
+    val readVer = ColfUtil.versionAsOf(options)
+    val readChg = ColfUtil.changesSince(options)
+    val (effVer, effChg) =
+      if (readVer.isDefined || readChg.isDefined) (readVer, readChg)
+      else (versionAsOf, changesSince)
     new ColfScanBuilder(paths, schema, mergeSchema,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
-      exactPartCols, layoutPartitionCols,
-      // per-read options override the table-level pins
-      ColfUtil.versionAsOf(options).orElse(versionAsOf),
-      ColfUtil.changesSince(options).orElse(changesSince))
+      exactPartCols, layoutPartitionCols, effVer, effChg)
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -449,11 +467,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
         val deletedUnder = files.map(_.path).filter(_.startsWith(q + "/"))
         if (deletedUnder.nonEmpty) {
           val deletedRel = deletedUnder.map(_.substring(q.length + 1)).toSet
-          def build(prev: Seq[ColfVersions.Entry]) =
-            prev.filterNot(e => deletedRel(e.relPath))
-          val prev0 = ColfVersions.latest(fs, root).map(_._2).getOrElse(Seq.empty)
-          ColfVersions.append(fs, root, build(prev0),
-            recompute = l => build(l.map(_._2).getOrElse(Seq.empty)))
+          ColfVersions.append(fs, root, basis =>
+            basis.map(_._2).getOrElse(Seq.empty).filterNot(e => deletedRel(e.relPath)))
           handled ++= deletedUnder
         }
       }

@@ -112,11 +112,15 @@ object ColfMaintenance {
         .filterNot(e => diskBefore.contains(e.relPath))
       val beforeRel = before.map(r =>
         ColfVersions.relativize(fs, root, new Path(r.path))).toSet
-      def build(prev: Seq[ColfVersions.Entry]) =
-        prev.filterNot(e => beforeRel(e.relPath)) ++ newEntries
-      val prev0 = ColfVersions.latest(fs, root).map(_._2).getOrElse(Seq.empty)
-      ColfVersions.append(fs, root, build(prev0),
-        recompute = l => build(l.map(_._2).getOrElse(Seq.empty)))
+      ColfVersions.append(fs, root, { basis =>
+        val prev = basis.map(_._2).getOrElse(Seq.empty)
+        // a concurrent append's files show up BOTH in the disk diff and
+        // in the basis manifest — keep the basis copy only, or the
+        // published manifest would list (and scans would read) them twice
+        val prevPaths = prev.map(_.relPath).toSet
+        prev.filterNot(e => beforeRel(e.relPath)) ++
+          newEntries.filterNot(e => prevPaths(e.relPath))
+      })
     } else {
       writer.mode("append").save(dir)
       before.foreach { r =>
@@ -136,7 +140,7 @@ object ColfMaintenance {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(!ColfVersions.enabled(fs, root), s"colf: $dir is already versioned")
-    ColfVersions.append(fs, root, ColfVersions.listDataFiles(fs, root))
+    ColfVersions.append(fs, root, _ => ColfVersions.listDataFiles(fs, root))
   }
 
   /** Row-level snapshot diff of a versioned table: what changed between
@@ -167,19 +171,30 @@ object ColfMaintenance {
     * retained (retainLast >= 1), so readers of current data are never
     * disturbed; readers pinned (`versionAsOf`) to a pruned version fail
     * loudly on their next planning pass rather than reading holes.
-    * Returns (dataFilesDeleted, versionsPruned). Idempotent.
+    *
+    * `graceMs` protects IN-FLIGHT commits, exactly like [[vacuum]]'s
+    * temp sweep: a data file younger than the window may belong to a
+    * commit that has renamed its files into place but not yet appended
+    * its manifest (or to compaction's __skipManifest rewrite) — it is
+    * referenced by NO manifest yet, and deleting it would corrupt the
+    * version that commit is about to publish. Returns
+    * (dataFilesDeleted, versionsPruned). Idempotent; safe to run
+    * concurrently with writers given an honest grace window.
     */
-  def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int = 2): (Int, Int) = {
+  def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int = 2,
+      graceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val versions = ColfVersions.listVersions(fs, root)
     if (versions.isEmpty) return (0, 0)
+    val cutoff = System.currentTimeMillis() - graceMs
     val (pruned, retained) = versions.splitAt(math.max(0, versions.length - retainLast))
     val referenced = retained.flatMap(v => ColfVersions.read(fs, root, v))
       .map(_.relPath).toSet
     val stale = ColfVersions.listDataFiles(fs, root)
       .filterNot(e => referenced.contains(e.relPath))
+      .filter(_.mtime < cutoff)
     ColfHeaderCache.mapParallel(stale)(e => fs.delete(new Path(root, e.relPath), false))
     pruned.foreach { v =>
       fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)

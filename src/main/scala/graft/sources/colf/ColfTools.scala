@@ -99,6 +99,11 @@ object ColfTools {
       val (files, vers) = ColfMaintenance.vacuumVersions(spark, dir, retain.toInt)
       println(s"vacuumed $dir: $files unreferenced data files, $vers old versions removed")
 
+    case Array("vacuum_versions", dir, retain, graceMinutes) =>
+      val (files, vers) = ColfMaintenance.vacuumVersions(spark, dir, retain.toInt,
+        graceMinutes.toLong * 60 * 1000)
+      println(s"vacuumed $dir: $files unreferenced data files, $vers old versions removed")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -123,7 +128,7 @@ object ColfTools {
            |  vacuum        <dir> [graceMinutes]
            |  enable_versioning <dir>
            |  versions      <dir>
-           |  vacuum_versions <dir> [retainLast]""".stripMargin)
+           |  vacuum_versions <dir> [retainLast [graceMinutes]]""".stripMargin)
       sys.exit(2)
   }
 

@@ -71,7 +71,9 @@ object ColfVersions {
     listVersions(fs, root).lastOption
 
   /** Read one version's entries. Fails loudly on a missing version —
-    * either it never existed or vacuum pruned it.
+    * either it never existed or vacuum pruned it — and on a malformed
+    * manifest, NAMING the corrupt file (a planning-time NPE from deep
+    * inside Jackson would be undiagnosable at 10⁵ files).
     */
   def read(fs: FileSystem, root: Path, version: Long): Seq[Entry] = {
     val p = versionFile(root, version)
@@ -79,12 +81,23 @@ object ColfVersions {
       throw new IllegalArgumentException(
         s"colf: version $version of $root does not exist " +
           s"(available: ${listVersions(fs, root).mkString(", ")})")
-    val in = fs.open(p)
-    val node = try mapper.readTree(in) finally in.close()
-    val files = node.get("files")
-    (0 until files.size()).map { i =>
-      val f = files.get(i)
-      Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong())
+    try {
+      val in = fs.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      val files = node.get("files")
+      require(files != null && files.isArray, "no 'files' array")
+      (0 until files.size()).map { i =>
+        val f = files.get(i)
+        require(f.hasNonNull("p") && f.hasNonNull("s") && f.hasNonNull("m"),
+          s"entry $i missing p/s/m")
+        Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong())
+      }
+    } catch {
+      case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"colf: manifest $p is corrupt (${e.getMessage}) — " +
+            "restore it or vacuum past it", e)
     }
   }
 
@@ -120,50 +133,46 @@ object ColfVersions {
   private val appendLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Append the next version with `entries` as the complete live set.
-    * Optimistic: computes next = latest+1, writes a temp, renames; a
-    * racing committer that claimed the slot makes the rename fail, and
-    * the caller-supplied `recompute` derives a fresh entry set against
-    * the new latest before retrying. Returns the committed version.
+  /** Append the next version: `compute` receives the OBSERVED latest
+    * (version, entries) — or None on an unversioned table — and returns
+    * the complete live set for the new version. The entry set is always
+    * derived inside the claim loop against the basis actually observed,
+    * so a commit can never be built from a stale snapshot and silently
+    * drop a concurrent commit's files (the lost-update failure a
+    * precomputed entry list invites). Optimistic: a racing committer
+    * that claims the slot first makes the rename fail; `compute` then
+    * re-derives against the new latest and the claim retries. Returns
+    * the committed version.
     */
   def append(fs: FileSystem, root: Path,
-      entries: Seq[Entry],
-      recompute: Option[(Long, Seq[Entry])] => Seq[Entry] = null,
+      compute: Option[(Long, Seq[Entry])] => Seq[Entry],
       maxRetries: Int = 5): Long = {
     val lock = appendLocks.computeIfAbsent(
       fs.makeQualified(root).toString, _ => new Object)
     lock.synchronized {
-      appendLocked(fs, root, entries, recompute, maxRetries)
+      var attempt = 0
+      while (true) {
+        val basis = latest(fs, root)
+        val next = basis.map(_._1).getOrElse(0L) + 1
+        val current = compute(basis)
+        val vp = versionsPath(root)
+        if (!fs.exists(vp)) fs.mkdirs(vp)
+        val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(render(next, current)) finally out.close()
+        val dst = versionFile(root, next)
+        // rename-to-existing returns false on Hadoop filesystems: the
+        // slot was claimed by a concurrent committer
+        if (!fs.exists(dst) && fs.rename(tmp, dst)) return next
+        fs.delete(tmp, false)
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"colf: lost the manifest race $maxRetries times at $root — " +
+              "pathological commit contention")
+      }
+      -1 // unreachable
     }
-  }
-
-  private def appendLocked(fs: FileSystem, root: Path,
-      entries: Seq[Entry],
-      recompute: Option[(Long, Seq[Entry])] => Seq[Entry],
-      maxRetries: Int): Long = {
-    var attempt = 0
-    var current = entries
-    while (true) {
-      val prev = latestVersion(fs, root)
-      val next = prev.getOrElse(0L) + 1
-      val vp = versionsPath(root)
-      if (!fs.exists(vp)) fs.mkdirs(vp)
-      val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(render(next, current)) finally out.close()
-      val dst = versionFile(root, next)
-      // rename-to-existing returns false on Hadoop filesystems: the slot
-      // was claimed by a concurrent committer
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) return next
-      fs.delete(tmp, false)
-      attempt += 1
-      if (attempt > maxRetries)
-        throw new java.io.IOException(
-          s"colf: lost the manifest race $maxRetries times at $root — " +
-            "pathological commit contention")
-      if (recompute != null) current = recompute(latest(fs, root))
-    }
-    -1 // unreachable
   }
 
   /** Relative path of `file` under `root` (both made absolute/qualified

@@ -315,11 +315,13 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
         }
         survivors ++ committedEntries(fs, dirPath, pairs)
       }
-      val prev0 = ColfVersions.latest(fs, dirPath).map(_._2).getOrElse(
-        ColfVersions.listDataFiles(fs, dirPath)
-          .filterNot(e => newNames.contains(e.relPath.split('/').last)))
-      ColfVersions.append(fs, dirPath, buildEntries(prev0),
-        recompute = latest => buildEntries(latest.map(_._2).getOrElse(Seq.empty)))
+      // entry sets derive INSIDE the claim loop from the observed basis
+      // (first enable: the pre-commit listing), so a concurrent commit
+      // between basis read and slot claim can never be dropped
+      ColfVersions.append(fs, dirPath, basis =>
+        buildEntries(basis.map(_._2).getOrElse(
+          ColfVersions.listDataFiles(fs, dirPath)
+            .filterNot(e => newNames.contains(e.relPath.split('/').last)))))
     } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty) && fs.exists(dirPath)) {
       // 2) Deferred deletes LAST (unversioned tables): a crash anywhere
       //    above leaves old data fully intact (plus invisible temps / some

@@ -107,7 +107,7 @@ class ColfVersionSpec extends AnyFunSuite {
     assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 3)
 
     // vacuum to the latest version only: p2's files go, v1 becomes unreadable
-    val (deleted, pruned) = ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1)
+    val (deleted, pruned) = ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1, graceMs = 0L)
     assert(deleted > 0 && pruned == 1)
     assert(spark.read.format("colf").load(dir).select("k").as[Int].collect().toSet == Set(1))
     val e = intercept[Exception] {
@@ -130,7 +130,7 @@ class ColfVersionSpec extends AnyFunSuite {
     assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 100)
     // inputs retained for v1 until vacuum
     assert(colfFiles(dir).length == 11)
-    ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1)
+    ColfMaintenance.vacuumVersions(spark, dir, retainLast = 1, graceMs = 0L)
     assert(colfFiles(dir).length == 1)
     assert(spark.read.format("colf").load(dir).count() == 100)
   }
@@ -162,9 +162,12 @@ class ColfVersionSpec extends AnyFunSuite {
       val futures = (1 to n).map { i =>
         pool.submit(new Runnable {
           override def run(): Unit = {
-            val v = ColfVersions.append(fs, root,
-              Seq(ColfVersions.Entry(s"f$i.colf", i.toLong, 0L)),
-              recompute = _ => Seq(ColfVersions.Entry(s"f$i.colf", i.toLong, 0L)),
+            // the realistic committer: add my file to whatever basis I
+            // OBSERVE — compute runs inside the claim loop, so a stale
+            // basis can never drop a concurrent commit's files
+            val v = ColfVersions.append(fs, root, basis =>
+              basis.map(_._2).getOrElse(Seq.empty) :+
+                ColfVersions.Entry(s"f$i.colf", i.toLong, 0L),
               maxRetries = 64)
             got.add(v)
           }
@@ -175,6 +178,10 @@ class ColfVersionSpec extends AnyFunSuite {
     // no committer lost: n distinct versions, contiguous from 1
     assert(got.size == n)
     assert(versions(dir) == (1L to n.toLong))
+    // and no LOST UPDATE: the final manifest holds every committer's
+    // file (a commit built from a stale basis would have dropped some)
+    val finalEntries = ColfVersions.read(fs, root, n.toLong).map(_.relPath).toSet
+    assert(finalEntries == (1 to n).map(i => s"f$i.colf").toSet)
   }
 
   test("streaming source over a versioned table reads the manifest view, not retained files") {
@@ -223,6 +230,21 @@ class ColfVersionSpec extends AnyFunSuite {
       spark.read.format("colf").option("changesSinceVersion", 1)
         .option("versionAsOf", 1).load(dir).collect()
     }
+  }
+
+  test("a versioned table emptied by DELETE stays readable as an empty scan") {
+    val dir = tmp()
+    Seq((1, "p1"), (2, "p2")).toDF("k", "p")
+      .repartition(col("p")).write.format("colf")
+      .option("partitionBy", "p").option("manifest", "true").mode("append").save(dir)
+    spark.read.format("colf").load(dir).createOrReplaceTempView("colf_ver_empty")
+    spark.sql("DELETE FROM colf_ver_empty WHERE p IN ('p1', 'p2')")
+    // latest manifest lists nothing; schema falls back to retained files
+    val df = spark.read.format("colf").load(dir)
+    assert(df.columns.toSeq == Seq("k", "p"))
+    assert(df.count() == 0)
+    // the pre-delete snapshot still reads in full
+    assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 2)
   }
 
   test("versionAsOf on an unversioned table fails loudly") {
