@@ -157,19 +157,28 @@ private[graft] object ColfPartitions {
         case _                                 => None
       }
       case Not(c) => evalExact(values, c).map(!_)
-      // x = null / x > null etc. are SQL-null, which filters treat as
-      // false — partition values themselves are never null (path-derived).
+      // x = null / x IN (…, null) / startsWith(x, null) evaluate to SQL
+      // NULL — a third state this two-state Option cannot carry: NULL acts
+      // as false at WHERE top level but does NOT negate to true, so
+      // collapsing it to Some(false) inverts the absorbed answer under an
+      // enclosing Not/Or (e.g. `p NOT IN (1, 2, NULL)` must keep ZERO
+      // rows, yet Not(Some(false)) would keep them all). Null probes are
+      // therefore undecidable here (None) — and [[exactShape]] rejects
+      // them so they stay in Spark's residual set. The one exception is
+      // EqualNullSafe: `a <=> null` on a never-null partition value is
+      // genuinely false, no tri-state involved.
       case EqualTo(a, v) if known(a) =>
-        if (v == null) Some(false) else cmp(a, v).map(_ == 0)
+        if (v == null) None else cmp(a, v).map(_ == 0)
       case EqualNullSafe(a, v) if known(a) =>
         if (v == null) Some(false) else cmp(a, v).map(_ == 0)
       case In(a, vs) if known(a) =>
-        if (vs == null) Some(false)
+        if (vs == null) None
         else {
+          val hasNull = vs.exists(_ == null)
           val cs = vs.toSeq.filter(_ != null).map(v => cmp(a, v))
-          if (cs.exists(_.contains(0))) Some(true)
-          else if (cs.forall(_.isDefined)) Some(false)
-          else None
+          if (cs.exists(_.contains(0))) Some(true) // a match dominates NULLs
+          else if (!hasNull && cs.forall(_.isDefined)) Some(false)
+          else None // no match + null element ⇒ SQL NULL, undecidable
         }
       case GreaterThan(a, v) if known(a)        => cmp(a, v).map(_ > 0)
       case GreaterThanOrEqual(a, v) if known(a) => cmp(a, v).map(_ >= 0)
@@ -178,7 +187,7 @@ private[graft] object ColfPartitions {
       case IsNull(a) if known(a)                => Some(false)
       case IsNotNull(a) if known(a)             => Some(true)
       case StringStartsWith(a, p) if known(a) => values(a) match {
-        case s: String => Some(p != null && s.startsWith(p))
+        case s: String => if (p == null) None else Some(s.startsWith(p))
         case _         => None
       }
       case _ => None
@@ -209,10 +218,14 @@ private[graft] object ColfPartitions {
       case And(l, r) => exactShape(l, cols, schema) && exactShape(r, cols, schema)
       case Or(l, r)  => exactShape(l, cols, schema) && exactShape(r, cols, schema)
       case Not(c)    => exactShape(c, cols, schema)
-      case EqualTo(a, v)            => cols(a) && (v == null || comparable(a, v))
+      // Null probe values are REJECTED (the filter stays residual):
+      // `a = null` / `a IN (…, null)` evaluate to SQL NULL, a tri-state
+      // [[evalExact]]'s Boolean cannot represent under Not/Or. Only
+      // EqualNullSafe keeps its null form — `a <=> null` is two-valued.
+      case EqualTo(a, v)            => comparable(a, v)
       case EqualNullSafe(a, v)      => cols(a) && (v == null || comparable(a, v))
       case In(a, vs) =>
-        cols(a) && vs != null && vs.forall(v => v == null || comparable(a, v))
+        cols(a) && vs != null && vs.forall(v => comparable(a, v))
       case GreaterThan(a, v)        => comparable(a, v)
       case GreaterThanOrEqual(a, v) => comparable(a, v)
       case LessThan(a, v)           => comparable(a, v)

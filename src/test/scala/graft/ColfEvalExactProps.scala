@@ -27,6 +27,11 @@ import graft.sources.colf.ColfPartitions
   */
 object ColfEvalExactProps extends Properties("ColfEvalExact") {
 
+  // 2000 iterations + printed/pinnable seed: the round-5 NULL-tri-state
+  // counterexample appeared ~1/340 cases, invisible at the old 100.
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    PropsConfig.soundness(p, 2000)
+
   private lazy val spark: SparkSession = SparkTest.session
 
   private val schema = StructType(Seq(
@@ -147,4 +152,33 @@ object ColfEvalExactProps extends Properties("ColfEvalExact") {
         println(s"COUNTEREXAMPLE values=$values filter=$f decided=$decided gated=$gated")
       gateSound && sparkAgrees
     }
+
+  /** Round-5 judge counterexamples, pinned deterministically: a null
+    * probe evaluates to SQL NULL (not false), so under Not/Or the old
+    * two-state collapse INVERTED the absorbed answer — e.g.
+    * `p NOT IN (1, 2, NULL)` kept every row where the right answer is
+    * zero. The gate must reject these shapes and evalExact must decline.
+    */
+  property("regression: null-probe shapes stay residual (gate rejects, eval declines)") = {
+    import org.scalacheck.Prop
+    val values: Map[String, Any] = Map("p_i" -> 3, "p_d" -> 0.5, "p_s" -> "")
+    val nullProbes: Seq[Filter] = Seq(
+      Not(EqualTo("p_i", null)),
+      Not(In("p_i", Array[Any](1, 2, null))),
+      In("p_i", Array[Any](1, 2, null)), // no match + null ⇒ SQL NULL
+      Or(Not(StringStartsWith("p_s", null)), AlwaysFalse))
+    val rejectedAndUndecided = nullProbes.forall { f =>
+      !ColfPartitions.exactShape(f, partCols, schema) &&
+        ColfPartitions.evalExact(values, f).isEmpty
+    }
+    // A match among non-null IN elements still decides true (TRUE OR NULL
+    // = TRUE), and null-safe equality stays genuinely two-valued.
+    val matchDominates = ColfPartitions.evalExact(
+      Map("p_i" -> 1), In("p_i", Array[Any](1, 2, null))).contains(true)
+    val nullSafeDecides =
+      ColfPartitions.evalExact(Map("p_i" -> 1), EqualNullSafe("p_i", null)).contains(false) &&
+        ColfPartitions.exactShape(EqualNullSafe("p_i", null), partCols, schema)
+    Prop(rejectedAndUndecided && matchDominates && nullSafeDecides) :|
+      s"rejected=$rejectedAndUndecided match=$matchDominates nullSafe=$nullSafeDecides"
+  }
 }

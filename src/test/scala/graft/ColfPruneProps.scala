@@ -21,6 +21,10 @@ import graft.sources.colf._
   */
 object ColfPruneProps extends Properties("ColfPrune") {
 
+  // Pure in-memory cases (~µs each): run deep, with a replayable seed.
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    PropsConfig.soundness(p, 3000)
+
   // ---- column generators (Option = SQL NULL)
 
   private val genInts: Gen[List[Option[Int]]] =
