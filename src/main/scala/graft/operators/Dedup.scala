@@ -485,7 +485,11 @@ object Dedup {
     * identical vectors are immune — they share a fingerprint, not just a
     * bucket). `coarseBits = 0` is one global bucket: components equal
     * [[assignClusters]] over [[cosineNearDups]] exactly (spec'd in
-    * DedupGroupSpec).
+    * DedupGroupSpec). By default the bit count is PLANNED from the
+    * corpus ([[AutoCoarseBits]] → [[coarseBitsFor]] over a distinct-
+    * vector count): expected bucket population stays ≤ `targetBucket`
+    * whatever the corpus size, so the pair stage scales linearly instead
+    * of quadratically past a hand-tuned default.
     *
     * Output: (id, component, keep) for EVERY input row — `keep` is the
     * dedup decision. Null and all-zero vectors have no direction: their
@@ -493,27 +497,41 @@ object Dedup {
     * singleton keepers — matching the exact path's treatment.
     */
   def semanticDedup(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      coarseBits: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      coarseBits: Int = AutoCoarseBits, dim: Int = 64, seed: Long = 42L,
+      targetBucket: Long = 1024L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    require(coarseBits >= 0 && coarseBits <= 62, s"coarseBits must be in [0,62], got $coarseBits")
-    val hp = Similarity.hyperplanes(coarseBits, dim, seed)
-    def bucketOf(vCol: Column): Column =
-      if (coarseBits == 0) lit(0L)
-      else (0 until coarseBits).map { i =>
-        val plane = array(hp(i).map(lit): _*)
-        when(Similarity.dot(vCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    require(coarseBits == AutoCoarseBits || (coarseBits >= 0 && coarseBits <= 62),
+      s"coarseBits must be in [0,62] or AutoCoarseBits, got $coarseBits")
 
     val keyed = df.where(vec.isNotNull)
       .select(id.cast("long").as("id"), Similarity.asDouble(vec).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .withColumn("__fp", xxhash64(col("v")))
     val members = keyed.select(col("__fp"), col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    val reps = keyed.groupBy("__fp")
+    val reps0 = keyed.groupBy("__fp")
       .agg(min_by(struct(col("id"), col("v"), col("nrm")), col("id")).as("r"))
       .select(col("__fp"), col("r.id").as("id"), col("r.v").as("v"), col("r.nrm").as("nrm"))
-      .withColumn("bucket", bucketOf(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Auto-plan the quantizer from the corpus itself (the same move
+    // MinHashParams.forThreshold makes for banding): a FIXED bit count
+    // leaves expected bucket population ∝ n/2^bits, so the within-bucket
+    // stage degenerates quadratic as the corpus grows past the default.
+    // The count is over DISTINCT vectors (reps0 is persisted and about to
+    // be consumed twice anyway, so the count materializes work the pair
+    // stage reuses) and the planner bounds expected pair cost to
+    // ~n·targetBucket — linear in n at fixed target.
+    val bits =
+      if (coarseBits != AutoCoarseBits) coarseBits
+      else coarseBitsFor(reps0.count(), targetBucket)
+    val hp = Similarity.hyperplanes(bits, dim, seed)
+    def bucketOf(vCol: Column): Column =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map { i =>
+        val plane = array(hp(i).map(lit): _*)
+        when(Similarity.dot(vCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val reps = reps0.withColumn("bucket", bucketOf(col("v")))
 
     // Within-bucket exact pairwise over distinct vectors: a plain
     // hash-partitioned self-equi-join on the bucket key (AQE-skew-
@@ -543,8 +561,29 @@ object Dedup {
     // the caches are consumed by the time it returns.
     val comps = connectedComponents(repPairs.unionByName(intra))
     members.unpersist()
-    reps.unpersist()
+    reps0.unpersist()
     labelRows(df, id, comps).withColumn("keep", col("id") === col("component"))
+  }
+
+  /** Sentinel: derive `coarseBits` from the corpus size at run time. */
+  val AutoCoarseBits: Int = -1
+
+  /** Quantizer planner: the fewest hyperplane bits that bound EXPECTED
+    * bucket population by `targetBucket` distinct vectors —
+    * ceil(log2(n / targetBucket)) — so the within-bucket exact stage
+    * costs ~n·targetBucket pairs (linear in n) instead of n²/2^bits.
+    * More bits than needed is pure recall loss (each extra hyperplane
+    * splits more true near-dup pairs across buckets), so the planner
+    * takes the minimum that meets the cost target, capped at 62 by the
+    * long bucket key.
+    */
+  def coarseBitsFor(distinctVectors: Long, targetBucket: Long = 1024L): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val buckets = math.max(1L, (distinctVectors + targetBucket - 1) / targetBucket)
+    val bits =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2
+    math.min(62, bits)
   }
 
   // ------------------------------------------------- contamination check

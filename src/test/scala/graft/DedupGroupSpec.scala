@@ -355,6 +355,57 @@ class DedupGroupSpec extends AnyFunSuite {
       assert(exactComp(id) == exactComp(c)) }
   }
 
+  test("semanticDedup auto-plans coarse bits: pair cost stays ~linear on a 100x corpus") {
+    // Planner math: minimum bits with expected bucket ≤ target.
+    assert(Dedup.coarseBitsFor(0) == 0)
+    assert(Dedup.coarseBitsFor(1024, 1024) == 0)
+    assert(Dedup.coarseBitsFor(1025, 1024) == 1)
+    assert(Dedup.coarseBitsFor(100 * 1024, 1024) == 7)   // 100 buckets → 2^7
+    assert(Dedup.coarseBitsFor(1L << 40, 1024) == 30)
+    assert(Dedup.coarseBitsFor(Long.MaxValue, 1) == 62)  // long-key cap
+
+    // Planted corpora at n and 100n: bucket the vectors with the SAME
+    // quantizer semanticDedup uses and check the within-bucket pair cost
+    // Σ size·(size−1)/2 grows ~linearly (≤ c·n·target), NOT ~quadratically
+    // — the round-5 fixed default left cost ∝ n²/2^bits.
+    def pairCost(n: Int, target: Long): (Int, Double) = {
+      val dim = 16
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+      val df = rows.toDF("vec_id", "embedding")
+      val bits = Dedup.coarseBitsFor(n.toLong, target)
+      val hp = graft.operators.Similarity.hyperplanes(bits, dim, 42L)
+      def bucketOf(vCol: org.apache.spark.sql.Column) =
+        if (bits == 0) lit(0L)
+        else (0 until bits).map { i =>
+          val plane = array(hp(i).map(lit): _*)
+          when(graft.operators.Similarity.dot(vCol, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val cost = df.select(bucketOf(col("embedding").cast("array<double>")).as("b"))
+        .groupBy("b").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("double")).as[Double].head()
+      (bits, cost)
+    }
+    val target = 64L
+    val (bitsSmall, costSmall) = pairCost(500, target)
+    val (bitsBig, costBig) = pairCost(50000, target)
+    assert(bitsBig > bitsSmall, s"planner must add bits with corpus growth: $bitsSmall -> $bitsBig")
+    // expected cost ≤ n·target/2 per balanced bucketing; allow slack for
+    // hyperplane imbalance on gaussian data (observed ~2x)
+    assert(costBig <= 4.0 * 50000 * target,
+      s"100x corpus pair cost must stay ~n·target, got $costBig")
+    // the quadratic shape the planner prevents: cost grew far slower than n²
+    assert(costBig / costSmall < 1000.0,
+      s"cost ratio ${costBig / costSmall} should be ~linear (100x), not ~10000x")
+
+    // End-to-end: the auto default produces the same exact-precision
+    // guarantees on the planted corpus (identical vectors collapse).
+    val df = vecCorpus()
+    val auto = Dedup.semanticDedup(df, col("vec_id"), col("embedding"), 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(auto(100L) == auto(3L) && auto(101L) == auto(3L))
+  }
+
   test("semanticDedup: null and zero vectors stay singleton keepers") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       (1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(1.0f)),   // identical pair
