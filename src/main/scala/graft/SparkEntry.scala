@@ -682,6 +682,30 @@ object SparkEntry {
       v1.unionByName(v2)
     }),
 
+    "q_colf_timetravel" -> ((s, dir) => {
+      // PURE-SQL time travel via the path catalog: v1 = even doc ids,
+      // v2 = OVERWRITE with div-3 ids. The query never touches the Scala
+      // option surface — `VERSION AS OF 1` and a far-future `TIMESTAMP
+      // AS OF` resolve through ColfCatalog.loadTable, and the oracle
+      // recomputes both snapshots from the source parquet.
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_timetravel")
+      rmDir(out)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"), col("source"), col("lang"))
+      docs.where(col("doc_id") % 2 === 0).write.format("colf")
+        .option("manifest", "true").mode("append").save(out)
+      docs.where(col("doc_id") % 3 === 0).write.format("colf")
+        .mode("overwrite").save(out)
+      s.sql(
+        s"""SELECT doc_id, source, lang, 'v1' AS snap
+           |FROM colf_cat.`$out` VERSION AS OF 1
+           |UNION ALL
+           |SELECT doc_id, source, lang, 'latest' AS snap
+           |FROM colf_cat.`$out` TIMESTAMP AS OF '2099-01-01'""".stripMargin)
+    }),
+
     "q_colf_version_diff" -> ((s, dir) => {
       // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
       // diffVersions(1) must tag exactly the odd div-3 rows `added` and
@@ -1518,6 +1542,13 @@ object SparkEntry {
 
     "q_colf_changes" ->
       """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_colf_timetravel" ->
+      """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'v1' AS snap
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'latest' AS snap
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_colf_version_diff" ->

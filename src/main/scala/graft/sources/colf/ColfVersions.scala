@@ -105,6 +105,23 @@ object ColfVersions {
   def latest(fs: FileSystem, root: Path): Option[(Long, Seq[Entry])] =
     latestVersion(fs, root).map(v => v -> read(fs, root, v))
 
+  /** The newest version committed at or before `tsMillis` (manifest file
+    * mtimes ARE the commit times — each manifest is written once and
+    * never touched again). Backs SQL `TIMESTAMP AS OF`. Fails loudly on
+    * an unversioned table and on a timestamp before the first commit.
+    */
+  def versionAt(fs: FileSystem, root: Path, tsMillis: Long): Long = {
+    val vs = listVersions(fs, root)
+    require(vs.nonEmpty, s"colf: $root is not a versioned table (no manifests)")
+    val committed = vs.map(v => v -> fs.getFileStatus(versionFile(root, v)).getModificationTime)
+    val at = committed.filter(_._2 <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"colf: no version of $root existed at epoch-millis $tsMillis " +
+          s"(first commit: version ${committed.head._1} at ${committed.head._2})")
+    at.map(_._1).max
+  }
+
   private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(s"""{"version":$version,"files":[""")

@@ -62,6 +62,58 @@ class ColfVersionSpec extends AnyFunSuite {
     assert(spark.read.format("colf").option("versionAsOf", 2).load(dir).count() == 3)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF through the colf catalog") {
+    spark.conf.set("spark.sql.catalog.colf_sql",
+      classOf[graft.sources.colf.ColfCatalog].getName)
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    Seq((10, "x"), (20, "y"), (30, "z")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("overwrite").save(dir)
+
+    // plain catalog read = latest snapshot
+    assert(spark.sql(s"SELECT count(*) FROM colf_sql.`$dir`").as[Long].head() == 3L)
+    // VERSION AS OF n == option("versionAsOf", n)
+    val sqlV1 = spark.sql(s"SELECT k FROM colf_sql.`$dir` VERSION AS OF 1")
+      .as[Int].collect().sorted
+    val optV1 = spark.read.format("colf").option("versionAsOf", 1).load(dir)
+      .select("k").as[Int].collect().sorted
+    assert(sqlV1 === optV1 && sqlV1 === Array(1, 2))
+    // TIMESTAMP AS OF resolves to the newest commit at-or-before t: a
+    // timestamp far in the future pins the latest version
+    assert(spark.sql(
+      s"SELECT count(*) FROM colf_sql.`$dir` TIMESTAMP AS OF '2099-01-01'")
+      .as[Long].head() == 3L)
+    // ...and versionAt maps manifest mtimes monotonically
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1Mtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      dir, "_graft_versions/v000000000001.json")).getModificationTime
+    assert(graft.sources.colf.ColfVersions.versionAt(
+      fs, new org.apache.hadoop.fs.Path(dir), v1Mtime) == 1L)
+    // before the first commit: loud failure, naming the first version
+    val early = intercept[Exception] {
+      graft.sources.colf.ColfVersions.versionAt(
+        fs, new org.apache.hadoop.fs.Path(dir), v1Mtime - 100000L)
+    }
+    assert(early.getMessage.contains("no version"))
+
+    // missing snapshot and non-path identifiers fail loudly
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM colf_sql.`$dir` VERSION AS OF 99").collect()
+    }
+    assert(gone.getMessage.contains("does not exist"))
+    val notPath = intercept[Exception] {
+      spark.sql("SELECT * FROM colf_sql.not_a_path").collect()
+    }
+    assert(notPath.getMessage.contains("by path"))
+    // DDL through the catalog is rejected loudly (stateless by design)
+    val ddl = intercept[Exception] {
+      spark.sql(s"DROP TABLE colf_sql.`$dir`")
+    }
+    assert(ddl.getMessage.contains("not supported"))
+  }
+
   test("unversioned tables are untouched: no manifest appears, overwrite deletes") {
     val dir = tmp()
     Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(dir)
