@@ -193,8 +193,10 @@ object Multimodal {
       def fourcc(at: Int): String =
         new String(r.media, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-      /** Walk boxes in [from, to); `visit` returns the payload offset to
-        * descend into, or -1 to skip. Returns false on malformed sizes.
+      /** Walk boxes in [from, to), calling `visit(type, payloadStart,
+        * payloadEnd)` for each; descent into containers is driven by the
+        * callbacks themselves re-invoking walk. Returns false on
+        * malformed sizes.
         */
       def walk(from: Long, to: Long, visit: (String, Long, Long) => Unit): Boolean = {
         var p = from

@@ -915,10 +915,22 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   /** Micro-batch streaming read of an append-only colf directory; offsets,
     * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
+    *
+    * Snapshot pins are batch-only: the stream plans from the LIVE
+    * manifest view each batch, so silently accepting `versionAsOf` /
+    * `changesSinceVersion` here would stream the wrong data (the latest
+    * view instead of the pinned snapshot). Fail loudly instead — the
+    * same contract as every other wrong-snapshot path.
     */
-  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (versionAsOf.isDefined || changesSince.isDefined)
+      throw new IllegalArgumentException(
+        "colf: versionAsOf/changesSinceVersion are batch-only — a stream " +
+          "follows the live manifest view; drop the option (incremental " +
+          "reads ARE the stream's own offset contract)")
     new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf,
       maxFilesPerTrigger, maxRowsPerTrigger, absorbed, fullSchema)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))

@@ -192,13 +192,20 @@ object ColfMaintenance {
     val (pruned, retained) = versions.splitAt(math.max(0, versions.length - retainLast))
     val referenced = retained.flatMap(v => ColfVersions.read(fs, root, v))
       .map(_.relPath).toSet
+    // Manifests BEFORE data files: a crash between the two phases must
+    // leave only re-vacuumable garbage. Deleting data first would let a
+    // crash strand pruned manifests that reference deleted files — a
+    // versionAsOf reader of one would then fail MID-SCAN on a missing
+    // file instead of at planning with the clear "version does not
+    // exist" error. Orphaned data files (manifests gone, data still
+    // present) are invisible to every reader and swept by the next run.
+    pruned.foreach { v =>
+      fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)
+    }
     val stale = ColfVersions.listDataFiles(fs, root)
       .filterNot(e => referenced.contains(e.relPath))
       .filter(_.mtime < cutoff)
     ColfHeaderCache.mapParallel(stale)(e => fs.delete(new Path(root, e.relPath), false))
-    pruned.foreach { v =>
-      fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)
-    }
     (stale.length, pruned.length)
   }
 }

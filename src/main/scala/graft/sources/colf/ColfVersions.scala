@@ -142,13 +142,40 @@ object ColfVersions {
     * filesystems rename with plain POSIX semantics (destination silently
     * overwritten, data and .crc sidecar renamed non-atomically), so two
     * threads of one driver racing the same slot could interleave into a
-    * checksum-corrupt manifest. Cross-PROCESS claims rely on the
-    * filesystem's atomic fail-if-destination-exists rename (HDFS
-    * guarantees it; object stores without atomic rename need an external
-    * committer lock, as with every rename-based table format).
+    * checksum-corrupt manifest. Cross-PROCESS claims go through
+    * [[publish]], whose guarantee is per-scheme (see there).
     */
   private val appendLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically publish version file `dst` from fully-written `tmp`:
+    * true iff THIS caller claimed the slot. The cross-process guarantee
+    * is per scheme:
+    *
+    *  - `file:` — exists()+rename() is a TOCTOU (POSIX rename silently
+    *    OVERWRITES an existing destination, so two processes can both
+    *    "claim" version N and one commit vanishes). The claim is a
+    *    hard link instead: link(2) fails with EEXIST atomically AND
+    *    makes the complete content visible in one shot — the POSIX
+    *    atomic-publish primitive.
+    *  - HDFS (and any FS whose rename is atomic fail-if-destination-
+    *    exists) — tmp + rename, the classic manifest commit.
+    *  - Object stores without atomic rename-if-absent need an external
+    *    committer lock, as with every rename-based table format; the
+    *    same-JVM monitor still serializes single-driver commits there.
+    */
+  private[graft] def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try { java.nio.file.Files.createLink(d, t); fs.delete(tmp, false); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      // rename-to-existing returns false on HDFS-semantics filesystems:
+      // the slot was claimed by a concurrent committer
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+  }
 
   /** Append the next version: `compute` receives the OBSERVED latest
     * (version, entries) — or None on an unversioned table — and returns
@@ -178,9 +205,7 @@ object ColfVersions {
         val out = fs.create(tmp, false)
         try out.write(render(next, current)) finally out.close()
         val dst = versionFile(root, next)
-        // rename-to-existing returns false on Hadoop filesystems: the
-        // slot was claimed by a concurrent committer
-        if (!fs.exists(dst) && fs.rename(tmp, dst)) return next
+        if (publish(fs, tmp, dst)) return next
         fs.delete(tmp, false)
         attempt += 1
         if (attempt > maxRetries)

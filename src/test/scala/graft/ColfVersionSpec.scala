@@ -236,6 +236,41 @@ class ColfVersionSpec extends AnyFunSuite {
     assert(finalEntries == (1 to n).map(i => s"f$i.colf").toSet)
   }
 
+  test("cross-process claim primitive: hard-link publish is atomic on local FS") {
+    // exists()+rename() is a TOCTOU on LocalFileSystem (POSIX rename
+    // overwrites), so the file: claim is a hard link — kernel-atomic,
+    // which makes a thread race equivalent to a process race: no JVM
+    // lock participates in publish(). Exactly one of N concurrent
+    // claimants must win, and the destination must carry the winner's
+    // COMPLETE content (link makes content visible in one shot).
+    val dir = tmp()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_graft_versions"))
+    assert(fs.getScheme == "file", "spec exercises the local-FS branch")
+    val dst = new org.apache.hadoop.fs.Path(dir, "_graft_versions/v000000000001.json")
+    val n = 16
+    val ready = new java.util.concurrent.CountDownLatch(n)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        val t = new org.apache.hadoop.fs.Path(dir, s"_graft_versions/.claim-$i.tmp")
+        val out = fs.create(t, false)
+        out.write(s"""{"writer":$i}""".getBytes("UTF-8")); out.close()
+        ready.countDown(); go.await()
+        if (graft.sources.colf.ColfVersions.publish(fs, t, dst)) winners.add(i)
+        else fs.delete(t, false)
+      })
+    }
+    threads.foreach(_.start()); ready.await(); go.countDown(); threads.foreach(_.join())
+    assert(winners.size() == 1, s"exactly one claimant must win, got $winners")
+    val in = fs.open(dst)
+    val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(content == s"""{"writer":${winners.iterator().next()}}""",
+      "destination must carry the winner's complete content")
+  }
+
   test("streaming source over a versioned table reads the manifest view, not retained files") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmp()
@@ -253,6 +288,27 @@ class ColfVersionSpec extends AnyFunSuite {
     q.awaitTermination()
     val rows = spark.table(qname).select("k").as[Int].collect().sorted
     assert(rows === Array(10)) // v2 only — never v1's retained bytes
+  }
+
+  test("streaming read rejects snapshot pins loudly (batch-only options)") {
+    // A stream follows the live manifest view; silently accepting
+    // versionAsOf would stream the wrong snapshot with no error.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    Seq((1, "a")).toDF("k", "v").write.format("colf")
+      .option("manifest", "true").mode("append").save(dir)
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    Seq("versionAsOf" -> "1", "changesSinceVersion" -> "1").foreach { case (k, v) =>
+      val q = spark.readStream.format("colf").option(k, v).load(dir)
+        .writeStream.format("memory").queryName(s"pin_reject_$k")
+        .trigger(Trigger.AvailableNow()).start()
+      val e = intercept[Exception] { q.awaitTermination() }
+      assert(rootMsg(e).contains("batch-only"), s"$k must be rejected, got: ${rootMsg(e)}")
+    }
   }
 
   test("changesSinceVersion reads exactly the delta; empty delta is an empty scan") {
