@@ -8,8 +8,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class MgEntry(term: String, cnt: Long)
 
-/** Aggregation buffer: at most `capacity` counters. */
-case class MgBuf(counts: Map[String, Long])
+/** Aggregation buffer: at most `capacity` counters, mutated IN PLACE.
+  *
+  * The map is a plain `java.util.HashMap` (Kryo-encoded, so it only
+  * serializes at shuffle/spill boundaries): `reduce` runs once per
+  * TOKEN — the hottest loop in the whole aggregate — and an immutable
+  * `Map.updated` there allocates a fresh path per token, pure GC
+  * pressure. Boxed `java.lang.Long` values keep absent-key `get`s an
+  * explicit null instead of a silent unbox-to-0.
+  */
+final class MgBuf(val m: java.util.HashMap[String, java.lang.Long])
+    extends Serializable {
+  /** Immutable view for assertions/inspection (NOT the hot path). */
+  def counts: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.map { case (t, c) => t -> c.longValue() }.toMap
+  }
+}
 
 /** Result: candidates sorted (cnt desc, term asc) for a stable display
   * order — counts are LOWER BOUNDS, not exact (see guarantee below).
@@ -40,38 +55,60 @@ case class MgOut(items: List[MgEntry])
 class MisraGries(capacity: Int) extends Aggregator[String, MgBuf, MgOut] {
   require(capacity > 0, s"Misra-Gries needs capacity > 0, got $capacity")
 
-  override def zero: MgBuf = MgBuf(Map.empty)
+  override def zero: MgBuf =
+    new MgBuf(new java.util.HashMap[String, java.lang.Long](capacity * 2))
 
   override def reduce(b: MgBuf, term: String): MgBuf = {
-    if (term == null) b
-    else b.counts.get(term) match {
-      case Some(c) => MgBuf(b.counts.updated(term, c + 1))
-      case None if b.counts.size < capacity => MgBuf(b.counts.updated(term, 1L))
-      case None =>
-        // full and unseen: decrement every counter (the arriving item's
-        // implicit counter hits 0 and is discarded with the rest)
-        MgBuf(b.counts.collect { case (t, c) if c > 1 => t -> (c - 1) })
+    if (term == null) return b
+    val m = b.m
+    val c = m.get(term)
+    if (c != null) m.put(term, c + 1L)
+    else if (m.size < capacity) m.put(term, 1L)
+    else {
+      // full and unseen: decrement every counter in place (the arriving
+      // item's implicit counter hits 0 and is discarded with the rest)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.longValue()
+        if (v > 1L) e.setValue(v - 1L) else it.remove()
+      }
     }
+    b
   }
 
   override def merge(b1: MgBuf, b2: MgBuf): MgBuf = {
-    val combined = b2.counts.foldLeft(b1.counts) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
+    val m = b1.m
+    b2.m.forEach { (t: String, c: java.lang.Long) =>
+      val prev = m.get(t)
+      m.put(t, if (prev == null) c else java.lang.Long.valueOf(prev + c))
     }
-    if (combined.size <= capacity) MgBuf(combined)
-    else {
+    if (m.size > capacity) {
       // subtract the (capacity+1)-th largest count from everything and
       // drop the non-positive — the PODS'12 rule that keeps the n/(k+1)
       // error bound additive across merges
-      val cut = combined.valuesIterator.toArray.sortBy(-_).apply(capacity)
-      MgBuf(combined.collect { case (t, c) if c > cut => t -> (c - cut) })
+      val vals = new Array[Long](m.size)
+      var i = 0
+      val vit = m.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next().longValue(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - capacity - 1)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.longValue()
+        if (v > cut) e.setValue(v - cut) else it.remove()
+      }
     }
+    b1
   }
 
   override def finish(b: MgBuf): MgOut =
     MgOut(b.counts.toList.map { case (t, c) => MgEntry(t, c) }
       .sortBy(e => (-e.cnt, e.term)))
 
-  override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+  // Kryo, not product: the buffer is a mutable object graph that only
+  // crosses the wire at partial-aggregate boundaries (≤capacity entries)
+  override def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
   override def outputEncoder: Encoder[MgOut] = Encoders.product[MgOut]
 }

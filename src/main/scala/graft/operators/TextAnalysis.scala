@@ -80,7 +80,15 @@ object TextAnalysis {
     val n = pass1.getLong(0)
     val cands = pass1.getSeq[String](1)
     if (cands.isEmpty) return toks.select(col("term"), lit(0L).as("cnt")).limit(0)
-    toks.where(col("term").isin(cands: _*))
+    // Broadcast SEMI-JOIN on the candidate set, not isin(cands): an IN
+    // list inlines every candidate into the plan as a literal — fine at
+    // capacity 50, quadratic plan-compile bloat at 10⁴ — while a
+    // broadcast hash semi keeps the plan O(1) and the probe codegen'd
+    // whatever the capacity.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candDf = spark.createDataset(cands.toSeq).toDF("term")
+    toks.join(broadcast(candDf), Seq("term"), "left_semi")
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > lit(n) / lit(capacity + 1.0))

@@ -68,6 +68,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate filter is a broadcast semi-join, plan-stable at capacity 10^4") {
+    // isin(cands) inlines one literal per candidate — plan bloat that
+    // grows with capacity; the semi-join keeps the plan O(1). Exercised
+    // at the capacity tier where the difference matters.
+    val docs = (1 to 2000).map(i => s"w${i % 500}").toDF("text")
+    val q = TextAnalysis.heavyHitters(docs, col("text"), 10000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi-join, plan:\n${plan.take(2000)}")
+    assert(!plan.contains(" IN ("), "no inlined candidate literal list")
+    // capacity >= vocabulary: sketch is exact, so every term survives
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 500 && got.values.forall(_ == 4L))
+  }
+
   test("capacity >= distinct terms degenerates to exact counting in the sketch") {
     val data = Seq("a", "b", "a", "c", "a", "b")
     val mg = udaf(new MisraGries(10), Encoders.STRING)
