@@ -104,6 +104,16 @@ object ColfTools {
         graceMinutes.toLong * 60 * 1000)
       println(s"vacuumed $dir: $files unreferenced data files, $vers old versions removed")
 
+    case Array("merge", target, updates, keys) =>
+      val (ins, repl) = merge(spark, target, updates,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      println(s"merged $updates into $target: $repl rows replaced, $ins inserted")
+
+    case Array("merge", target, updates, keys, fmt) =>
+      val (ins, repl) = merge(spark, target, updates,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, fmt)
+      println(s"merged $updates into $target: $repl rows replaced, $ins inserted")
+
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
@@ -128,8 +138,83 @@ object ColfTools {
            |  vacuum        <dir> [graceMinutes]
            |  enable_versioning <dir>
            |  versions      <dir>
-           |  vacuum_versions <dir> [retainLast [graceMinutes]]""".stripMargin)
+           |  vacuum_versions <dir> [retainLast [graceMinutes]]
+           |  merge         <target_dir> <updates_path> <key1,key2,...> [updates_format=colf]""".stripMargin)
       sys.exit(2)
+  }
+
+  /** MERGE/upsert without Scala: same-key update rows replace target
+    * rows, new keys insert — [[graft.operators.Upsert]] reachable from
+    * the CLI (and from SQL users via `spark-submit --class ...ColfTools
+    * merge`). Returns (inserted, replaced) row counts.
+    *
+    * On a PARTITIONED target this is the partition-scoped restatement
+    * primitive: only partitions PRESENT IN THE UPDATES are rewritten —
+    * the merged rows of touched partitions go through dynamic partition
+    * overwrite, and the other partitions' files are never read, moved,
+    * or rewritten (at 100 TB, "re-merge one day" must not touch the
+    * other 99%). Constraint, standard for partition-scoped MERGE: a
+    * key's partition values must not change across the merge (put the
+    * partition columns in the key, or keep them stable) — a key that
+    * "moved" partitions would leave its old row behind in an untouched
+    * partition.
+    *
+    * On an unpartitioned target the whole table is restated through the
+    * writer's crash-safe overwrite (old files are retained until commit
+    * by the deferred truncate — and forever, under versioning — so the
+    * self-read-then-overwrite is safe).
+    */
+  def merge(spark: SparkSession, targetDir: String, updatesPath: String,
+      keys: Seq[String], updatesFormat: String = "colf"): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "colf merge: need at least one key column")
+    val target = spark.read.format("colf").load(targetDir)
+    val raw = updatesFormat match {
+      case "csv"  => spark.read.option("header", "true").csv(updatesPath)
+      case other  => spark.read.format(other).load(updatesPath)
+    }
+    raw.columns.toSeq.foreach { c =>
+      require(target.columns.contains(c),
+        s"colf merge: update column '$c' not in target schema ${target.columns.mkString(", ")}")
+    }
+    // align updates to the target's column order and types
+    val updates = raw.select(target.schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val nUpdates = updates.count()
+    val replaced = updates.join(target, keys, "left_semi").count()
+
+    val partCols = ColfPartitions.partitionCols(
+      ColfUtil.resolveFileRefs(Seq(targetDir), ColfUtil.driverHadoopConf()))
+    if (partCols.isEmpty) {
+      val merged = graft.operators.Upsert(target, updates, keys)
+      merged.write.format("colf").mode("overwrite").save(targetDir)
+    } else {
+      // merge ONLY within the touched partitions; dynamic overwrite
+      // then replaces exactly those
+      val touched = updates.select(partCols.map(col): _*).distinct()
+      val targetTouched = target.join(broadcast(touched), partCols.toSeq, "left_semi")
+      val merged = graft.operators.Upsert(targetTouched, updates, keys)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val tbl = s"colf_merge_$tag"
+      val view = s"colf_merge_src_$tag"
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.sql(s"CREATE TABLE $tbl USING colf OPTIONS (path '$targetDir', " +
+          s"partitionBy '${partCols.mkString(",")}')")
+        merged.createOrReplaceTempView(view)
+        val order = spark.table(tbl).columns.map(c => s"`$c`").mkString(", ")
+        spark.sql(s"INSERT OVERWRITE TABLE $tbl SELECT $order FROM $view")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.catalog.dropTempView(view)
+      }
+    }
+    (nUpdates - replaced, replaced)
   }
 
   private def csvQuote(s: String): String =

@@ -136,6 +136,50 @@ class ColfToolsSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).count() == 4000)
   }
 
+  test("merge restates ONLY the touched partitions; untouched files never move") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_merge").toString
+    val upd = Files.createTempDirectory("tools_merge_upd").toString + "/u.parquet"
+    Seq((1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "b"))
+      .toDF("k", "v", "p")
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    def filesOf(part: String): Map[String, Long] = {
+      val d = new java.io.File(dir, s"p=$part")
+      d.listFiles().filter(f => f.getName.endsWith(".colf"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = filesOf("b")
+    // updates touch partition a only: replace k=1, insert k=9
+    Seq((1, 11.0, "a"), (9, 99.0, "a")).toDF("k", "v", "p")
+      .write.mode("overwrite").parquet(upd)
+    val (ins, repl) = ColfTools.merge(spark, dir, upd, Seq("k"), "parquet")
+    assert((ins, repl) == (1L, 1L))
+    val got = spark.read.format("colf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((1, 11.0, "a"), (2, 20.0, "a"), (9, 99.0, "a"),
+      (3, 30.0, "b"), (4, 40.0, "b")))
+    // the restatement wrote partition a only — b's files are bytewise
+    // untouched (same names, same mtimes)
+    assert(filesOf("b") == bBefore, "untouched partition must not be rewritten")
+  }
+
+  test("merge on an unpartitioned table restates in place (self-read overwrite)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_merge_flat").toString
+    val upd = Files.createTempDirectory("tools_merge_flat_upd").toString + "/u.parquet"
+    (1 to 100).map(i => (i, i.toDouble)).toDF("k", "v")
+      .write.format("colf").mode("overwrite").save(dir)
+    Seq((7, -7.0), (101, 101.0)).toDF("k", "v").write.mode("overwrite").parquet(upd)
+    val (ins, repl) = ColfTools.merge(spark, dir, upd, Seq("k"), "parquet")
+    assert((ins, repl) == (1L, 1L))
+    val back = spark.read.format("colf").load(dir)
+    assert(back.count() == 101)
+    assert(back.where($"k" === 7).select("v").as[Double].head() == -7.0)
+    assert(back.where($"k" === 101).count() == 1)
+    // unknown update column and empty keys fail loudly
+    intercept[IllegalArgumentException] { ColfTools.merge(spark, dir, upd, Seq.empty, "parquet") }
+  }
+
   test("custom_to_csv emits a header-only file for a zero-row table") {
     import spark.implicits._
     val colfDir = Files.createTempDirectory("tools_empty").toString
