@@ -160,9 +160,12 @@ object Dedup {
     * (`transform`/`array_min` per signature) is CodegenFallback and paid
     * ~10× in interpreted lambda dispatch at k=64 — ~100M expression evals
     * per 5k docs. A custom codegen Expression is the next escalation if
-    * the UDF row boundary ever dominates; measured at sf0.1 (round 3) it
-    * does not — signatures are 0.6 s of the ~6.8 s cold pipeline, the
-    * rest being the banding/verification/expansion join stages.
+    * the UDF row boundary ever dominates; measured twice it does not —
+    * sf0.1 (round 3): 0.6 s of the ~6.8 s cold pipeline; 10×-sf0.1, 50k
+    * docs, warm (round 6): 0.27 s of 7.94 s = 3.4%. The pipeline is
+    * join-stage-bound (banding/verification/expansion), so the
+    * escalation stays declared-but-unjustified until a profile says
+    * otherwise.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, p: MinHashParams): DataFrame = {
     val k = p.numHashes
