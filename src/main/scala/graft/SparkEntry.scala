@@ -625,6 +625,39 @@ object SparkEntry {
           min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
     }),
 
+    "q_colf_merge_sql" -> ((s, dir) => {
+      // Pure-SQL MERGE INTO through the row-level (copy-on-write) path:
+      // updates double the balances of even BUILDING keys (matched) and
+      // insert re-keyed odd BUILDING rows (not matched). Runtime group
+      // filtering on _file rewrites only files holding matched rows; the
+      // oracle recomputes the merge relationally.
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_merge_sql")
+      rmDir(out)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      cust.write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(out)
+      val bldg = cust.where(col("c_mktsegment") === "BUILDING")
+      bldg.where(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(bldg.where(col("c_custkey") % 2 === 1)
+          .select((col("c_custkey") + 300000).cast("int").as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+        .createOrReplaceTempView("graft_merge_sql_src")
+      s.sql(
+        s"""MERGE INTO colf_cat.`$out` t USING graft_merge_sql_src s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.read.format("colf").load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"),
+          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+    }),
+
     "q_colf_delete" -> ((s, dir) => {
       // SQL DELETE FROM at file granularity: the predicate is provably
       // constant per partition directory, so whole partitions vanish with
@@ -1542,6 +1575,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT c_mktsegment, c_acctbal * 2, CAST(c_custkey + 100000 AS INTEGER)
         |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) GROUP BY c_mktsegment""".stripMargin,
+
+    "q_colf_merge_sql" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | min(ck) AS min_ck, max(ck) AS max_ck
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey AS INTEGER) AS ck
+        |  FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING' OR c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal * 2, CAST(c_custkey AS INTEGER)
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey + 300000 AS INTEGER)
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 1
         |) GROUP BY c_mktsegment""".stripMargin,
 
     "q_colf_merge" ->

@@ -115,6 +115,16 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 private[colf] object ColfUtil {
   private val mapper = new ObjectMapper()
 
+  /** Metadata column: the absolute path of the `.colf` file a row was
+    * read from. Exposed via `SupportsMetadataColumns` (SELECT `_file`
+    * FROM t works for provenance/debugging), filled as a per-file
+    * constant by the readers, and — decisively — the GROUP identity for
+    * row-level operations: Spark's runtime group filtering hands the
+    * scan `In(_file, <files containing matching rows>)` and pruning
+    * becomes exact file selection.
+    */
+  val FileMetaCol = "_file"
+
   /** The session's Hadoop conf (so `spark.hadoop.*` — S3A credentials,
     * endpoints, timeouts — reach every COLF filesystem call), falling
     * back to defaults only when no session is active (bare unit tests).
@@ -336,7 +346,40 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     mergeSchema: Boolean = false, versionAsOf: Option[Long] = None,
     changesSince: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `SELECT _file, * FROM t`: per-row provenance, and the group identity
+    * the row-level operations filter on (see [[ColfUtil.FileMetaCol]]).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ColfUtil.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "path of the .colf file this row was read from"
+    })
+
+  /** SQL MERGE INTO / UPDATE / data-predicate DELETE: the group-based
+    * copy-on-write path ([[ColfRowLevelOperation]]). Partition-provable
+    * DELETEs still take the metadata-only route below — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable asks [[canDeleteWhere]] first
+    * and only falls back to the rewrite when file-level deletion can't
+    * answer exactly.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        require(versionAsOf.isEmpty && changesSince.isEmpty,
+          "colf: DML on a snapshot-pinned read is not meaningful — " +
+            "MERGE/UPDATE/DELETE target the latest table state")
+        new ColfRowLevelOperation(paths, schema, layoutPartitionCols, info)
+      }
+    }
 
   override def name(): String = s"colf:${paths.mkString(",")}"
 
@@ -899,8 +942,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     if (runtimeFilters.isEmpty) base
     else {
       val fs = runtimeFilters.toSeq
+      // `_file` joins the exactly-evaluable values (row-level group
+      // filters arrive as In(_file, ...)): a file survives iff its own
+      // path may match — exact file selection, zero I/O.
       val partKept = base.filter { r =>
-        r.partValues.isEmpty || fs.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
+        val vals = typedPartValues(r) + (ColfUtil.FileMetaCol -> r.path)
+        fs.forall(ColfPartitions.mayMatch(vals, _))
       }
       val headers = ColfHeaderCache.getAll(partKept, conf)
       partKept.lazyZip(headers).collect {
@@ -908,7 +955,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       }.toSeq
     }
 
-  private def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
+  protected def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
 
   /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]]. */
   override def planInputPartitions(): Array[InputPartition] = ColfUtil.binPack(plannedRefs)
@@ -1019,12 +1066,15 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
   * `emit(i)` says where required field i comes from: Left(dataIdx) reads
   * the decoded column, Right(value) is the file-constant.
   */
-private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, String]) {
-  val dataRequired: StructType = StructType(required.fields.filterNot(f => raw.contains(f.name)))
+private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, String],
+    file: String) {
+  val dataRequired: StructType = StructType(required.fields.filterNot(f =>
+    raw.contains(f.name) || f.name == ColfUtil.FileMetaCol))
   val emit: IndexedSeq[Either[Int, Any]] = {
     var d = -1
     required.fields.toIndexedSeq.map { f =>
-      if (raw.contains(f.name))
+      if (f.name == ColfUtil.FileMetaCol) Right(file) // metadata: source file path
+      else if (raw.contains(f.name))
         Right(try ColfPartitions.typedValue(raw(f.name), ColfUtil.colfType(f.dataType))
         catch {
           case e: Exception => throw new java.io.IOException(
@@ -1138,7 +1188,7 @@ class ColfPartitionReader(part: ColfInputPartition, required: StructType,
       if (dec != null) { dec.close(); dec = null }
       fileIdx += 1
       if (fileIdx >= files.length) return false
-      plan = new ColfFilePlan(required, part.valuesFor(fileIdx))
+      plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx))
       constants = plan.emit.map {
         case Right(v: String) => UTF8String.fromString(v): Any
         case Right(v)         => v
@@ -1260,7 +1310,7 @@ class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    val plan = new ColfFilePlan(required, part.valuesFor(fileIdx))
+    val plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx))
     dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
     val vectors = plan.emit.zipWithIndex.map {
       case (Left(d), _)  => new ColfColumnVector(dec.cols(d)): ColumnVector

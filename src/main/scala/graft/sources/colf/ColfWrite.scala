@@ -172,7 +172,8 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     sortBy: Seq[String] = Seq.empty, targetPartitionBytes: Long = 0L, numFiles: Int = 0,
     partitionBy: Seq[String] = Seq.empty, overwriteFilters: Seq[Filter] = Seq.empty,
     dynamicOverwrite: Boolean = false, manifestOpt: Boolean = false,
-    skipManifest: Boolean = false)
+    skipManifest: Boolean = false,
+    replaceScannedFn: () => Seq[ColfFileRef] = null)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -294,7 +295,23 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
     }
+    // Row-level (group-based) replacement: the files the operation's OWN
+    // scan planned are the replaced groups — the write's output rows ARE
+    // those files' surviving rows, so replaced must equal scanned exactly
+    // (replace more and untouched rows vanish; replace less and replaced
+    // rows resurrect). A commit whose scan never planned fails loudly
+    // rather than guessing.
+    rowLevelReplaced = Option(replaceScannedFn).map { fn =>
+      val scanned = fn()
+      if (scanned == null)
+        throw new IllegalStateException(
+          "colf: row-level write committed before its scan planned — " +
+            "cannot determine the replaced file groups")
+      scanned.map(r => fs.makeQualified(new Path(r.path))).toSet
+    }
     val versioned = manifestOpt || ColfVersions.enabled(fs, dirPath)
+    rowLevelReplacedRel =
+      rowLevelReplaced.map(_.map(p => ColfVersions.relativize(fs, dirPath, p)))
     if (versioned && !skipManifest) {
       val rootAbs = fs.makeQualified(dirPath).toUri.getPath.stripSuffix("/")
       touchedRelDirs = pairs.map { case (_, fin) =>
@@ -322,7 +339,8 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
         buildEntries(basis.map(_._2).getOrElse(
           ColfVersions.listDataFiles(fs, dirPath)
             .filterNot(e => newNames.contains(e.relPath.split('/').last)))))
-    } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty) && fs.exists(dirPath)) {
+    } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty ||
+        rowLevelReplaced.isDefined) && fs.exists(dirPath)) {
       // 2) Deferred deletes LAST (unversioned tables): a crash anywhere
       //    above leaves old data fully intact (plus invisible temps / some
       //    new files) — a superset, never a partial table. Deletes are
@@ -340,7 +358,10 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
           !committed.contains(n)
       }
       val stale =
-        if (truncate) old
+        if (rowLevelReplaced.isDefined) {
+          val replaced = rowLevelReplaced.get
+          old.filter(p => replaced.contains(fs.makeQualified(p)))
+        } else if (truncate) old
         else if (dynamicOverwrite) {
           val touchedDirs = pairs.map { case (_, fin) => new Path(fin).getParent.toString }.toSet
           old.filter(p => touchedDirs.contains(p.getParent.toString))
@@ -359,6 +380,11 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     * manifest-mode analogue of the unversioned deferred-delete scope)?
     */
   private def isReplaced(root: Path, e: ColfVersions.Entry): Boolean = {
+    // row-level replacement: exactly the scanned groups, nothing else
+    rowLevelReplacedRel match {
+      case Some(rel) => return rel.contains(e.relPath)
+      case None      => ()
+    }
     if (truncate) return true
     if (!dynamicOverwrite && overwriteFilters.isEmpty) return false
     val relDir = e.relPath.split('/').dropRight(1).mkString("/")
@@ -371,6 +397,13 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
 
   /** This commit's target partition dirs, relative to the table root. */
   private var touchedRelDirs: Set[String] = Set.empty
+
+  /** Row-level mode: the scanned (= replaced) files, absolute + relative.
+    * None = not a row-level write; Some(empty) = a row-level op whose
+    * scan planned nothing (nothing replaced, new rows appended).
+    */
+  private var rowLevelReplaced: Option[Set[Path]] = None
+  private var rowLevelReplacedRel: Option[Set[String]] = None
 
   /** Typed partition values from a manifest entry's relative path. */
   private def typedFromRel(relPath: String): Map[String, Any] =

@@ -210,7 +210,7 @@ class ColfPartitionSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE $table")
   }
 
-  test("DELETE FROM removes exactly the provable partitions; data predicates rejected") {
+  test("DELETE FROM: provable partitions go metadata-only; data predicates copy-on-write") {
     val dir = tmp()
     spark.range(0, 90)
       .select($"id".cast("int").as("k"), ($"id" % 3).cast("int").as("p"))
@@ -226,10 +226,16 @@ class ColfPartitionSpec extends AnyFunSuite {
       // range shapes are exactly decidable on partition values too
       spark.sql(s"DELETE FROM $table WHERE p > 1")
       assert(spark.table(table).select("p").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
-      // a data-column predicate cannot delete at file granularity: loud error
-      val e = intercept[Exception] { spark.sql(s"DELETE FROM $table WHERE k = 5") }
-      assert(e.getMessage != null)
-      assert(spark.table(table).count() == 30) // nothing was deleted
+      // a data-column predicate can't delete at file granularity, so it
+      // takes the row-level COPY-ON-WRITE path (since round 6): exactly
+      // the file(s) holding the row are rewritten without it. Only p=0
+      // remains here (k ≡ 0 mod 3), so target k=6.
+      spark.sql(s"DELETE FROM $table WHERE k = 6")
+      assert(spark.table(table).count() == 29)
+      assert(spark.table(table).where($"k" === 6).count() == 0)
+      // ...and a no-match data predicate deletes nothing, touches nothing
+      spark.sql(s"DELETE FROM $table WHERE k = 5") // k=5 was in p=2, long gone
+      assert(spark.table(table).count() == 29)
     } finally spark.sql(s"DROP TABLE $table")
   }
 
