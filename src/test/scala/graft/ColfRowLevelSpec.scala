@@ -126,6 +126,44 @@ class ColfRowLevelSpec extends AnyFunSuite {
     assert(graft.sources.colf.ColfVersions.listVersions(fs, root) == Seq(1L, 2L, 3L))
   }
 
+  test("UPDATE that changes a partition value moves the row across directories") {
+    // The copy-on-write path handles partition MOVES correctly (unlike
+    // partition-scoped restatement, which must forbid them): the
+    // replacement write re-partitions by the layout columns, so an
+    // updated row lands in its NEW k=v directory while its old file is
+    // replaced without it.
+    registerCatalog()
+    val dir = tmp()
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "p")
+      .write.format("colf").option("partitionBy", "p").mode("append").save(dir)
+    spark.sql(s"UPDATE colf_rl.`$dir` SET p = 'b' WHERE k = 2")
+    val t = spark.read.format("colf").load(dir)
+    assert(t.where($"p" === "a").select("k").as[Int].collect().toSet == Set(1))
+    assert(t.where($"p" === "b").select("k").as[Int].collect().toSet == Set(2, 3))
+    // the row physically lives under p=b now (not a read-time illusion)
+    val bFiles = spark.sql(s"SELECT DISTINCT _file FROM colf_rl.`$dir` WHERE k = 2")
+      .as[String].head()
+    assert(bFiles.contains("p=b/"), s"row must live under p=b, got $bFiles")
+  }
+
+  test("MERGE INTO a session-catalog DDL table (not the path catalog)") {
+    val dir = tmp()
+    Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
+      .write.format("colf").mode("append").save(dir)
+    val table = s"colf_rl_ddl_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $table USING colf OPTIONS (path '$dir')")
+    try {
+      Seq((2, 22.0), (3, 33.0)).toDF("k", "v").createOrReplaceTempView("rl_ddl_src")
+      spark.sql(
+        s"""MERGE INTO $table t USING rl_ddl_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table(table).collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == Set((1, 10.0), (2, 22.0), (3, 33.0)))
+    } finally spark.sql(s"DROP TABLE $table")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the unreferenced rows") {
     registerCatalog()
     val dir = tmp()
