@@ -352,9 +352,14 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   /** `SELECT _file, * FROM t`: per-row provenance, and the group identity
     * the row-level operations filter on (see [[ColfUtil.FileMetaCol]]).
+    * Suppressed entirely when the table has a DATA column of the same
+    * name (then `_file` means the data, and row-level DML — which needs
+    * the metadata column — fails at analysis instead of mis-grouping).
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+    if (schema.fieldNames.contains(ColfUtil.FileMetaCol))
+      Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = ColfUtil.FileMetaCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType
@@ -377,6 +382,13 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
         require(versionAsOf.isEmpty && changesSince.isEmpty,
           "colf: DML on a snapshot-pinned read is not meaningful — " +
             "MERGE/UPDATE/DELETE target the latest table state")
+        // without the metadata column, `_file` would resolve to the DATA
+        // column and group filtering would prune on document values as
+        // if they were file paths — a silent no-op. Refuse instead.
+        require(!schema.fieldNames.contains(ColfUtil.FileMetaCol),
+          s"colf: row-level DML requires the ${ColfUtil.FileMetaCol} metadata " +
+            s"column, but this table has a DATA column named ${ColfUtil.FileMetaCol} — " +
+            "rename it (or use ColfTools merge / overwrite paths)")
         new ColfRowLevelOperation(paths, schema, layoutPartitionCols, info)
       }
     }
@@ -944,9 +956,15 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       val fs = runtimeFilters.toSeq
       // `_file` joins the exactly-evaluable values (row-level group
       // filters arrive as In(_file, ...)): a file survives iff its own
-      // path may match — exact file selection, zero I/O.
+      // path may match — exact file selection, zero I/O. Only when the
+      // name really is the metadata column: a DATA column called _file
+      // must not be "evaluated" against file paths (that would prune on
+      // garbage).
+      val fileIsMeta = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol)
       val partKept = base.filter { r =>
-        val vals = typedPartValues(r) + (ColfUtil.FileMetaCol -> r.path)
+        val vals =
+          if (fileIsMeta) typedPartValues(r) + (ColfUtil.FileMetaCol -> r.path)
+          else typedPartValues(r)
         fs.forall(ColfPartitions.mayMatch(vals, _))
       }
       val headers = ColfHeaderCache.getAll(partKept, conf)
@@ -980,7 +998,11 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))
+    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf),
+      // a DATA column literally named `_file` (legal in CSV-converted
+      // inputs) must win over the metadata constant — the table also
+      // stops advertising the metadata column in that case
+      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol))
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ColfFilesListedMetric, new ColfFilesPlannedMetric)
@@ -1042,11 +1064,12 @@ case class ColfInputPartition(files: Seq[String],
 }
 
 class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false,
-    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
+    fileMetaEnabled: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition], required,
-      missingAsNull, conf)
+      missingAsNull, conf, fileMetaEnabled)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
     * exposing them as one zero-copy ColumnarBatch per file lets Spark's
@@ -1058,7 +1081,7 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition], required,
-      missingAsNull, conf)
+      missingAsNull, conf, fileMetaEnabled)
 }
 
 /** Per-file split of the required schema into decoder-read data columns
@@ -1067,13 +1090,14 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
   * the decoded column, Right(value) is the file-constant.
   */
 private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, String],
-    file: String) {
+    file: String, fileMetaEnabled: Boolean = true) {
   val dataRequired: StructType = StructType(required.fields.filterNot(f =>
-    raw.contains(f.name) || f.name == ColfUtil.FileMetaCol))
+    raw.contains(f.name) || (fileMetaEnabled && f.name == ColfUtil.FileMetaCol)))
   val emit: IndexedSeq[Either[Int, Any]] = {
     var d = -1
     required.fields.toIndexedSeq.map { f =>
-      if (f.name == ColfUtil.FileMetaCol) Right(file) // metadata: source file path
+      if (fileMetaEnabled && f.name == ColfUtil.FileMetaCol)
+        Right(file) // metadata: source file path
       else if (raw.contains(f.name))
         Right(try ColfPartitions.typedValue(raw(f.name), ColfUtil.colfType(f.dataType))
         catch {
@@ -1169,7 +1193,8 @@ private[colf] class ColfFileDecoder(file: String, required: StructType,
   */
 class ColfPartitionReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
-    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
+    fileMetaEnabled: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -1188,7 +1213,8 @@ class ColfPartitionReader(part: ColfInputPartition, required: StructType,
       if (dec != null) { dec.close(); dec = null }
       fileIdx += 1
       if (fileIdx >= files.length) return false
-      plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx))
+      plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx),
+        fileMetaEnabled)
       constants = plan.emit.map {
         case Right(v: String) => UTF8String.fromString(v): Any
         case Right(v)         => v
@@ -1297,7 +1323,8 @@ private[colf] class ColfConstantVector(dt: org.apache.spark.sql.types.DataType, 
   */
 class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
-    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()))
+    conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
+    fileMetaEnabled: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -1310,7 +1337,8 @@ class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     if (dec != null) { batch.close(); dec.close(); dec = null; batch = null }
     fileIdx += 1
     if (fileIdx >= files.length) return false
-    val plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx))
+    val plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx),
+      fileMetaEnabled)
     dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
     val vectors = plan.emit.zipWithIndex.map {
       case (Left(d), _)  => new ColfColumnVector(dec.cols(d)): ColumnVector

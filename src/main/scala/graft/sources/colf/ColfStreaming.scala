@@ -191,7 +191,8 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf))
+    new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf),
+      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol))
 
   override def commit(end: Offset): Unit = () // nothing to clean up
   override def stop(): Unit = ()

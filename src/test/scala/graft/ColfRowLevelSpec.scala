@@ -164,6 +164,30 @@ class ColfRowLevelSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE $table")
   }
 
+  test("a DATA column named _file wins over the metadata constant") {
+    registerCatalog()
+    val dir = tmp()
+    // legal via CSV conversion: a real column called _file
+    Seq((1, "origA"), (2, "origB")).toDF("k", "_file")
+      .write.format("colf").mode("append").save(dir)
+    val t = spark.read.format("colf").load(dir)
+    // the DATA values come back, not file paths
+    assert(t.select("_file").as[String].collect().toSet == Set("origA", "origB"))
+    assert(spark.sql(s"SELECT _file FROM colf_rl.`$dir` ORDER BY _file")
+      .as[String].collect().toSeq == Seq("origA", "origB"))
+    // row-level DML needs the metadata column, which is suppressed here:
+    // fail at analysis instead of silently mis-grouping files
+    Seq((1, "x")).toDF("k", "_file").createOrReplaceTempView("rl_conflict_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO colf_rl.`$dir` t USING rl_conflict_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage != null)
+    // and the table is untouched
+    assert(spark.read.format("colf").load(dir).count() == 2)
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the unreferenced rows") {
     registerCatalog()
     val dir = tmp()
