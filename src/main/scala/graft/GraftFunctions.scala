@@ -59,16 +59,74 @@ object GraftFunctions {
         lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)))
   }
 
-  def register(spark: SparkSession): Unit =
+  // ------------------------------------------- table-valued functions
+  //
+  // SQL reachability for the versioned-table read modes that otherwise
+  // need DataFrame options: `SELECT * FROM colf_changes('/t', 2)` is the
+  // incremental-recompute primitive ("files added since version 2") and
+  // `colf_snapshot('/t', 2)` a function-position alternative to the
+  // catalog's VERSION AS OF. Arguments must be literals — a TVF resolves
+  // at analysis time, before any row exists to evaluate against.
+
+  private def litString(fn: String, e: Expression, pos: Int): String = {
+    require(e.foldable, s"$fn: argument $pos must be a literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: argument $pos must not be null")
+    v.toString
+  }
+
+  private def litLong(fn: String, e: Expression, pos: Int): Long = {
+    val s = litString(fn, e, pos)
+    scala.util.Try(s.toLong).getOrElse(
+      throw new IllegalArgumentException(s"$fn: argument $pos must be a version number, got '$s'"))
+  }
+
+  private def colfRelation(path: String,
+      extra: Map[String, String]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", path)
+    extra.foreach { case (k, v) => opts.put(k, v) }
+    val cis = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val provider = new graft.sources.colf.ColfDataSource()
+    GraftSqlBridge.v2Relation(
+      provider.getTable(provider.inferSchema(cis), Array.empty, opts), cis)
+  }
+
+  private[graft] val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("colf_snapshot"),
+      new ExpressionInfo("graft.GraftFunctions", "colf_snapshot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "colf_snapshot(path, version) takes 2 arguments")
+        colfRelation(litString("colf_snapshot", children.head, 1),
+          Map("versionAsOf" -> litLong("colf_snapshot", children(1), 2).toString))
+      }),
+    (FunctionIdentifier("colf_changes"),
+      new ExpressionInfo("graft.GraftFunctions", "colf_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "colf_changes(path, sinceVersion) takes 2 arguments")
+        colfRelation(litString("colf_changes", children.head, 1),
+          Map("changesSinceVersion" -> litLong("colf_changes", children(1), 2).toString))
+      }))
+
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, info, builder) =>
       GraftSqlBridge.registerFunction(spark, ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      GraftSqlBridge.registerTableFunction(spark, ident, info, builder)
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    GraftFunctions.tableFunctions.foreach { case (ident, info, builder) =>
+      ext.injectTableFunction((ident, info, builder))
+    }
+  }
 }

@@ -39,4 +39,23 @@ object GraftSqlBridge {
       builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(ident, info, builder)
+
+  /** Register a TABLE-VALUED function on an existing session (same
+    * `private[sql]` story as [[registerFunction]], against the
+    * TableFunctionRegistry — `SELECT * FROM fn(args)`).
+    */
+  def registerTableFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
+
+  /** A DSv2 relation over an already-built connector [[org.apache.spark.sql.connector.catalog.Table]] —
+    * the logical plan a table-valued function returns.
+    */
+  def v2Relation(table: org.apache.spark.sql.connector.catalog.Table,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation.create(
+      table, None, None, options)
 }

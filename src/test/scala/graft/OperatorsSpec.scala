@@ -787,6 +787,29 @@ class OperatorsSpec extends AnyFunSuite {
       spark.range(1).select(TextAnalysis.fingerprint(lit("x"))).collect()(0).getLong(0))
     assert(spark.sql("SELECT normalize_dedup('  The, QUICK   fox!! ') AS n")
       .collect()(0).getString(0) == "the quick fox")
+    // table-valued functions: snapshot + incremental reads from pure SQL
+    locally {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("tvf_colf").toString
+      Seq((1, "a")).toDF("k", "v").write.format("colf")
+        .option("manifest", "true").mode("append").save(dir)
+      Seq((2, "b"), (3, "c")).toDF("k", "v").write.format("colf")
+        .mode("append").save(dir)
+      assert(spark.sql(s"SELECT count(*) FROM colf_snapshot('$dir', 1)")
+        .as[Long].head() == 1L)
+      assert(spark.sql(s"SELECT k FROM colf_changes('$dir', 1) ORDER BY k")
+        .as[Int].collect().toSeq == Seq(2, 3))
+      // TVFs compose with ordinary SQL (joins, filters)
+      assert(spark.sql(
+        s"""SELECT c.k FROM colf_changes('$dir', 1) c
+           |JOIN colf_snapshot('$dir', 2) s ON c.k = s.k
+           |WHERE c.k > 2""".stripMargin).as[Int].collect().toSeq == Seq(3))
+      // non-literal / bad args fail at analysis, loudly
+      val bad = intercept[Exception] {
+        spark.sql(s"SELECT * FROM colf_snapshot('$dir', 'notanumber')").collect()
+      }
+      assert(bad.getMessage.contains("version"))
+    }
     // the cluster-wide SparkSessionExtensions entry point is constructible
     // by name (as spark.sql.extensions would) and applies without error
     val ext = Class.forName("graft.GraftExtensions").getDeclaredConstructor().newInstance()
