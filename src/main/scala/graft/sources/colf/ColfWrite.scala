@@ -326,6 +326,25 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       // the pre-commit listing when this write CREATES versioning).
       val newNames = committed
       def buildEntries(prev: Seq[ColfVersions.Entry]): Seq[ColfVersions.Entry] = {
+        // Row-level (copy-on-write) conflict validation, re-run against
+        // every observed basis inside the optimistic claim loop: each
+        // file this commit replaces must still be LIVE. If a concurrent
+        // committer replaced one first, blindly publishing would leave
+        // BOTH replacements visible — every common row duplicated, both
+        // updates half-applied. First committer wins; the loser aborts
+        // loudly (its renamed files are unreferenced by any manifest,
+        // invisible to readers, and vacuumable).
+        rowLevelReplacedRel.foreach { rel =>
+          val live = prev.map(_.relPath).toSet
+          val gone = rel.diff(live)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"colf: row-level commit conflict at $dir — file(s) this " +
+                s"operation read and rewrote were replaced by a concurrent " +
+                s"commit: ${gone.take(5).mkString(", ")}" +
+                (if (gone.size > 5) s" (+${gone.size - 5} more)" else "") +
+                "; re-run the operation against the new table state")
+        }
         val survivors = prev.filterNot { e =>
           val name = e.relPath.split('/').last
           newNames.contains(name) || isReplaced(dirPath, e)
@@ -360,6 +379,19 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       val stale =
         if (rowLevelReplaced.isDefined) {
           val replaced = rowLevelReplaced.get
+          // best-effort conflict check (unversioned tables have no
+          // atomic validation point — versioning is the real guarantee):
+          // every file this op read-and-rewrote must still exist at
+          // delete time, else a concurrent commit already replaced it
+          // and publishing both copies would duplicate rows
+          val present = old.map(fs.makeQualified).toSet
+          val gone = replaced.diff(present)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"colf: row-level commit conflict at $dir — file(s) this " +
+                s"operation read and rewrote no longer exist: " +
+                s"${gone.take(5).mkString(", ")}; enable versioning " +
+                "(option(\"manifest\",\"true\")) for atomic conflict detection")
           old.filter(p => replaced.contains(fs.makeQualified(p)))
         } else if (truncate) old
         else if (dynamicOverwrite) {

@@ -188,6 +188,57 @@ class ColfRowLevelSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).count() == 2)
   }
 
+  test("row-level commit conflict: losing committer aborts instead of duplicating rows") {
+    // Two concurrent copy-on-write commits replacing the SAME file would
+    // each publish a full copy of its rows — every common row duplicated,
+    // both updates half-applied. First committer wins; the loser must
+    // abort inside the manifest claim loop (where the basis is re-read
+    // atomically). Simulated deterministically: a fabricated row-level
+    // commit whose scanned set is a file a REAL merge replaced first.
+    registerCatalog()
+    import graft.sources.colf.{ColfCommitMessage, ColfFileRef, ColfWrite}
+    val dir = tmp()
+    Seq((1, 10.0), (2, 20.0)).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+    val staleRef = ColfFileRef("file:" + f.getAbsolutePath, f.length(), f.lastModified())
+
+    // the real committer replaces that file (MERGE rewrites it)
+    Seq((1, 11.0)).toDF("k", "v").createOrReplaceTempView("rl_conf_src")
+    spark.sql(
+      s"""MERGE INTO colf_rl.`$dir` t USING rl_conf_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+
+    // the straggler, scanned before the merge: its commit must abort
+    val loser = new ColfWrite(dir, spark.read.format("colf").load(dir).schema,
+      "conflict-test-q", false, 1024, 1L << 20, 3,
+      replaceScannedFn = () => Seq(staleRef))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      loser.commit(Array(ColfCommitMessage(Seq.empty)))
+    }
+    assert(e.getMessage.contains("conflict"))
+    // table state is the first committer's, intact
+    val got = spark.read.format("colf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((1, 11.0), (2, 20.0)))
+
+    // unversioned best-effort: replaced file vanished ⇒ loud conflict too
+    val dir2 = tmp()
+    Seq((1, 1.0)).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir2)
+    val f2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.endsWith(".colf") && !f.getName.startsWith(".")).head
+    val ref2 = ColfFileRef("file:" + f2.getAbsolutePath, f2.length(), f2.lastModified())
+    assert(f2.delete())
+    val loser2 = new ColfWrite(dir2, spark.read.format("colf").load(dir).schema,
+      "conflict-test-q2", false, 1024, 1L << 20, 3,
+      replaceScannedFn = () => Seq(ref2))
+    intercept[java.util.ConcurrentModificationException] {
+      loser2.commit(Array(ColfCommitMessage(Seq.empty)))
+    }
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the unreferenced rows") {
     registerCatalog()
     val dir = tmp()
