@@ -107,6 +107,20 @@ object GraftFunctions {
         require(children.length == 2, "colf_changes(path, sinceVersion) takes 2 arguments")
         colfRelation(litString("colf_changes", children.head, 1),
           Map("changesSinceVersion" -> litLong("colf_changes", children(1), 2).toString))
+      }),
+    // observability: per-file layout/stats and the snapshot history as
+    // ordinary relations (planning-cost metadata only, no data blocks)
+    (FunctionIdentifier("colf_files"),
+      new ExpressionInfo("graft.GraftFunctions", "colf_files"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "colf_files(path) takes 1 argument")
+        graft.sources.colf.ColfInfo.filesPlan(litString("colf_files", children.head, 1))
+      }),
+    (FunctionIdentifier("colf_versions"),
+      new ExpressionInfo("graft.GraftFunctions", "colf_versions"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "colf_versions(path) takes 1 argument")
+        graft.sources.colf.ColfInfo.versionsPlan(litString("colf_versions", children.head, 1))
       }))
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,64 @@
+package graft.sources.colf
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Driver-side table observability as LOGICAL PLANS — the bodies of the
+  * `colf_files` / `colf_versions` table-valued functions. Everything here
+  * is metadata a query PLANNER already pays for (listing or manifest +
+  * cached headers): materializing it as rows costs one planning pass, no
+  * data blocks. The result is a LocalRelation, so downstream SQL
+  * (filters, aggregates, joins against these) is ordinary Catalyst.
+  */
+object ColfInfo {
+
+  /** One row per live data file: path, partition dir ('' when flat),
+    * size, mtime, and the header's exact row count — the SQL form of the
+    * `ColfTools stats` CLI and of what file pruning sees.
+    */
+  def filesPlan(path: String): LogicalPlan = {
+    val conf = ColfUtil.driverHadoopConf()
+    val refs = ColfUtil.resolveFileRefs(Seq(path), conf)
+    val headers = ColfHeaderCache.getAll(refs, conf)
+    val rows = refs.lazyZip(headers).map { (r, h) =>
+      val rel = r.partValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+      InternalRow(UTF8String.fromString(r.path), UTF8String.fromString(rel),
+        r.size, r.mtime, h.schema.numRows)
+    }.toSeq
+    LocalRelation(Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("partition", StringType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("mtime", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)()), rows)
+  }
+
+  /** One row per retained snapshot: version, file count, total bytes,
+    * commit time (manifest mtime — written once, never touched again).
+    * Fails loudly on an unversioned table, naming the opt-in.
+    */
+  def versionsPlan(path: String): LogicalPlan = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(ColfUtil.driverHadoopConf())
+    val versions = ColfVersions.listVersions(fs, root)
+    require(versions.nonEmpty,
+      s"colf_versions: $path is not a versioned table " +
+        "(enable with option(\"manifest\", \"true\") on a write)")
+    val rows = versions.map { v =>
+      val entries = ColfVersions.read(fs, root, v)
+      val committedAt = fs.getFileStatus(
+        new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"))
+        .getModificationTime
+      InternalRow(v, entries.length.toLong, entries.map(_.size).sum, committedAt)
+    }
+    LocalRelation(Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("committed_at", LongType, nullable = false)()), rows)
+  }
+}

@@ -809,6 +809,23 @@ class OperatorsSpec extends AnyFunSuite {
         spark.sql(s"SELECT * FROM colf_snapshot('$dir', 'notanumber')").collect()
       }
       assert(bad.getMessage.contains("version"))
+      // observability TVFs: per-file metadata and snapshot history as rows
+      val files = spark.sql(
+        s"SELECT path, num_rows FROM colf_files('$dir') ORDER BY path").collect()
+      assert(files.nonEmpty && files.map(_.getLong(1)).sum == 3L)
+      assert(files.forall(_.getString(0).endsWith(".colf")))
+      val vers = spark.sql(
+        s"""SELECT version, num_files FROM colf_versions('$dir')
+           |ORDER BY version""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(vers.map(_._1).toSeq == Seq(1L, 2L))
+      assert(vers.last._2 > vers.head._2) // the append grew the file set
+      val unversioned = intercept[Exception] {
+        val d2 = java.nio.file.Files.createTempDirectory("tvf_unver").toString
+        Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(d2)
+        spark.sql(s"SELECT * FROM colf_versions('$d2')").collect()
+      }
+      assert(unversioned.getMessage.contains("not a versioned table"))
     }
     // the cluster-wide SparkSessionExtensions entry point is constructible
     // by name (as spark.sql.extensions would) and applies without error
