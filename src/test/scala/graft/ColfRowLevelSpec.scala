@@ -188,6 +188,39 @@ class ColfRowLevelSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).count() == 2)
   }
 
+  test("randomized MERGE equivalence: SQL DML == relational upsert across layouts") {
+    // Deterministic random sweep: varied partition counts, file layouts,
+    // update/insert mixes — the SQL MERGE (group-filtered copy-on-write)
+    // must equal the relational definition (updates win on key, rest
+    // pass through, inserts append) computed independently in memory.
+    registerCatalog()
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 5) {
+      val dir = tmp()
+      val nParts = 1 + rnd.nextInt(4)
+      val n = 50 + rnd.nextInt(150)
+      val base = (0 until n).map(i => (i, rnd.nextDouble(), s"p${i % nParts}"))
+      base.toDF("k", "v", "p").repartition(1 + rnd.nextInt(3))
+        .write.format("colf").option("partitionBy", "p")
+        .option("manifest", trial % 2 == 0).mode("append").save(dir)
+      // updates: a random subset re-valued; inserts: fresh keys
+      val upd = rnd.shuffle(base).take(rnd.nextInt(20))
+        .map { case (k, _, p) => (k, -rnd.nextDouble(), p) }
+      val ins = (0 until rnd.nextInt(10)).map(i => (n + i, 100.0 + i, s"p${rnd.nextInt(nParts)}"))
+      (upd ++ ins).toDF("k", "v", "p").createOrReplaceTempView(s"rl_rand_src_$trial")
+      spark.sql(
+        s"""MERGE INTO colf_rl.`$dir` t USING rl_rand_src_$trial s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.read.format("colf").load(dir)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      val updByKey = upd.map(u => u._1 -> u).toMap
+      val expected = (base.map(b => updByKey.getOrElse(b._1, b)) ++ ins).toSet
+      assert(got == expected, s"trial $trial (nParts=$nParts, n=$n, " +
+        s"upd=${upd.size}, ins=${ins.size}) diverged")
+    }
+  }
+
   test("row-level commit conflict: losing committer aborts instead of duplicating rows") {
     // Two concurrent copy-on-write commits replacing the SAME file would
     // each publish a full copy of its rows — every common row duplicated,
