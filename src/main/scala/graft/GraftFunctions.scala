@@ -121,6 +121,21 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "colf_versions(path) takes 1 argument")
         graft.sources.colf.ColfInfo.versionsPlan(litString("colf_versions", children.head, 1))
+      }),
+    // row-level snapshot diff: rows tagged 'added'/'removed' between
+    // version `from` and `to` (default latest) — CDC between snapshots
+    // from pure SQL, same plan ColfMaintenance.diffVersions builds
+    (FunctionIdentifier("colf_diff"),
+      new ExpressionInfo("graft.GraftFunctions", "colf_diff"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "colf_diff(path, fromVersion[, toVersion]) takes 2 or 3 arguments")
+        val spark = SparkSession.active
+        graft.sources.colf.ColfMaintenance.diffVersions(spark,
+          litString("colf_diff", children.head, 1),
+          litLong("colf_diff", children(1), 2),
+          children.lift(2).map(litLong("colf_diff", _, 3)))
+          .queryExecution.logical
       }))
 
   def register(spark: SparkSession): Unit = {

@@ -826,6 +826,14 @@ class OperatorsSpec extends AnyFunSuite {
         spark.sql(s"SELECT * FROM colf_versions('$d2')").collect()
       }
       assert(unversioned.getMessage.contains("not a versioned table"))
+      // row-level snapshot diff from SQL: v1 {1} → latest {1,2,3} means
+      // rows 2 and 3 tagged 'added', nothing 'removed'
+      val diff = spark.sql(
+        s"""SELECT k, change FROM colf_diff('$dir', 1) ORDER BY k""")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(diff.toSeq == Seq((2, "added"), (3, "added")))
+      // explicit to-version: v1 → v1 is an empty diff
+      assert(spark.sql(s"SELECT * FROM colf_diff('$dir', 1, 1)").count() == 0)
     }
     // the cluster-wide SparkSessionExtensions entry point is constructible
     // by name (as spark.sql.extensions would) and applies without error
