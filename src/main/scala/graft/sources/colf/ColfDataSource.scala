@@ -403,9 +403,21 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   /** Hive-layout partition columns, derived from the directory layout once
     * per table instance (the same listing schema inference already pays).
+    *
+    * Empty-snapshot fallback mirrors [[ColfDataSourceProvider.inferSchema]]
+    * exactly: a versioned table whose latest manifest lists nothing (full
+    * DELETE) still KEEPS its partition layout, read from the retained
+    * on-disk files. Without this, the next DML's write builder saw no
+    * partition columns and wrote flat root-level files with the partition
+    * value in-file — and the first partitioned write after that made the
+    * table unreadable (file column colliding with the partition directory
+    * column). Found by ColfHistoryFuzzProps: DELETE-all → MERGE → append.
     */
-  private lazy val layoutRefs: Seq[ColfFileRef] =
-    ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf(), versionAsOf)
+  private lazy val layoutRefs: Seq[ColfFileRef] = {
+    val live = ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf(), versionAsOf)
+    if (live.nonEmpty) live
+    else ColfUtil.listingFileRefs(paths, ColfUtil.driverHadoopConf())
+  }
 
   private lazy val layoutPartitionCols: Seq[String] =
     ColfPartitions.partitionCols(layoutRefs)

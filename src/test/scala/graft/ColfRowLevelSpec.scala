@@ -272,6 +272,42 @@ class ColfRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("emptied partitioned table keeps its layout: DELETE-all then MERGE then append") {
+    // Found by ColfHistoryFuzzProps: with zero live files the write
+    // builder derived NO partition columns, so a MERGE insert wrote a
+    // flat root file carrying `p` in-file — and the next partitioned
+    // append made the table permanently unreadable (file column `p`
+    // colliding with the `p=…` directory column). Layout must survive
+    // an empty snapshot via the same retained-file fallback the read
+    // schema uses.
+    registerCatalog()
+    val dir = tmp()
+    Seq((0, "a", 0), (1, "b", 3)).toDF("k", "s", "p")
+      .write.format("colf").option("partitionBy", "p")
+      .option("manifest", "true").mode("append").save(dir)
+    spark.sql(s"DELETE FROM colf_rl.`$dir` WHERE k <= 5")
+    assert(spark.read.format("colf").load(dir).count() == 0)
+
+    Seq((6, "y", 1), (7, "z", 3)).toDF("k", "s", "p")
+      .createOrReplaceTempView("rl_empty_src")
+    spark.sql(
+      s"""MERGE INTO colf_rl.`$dir` t USING rl_empty_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the inserts landed in k=v partition directories, not at the root
+    val rootFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".colf"))
+    assert(rootFiles.isEmpty, s"flat root files written: ${rootFiles.mkString(",")}")
+
+    Seq((8, "w", 1)).toDF("k", "s", "p")
+      .write.format("colf").option("partitionBy", "p")
+      .option("manifest", "true").mode("append").save(dir)
+    val got = spark.read.format("colf").load(dir)
+      .select("k", "s", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((6, "y", 1), (7, "z", 3), (8, "w", 1)))
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the unreferenced rows") {
     registerCatalog()
     val dir = tmp()
