@@ -43,7 +43,10 @@ object ColfMaintenance {
   }
 
   /** Rewrite `dir` into ~`targetBytes`-sized part files (compressed size
-    * basis; the writer's own rolling caps still bound each file).
+    * basis; the writer's own rolling caps still bound each file). A
+    * hive-partitioned table compacts per partition directory — the
+    * `k=v` layout is preserved, and `sortBy` re-clusters WITHIN each
+    * partition (name file columns, not partition columns).
     *
     * Do NOT compact a directory a streaming SOURCE is tailing: the
     * compacted files are new names with new mtimes, so a tailing reader
@@ -79,21 +82,37 @@ object ColfMaintenance {
     if (before.lengthCompare(1) <= 0 && sortBy.isEmpty)
       return (before.length, before.length)
 
-    val totalBytes = before.map(_.size).sum
-    val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // mergeSchema: a directory that evolved columns over time compacts to
-    // the UNION schema (older rows null-extended). Without it the first
-    // file's schema would silently drop later-added columns — and the
-    // delete below would make that loss permanent. Type conflicts still
-    // fail loudly before anything is written or deleted.
-    val df = spark.read.format("colf").option("mergeSchema", "true")
-      .load(before.map(_.path): _*)
-    val writer =
-      if (sortBy.nonEmpty)
-        df.write.format("colf")
-          .option("sortBy", sortBy.mkString(","))
-          .option("numFiles", nParts)
-      else df.coalesce(nParts).write.format("colf")
+    // Hive-partitioned tables compact PER PARTITION DIRECTORY: each
+    // group's files are read by explicit path (schema only — partition
+    // values live in the directory name, which is also the write
+    // target), rewritten into that same directory, so the layout
+    // readers partition-prune on is preserved byte-for-byte. This is
+    // also the scale-correct granularity — partition-local I/O, bounded
+    // rewrite working set, and sortBy clusters WITHIN a partition where
+    // stats pruning actually bites. An unpartitioned table is the
+    // single group rooted at `dir`, the previous behavior exactly.
+    val groups = before.groupBy(r => new Path(r.path).getParent.toString)
+    def writeGroups(skipManifest: Boolean): Unit = groups.foreach {
+      case (parent, refs) =>
+        val bytes = refs.map(_.size).sum
+        val nParts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        // mergeSchema: a directory that evolved columns over time
+        // compacts to the UNION schema (older rows null-extended).
+        // Without it the first file's schema would silently drop
+        // later-added columns — and the delete below would make that
+        // loss permanent. Type conflicts fail loudly before anything is
+        // written or deleted.
+        val df = spark.read.format("colf").option("mergeSchema", "true")
+          .load(refs.map(_.path): _*)
+        val w0 =
+          if (sortBy.nonEmpty)
+            df.write.format("colf")
+              .option("sortBy", sortBy.mkString(","))
+              .option("numFiles", nParts)
+          else df.coalesce(nParts).write.format("colf")
+        val w = if (skipManifest) w0.option("__skipManifest", "true") else w0
+        w.mode("append").save(parent)
+    }
 
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -107,7 +126,7 @@ object ColfMaintenance {
       // (duplicates between write commit and the deletes) is GONE — a
       // crash before the manifest append leaves invisible new files only.
       val diskBefore = ColfVersions.listDataFiles(fs, root).map(_.relPath).toSet
-      writer.option("__skipManifest", "true").mode("append").save(dir)
+      writeGroups(skipManifest = true)
       val newEntries = ColfVersions.listDataFiles(fs, root)
         .filterNot(e => diskBefore.contains(e.relPath))
       val beforeRel = before.map(r =>
@@ -122,7 +141,7 @@ object ColfMaintenance {
           newEntries.filterNot(e => prevPaths(e.relPath))
       })
     } else {
-      writer.mode("append").save(dir)
+      writeGroups(skipManifest = false)
       before.foreach { r =>
         if (!fs.delete(new Path(r.path), false))
           throw new java.io.IOException(s"compact: failed to delete ${r.path}")

@@ -55,8 +55,10 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
   private case class DeletePartition(p: Int) extends Op
   private case class DeleteUpTo(frac: Double) extends Op
   private case class DynOverwrite(parts: List[Int], pay: Int) extends Op
+  private case object Compact extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
+    1 -> Gen.const(Compact),
     4 -> (for {
       ps <- Gen.nonEmptyListOf(Gen.choose(0, 3)).map(_.take(6))
       i <- Gen.choose(0, payloads.size - 1)
@@ -159,6 +161,10 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
             val touched = rows.map(_._3).toSet
             model = model.filter { case (_, (_, mp)) => !touched(mp) } ++
               rows.map { case (k, s, p) => k -> (s, p) }
+          case Compact =>
+            // content-neutral: publishes one version (or none when the
+            // table is already a single file) with the model unchanged
+            ColfMaintenance.compact(spark, dir)
         }
         val vCur = latestVersion(dir)
         assert(vCur - vPrev <= 1, s"op $op published ${vCur - vPrev} versions")

@@ -247,6 +247,32 @@ class ColfPartitionSpec extends AnyFunSuite {
         .select($"id".cast("int").as("k"), ($"id" % 2).cast("int").as("p"))
         .write.format("colf").option("partitionBy", "p").mode("append").save(dir)
     assert(spark.read.format("colf").load(dir).count() == 1200)
+    // compact rewrites PER PARTITION DIRECTORY: k=v layout preserved,
+    // contents identical, small-file residue gone (was: unusable on
+    // partitioned tables — the explicit-path read lost the partition
+    // column and the write builder then rejected the schema)
+    val want = spark.read.format("colf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val (nB, nA) = ColfMaintenance.compact(spark, dir)
+    assert(nB == 8 && nA == 2, s"expected 8 -> 2 files, got $nB -> $nA")
+    val rootFlat = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".colf"))
+    assert(rootFlat == 0, "compaction must not write flat root files")
+    val got = spark.read.format("colf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(got == want)
+
+    // versioned + partitioned: one atomic flip, old snapshot intact
+    val dirV = tmp()
+    for (_ <- 0 until 3)
+      spark.range(0, 60)
+        .select($"id".cast("int").as("k"), ($"id" % 2).cast("int").as("p"))
+        .write.format("colf").option("partitionBy", "p")
+        .option("manifest", "true").mode("append").save(dirV)
+    val (vb, va) = ColfMaintenance.compact(spark, dirV)
+    assert(vb == 6 && va == 2, s"expected 6 -> 2 files, got $vb -> $va")
+    assert(spark.read.format("colf").load(dirV).count() == 180)
+    assert(spark.read.format("colf").option("versionAsOf", 1).load(dirV).count() == 60)
     // sortBy within partitions: files ordered by k inside each p=... dir
     val dir2 = tmp()
     spark.range(0, 1000)
