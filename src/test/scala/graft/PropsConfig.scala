@@ -35,6 +35,13 @@ object PropsConfig {
     s
   }
 
+  /** `-Dgraft.scalacheck.iters.mult=N` scales every suite's iteration
+    * count N× for one-off deep sweeps — no code edit, normal gate cost
+    * unchanged at the default 1.
+    */
+  private lazy val mult: Int =
+    sys.props.get("graft.scalacheck.iters.mult").map(_.toInt).getOrElse(1)
+
   def soundness(p: Test.Parameters, iters: Int): Test.Parameters =
-    p.withMinSuccessfulTests(iters).withInitialSeed(seed)
+    p.withMinSuccessfulTests(iters * mult).withInitialSeed(seed)
 }
