@@ -40,6 +40,7 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
   private lazy val spark: SparkSession = {
     val s = SparkTest.session
     s.conf.set("spark.sql.catalog.colf_hf", classOf[graft.sources.colf.ColfCatalog].getName)
+    GraftFunctions.register(s) // colf_snapshot / colf_diff TVFs
     s
   }
 
@@ -180,18 +181,27 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
         }
       }
 
-      // 1. time travel reproduces every snapshot
+      // 1. time travel reproduces every snapshot — through the reader
+      //    option AND the SQL table function (alternating, so the SQL
+      //    surface rides every fuzzed history too)
       val travelOk = snaps.forall { case (v, want) =>
-        val got = readVersion(dir, Some(v))
+        val got =
+          if (v % 2 == 0)
+            spark.sql(s"SELECT k, s, p FROM colf_snapshot('$dir', $v)")
+              .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+          else readVersion(dir, Some(v))
         if (got != want) println(s"HIST MISMATCH versionAsOf $v: " +
           s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} ops=$ops")
         got == want
       }
-      // 2. consecutive row-level diffs match the model diff
+      // 2. consecutive row-level diffs match the model diff (Scala API
+      //    and the colf_diff TVF, alternating)
       val versions = snaps.keys.toSeq.sorted
       val diffOk = versions.sliding(2).filter(_.size == 2).forall { case Seq(a, b) =>
-        val d = ColfMaintenance.diffVersions(spark, dir, a, Some(b))
-          .select("k", "s", "p", "change").collect()
+        val df =
+          if (a % 2 == 0) spark.sql(s"SELECT * FROM colf_diff('$dir', $a, $b)")
+          else ColfMaintenance.diffVersions(spark, dir, a, Some(b))
+        val d = df.select("k", "s", "p", "change").collect()
           .map(r => ((r.getInt(0), r.getString(1), r.getInt(2)), r.getString(3))).toSet
         val want = (snaps(b) -- snaps(a)).map(_ -> "added") ++
           (snaps(a) -- snaps(b)).map(_ -> "removed")
