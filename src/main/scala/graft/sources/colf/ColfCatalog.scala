@@ -1,7 +1,8 @@
 package graft.sources.colf
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,7 +29,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DPP, and the streaming source all behave identically to
   * `spark.read.format("colf").load(path)`.
   */
-class ColfCatalog extends TableCatalog {
+class ColfCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "colf"
 
@@ -97,6 +98,26 @@ class ColfCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       s"colf catalog is path-addressed and stateless: $op is not supported — " +
         "write with df.write.format(\"colf\").save(path)")
+
+  /** Maintenance procedures: `CALL colf.compact('/t', target_mb => 256)`,
+    * `vacuum`, `vacuum_versions`, `enable_versioning` — the operational
+    * surface from pure SQL, one-row results carrying the same counts the
+    * Scala API returns. Unknown names fail with the available list.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"colf procedures live at $catalogName.<name> (or $catalogName.system.<name>), " +
+        s"got namespace ${ident.namespace().mkString(".")}")
+    ColfProcedures.all.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"colf: unknown procedure '${ident.name()}' — available: " +
+          ColfProcedures.all.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    ColfProcedures.all.keys.toSeq.sorted
+      .map(Identifier.of(Array.empty[String], _)).toArray
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
