@@ -194,6 +194,57 @@ object ColfScanFuzzProps extends Properties("ColfScanFuzz") {
       }
     }
 
+  // ---- aggregate fuzz: the metadata-only pushdown layer ----
+  //
+  // COUNT/MIN/MAX over (possibly filtered, possibly grouped) colf scans
+  // may be answered ENTIRELY from file headers — like absorption, a
+  // wrong answer there is silent (no data rows flow to re-check). Every
+  // generated aggregate must match Spark aggregating the same rows in
+  // memory, whether the plan went metadata-only, partially pruned, or
+  // fell back to a full scan.
+
+  private def genAgg: Gen[(String, String)] = Gen.oneOf(
+    Gen.const(("*", "count")),
+    genCol.map(c => (c, "count")),
+    genCol.map(c => (c, "min")),
+    genCol.map(c => (c, "max")))
+
+  private val genAggCase: Gen[(Seq[String], List[(String, String)], Option[(Column, String)])] =
+    for {
+      g <- Gen.oneOf(Seq.empty[String], Seq("bucket"), Seq("tag"), Seq("bucket", "tag"))
+      n <- Gen.choose(1, 3)
+      as <- Gen.listOfN(n, genAgg)
+      p <- Gen.option(genPred(1))
+    } yield (g, as, p)
+
+  property("colf aggregates == in-memory aggregates (metadata pushdown live)") =
+    forAllNoShrink(genAggCase) { case (gcols, aggs, pred) =>
+      def run(df: DataFrame): Seq[String] = {
+        val base = pred.fold(df) { case (p, _) => df.where(p) }
+        val aggCols = aggs.zipWithIndex.map {
+          case (("*", "count"), i) => count(lit(1)).as(s"a$i")
+          case ((c, "count"), i)   => count(col(c)).as(s"a$i")
+          case ((c, "min"), i)     => min(col(c)).as(s"a$i")
+          case ((c, _), i)         => max(col(c)).as(s"a$i")
+        }
+        val out =
+          if (gcols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
+          else base.groupBy(gcols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        canon(out)
+      }
+      val desc = s"GROUP BY $gcols AGG $aggs WHERE ${pred.map(_._2)}"
+      (scala.util.Try(run(colfDf)), scala.util.Try(run(refDf))) match {
+        case (scala.util.Success(g), scala.util.Success(w)) =>
+          val ok = g == w
+          if (!ok) println(s"AGG FUZZ MISMATCH [$desc]\n  colf=$g\n  ref =$w")
+          ok
+        case (scala.util.Failure(_), scala.util.Failure(_)) => true
+        case (g, w) =>
+          println(s"AGG FUZZ DIVERGENT OUTCOME [$desc]: colf=$g ref=$w")
+          false
+      }
+    }
+
   /** The production-reachable round-5 shape, pinned end-to-end: a NOT IN
     * with a NULL element over a PARTITION column must keep zero rows
     * (old absorption kept all 600 — and nothing downstream re-checked).
