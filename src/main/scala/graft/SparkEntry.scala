@@ -570,6 +570,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"))
     }),
 
+    "q_colf_compact" -> ((s, dir) => {
+      // Small-file residue (4 appends per partition) compacted through
+      // the SQL procedure surface: `CALL colf.compact` rewrites per
+      // partition directory (hive layout preserved), sort_by re-clusters
+      // within partitions, and contents must come through untouched —
+      // the oracle recomputes straight from the source parquet.
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_compact")
+      rmDir(out)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      (0 until 4).foreach { i =>
+        cust.where(col("c_custkey") % 4 === i)
+          .write.format("colf").option("partitionBy", "c_mktsegment")
+          .mode("append").save(out)
+      }
+      s.sql(s"CALL colf_cat.compact('$out', sort_by => 'c_custkey')")
+      s.read.format("colf").load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2(col("c_acctbal")).as("sum_bal"),
+          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+    }),
+
     "q_colf_overwrite" -> ((s, dir) => {
       // SQL INSERT OVERWRITE with a static partition spec: exactly one
       // partition's files are replaced (file-granular, crash-safe
@@ -1564,6 +1589,13 @@ object SparkEntry {
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_colf_compact" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(min(c_custkey) AS INTEGER) AS min_ck,
+        | CAST(max(c_custkey) AS INTEGER) AS max_ck
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_colf_overwrite" ->
       """SELECT c_mktsegment, count(*) AS n,
