@@ -54,6 +54,15 @@ class ColfProcedureSpec extends AnyFunSuite {
     assert(vac == Seq((0, 0))) // healthy table: no orphaned temps
   }
 
+  test("SHOW PROCEDURES lists all four; DESCRIBE PROCEDURE explains one") {
+    val names = spark.sql("SHOW PROCEDURES IN colf_proc")
+      .collect().map(_.getString(3)).toSet
+    assert(names == Set("compact", "vacuum", "vacuum_versions", "enable_versioning"))
+    val desc = spark.sql("DESCRIBE PROCEDURE colf_proc.compact")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("compact") && desc.contains("partition"))
+  }
+
   test("unknown procedure and bad namespace fail loudly") {
     val e = intercept[Exception] {
       spark.sql("CALL colf_proc.nope('/tmp/x')").collect()
