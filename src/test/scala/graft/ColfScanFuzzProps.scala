@@ -184,10 +184,22 @@ object ColfScanFuzzProps extends Properties("ColfScanFuzz") {
       }.mkString("|")
     }.sorted
 
+  /** Random projections (possibly duplicated, possibly reordered, never
+    * empty) — the pruned vectorized decode path must compose with every
+    * filter: the scan reads only the projected columns, while the
+    * predicate may reference columns NOT in the projection.
+    */
+  private val genProjection: Gen[Seq[String]] = Gen.frequency(
+    2 -> Gen.const(Seq("i", "d", "s", "bucket", "tag")),
+    3 -> Gen.nonEmptyListOf(genCol).map(_.take(4)))
+
   property("colf scan == in-memory filter for random predicate trees") =
-    forAllNoShrink(genPred(2)) { case (pred, desc) =>
-      val got = scala.util.Try(canon(colfDf.where(pred)))
-      val want = scala.util.Try(canon(refDf.where(pred)))
+    forAllNoShrink(Gen.zip(genPred(2), genProjection)) { case ((pred, desc0), proj) =>
+      val desc = s"$desc0 SELECT ${proj.mkString(",")}"
+      def run(df: DataFrame) =
+        canon(df.where(pred).select(proj.map(col): _*))
+      val got = scala.util.Try(run(colfDf))
+      val want = scala.util.Try(run(refDf))
       (got, want) match {
         case (scala.util.Success(g), scala.util.Success(w)) =>
           val ok = g == w
