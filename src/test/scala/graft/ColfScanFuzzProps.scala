@@ -266,6 +266,25 @@ object ColfScanFuzzProps extends Properties("ColfScanFuzz") {
       }
     }
 
+  /** LIMIT pushdown plans a file-coverage subset — it must never
+    * under-deliver: exactly min(n, matching-rows) rows come back, with
+    * or without a filter in front.
+    */
+  property("LIMIT under random predicates delivers exactly min(n, matching)") =
+    forAllNoShrink(Gen.zip(genPred(1), Gen.choose(0, 700))) { case ((pred, desc), n) =>
+      (scala.util.Try(refDf.where(pred).count()),
+        scala.util.Try(colfDf.where(pred).limit(n).count())) match {
+        case (scala.util.Success(total), scala.util.Success(got)) =>
+          val want = math.min(n.toLong, total)
+          if (got != want) println(s"LIMIT FUZZ MISMATCH [$desc LIMIT $n]: got=$got want=$want")
+          got == want
+        case (scala.util.Failure(_), scala.util.Failure(_)) => true
+        case (t, g) =>
+          println(s"LIMIT FUZZ DIVERGENT [$desc LIMIT $n]: ref=$t colf=$g")
+          false
+      }
+    }
+
   /** The production-reachable round-5 shape, pinned end-to-end: a NOT IN
     * with a NULL element over a PARTITION column must keep zero rows
     * (old absorption kept all 600 — and nothing downstream re-checked).
