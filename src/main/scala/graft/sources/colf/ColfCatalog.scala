@@ -52,11 +52,20 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
 
   /** Load through the SAME provider entry points the DataFrame path uses
     * (inferSchema → getTable), so catalog-resolved tables can never skew
-    * from `spark.read.format("colf")` ones.
+    * from `spark.read.format("colf")` ones — except `mergeSchema`, which
+    * is ALWAYS on here: a catalog table is the union schema of its files
+    * (how every manifest-backed table format behaves), so SQL readers see
+    * late-added columns and, critically, row-level DML rewrites carry
+    * every column a replaced file stores. Without it a MERGE matching a
+    * row in an evolved file would rewrite that file through the first
+    * file's narrower schema and silently null the late columns (the
+    * rewrite guard in [[ColfWrite]] now also refuses that, loudly). The
+    * bare path API keeps the reference-compatible head-file default.
     */
   private def tableFor(path: String, extra: Map[String, String]): Table = {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
+    opts.put("mergeSchema", "true")
     extra.foreach { case (k, v) => opts.put(k, v) }
     val provider = new ColfDataSource()
     provider.getTable(provider.inferSchema(new CaseInsensitiveStringMap(opts)),

@@ -277,6 +277,48 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     val conf = ColfUtil.driverHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    // Row-level (group-based) replacement: the files the operation's OWN
+    // scan planned are the replaced groups — the write's output rows ARE
+    // those files' surviving rows, so replaced must equal scanned exactly
+    // (replace more and untouched rows vanish; replace less and replaced
+    // rows resurrect). A commit whose scan never planned fails loudly
+    // rather than guessing. Evaluated BEFORE any rename so a failed
+    // validation aborts with zero visible effect.
+    rowLevelReplaced = Option(replaceScannedFn).map { fn =>
+      val scanned = fn()
+      if (scanned == null)
+        throw new IllegalStateException(
+          "colf: row-level write committed before its scan planned — " +
+            "cannot determine the replaced file groups")
+      // Schema-evolution guard: rewriting a file through a schema
+      // NARROWER than the file's own silently destroys the data of every
+      // column outside it (the rewrite reads the file as the table
+      // schema, so late-added columns never reach the replacement).
+      // Found by driving MERGE against an evolved table: the matched
+      // file's `extra` column came back null. The path catalog resolves
+      // the union schema so this cannot trip there; DDL tables created
+      // without `mergeSchema 'true'` fail HERE, loudly, instead.
+      val wc = (schema.fields.map(_.name) ++ partitionBy)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      scanned.foreach { ref =>
+        // a replaced file that VANISHED belongs to the conflict check
+        // below (concurrent committer won) — not a schema problem
+        val hdr = try ColfHeaderCache.get(ref, conf)
+          catch { case _: java.io.IOException => null }
+        val extras =
+          if (hdr == null) Seq.empty
+          else hdr.schema.fields.map(_.name)
+            .filterNot(n => wc(n.toLowerCase(java.util.Locale.ROOT)))
+        if (extras.nonEmpty)
+          throw new IllegalStateException(
+            s"colf: row-level rewrite would DROP column(s) ${extras.mkString(", ")} " +
+              s"stored in ${ref.path} but absent from the table schema — the table " +
+              "has evolved; load it with option(\"mergeSchema\", \"true\") (or add " +
+              "mergeSchema 'true' to the DDL table's OPTIONS) so the rewrite " +
+              "carries every column")
+      }
+      scanned.map(r => fs.makeQualified(new Path(r.path))).toSet
+    }
     // 1) Rename every temp into place — IN PARALLEL: a serial rename loop
     //    is the driver's commit wall-clock at 10⁵ part files on a remote
     //    FS (each rename is an RPC round trip). Hadoop FileSystem handles
@@ -294,20 +336,6 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       if (fs.exists(dst)) fs.delete(dst, false) // stale file from a dead task attempt
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"colf commit: rename $src -> $dst failed")
-    }
-    // Row-level (group-based) replacement: the files the operation's OWN
-    // scan planned are the replaced groups — the write's output rows ARE
-    // those files' surviving rows, so replaced must equal scanned exactly
-    // (replace more and untouched rows vanish; replace less and replaced
-    // rows resurrect). A commit whose scan never planned fails loudly
-    // rather than guessing.
-    rowLevelReplaced = Option(replaceScannedFn).map { fn =>
-      val scanned = fn()
-      if (scanned == null)
-        throw new IllegalStateException(
-          "colf: row-level write committed before its scan planned — " +
-            "cannot determine the replaced file groups")
-      scanned.map(r => fs.makeQualified(new Path(r.path))).toSet
     }
     val versioned = manifestOpt || ColfVersions.enabled(fs, dirPath)
     rowLevelReplacedRel =

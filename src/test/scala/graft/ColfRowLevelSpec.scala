@@ -308,6 +308,53 @@ class ColfRowLevelSpec extends AnyFunSuite {
     assert(got == Set((6, "y", 1), (7, "z", 3), (8, "w", 1)))
   }
 
+  test("DML on an evolved table: catalog carries every column; bare DDL refuses loudly") {
+    // A MERGE matching a row in a file that carries a LATE-ADDED column
+    // must not rewrite that file through a narrower schema — doing so
+    // silently nulls the late column (found by driving exactly this).
+    // The path catalog resolves the union schema, so the rewrite carries
+    // `extra`; a DDL table created without mergeSchema hits the commit
+    // guard instead — loudly, before any rename lands.
+    registerCatalog()
+    val dir = tmp()
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    Seq((3, "c", 99.5), (4, "d", 11.25)).toDF("k", "s", "extra").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+
+    Seq((3, "C")).toDF("k", "s").createOrReplaceTempView("rl_evo_src")
+    spark.sql(
+      s"""MERGE INTO colf_rl.`$dir` t USING rl_evo_src u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET t.s = u.s""".stripMargin)
+    val got = spark.read.format("colf").option("mergeSchema", "true").load(dir)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == Set((1, "a", null), (2, "b", null), (3, "C", 99.5), (4, "d", 11.25)),
+      s"late-added column must survive the rewrite, got $got")
+
+    // DDL table frozen at the narrow schema: the rewrite guard refuses
+    val tbl = s"rl_evo_ddl_${System.nanoTime()}"
+    val dir2 = tmp()
+    Seq((1, "a")).toDF("k", "s").write.format("colf").mode("append").save(dir2)
+    spark.sql(s"CREATE TABLE $tbl USING colf OPTIONS (path '$dir2')")
+    Seq((2, "b", 7.5)).toDF("k", "s", "extra")
+      .write.format("colf").mode("append").save(dir2)
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE $tbl SET s = 'X' WHERE k = 2")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("DROP column") && m.contains("extra")),
+        s"expected the schema-evolution guard, got $e")
+      // zero visible effect: both rows intact, extra preserved
+      val after = spark.read.format("colf").option("mergeSchema", "true").load(dir2)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+      assert(after == Set((1, "a", null), (2, "b", 7.5)))
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes the unreferenced rows") {
     registerCatalog()
     val dir = tmp()
