@@ -243,18 +243,32 @@ class ColfRowLevelSpec extends AnyFunSuite {
       s"""MERGE INTO colf_rl.`$dir` t USING rl_conf_src s ON t.k = s.k
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
 
+    // Failure diagnosis clue: this scenario once failed a gate run and
+    // passed 50+ attempts at reproduction — if it ever trips again, the
+    // manifest history + physical listing IS the investigation, so bake
+    // it into the failure message instead of losing it to a green rerun.
+    def tableState(): String = {
+      val manifests = Option(new java.io.File(dir, "_graft_versions").listFiles())
+        .map(_.toSeq.sortBy(_.getName)).getOrElse(Seq.empty)
+        .map(v => s"${v.getName}=${scala.io.Source.fromFile(v).mkString}")
+      val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+      s"stale=${staleRef.path} manifests=${manifests.mkString("; ")} files=${files.mkString(",")}"
+    }
+
     // the straggler, scanned before the merge: its commit must abort
     val loser = new ColfWrite(dir, spark.read.format("colf").load(dir).schema,
       "conflict-test-q", false, 1024, 1L << 20, 3,
       replaceScannedFn = () => Seq(staleRef))
-    val e = intercept[java.util.ConcurrentModificationException] {
-      loser.commit(Array(ColfCommitMessage(Seq.empty)))
+    withClue(tableState()) {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        loser.commit(Array(ColfCommitMessage(Seq.empty)))
+      }
+      assert(e.getMessage.contains("conflict"))
+      // table state is the first committer's, intact
+      val got = spark.read.format("colf").load(dir)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == Set((1, 11.0), (2, 20.0)))
     }
-    assert(e.getMessage.contains("conflict"))
-    // table state is the first committer's, intact
-    val got = spark.read.format("colf").load(dir)
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
-    assert(got == Set((1, 11.0), (2, 20.0)))
 
     // unversioned best-effort: replaced file vanished ⇒ loud conflict too
     val dir2 = tmp()
