@@ -66,6 +66,17 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 
   private def inferDataSchema(files: Seq[ColfFileRef], options: CaseInsensitiveStringMap,
       conf: Configuration): StructType = {
+    // Manifest-recorded schemas (versioned tables) answer without opening
+    // any file; headers are fetched (batched, cached) only for refs that
+    // lack one — pre-schema manifests, plain listings, explicit paths. At
+    // 10⁵ files a fully-recorded table resolves from ONE manifest read.
+    def fieldsOf(toResolve: Seq[ColfFileRef]): Seq[Seq[ColfField]] = {
+      val unknown = toResolve.filter(_.fileSchema == null)
+      val fetched: Map[String, Seq[ColfField]] =
+        unknown.lazyZip(ColfHeaderCache.getAll(unknown, conf))
+          .map((r, h) => r.path -> (h.schema.fields: Seq[ColfField])).toMap
+      toResolve.map(r => if (r.fileSchema != null) r.fileSchema else fetched(r.path))
+    }
     if (options.getBoolean("mergeSchema", false)) {
       // Schema evolution across a directory written over time: the table
       // schema is the ORDERED UNION of every file's fields (first
@@ -76,8 +87,8 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       // files.length sequential round trips.
       val fields = scala.collection.mutable.LinkedHashMap.empty[String, ColfField]
       val presentIn = scala.collection.mutable.Map.empty[String, Int]
-      files.lazyZip(ColfHeaderCache.getAll(files, conf)).foreach { (ref, h) =>
-        h.schema.fields.foreach { fld =>
+      files.lazyZip(fieldsOf(files)).foreach { (ref, flds) =>
+        flds.foreach { fld =>
           fields.get(fld.name) match {
             case Some(prev) if prev.tpe != fld.tpe =>
               // name the culprit — at 10⁵ files "in another file" is
@@ -98,7 +109,7 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       }
       ColfUtil.sparkSchema(ColfSchema(0L, merged))
     } else {
-      ColfUtil.sparkSchema(ColfHeaderCache.get(files.head, conf).schema)
+      ColfUtil.sparkSchema(ColfSchema(0L, fieldsOf(files.take(1)).head.toIndexedSeq))
     }
   }
 

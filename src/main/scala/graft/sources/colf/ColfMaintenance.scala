@@ -127,8 +127,12 @@ object ColfMaintenance {
       // crash before the manifest append leaves invisible new files only.
       val diskBefore = ColfVersions.listDataFiles(fs, root).map(_.relPath).toSet
       writeGroups(skipManifest = true)
-      val newEntries = ColfVersions.listDataFiles(fs, root)
-        .filterNot(e => diskBefore.contains(e.relPath))
+      // compacted outputs are found by disk diff (their write suppressed
+      // its manifest), so their schemas come from a bounded header sweep
+      // of just those new files — keeping the manifest fully recorded
+      val newEntries = ColfVersions.withSchemas(fs, root,
+        ColfVersions.listDataFiles(fs, root)
+          .filterNot(e => diskBefore.contains(e.relPath)), conf)
       val beforeRel = before.map(r =>
         ColfVersions.relativize(fs, root, new Path(r.path))).toSet
       ColfVersions.append(fs, root, { basis =>
@@ -157,9 +161,13 @@ object ColfMaintenance {
     */
   def enableVersioning(spark: SparkSession, dir: String): Long = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
     require(!ColfVersions.enabled(fs, root), s"colf: $dir is already versioned")
-    ColfVersions.append(fs, root, _ => ColfVersions.listDataFiles(fs, root))
+    // one-time header sweep: v1 records every file's schema, so all later
+    // resolutions of this table are manifest-only
+    ColfVersions.append(fs, root, _ =>
+      ColfVersions.withSchemas(fs, root, ColfVersions.listDataFiles(fs, root), conf))
   }
 
   /** Row-level snapshot diff of a versioned table: what changed between

@@ -14,9 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * avoids a second getFileStatus round trip per file at planning time —
   * at 10⁵–10⁶ part files on a remote FS those RPCs are the driver's
   * wall-clock, not the data.
+  *
+  * `fileSchema` is the file's header column list when the source already
+  * knew it (manifest-recorded schemas, [[ColfVersions.Entry.schema]]);
+  * null otherwise. Schema resolution prefers it over opening the file —
+  * executors still read the real header at scan time for offsets.
   */
 final case class ColfFileRef(path: String, size: Long, mtime: Long,
-    partValues: Map[String, String] = Map.empty)
+    partValues: Map[String, String] = Map.empty,
+    fileSchema: Seq[ColfField] = null)
     extends Serializable
 
 /** Hive-layout partition support: `k=v` path segments become typed table

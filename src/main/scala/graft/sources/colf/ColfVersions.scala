@@ -43,8 +43,19 @@ object ColfVersions {
 
   /** One live data file: path RELATIVE to the table root (k=v partition
     * segments included), plus the size/mtime planning needs.
+    *
+    * `schema` is the file's own column list (the exact fields its header
+    * declares) when the committing writer recorded it — `null` for
+    * entries from pre-schema manifests or disk listings. With it, table
+    * resolution (including the union/mergeSchema path every catalog
+    * table takes) reads ONE manifest instead of one header per file —
+    * the difference between O(1) and 10⁵ driver RPCs before the first
+    * query can even plan. Serialized dictionary-style (schemas repeat
+    * across files; evolution events are rare), so manifest size grows by
+    * ~one schema copy per evolution, not per file.
     */
-  final case class Entry(relPath: String, size: Long, mtime: Long)
+  final case class Entry(relPath: String, size: Long, mtime: Long,
+      schema: Seq[ColfField] = null)
 
   private val mapper = new ObjectMapper()
 
@@ -84,13 +95,32 @@ object ColfVersions {
     try {
       val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
+      // Schema dictionary (absent in pre-schema manifests: entries then
+      // carry null and resolution falls back to reading file headers).
+      val sn = node.get("schemas")
+      val schemas: IndexedSeq[Seq[ColfField]] =
+        if (sn == null || !sn.isArray) IndexedSeq.empty
+        else (0 until sn.size()).map { i =>
+          val arr = sn.get(i)
+          require(arr.isArray, s"schema $i is not an array")
+          (0 until arr.size()).map { j =>
+            val f = arr.get(j)
+            require(f.hasNonNull("n") && f.hasNonNull("t") && f.hasNonNull("nl"),
+              s"schema $i field $j missing n/t/nl")
+            ColfField(f.get("n").asText(), ColfType.fromName(f.get("t").asText()),
+              f.get("nl").asBoolean())
+          }
+        }
       val files = node.get("files")
       require(files != null && files.isArray, "no 'files' array")
       (0 until files.size()).map { i =>
         val f = files.get(i)
         require(f.hasNonNull("p") && f.hasNonNull("s") && f.hasNonNull("m"),
           s"entry $i missing p/s/m")
-        Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong())
+        val sc = if (f.hasNonNull("sc")) f.get("sc").asInt() else -1
+        require(sc < schemas.length, s"entry $i schema index $sc out of range")
+        Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong(),
+          if (sc >= 0) schemas(sc) else null)
       }
     } catch {
       case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
@@ -123,16 +153,38 @@ object ColfVersions {
   }
 
   private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
     val sb = new StringBuilder
-    sb.append(s"""{"version":$version,"files":[""")
+    sb.append(s"""{"version":$version""")
+    // distinct file schemas, first-appearance order; entries reference by
+    // index ("sc"). Unknown (null) schemas serialize as no "sc" key.
+    val schemas = entries.collect { case e if e.schema != null => e.schema }.distinct
+    val schemaIdx: Map[Seq[ColfField], Int] = schemas.zipWithIndex.toMap
+    if (schemas.nonEmpty) {
+      sb.append(""","schemas":[""")
+      schemas.zipWithIndex.foreach { case (s, i) =>
+        if (i > 0) sb.append(',')
+        sb.append('[')
+        s.zipWithIndex.foreach { case (f, j) =>
+          if (j > 0) sb.append(',')
+          // column names come from validated write schemas but may hold
+          // any UTF-8 (CSV-inherited headers) — escape like relPaths
+          sb.append(s"""{"n":"${esc(f.name)}","t":"${f.tpe.name}","nl":${f.nullable}}""")
+        }
+        sb.append(']')
+      }
+      sb.append(']')
+    }
+    sb.append(""","files":[""")
     entries.zipWithIndex.foreach { case (e, i) =>
       if (i > 0) sb.append(',')
       // relPaths come from our own writers (no quotes/control chars possible
       // in k=v segments or part names), but escape defensively anyway
-      val p = e.relPath.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-      }
-      sb.append(s"""{"p":"$p","s":${e.size},"m":${e.mtime}}""")
+      val sc =
+        if (e.schema == null) "" else s""","sc":${schemaIdx(e.schema)}"""
+      sb.append(s"""{"p":"${esc(e.relPath)}","s":${e.size},"m":${e.mtime}$sc}""")
     }
     sb.append("]}")
     sb.toString.getBytes("UTF-8")
@@ -240,7 +292,8 @@ object ColfVersions {
           !s.startsWith(".") && !s.startsWith("_"))
         .map { s => val Array(k, v) = s.split("=", 2); k -> v }
         .toMap
-      ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime, partValues)
+      ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime, partValues,
+        e.schema)
     }
   }
 
@@ -263,5 +316,26 @@ object ColfVersions {
       here ++ below
     }
     if (!fs.exists(root)) Seq.empty else walk(root, "")
+  }
+
+  /** Attach each schema-less entry's file schema via one batched
+    * (cache-aware, parallel) header fetch — the one-time migration sweep
+    * that makes a listing-seeded manifest (first `enableVersioning`, the
+    * compaction disk diff) fully recorded, so every LATER resolution of
+    * the table is manifest-only. Entries whose header cannot be read
+    * keep null (resolution falls back for them); the sweep must not turn
+    * a transient FS error into a failed commit.
+    */
+  def withSchemas(fs: FileSystem, root: Path, entries: Seq[Entry],
+      conf: Configuration): Seq[Entry] = {
+    val q = fs.makeQualified(root)
+    ColfHeaderCache.mapParallel(entries) { e =>
+      if (e.schema != null) e
+      else {
+        val ref = ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime)
+        try e.copy(schema = ColfHeaderCache.get(ref, conf).schema.fields)
+        catch { case _: java.io.IOException => e }
+      }
+    }
   }
 }

@@ -382,10 +382,15 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       // entry sets derive INSIDE the claim loop from the observed basis
       // (first enable: the pre-commit listing), so a concurrent commit
       // between basis read and slot claim can never be dropped
+      // First enable (this write CREATES versioning over existing files):
+      // the pre-commit listing seeds the manifest, with each pre-existing
+      // file's schema attached by a one-time header sweep so the table is
+      // fully recorded from v1 on.
       ColfVersions.append(fs, dirPath, basis =>
         buildEntries(basis.map(_._2).getOrElse(
-          ColfVersions.listDataFiles(fs, dirPath)
-            .filterNot(e => newNames.contains(e.relPath.split('/').last)))))
+          ColfVersions.withSchemas(fs, dirPath,
+            ColfVersions.listDataFiles(fs, dirPath)
+              .filterNot(e => newNames.contains(e.relPath.split('/').last)), conf))))
     } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty ||
         rowLevelReplaced.isDefined) && fs.exists(dirPath)) {
       // 2) Deferred deletes LAST (unversioned tables): a crash anywhere
@@ -479,16 +484,24 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       }.toMap
 
   /** Manifest entries for the files this commit renamed into place (one
-    * parallel status batch for sizes/mtimes).
+    * parallel status batch for sizes/mtimes). Each entry records its file
+    * schema — known WITHOUT any header read: the writer put exactly the
+    * write schema minus the partition-path columns into every file it
+    * produced ([[ColfDataWriter]] `fields`), so future resolutions of the
+    * table never have to open these files.
     */
   private def committedEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      pairs: Seq[(String, String)]): Seq[ColfVersions.Entry] =
+      pairs: Seq[(String, String)]): Seq[ColfVersions.Entry] = {
+    val partPos = partitionBy.map(schema.fieldIndex).toSet
+    val fileFields: Seq[ColfField] = ColfUtil.colfFields(StructType(
+      schema.fields.zipWithIndex.collect { case (f, i) if !partPos(i) => f }))
     ColfHeaderCache.mapParallel(pairs) { case (_, fin) =>
       val p = new Path(fin)
       val st = fs.getFileStatus(p)
       ColfVersions.Entry(ColfVersions.relativize(fs, root, p), st.getLen,
-        st.getModificationTime)
+        st.getModificationTime, fileFields)
     }
+  }
 
   /** All files under `dir`, descending into `k=v` partition subdirs
     * (hidden/underscore dirs skipped) — mirrors the reader's listing.

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.colf.{ColfHeaderCache, ColfMaintenance, ColfVersions}
+
+/** Manifest-recorded file schemas: every versioned commit records each
+  * live file's column list in the manifest (dictionary-encoded), so
+  * table RESOLUTION — including the union/mergeSchema path every catalog
+  * table takes — reads ONE manifest instead of one header per file. At
+  * 10⁵ files that is the difference between O(1) and 10⁵ driver RPCs
+  * before the first query can plan. The claims:
+  *
+  *  1. resolution of a versioned table performs ZERO header reads, and
+  *     still yields exactly the schema the header sweep would have;
+  *  2. schema evolution (columns added over time) unions correctly from
+  *     the recorded schemas alone, nullability included;
+  *  3. pre-schema (legacy) manifests and listing-based tables fall back
+  *     to the header sweep — older tables keep working unchanged;
+  *  4. every manifest-producing path records schemas: writes, DML,
+  *     enableVersioning's seed sweep, compaction's disk diff.
+  */
+class ColfManifestSchemaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("colf_msch_test").toString
+
+  private def latestEntries(dir: String): Seq[ColfVersions.Entry] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    ColfVersions.latest(fs, root).map(_._2).getOrElse(Seq.empty)
+  }
+
+  test("versioned table resolves its schema with zero header reads") {
+    val dir = tmp()
+    spark.range(0, 100)
+      .select($"id".cast("int").as("k"), ($"id" % 4).cast("int").as("p"),
+        ($"id" * 0.5).as("v"))
+      .write.format("colf").option("partitionBy", "p").option("manifest", "true")
+      .mode("append").save(dir)
+    assert(latestEntries(dir).forall(_.schema != null))
+
+    // relocate the table: every (path,size,mtime) cache key goes cold, so
+    // any header dependence in resolution would show up as a fetch
+    val moved = tmp() + "/relocated"
+    Files.move(Paths.get(dir), Paths.get(moved), StandardCopyOption.ATOMIC_MOVE)
+    val before = ColfHeaderCache.fetches.get()
+    val schema = spark.read.format("colf").option("mergeSchema", "true")
+      .load(moved).schema
+    assert(ColfHeaderCache.fetches.get() == before,
+      "mergeSchema resolution of a schema-recorded manifest read file headers")
+    assert(schema.fieldNames.toSeq == Seq("k", "v", "p"))
+
+    // and the default (first-file) resolution is manifest-only too
+    val schema2 = spark.read.format("colf").load(moved).schema
+    assert(ColfHeaderCache.fetches.get() == before)
+    assert(schema2.fieldNames.toSeq == Seq("k", "v", "p"))
+
+    // the data itself still reads (executors open the real headers)
+    assert(spark.read.format("colf").load(moved).count() == 100)
+  }
+
+  test("schema evolution unions from recorded schemas alone") {
+    val dir = tmp()
+    Seq((1, 1.0)).toDF("k", "v").write.format("colf")
+      .option("manifest", "true").mode("append").save(dir)
+    Seq((2, 2.0, "x")).toDF("k", "v", "extra").write.format("colf")
+      .mode("append").save(dir)
+    val entries = latestEntries(dir)
+    assert(entries.size == 2 && entries.forall(_.schema != null))
+    assert(entries.map(_.schema.map(_.name)).toSet ==
+      Set(Seq("k", "v"), Seq("k", "v", "extra")))
+
+    val moved = tmp() + "/relocated"
+    Files.move(Paths.get(dir), Paths.get(moved), StandardCopyOption.ATOMIC_MOVE)
+    val before = ColfHeaderCache.fetches.get()
+    val schema = spark.read.format("colf").option("mergeSchema", "true")
+      .load(moved).schema
+    assert(ColfHeaderCache.fetches.get() == before)
+    // extra is nullable (absent from the first file); k/v keep their
+    // declared non-null flags — exactly what the header sweep says
+    assert(schema == StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("extra", StringType, nullable = true))))
+    // the load-bearing equivalence: recorded-schema resolution must equal
+    // the header sweep bit-for-bit — prove it by deleting the manifests
+    // (the table degrades to a listing) and resolving again
+    val manifests = new java.io.File(moved, "_graft_versions")
+    val saved = tmp()
+    Files.move(manifests.toPath, Paths.get(saved, "_graft_versions"))
+    val swept = spark.read.format("colf").option("mergeSchema", "true")
+      .load(moved).schema
+    assert(swept == schema, "manifest-recorded resolution diverged from the header sweep")
+    Files.move(Paths.get(saved, "_graft_versions"), manifests.toPath)
+    val got = spark.read.format("colf").option("mergeSchema", "true").load(moved)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1, 1.0, None), (2, 2.0, Some("x"))))
+  }
+
+  test("pre-schema (legacy) manifests fall back to the header sweep") {
+    val dir = tmp()
+    Seq((1, 1.0), (2, 2.0)).toDF("k", "v").coalesce(1).write.format("colf")
+      .option("manifest", "true").mode("append").save(dir)
+    // strip the schema dictionary: what a manifest written before this
+    // feature looks like (extra keys are ignored by old readers, so the
+    // formats are mutually compatible)
+    val vfile = new java.io.File(dir, "_graft_versions/v000000000001.json")
+    val legacy = scala.io.Source.fromFile(vfile).mkString
+      .replaceAll("\"schemas\":\\[.*?\\]\\],", "")
+      .replaceAll(",\"sc\":\\d+", "")
+    Files.write(vfile.toPath, legacy.getBytes("UTF-8"))
+
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ColfVersions.read(fs, root, 1L).forall(_.schema == null))
+
+    // resolution falls back to headers — and still answers correctly
+    val moved = tmp() + "/relocated"
+    Files.move(Paths.get(dir), Paths.get(moved), StandardCopyOption.ATOMIC_MOVE)
+    val before = ColfHeaderCache.fetches.get()
+    val schema = spark.read.format("colf").option("mergeSchema", "true")
+      .load(moved).schema
+    assert(ColfHeaderCache.fetches.get() > before, "legacy manifest must sweep headers")
+    assert(schema.fieldNames.toSeq == Seq("k", "v"))
+
+    // the next commit records the NEW file's schema; the legacy entry
+    // stays unknown (mixed manifests resolve by partial fallback)
+    Seq((3, 3.0)).toDF("k", "v").write.format("colf").mode("append").save(moved)
+    val entries = latestEntries(moved)
+    assert(entries.size == 2)
+    assert(entries.count(_.schema != null) == 1)
+    assert(spark.read.format("colf").load(moved).count() == 3)
+  }
+
+  test("enableVersioning seeds v1 with every file's schema") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("k", "s").write.format("colf").mode("append").save(dir)
+    Seq((2, "b", 9)).toDF("k", "s", "n").write.format("colf").mode("append").save(dir)
+    ColfMaintenance.enableVersioning(spark, dir)
+    val entries = latestEntries(dir)
+    assert(entries.size >= 2 && entries.forall(_.schema != null))
+    assert(entries.flatMap(_.schema.map(_.name)).toSet == Set("k", "s", "n"))
+  }
+
+  test("DML and compaction keep the manifest fully recorded") {
+    val dir = tmp()
+    spark.conf.set("spark.sql.catalog.colf_msch",
+      classOf[graft.sources.colf.ColfCatalog].getName)
+    spark.range(0, 50)
+      .select($"id".cast("int").as("k"), ($"id" * 2.0).as("v"))
+      .repartition(3)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    Seq((1, -1.0)).toDF("k", "v").createOrReplaceTempView("msch_src")
+    spark.sql(
+      s"""MERGE INTO colf_msch.`$dir` t USING msch_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(latestEntries(dir).forall(_.schema != null))
+
+    ColfMaintenance.compact(spark, dir)
+    val compacted = latestEntries(dir)
+    assert(compacted.nonEmpty && compacted.forall(_.schema != null))
+    assert(spark.read.format("colf").load(dir).count() == 50)
+  }
+}
