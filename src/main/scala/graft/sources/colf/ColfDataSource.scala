@@ -680,7 +680,10 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
         case None    => return None // listing changed under us: stay safe
       })
     }
-    val live = kept.lazyZip(ColfHeaderCache.getAll(kept, conf))
+    // recorded facts answer the whole aggregation with zero header I/O
+    // (synthetic headers carry the same exact counts/bounds, minus blooms
+    // which this evaluation never consults)
+    val live = kept.lazyZip(ColfHeaderCache.getAllPlanning(kept, conf))
       .filter { case (_, h) => h.schema.numRows > 0 }.toSeq
 
     // One group per distinct partition-value tuple; a single global group
@@ -895,11 +898,36 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
         r.partValues.isEmpty ||
           filters.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
       }
-      val headers = ColfHeaderCache.getAll(partKept, conf)
-      partKept.lazyZip(headers).collect {
-        case (r, h) if ColfPrune.mayMatch(h, filters) => r
-      }.toSeq
+      statsPrune(partKept, filters)
     }
+
+  /** Header-stats tier, manifest-first: files carrying recorded facts
+    * ([[ColfFileRef.fileStats]]) are pruned against a synthesized header
+    * with ZERO I/O; real headers are fetched (batched, cached) only for
+    * unrecorded files — plus recorded SURVIVORS when the filter has a
+    * string-equality shape a header-resident Bloom could still skip.
+    * A selective non-equality query over a fully-recorded 10⁵-file table
+    * therefore plans without a single header RPC. Input order is
+    * preserved (LIMIT coverage consumes it).
+    */
+  private def statsPrune(base: Seq[ColfFileRef], fs: Seq[Filter]): Seq[ColfFileRef] = {
+    val wantBloom = fs.exists(ColfPrune.bloomEligible)
+    // tier 1: recorded facts, zero I/O (per file — mixed manifests prune
+    // what they can and fall back for the rest)
+    val statsPruned: Set[String] = base.iterator.filter(_.recorded).filterNot { r =>
+      ColfPrune.mayMatch(
+        ColfPrune.syntheticHeader(r.fileNumRows, r.fileSchema, r.fileStats), fs)
+    }.map(_.path).toSet
+    // tier 2: real headers — unrecorded files always; recorded survivors
+    // only when a Bloom probe could out-prune the recorded bounds
+    val needHeaders = base.filter(r => !statsPruned(r.path) &&
+      (!r.recorded || wantBloom))
+    val headerPruned: Set[String] =
+      needHeaders.lazyZip(ColfHeaderCache.getAll(needHeaders, conf)).collect {
+        case (r, h) if !ColfPrune.mayMatch(h, fs) => r.path
+      }.toSet
+    base.filter(r => !statsPruned(r.path) && !headerPruned(r.path))
+  }
 
   private def typedPartValues(r: ColfFileRef): Map[String, Any] =
     ColfUtil.typedPartValues(r, fullSchema)
@@ -909,13 +937,18 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * one data file. Always keep ≥1 file (when any survived pruning) so
     * schema/zero-row behavior holds.
     */
+  /** Recorded row count when the manifest carried one; header otherwise. */
+  private def numRowsOf(f: ColfFileRef): Long =
+    if (f.fileNumRows >= 0) f.fileNumRows
+    else ColfHeaderCache.get(f, conf).schema.numRows
+
   private lazy val refs: Seq[ColfFileRef] = limit match {
     case None => prunedRefs
     case Some(n) =>
       var acc = 0L
       val taken = prunedRefs.takeWhile { f =>
         val take = acc < n
-        if (take) acc += ColfHeaderCache.get(f, conf).schema.numRows
+        if (take) acc += numRowsOf(f)
         take
       }
       if (taken.isEmpty) prunedRefs.take(1) else taken
@@ -990,10 +1023,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
           else typedPartValues(r)
         fs.forall(ColfPartitions.mayMatch(vals, _))
       }
-      val headers = ColfHeaderCache.getAll(partKept, conf)
-      partKept.lazyZip(headers).collect {
-        case (r, h) if ColfPrune.mayMatch(h, fs) => r
-      }.toSeq
+      statsPrune(partKept, fs)
     }
 
   protected def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
@@ -1049,7 +1079,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       else
         OptionalLong.of(refs.map(_.size).sum * 4) // zlib-3 columnar blocks inflate ~2-4×
     override def numRows(): OptionalLong =
-      if (headersNeeded)
+      // manifest-recorded counts are exact and FREE at any file count —
+      // a versioned table gives AQE/broadcast decisions real cardinality
+      // where an unrecorded 10⁵-file directory must stay silent
+      if (refs.forall(_.fileNumRows >= 0))
+        OptionalLong.of(refs.map(_.fileNumRows).sum)
+      else if (headersNeeded)
         OptionalLong.of(ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum)
       else OptionalLong.empty()
   }

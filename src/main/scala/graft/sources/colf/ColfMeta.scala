@@ -19,11 +19,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * knew it (manifest-recorded schemas, [[ColfVersions.Entry.schema]]);
   * null otherwise. Schema resolution prefers it over opening the file —
   * executors still read the real header at scan time for offsets.
+  * `fileNumRows` / `fileStats` likewise carry the manifest-recorded row
+  * count and column bounds (-1 / null = unrecorded): stats pruning,
+  * LIMIT coverage, and statistics estimation consult them before paying
+  * a header fetch. None of the three reach executors — tasks carry only
+  * (path, partValues) ([[ColfUtil.binPack]]) and read the real header.
   */
 final case class ColfFileRef(path: String, size: Long, mtime: Long,
     partValues: Map[String, String] = Map.empty,
-    fileSchema: Seq[ColfField] = null)
-    extends Serializable
+    fileSchema: Seq[ColfField] = null,
+    fileNumRows: Long = -1L,
+    fileStats: Map[String, ColfColStats] = null)
+    extends Serializable {
+  /** All manifest-recorded facts present — planning can synthesize the
+    * header ([[ColfPrune.syntheticHeader]]) instead of fetching it.
+    */
+  def recorded: Boolean =
+    fileNumRows >= 0 && fileSchema != null && fileStats != null
+}
 
 /** Hive-layout partition support: `k=v` path segments become typed table
   * columns, and filters on them prune files EXACTLY (no header I/O at
@@ -305,6 +318,17 @@ private[graft] object ColfHeaderCache {
   def getAll(refs: Seq[ColfFileRef], conf: Configuration): Seq[ColfHeader] =
     mapParallel(refs)(get(_, conf))
 
+  /** Headers for PLANNING decisions: manifest-recorded refs synthesize
+    * one from their facts with zero I/O ([[ColfPrune.syntheticHeader]] —
+    * identical planning answers, minus blooms); only unrecorded refs pay
+    * a fetch. Not for the read path, whose headers need real offsets.
+    */
+  def getAllPlanning(refs: Seq[ColfFileRef], conf: Configuration): Seq[ColfHeader] =
+    mapParallel(refs) { r =>
+      if (r.recorded) ColfPrune.syntheticHeader(r.fileNumRows, r.fileSchema, r.fileStats)
+      else get(r, conf)
+    }
+
   /** Order-preserving parallel map on the shared driver pool — for any
     * per-file FS round trip that would otherwise serialize on latency
     * (header fetches, explicit-path status calls).
@@ -362,6 +386,45 @@ private[graft] object ColfPrune {
   def mayMatch(header: ColfHeader, filters: Seq[Filter]): Boolean = {
     if (header.schema.numRows == 0L) return false // nothing can match
     filters.forall(mayMatchOne(header, _))
+  }
+
+  /** A header REBUILT from manifest-recorded facts ([[ColfVersions
+    * .Entry]]): same schema, same row count, same per-column stats minus
+    * blooms — so [[mayMatch]] runs VERBATIM against recorded data and
+    * cannot diverge from what the real header would have decided (the
+    * one delta, absent blooms, only weakens pruning — `bloomAllows`
+    * keeps the file). compSize encodes the all-null convention so
+    * `allNull` answers identically; offsets are fiction (planning never
+    * reads them).
+    */
+  def syntheticHeader(numRows: Long, fields: Seq[ColfField],
+      stats: Map[String, ColfColStats]): ColfHeader = {
+    val metas = fields.map { f =>
+      val nc = stats.get(f.name).map(_.nullCount).getOrElse(0L)
+      ColfColumnMeta(0L,
+        if (numRows > 0 && nc == numRows) 0L else 1L, 1L, nc > 0)
+    }.toIndexedSeq
+    ColfHeader(1, littleEndian = true,
+      ColfSchema(numRows, fields.toIndexedSeq, stats), metas, 0L)
+  }
+
+  /** Could a per-file Bloom filter prune MORE than min/max bounds for
+    * this filter? True only for string-equality shapes ([[bloomAllows]]
+    * ignores everything else) — the scan fetches real headers for
+    * recorded-stats survivors only when this holds, otherwise recorded
+    * bounds are the whole decision and planning does zero header I/O.
+    */
+  def bloomEligible(f: Filter): Boolean = {
+    def isStr(v: Any): Boolean =
+      v.isInstanceOf[String] || v.isInstanceOf[UTF8String]
+    f match {
+      case And(l, r)           => bloomEligible(l) || bloomEligible(r)
+      case Or(l, r)            => bloomEligible(l) || bloomEligible(r)
+      case EqualTo(_, v)       => v != null && isStr(v)
+      case EqualNullSafe(_, v) => v != null && isStr(v)
+      case In(_, vs) => vs != null && vs.exists(v => v != null && isStr(v))
+      case _         => false
+    }
   }
 
   private def mayMatchOne(h: ColfHeader, f: Filter): Boolean = f match {

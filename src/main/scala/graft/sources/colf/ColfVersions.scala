@@ -53,9 +53,19 @@ object ColfVersions {
     * query can even plan. Serialized dictionary-style (schemas repeat
     * across files; evolution events are rare), so manifest size grows by
     * ~one schema copy per evolution, not per file.
+    *
+    * `numRows` / `stats` (per-column null-count + min/max, no blooms)
+    * extend the same move to FILE PRUNING and row-count planning: the
+    * scan evaluates pushed filters against manifest-recorded bounds and
+    * fetches real headers only for files a Bloom probe could still skip
+    * — so a selective query over 10⁵ files plans from one manifest read
+    * instead of 10⁵ header RPCs, and `estimateStatistics` reports exact
+    * row counts at any file count. -1 / null = unrecorded (pre-stats
+    * manifests): the scan falls back to header fetches, as before.
     */
   final case class Entry(relPath: String, size: Long, mtime: Long,
-      schema: Seq[ColfField] = null)
+      schema: Seq[ColfField] = null, numRows: Long = -1L,
+      stats: Map[String, ColfColStats] = null)
 
   private val mapper = new ObjectMapper()
 
@@ -119,8 +129,37 @@ object ColfVersions {
           s"entry $i missing p/s/m")
         val sc = if (f.hasNonNull("sc")) f.get("sc").asInt() else -1
         require(sc < schemas.length, s"entry $i schema index $sc out of range")
+        val schema = if (sc >= 0) schemas(sc) else null
+        val numRows = if (f.hasNonNull("r")) f.get("r").asLong() else -1L
+        // column stats type against the entry's own recorded schema;
+        // stats without a schema are unusable (bounds would be untyped)
+        val st = f.get("st")
+        val stats: Map[String, ColfColStats] =
+          if (st == null || !st.isObject || schema == null) null
+          else {
+            val types = schema.map(fl => fl.name -> fl.tpe).toMap
+            val b = Map.newBuilder[String, ColfColStats]
+            val names = st.fieldNames()
+            while (names.hasNext) {
+              val col = names.next()
+              types.get(col).foreach { tpe =>
+                val cs = st.get(col)
+                def bound(key: String): Option[Any] =
+                  if (!cs.hasNonNull(key)) None
+                  else Some(tpe match {
+                    case ColfType.Int32   => cs.get(key).asInt()
+                    case ColfType.Float64 => cs.get(key).asDouble()
+                    case ColfType.Utf8    => cs.get(key).asText()
+                  })
+                b += col -> ColfColStats(
+                  if (cs.hasNonNull("nc")) cs.get("nc").asLong() else 0L,
+                  bound("mn"), bound("mx"))
+              }
+            }
+            b.result()
+          }
         Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong(),
-          if (sc >= 0) schemas(sc) else null)
+          schema, numRows, stats)
       }
     } catch {
       case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
@@ -184,7 +223,26 @@ object ColfVersions {
       // in k=v segments or part names), but escape defensively anyway
       val sc =
         if (e.schema == null) "" else s""","sc":${schemaIdx(e.schema)}"""
-      sb.append(s"""{"p":"${esc(e.relPath)}","s":${e.size},"m":${e.mtime}$sc}""")
+      sb.append(s"""{"p":"${esc(e.relPath)}","s":${e.size},"m":${e.mtime}$sc""")
+      if (e.numRows >= 0) sb.append(s""","r":${e.numRows}""")
+      // stats render in schema field order (determinism) and only WITH a
+      // schema — parsing types each bound against the recorded column type
+      if (e.stats != null && e.schema != null) {
+        sb.append(""","st":{""")
+        var first = true
+        e.schema.foreach { f =>
+          e.stats.get(f.name).foreach { st =>
+            if (!first) sb.append(',')
+            first = false
+            sb.append(s""""${esc(f.name)}":{"nc":${st.nullCount}""")
+            st.min.foreach(v => sb.append(s""","mn":${ColfSchema.statJson(v)}"""))
+            st.max.foreach(v => sb.append(s""","mx":${ColfSchema.statJson(v)}"""))
+            sb.append('}')
+          }
+        }
+        sb.append('}')
+      }
+      sb.append('}')
     }
     sb.append("]}")
     sb.toString.getBytes("UTF-8")
@@ -293,7 +351,7 @@ object ColfVersions {
         .map { s => val Array(k, v) = s.split("=", 2); k -> v }
         .toMap
       ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime, partValues,
-        e.schema)
+        e.schema, e.numRows, e.stats)
     }
   }
 
@@ -333,8 +391,13 @@ object ColfVersions {
       if (e.schema != null) e
       else {
         val ref = ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime)
-        try e.copy(schema = ColfHeaderCache.get(ref, conf).schema.fields)
-        catch { case _: java.io.IOException => e }
+        try {
+          val h = ColfHeaderCache.get(ref, conf).schema
+          // blooms stay header-resident (they are KBs per column; the
+          // manifest records the compact bounds the planner prunes with)
+          e.copy(schema = h.fields, numRows = h.numRows,
+            stats = h.stats.map { case (c, st) => c -> st.copy(bloom = None) })
+        } catch { case _: java.io.IOException => e }
       }
     }
   }

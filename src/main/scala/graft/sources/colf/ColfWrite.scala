@@ -326,9 +326,13 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     //    loudly. New names embed this write's unique queryId, so they can
     //    never collide with pre-existing data files.
     val pairs = messages.toSeq.flatMap {
-      case ColfCommitMessage(files) => files
-      case _                        => Seq.empty
+      case m: ColfCommitMessage => m.files
+      case _                    => Seq.empty
     }
+    val facts: Map[String, ColfFileFacts] = messages.toSeq.flatMap {
+      case m: ColfCommitMessage => m.facts
+      case _                    => Seq.empty
+    }.toMap
     val committed = pairs.map { case (_, fin) => new Path(fin).getName }.toSet
     ColfHeaderCache.mapParallel(pairs) { case (tmp, fin) =>
       val src = new Path(tmp)
@@ -377,7 +381,7 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
           val name = e.relPath.split('/').last
           newNames.contains(name) || isReplaced(dirPath, e)
         }
-        survivors ++ committedEntries(fs, dirPath, pairs)
+        survivors ++ committedEntries(fs, dirPath, pairs, facts)
       }
       // entry sets derive INSIDE the claim loop from the observed basis
       // (first enable: the pre-commit listing), so a concurrent commit
@@ -491,15 +495,18 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     * table never have to open these files.
     */
   private def committedEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      pairs: Seq[(String, String)]): Seq[ColfVersions.Entry] = {
+      pairs: Seq[(String, String)],
+      facts: Map[String, ColfFileFacts] = Map.empty): Seq[ColfVersions.Entry] = {
     val partPos = partitionBy.map(schema.fieldIndex).toSet
     val fileFields: Seq[ColfField] = ColfUtil.colfFields(StructType(
       schema.fields.zipWithIndex.collect { case (f, i) if !partPos(i) => f }))
     ColfHeaderCache.mapParallel(pairs) { case (_, fin) =>
       val p = new Path(fin)
       val st = fs.getFileStatus(p)
+      val f = facts.get(fin)
       ColfVersions.Entry(ColfVersions.relativize(fs, root, p), st.getLen,
-        st.getModificationTime, fileFields)
+        st.getModificationTime, fileFields,
+        f.map(_.numRows).getOrElse(-1L), f.map(_.stats).orNull)
     }
   }
 
@@ -539,7 +546,7 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
   private def doAbort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = ColfUtil.driverHadoopConf()
     messages.foreach {
-      case ColfCommitMessage(files) => files.foreach { case (tmp, _) =>
+      case m: ColfCommitMessage => m.files.foreach { case (tmp, _) =>
         val p = new Path(tmp)
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.delete(p, false)
@@ -573,7 +580,17 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
 }
 
 /** (tempPath, finalPath) per rolled file written by one task. */
-case class ColfCommitMessage(files: Seq[(String, String)]) extends WriterCommitMessage
+/** Per-file facts the writing task captured for free while encoding —
+  * exactly what it put in the file's header (row count, per-column
+  * null-count + min/max, blooms excluded). The commit records them in
+  * the manifest ([[ColfVersions.Entry]]) so planning never has to open
+  * the file to re-learn them.
+  */
+final case class ColfFileFacts(numRows: Long, stats: Map[String, ColfColStats])
+    extends Serializable
+
+case class ColfCommitMessage(files: Seq[(String, String)],
+    facts: Map[String, ColfFileFacts] = Map.empty) extends WriterCommitMessage
 
 class ColfDataWriterFactory(dir: String, schema: StructType, queryId: String,
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
@@ -617,7 +634,8 @@ class ColfDataWriter(
   // Rows arrive ordered by the partition columns (requiredOrdering), so
   // one partition value is active at a time — a value change flushes.
   private var currentPart: Seq[String] = null
-  private var written = List.empty[(Path, Path)] // (temp, final), newest first
+  // (temp, final, captured facts), newest first
+  private var written = List.empty[(Path, Path, ColfFileFacts)]
 
   private def renderPartValues(record: InternalRow): Seq[String] =
     partPos.indices.map { i =>
@@ -691,7 +709,16 @@ class ColfDataWriter(
     val out = fs.create(tmp, false) // fail loudly on collision; creates parent dirs
     try ColfCodec.writeFile(out, fields, builders, compressionLevel)
     finally out.close()
-    written ::= (tmp, fin)
+    // capture the file's facts from the SAME builders that produced its
+    // header — identical row count and bounds, zero re-reads — so the
+    // commit can record them in the manifest (blooms stay header-only)
+    val facts = ColfFileFacts(
+      if (builders.isEmpty) 0L else builders.head.count.toLong,
+      fields.lazyZip(builders).map { (f, b) =>
+        val (mn, mx) = b.statsMinMax
+        f.name -> ColfColStats(b.nullCnt, mn, mx)
+      }.toMap)
+    written ::= (tmp, fin, facts)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -706,10 +733,12 @@ class ColfDataWriter(
     if (rows > 0 ||
         (partitionId == 0 && written.isEmpty && epoch.isEmpty && partPos.isEmpty))
       flushFile()
-    ColfCommitMessage(written.reverse.map { case (t, f) => (t.toString, f.toString) })
+    ColfCommitMessage(
+      written.reverse.map { case (t, f, _) => (t.toString, f.toString) },
+      written.map { case (_, f, facts) => f.toString -> facts }.toMap)
   }
 
-  override def abort(): Unit = written.foreach { case (tmp, _) =>
+  override def abort(): Unit = written.foreach { case (tmp, _, _) =>
     val fs = tmp.getFileSystem(conf.value)
     if (fs.exists(tmp)) fs.delete(tmp, false)
   }

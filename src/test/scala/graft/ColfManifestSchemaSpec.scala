@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -147,6 +148,61 @@ class ColfManifestSchemaSpec extends AnyFunSuite {
     val entries = latestEntries(dir)
     assert(entries.size >= 2 && entries.forall(_.schema != null))
     assert(entries.flatMap(_.schema.map(_.name)).toSet == Set("k", "s", "n"))
+  }
+
+  test("recorded stats prune files and serve LIMIT/row counts with zero header reads") {
+    val dir = tmp()
+    spark.range(0, 10000)
+      .select($"id".cast("int").as("k"), ($"id" * 1.5).as("v"),
+        concat(lit("row-"), lpad($"id".cast("string"), 6, "0")).as("s"))
+      .write.format("colf").option("manifest", "true")
+      .option("sortBy", "k").option("numFiles", "4")
+      .mode("append").save(dir)
+    val entries = latestEntries(dir)
+    assert(entries.size == 4)
+    assert(entries.forall(e => e.numRows >= 0 && e.stats != null && e.schema != null))
+    assert(entries.map(_.numRows).sum == 10000)
+    // the manifest carries typed bounds for every data column
+    assert(entries.forall(e => Set("k", "v", "s").subsetOf(e.stats.keySet)))
+
+    val moved = tmp() + "/relocated"
+    Files.move(Paths.get(dir), Paths.get(moved), StandardCopyOption.ATOMIC_MOVE)
+
+    // range probe (no Bloom shape): planning must not read ANY header —
+    // pruning, LIMIT coverage, and the row-count estimate all come from
+    // the manifest
+    val before = ColfHeaderCache.fetches.get()
+    val probe = spark.read.format("colf").load(moved).where($"k" < 100)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(ColfHeaderCache.fetches.get() == before,
+      s"range-probe planning fetched headers; plan:\n$plan")
+    assert(plan.contains("files after pruning: 1/4"), plan)
+    assert(probe.count() == 100)
+    assert(spark.read.format("colf").load(moved).limit(7).count() == 7)
+    val est = spark.read.format("colf").load(moved)
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(est.contains(BigInt(10000)), s"row-count estimate: $est")
+    // executors legitimately opened the planned files; the claim is about
+    // PLANNING-time fetches, which the cache counter tracks on the driver
+    // thread — re-check by planning the same probe again
+    val before2 = ColfHeaderCache.fetches.get()
+    spark.read.format("colf").load(moved).where($"k" < 100)
+      .queryExecution.executedPlan.toString // forces the pruning tiers
+    assert(ColfHeaderCache.fetches.get() == before2)
+
+    // a string-equality probe is Bloom-eligible: the scan deliberately
+    // fetches the SURVIVORS' real headers to try the per-file Bloom.
+    // Relocate once more — the small-table statistics path above
+    // legitimately warmed the cache (≤64 files fetch exact sizes), and a
+    // hit doesn't move the fetch counter.
+    val moved2 = tmp() + "/relocated2"
+    Files.move(Paths.get(moved), Paths.get(moved2), StandardCopyOption.ATOMIC_MOVE)
+    val b3 = ColfHeaderCache.fetches.get()
+    val eq = spark.read.format("colf").load(moved2).where($"s" === "row-009999")
+    assert(eq.count() == 1)
+    val bloomFetches = ColfHeaderCache.fetches.get() - b3
+    assert(bloomFetches >= 1 && bloomFetches < 4,
+      s"bloom tier should fetch only the stats-surviving subset, got $bloomFetches")
   }
 
   test("DML and compaction keep the manifest fully recorded") {

@@ -75,7 +75,14 @@ object ColfScanFuzzProps extends Properties("ColfScanFuzz") {
     }
   }
 
-  /** (colf-backed view, in-memory oracle of the same rows). */
+  /** (colf-backed view, in-memory oracle of the same rows). The table is
+    * VERSIONED: manifest-recorded stats then drive the zero-I/O pruning
+    * tier, so every random predicate tree sweeps the recorded path —
+    * synthetic-header construction, the stats JSON round trip (double
+    * formatting, string escaping, the all-null convention) included.
+    * The header tier stays covered by `ColfPruneProps` and every
+    * unversioned spec.
+    */
   private lazy val (colfDf, refDf): (DataFrame, DataFrame) = {
     val dir = Files.createTempDirectory("colf_fuzz").toString
     val all = mkRows(0, 300) ++ mkRows(300, 600)
@@ -86,6 +93,7 @@ object ColfScanFuzzProps extends Properties("ColfScanFuzz") {
       spark.createDataFrame(half.asJava, dataSchema)
         .repartition(2)
         .write.format("colf").option("partitionBy", "bucket,tag")
+        .option("manifest", "true")
         .mode("append").save(dir)
     }
     val colf = spark.read.format("colf").load(dir)
