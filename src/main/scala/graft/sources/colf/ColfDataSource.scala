@@ -901,33 +901,11 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       statsPrune(partKept, filters)
     }
 
-  /** Header-stats tier, manifest-first: files carrying recorded facts
-    * ([[ColfFileRef.fileStats]]) are pruned against a synthesized header
-    * with ZERO I/O; real headers are fetched (batched, cached) only for
-    * unrecorded files — plus recorded SURVIVORS when the filter has a
-    * string-equality shape a header-resident Bloom could still skip.
-    * A selective non-equality query over a fully-recorded 10⁵-file table
-    * therefore plans without a single header RPC. Input order is
-    * preserved (LIMIT coverage consumes it).
+  /** Two-tier (recorded-facts, then real-header) pruning — shared with
+    * the streaming source; see [[ColfPrune.pruneRefs]].
     */
-  private def statsPrune(base: Seq[ColfFileRef], fs: Seq[Filter]): Seq[ColfFileRef] = {
-    val wantBloom = fs.exists(ColfPrune.bloomEligible)
-    // tier 1: recorded facts, zero I/O (per file — mixed manifests prune
-    // what they can and fall back for the rest)
-    val statsPruned: Set[String] = base.iterator.filter(_.recorded).filterNot { r =>
-      ColfPrune.mayMatch(
-        ColfPrune.syntheticHeader(r.fileNumRows, r.fileSchema, r.fileStats), fs)
-    }.map(_.path).toSet
-    // tier 2: real headers — unrecorded files always; recorded survivors
-    // only when a Bloom probe could out-prune the recorded bounds
-    val needHeaders = base.filter(r => !statsPruned(r.path) &&
-      (!r.recorded || wantBloom))
-    val headerPruned: Set[String] =
-      needHeaders.lazyZip(ColfHeaderCache.getAll(needHeaders, conf)).collect {
-        case (r, h) if !ColfPrune.mayMatch(h, fs) => r.path
-      }.toSet
-    base.filter(r => !statsPruned(r.path) && !headerPruned(r.path))
-  }
+  private def statsPrune(base: Seq[ColfFileRef], fs: Seq[Filter]): Seq[ColfFileRef] =
+    ColfPrune.pruneRefs(base, fs, conf)
 
   private def typedPartValues(r: ColfFileRef): Map[String, Any] =
     ColfUtil.typedPartValues(r, fullSchema)

@@ -388,6 +388,37 @@ private[graft] object ColfPrune {
     filters.forall(mayMatchOne(header, _))
   }
 
+  /** Header-stats file pruning over resolved refs, manifest-first: files
+    * carrying recorded facts ([[ColfFileRef.recorded]]) are pruned
+    * against a synthesized header with ZERO I/O; real headers are
+    * fetched (batched, cached) only for unrecorded files — plus
+    * recorded SURVIVORS when the filter has a string-equality shape a
+    * header-resident Bloom could still skip. A selective non-equality
+    * query over a fully-recorded 10⁵-file table therefore plans without
+    * a single header RPC. Input order is preserved (LIMIT coverage and
+    * streaming offsets consume it). Shared by the batch scan, the
+    * row-level scan (via runtime filters), and the streaming source's
+    * per-batch pruning.
+    */
+  def pruneRefs(base: Seq[ColfFileRef], fs: Seq[Filter],
+      conf: Configuration): Seq[ColfFileRef] = {
+    val wantBloom = fs.exists(bloomEligible)
+    // tier 1: recorded facts, zero I/O (per file — mixed manifests prune
+    // what they can and fall back for the rest)
+    val statsPruned: Set[String] = base.iterator.filter(_.recorded).filterNot { r =>
+      mayMatch(syntheticHeader(r.fileNumRows, r.fileSchema, r.fileStats), fs)
+    }.map(_.path).toSet
+    // tier 2: real headers — unrecorded files always; recorded survivors
+    // only when a Bloom probe could out-prune the recorded bounds
+    val needHeaders = base.filter(r => !statsPruned(r.path) &&
+      (!r.recorded || wantBloom))
+    val headerPruned: Set[String] =
+      needHeaders.lazyZip(ColfHeaderCache.getAll(needHeaders, conf)).collect {
+        case (r, h) if !mayMatch(h, fs) => r.path
+      }.toSet
+    base.filter(r => !statsPruned(r.path) && !headerPruned(r.path))
+  }
+
   /** A header REBUILT from manifest-recorded facts ([[ColfVersions
     * .Entry]]): same schema, same row count, same per-column stats minus
     * blooms — so [[mayMatch]] runs VERBATIM against recorded data and

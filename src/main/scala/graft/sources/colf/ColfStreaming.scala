@@ -116,6 +116,8 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
   private def admit(fresh: Seq[ColfFileRef], limit: ReadLimit): Seq[ColfFileRef] = limit match {
     case m: ReadMaxFiles => fresh.take(m.maxFiles())
     case m: ReadMaxRows =>
+      // row counts come from the manifest when recorded (zero I/O — the
+      // versioned-table stream never opens a header to admit); otherwise
       // headers fetch in parallel CHUNKS ahead of the row-count walk — a
       // cold-cache catch-up admitting ~1000 files must not serialize one
       // blocking header RPC at a time on the driver
@@ -125,7 +127,7 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
       var i = 0
       while (i < fresh.length && acc < m.maxRows()) {
         val chunk = fresh.slice(i, math.min(i + 64, fresh.length))
-        val headers = ColfHeaderCache.getAll(chunk, conf)
+        val headers = ColfHeaderCache.getAllPlanning(chunk, conf)
         var j = 0
         while (j < chunk.length && acc < m.maxRows()) {
           taken += chunk(j); n += 1
@@ -181,12 +183,7 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
       }
     val pruned =
       if (filters.isEmpty) batch
-      else {
-        val headers = ColfHeaderCache.getAll(batch, conf)
-        batch.lazyZip(headers).collect {
-          case (r, h) if ColfPrune.mayMatch(h, filters) => r
-        }.toSeq
-      }
+      else ColfPrune.pruneRefs(batch, filters, conf) // manifest-first tiering
     ColfUtil.binPack(pruned)
   }
 
