@@ -226,8 +226,23 @@ object ColfMaintenance {
     // file instead of at planning with the clear "version does not
     // exist" error. Orphaned data files (manifests gone, data still
     // present) are invisible to every reader and swept by the next run.
+    // Segments referenced by the RETAINED versions must survive; resolve
+    // this before deleting any version file so a crash mid-prune can only
+    // strand re-vacuumable orphans, never break a retained version.
+    val refSegs = retained.flatMap(v => ColfVersions.segmentNames(fs, root, v)).toSet
     pruned.foreach { v =>
       fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)
+    }
+    // Orphaned segments: unreferenced by any remaining version file —
+    // pruned versions' exclusive segments and failed-claim leftovers. The
+    // grace window keeps an in-flight commit's just-written segments safe
+    // (they become referenced the moment its version file publishes).
+    val vp = new Path(root, ColfVersions.VersionsDir)
+    if (fs.exists(vp)) fs.listStatus(vp).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("seg-") && n.endsWith(".json") && !refSegs.contains(n) &&
+          st.getModificationTime < cutoff)
+        fs.delete(st.getPath, false)
     }
     val stale = ColfVersions.listDataFiles(fs, root)
       .filterNot(e => referenced.contains(e.relPath))

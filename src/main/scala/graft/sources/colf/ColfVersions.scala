@@ -91,12 +91,27 @@ object ColfVersions {
   def latestVersion(fs: FileSystem, root: Path): Option[Long] =
     listVersions(fs, root).lastOption
 
+  /** A version's composition: ordered (segmentName, rawMembers) pairs —
+    * name null for entries inlined in the version file itself — plus the
+    * tombstoned relPaths masking dead members of carried-forward
+    * segments. `entries` is the live view every caller consumes.
+    */
+  private[colf] final case class View(segs: Seq[(String, Seq[Entry])],
+      dead: Set[String]) {
+    def entries: Seq[Entry] =
+      if (dead.isEmpty) segs.flatMap(_._2)
+      else segs.flatMap(_._2).filterNot(e => dead(e.relPath))
+  }
+
   /** Read one version's entries. Fails loudly on a missing version —
     * either it never existed or vacuum pruned it — and on a malformed
     * manifest, NAMING the corrupt file (a planning-time NPE from deep
     * inside Jackson would be undiagnosable at 10⁵ files).
     */
-  def read(fs: FileSystem, root: Path, version: Long): Seq[Entry] = {
+  def read(fs: FileSystem, root: Path, version: Long): Seq[Entry] =
+    readView(fs, root, version).entries
+
+  private[colf] def readView(fs: FileSystem, root: Path, version: Long): View = {
     val p = versionFile(root, version)
     if (!fs.exists(p))
       throw new IllegalArgumentException(
@@ -105,6 +120,59 @@ object ColfVersions {
     try {
       val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
+      if (node.has("files")) {
+        // inline format: small tables and every pre-sharding manifest
+        View(Seq((null: String) -> parseBody(node)), Set.empty)
+      } else {
+        // sharded format: the version file references immutable entry
+        // SEGMENTS (written once, reused across versions) plus the
+        // tombstones masking their dead members — a commit then writes
+        // new entries + touched segments, not the whole table
+        val sn = node.get("segs")
+        require(sn != null && sn.isArray, "no 'files' or 'segs' array")
+        val names = (0 until sn.size()).map(sn.get(_).asText())
+        val dn = node.get("dead")
+        val dead: Set[String] =
+          if (dn == null || !dn.isArray) Set.empty
+          else (0 until dn.size()).map(dn.get(_).asText()).toSet
+        val segs = ColfHeaderCache.mapParallel(names)(n =>
+          n -> readSegment(fs, root, n))
+        View(segs, dead)
+      }
+    } catch {
+      case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"colf: manifest $p is corrupt (${e.getMessage}) — " +
+            "restore it or vacuum past it", e)
+    }
+  }
+
+  /** Segments are immutable by construction (uuid-named, written once,
+    * never modified), so the name→entries cache needs no invalidation
+    * key — repeated plans over a big table parse each segment once per
+    * driver. LRU-capped like the header cache.
+    */
+  private val segCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Entry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Entry]]): Boolean = size() > 512
+    })
+
+  private def readSegment(fs: FileSystem, root: Path, name: String): Seq[Entry] = {
+    val p = new Path(versionsPath(root), name)
+    val key = fs.makeQualified(p).toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val es = parseBody(node)
+    segCache.put(key, es)
+    es
+  }
+
+  /** Parse a manifest/segment entry body (schema dictionary + entries). */
+  private def parseBody(node: com.fasterxml.jackson.databind.JsonNode): Seq[Entry] = {
       // Schema dictionary (absent in pre-schema manifests: entries then
       // carry null and resolution falls back to reading file headers).
       val sn = node.get("schemas")
@@ -161,13 +229,6 @@ object ColfVersions {
         Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong(),
           schema, numRows, stats)
       }
-    } catch {
-      case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
-      case e: Exception =>
-        throw new IllegalArgumentException(
-          s"colf: manifest $p is corrupt (${e.getMessage}) — " +
-            "restore it or vacuum past it", e)
-    }
   }
 
   /** Entries of the latest version, or None when versioning is off. */
@@ -191,12 +252,32 @@ object ColfVersions {
     at.map(_._1).max
   }
 
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  }
+
+  /** Inline version file: header + full entry body. */
   private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
-    }
     val sb = new StringBuilder
     sb.append(s"""{"version":$version""")
+    renderBody(entries, sb)
+    sb.append('}')
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Immutable entry segment (same body as an inline manifest — one
+    * parser reads both; the leading marker field is ignored on read).
+    */
+  private def renderSegment(entries: Seq[Entry]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("""{"format":"colf-seg"""")
+    renderBody(entries, sb)
+    sb.append('}')
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Append `,"schemas":[…],"files":[…]` for `entries`. */
+  private def renderBody(entries: Seq[Entry], sb: StringBuilder): Unit = {
     // distinct file schemas, first-appearance order; entries reference by
     // index ("sc"). Unknown (null) schemas serialize as no "sc" key.
     val schemas = entries.collect { case e if e.schema != null => e.schema }.distinct
@@ -244,8 +325,7 @@ object ColfVersions {
       }
       sb.append('}')
     }
-    sb.append("]}")
-    sb.toString.getBytes("UTF-8")
+    sb.append(']')
   }
 
   /** Per-table-root monitors serializing SAME-PROCESS appends: local
@@ -306,14 +386,25 @@ object ColfVersions {
     lock.synchronized {
       var attempt = 0
       while (true) {
-        val basis = latest(fs, root)
-        val next = basis.map(_._1).getOrElse(0L) + 1
-        val current = compute(basis)
+        val basisV = latestVersion(fs, root)
+        val basisView = basisV.map(readView(fs, root, _))
+        val basisEntries = basisView.map(_.entries)
+        val next = basisV.getOrElse(0L) + 1
+        val current = compute(basisV.zip(basisEntries))
         val vp = versionsPath(root)
         if (!fs.exists(vp)) fs.mkdirs(vp)
+        // Small version → inline (one file, trivially atomic). Big →
+        // sharded: the commit's write cost is proportional to what
+        // CHANGED plus the version file, not to the table's file count —
+        // the property that keeps a 10⁵-file table's commits O(delta).
+        // Segments written by an attempt that then loses the claim race
+        // are orphans (unreferenced by any version) and vacuumable.
+        val bytes =
+          if (current.lengthCompare(InlineMaxEntries) <= 0) render(next, current)
+          else renderSharded(fs, root, basisView, current, next)
         val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
         val out = fs.create(tmp, false)
-        try out.write(render(next, current)) finally out.close()
+        try out.write(bytes) finally out.close()
         val dst = versionFile(root, next)
         if (publish(fs, tmp, dst)) return next
         fs.delete(tmp, false)
@@ -326,6 +417,97 @@ object ColfVersions {
       -1 // unreachable
     }
   }
+
+  /** Version files inline their entries up to this count; above it they
+    * reference immutable segments. Vars so specs can force sharding on
+    * small tables; production never mutates them.
+    */
+  @volatile private[graft] var InlineMaxEntries: Int = 2048
+  @volatile private[graft] var SegmentMaxEntries: Int = 8192
+  /** A carried-forward segment is rewritten once this fraction of its
+    * members is dead — bounding both tombstone-list growth and the wasted
+    * parse work of mostly-dead segments.
+    */
+  private val SegmentRewriteDeadRatio = 0.5
+
+  /** Sharded version file: reuse every basis segment whose members are
+    * (mostly) still live, tombstone the dead ones, and write only the
+    * remaining entries into fresh segments. Segment reuse is by NAME —
+    * their content is immutable — so an unchanged 10⁵-file table costs a
+    * commit one new segment plus one version file.
+    *
+    * Correctness invariant (checked, fail-loudly): the view the new
+    * version file reconstructs — kept segments minus tombstones plus new
+    * segments — must equal `current` exactly. Path-collision edge cases
+    * (a relPath dead in one keepable segment but live in another, e.g.
+    * after a remove + byte-identical re-add) force a rewrite of the
+    * conflicting segment instead of risking a tombstone that masks a
+    * live member.
+    */
+  private def renderSharded(fs: FileSystem, root: Path,
+      basisView: Option[View], current: Seq[Entry], next: Long): Array[Byte] = {
+    val vp = versionsPath(root)
+    val curByPath: Map[String, Entry] = current.map(e => e.relPath -> e).toMap
+    require(curByPath.size == current.size,
+      s"colf: duplicate relPath in computed entry set for version $next")
+    def isLive(e: Entry): Boolean = curByPath.get(e.relPath).contains(e)
+
+    val kept = Seq.newBuilder[(String, Seq[Entry])]
+    val claimed = scala.collection.mutable.Set.empty[String]  // live via kept segs
+    val poisoned = scala.collection.mutable.Set.empty[String] // tombstoned so far
+    basisView.toSeq.flatMap(_.segs).foreach { case (name, members) =>
+      if (name != null) {
+        val liveM = members.filter(isLive)
+        val deadM = members.filterNot(isLive)
+        val keepable = liveM.nonEmpty &&
+          deadM.lengthCompare(
+            (members.length * SegmentRewriteDeadRatio).toInt) <= 0 &&
+          liveM.forall(e => !claimed(e.relPath) && !poisoned(e.relPath)) &&
+          deadM.forall(e => !claimed(e.relPath))
+        if (keepable) {
+          kept += name -> members
+          claimed ++= liveM.map(_.relPath)
+          poisoned ++= deadM.map(_.relPath)
+        }
+      } // inline basis (name null) and rewritten/dropped segs: their live
+        // members simply stay uncovered and land in the fresh segments
+    }
+    val loose = current.filterNot(e => claimed(e.relPath))
+    val newSegs: Seq[(String, Seq[Entry])] =
+      loose.grouped(math.max(1, SegmentMaxEntries)).map { chunk =>
+        val name = s"seg-${java.util.UUID.randomUUID()}.json"
+        val out = fs.create(new Path(vp, name), false)
+        try out.write(renderSegment(chunk)) finally out.close()
+        name -> chunk
+      }.toSeq
+
+    // fail-loudly reconstruction check: never publish a view that doesn't
+    // equal the computed entry set
+    val view = View(kept.result() ++ newSegs, poisoned.toSet)
+    val got = view.entries.map(e => e.relPath -> e).toMap
+    if (got != curByPath)
+      throw new IllegalStateException(
+        s"colf: sharded manifest reconstruction diverged for version $next " +
+          s"(${got.size} vs ${curByPath.size} entries) — refusing to publish")
+
+    val sb = new StringBuilder
+    sb.append(s"""{"version":$next,"segs":[""")
+    view.segs.zipWithIndex.foreach { case ((n, _), i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(esc(n)).append('"')
+    }
+    sb.append("],\"dead\":[")
+    view.dead.toSeq.sorted.zipWithIndex.foreach { case (p, i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(esc(p)).append('"')
+    }
+    sb.append("]}")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Segment files referenced by one version (empty for inline). */
+  private[colf] def segmentNames(fs: FileSystem, root: Path, version: Long): Seq[String] =
+    readView(fs, root, version).segs.collect { case (n, _) if n != null => n }
 
   /** Relative path of `file` under `root` (both made absolute/qualified
     * first). Fails if `file` is not under `root`.

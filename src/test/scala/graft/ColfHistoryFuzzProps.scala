@@ -98,8 +98,22 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
     ColfVersions.listVersions(fs, root).lastOption.getOrElse(0L)
   }
 
+  /** Manifest-format knobs per trial: the default (inline — these
+    * histories stay well under 2048 files) plus shrunken thresholds that
+    * force SHARDED version files with tiny segments, so segment reuse,
+    * tombstoning, the rewrite-at-dead-ratio path, and inline↔sharded
+    * transitions all ride every fuzzed history.
+    */
+  private val genKnobs: Gen[(Int, Int)] =
+    Gen.oneOf((2048, 8192), (0, 2), (0, 5), (3, 3))
+
   property("every snapshot, every diff, and the live view match the model") =
-    forAllNoShrink(genHistory) { ops =>
+    forAllNoShrink(Gen.zip(genHistory, genKnobs)) { case (ops, (inlineMax, segMax)) =>
+      val oldInline = ColfVersions.InlineMaxEntries
+      val oldSeg = ColfVersions.SegmentMaxEntries
+      ColfVersions.InlineMaxEntries = inlineMax
+      ColfVersions.SegmentMaxEntries = segMax
+      try {
       val dir = Files.createTempDirectory("colf_hist_fuzz").toString
       val view = s"hf_src_${System.nanoTime()}"
       var model = Map.empty[Int, (String, Int)] // k -> (s, p)
@@ -224,5 +238,9 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
         }
       }
       travelOk && diffOk && liveOk && csOk
+      } finally {
+        ColfVersions.InlineMaxEntries = oldInline
+        ColfVersions.SegmentMaxEntries = oldSeg
+      }
     }
 }
