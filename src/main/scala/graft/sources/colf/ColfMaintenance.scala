@@ -170,6 +170,24 @@ object ColfMaintenance {
       ColfVersions.withSchemas(fs, root, ColfVersions.listDataFiles(fs, root), conf))
   }
 
+  /** Rewrite the latest version's METADATA into fresh segments — fold
+    * every tombstone away, drop references to partially-dead segments,
+    * re-dictionary the schemas — without touching a single data file.
+    * The manifest analogue of compaction: long DML histories accumulate
+    * tombstone debt below the per-segment rewrite ratio, and this clears
+    * all of it in one O(live entries) commit. Old segments stay on disk
+    * backing earlier versions until [[vacuumVersions]]. Publishes one
+    * new version with byte-identical table CONTENT; returns it.
+    */
+  def rewriteManifests(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(ColfVersions.enabled(fs, root),
+      s"colf: $dir is not a versioned table — nothing to rewrite")
+    ColfVersions.append(fs, root,
+      basis => basis.map(_._2).getOrElse(Seq.empty), freshSegments = true)
+  }
+
   /** Row-level snapshot diff of a versioned table: what changed between
     * version `from` and version `to` (default: latest)? Returns the full
     * rows tagged `added` / `removed` — multiset semantics via

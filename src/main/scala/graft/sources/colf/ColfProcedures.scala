@@ -97,6 +97,15 @@ private[graft] object ColfProcedures {
       StructType(Seq(StructField("version", LongType, nullable = false)))) { in =>
       Array(ColfMaintenance.enableVersioning(SparkSession.active,
         in.getUTF8String(0).toString))
+    },
+    proc("rewrite_manifests",
+      "rewrite the latest version's metadata into fresh segments (fold " +
+        "tombstones, drop partially-dead segment references) without " +
+        "touching data files; vacuum_versions reclaims the old segments",
+      Array(p("path", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) { in =>
+      Array(ColfMaintenance.rewriteManifests(SparkSession.active,
+        in.getUTF8String(0).toString))
     }
   ).map(u => u.name() -> u).toMap
 }

@@ -380,7 +380,8 @@ object ColfVersions {
     */
   def append(fs: FileSystem, root: Path,
       compute: Option[(Long, Seq[Entry])] => Seq[Entry],
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      freshSegments: Boolean = false): Long = {
     val lock = appendLocks.computeIfAbsent(
       fs.makeQualified(root).toString, _ => new Object)
     lock.synchronized {
@@ -399,9 +400,12 @@ object ColfVersions {
         // the property that keeps a 10⁵-file table's commits O(delta).
         // Segments written by an attempt that then loses the claim race
         // are orphans (unreferenced by any version) and vacuumable.
+        // freshSegments (manifest rewrite): ignore the basis layout so
+        // every entry lands in brand-new segments — tombstones fold away
         val bytes =
           if (current.lengthCompare(InlineMaxEntries) <= 0) render(next, current)
-          else renderSharded(fs, root, basisView, current, next)
+          else renderSharded(fs, root,
+            if (freshSegments) None else basisView, current, next)
         val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()

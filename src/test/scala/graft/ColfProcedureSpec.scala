@@ -54,10 +54,11 @@ class ColfProcedureSpec extends AnyFunSuite {
     assert(vac == Seq((0, 0))) // healthy table: no orphaned temps
   }
 
-  test("SHOW PROCEDURES lists all four; DESCRIBE PROCEDURE explains one") {
+  test("SHOW PROCEDURES lists all five; DESCRIBE PROCEDURE explains one") {
     val names = spark.sql("SHOW PROCEDURES IN colf_proc")
       .collect().map(_.getString(3)).toSet
-    assert(names == Set("compact", "vacuum", "vacuum_versions", "enable_versioning"))
+    assert(names == Set("compact", "vacuum", "vacuum_versions", "enable_versioning",
+      "rewrite_manifests"))
     val desc = spark.sql("DESCRIBE PROCEDURE colf_proc.compact")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("compact") && desc.contains("partition"))

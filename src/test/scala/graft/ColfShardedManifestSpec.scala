@@ -132,6 +132,46 @@ class ColfShardedManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_manifests folds tombstone debt without touching data") {
+    withKnobs(0, 100) {
+      val dir = tmp()
+      spark.range(0, 100).select($"id".cast("int").as("k"), ($"id" % 10).cast("int").as("p"),
+          ($"id" * 1.0).as("v"))
+        .write.format("colf").option("partitionBy", "p").option("manifest", "true")
+        .mode("append").save(dir)
+      spark.conf.set("spark.sql.catalog.colf_rw",
+        classOf[graft.sources.colf.ColfCatalog].getName)
+      // two small deletes: below the per-segment rewrite ratio, so the
+      // tombstone list GROWS — exactly the debt this verb clears
+      spark.sql(s"DELETE FROM colf_rw.`$dir` WHERE p = 1")
+      spark.sql(s"DELETE FROM colf_rw.`$dir` WHERE p = 2")
+      def dataFiles(): Map[String, Long] = {
+        def walk(d: java.io.File): Seq[java.io.File] = {
+          val es = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          es.filter(f => f.isFile && f.getName.endsWith(".colf")) ++
+            es.filter(f => f.isDirectory && f.getName.contains('=')).flatMap(walk)
+        }
+        walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      }
+      val segsBefore = segFiles(dir)
+      assert(versionJson(dir, 3L).contains("\"dead\":[\""))
+      val dataBefore = dataFiles()
+
+      val v = spark.sql(s"CALL colf_rw.rewrite_manifests('$dir')")
+        .collect()(0).getLong(0)
+      assert(v == 4L)
+      val v4 = versionJson(dir, 4L)
+      assert(v4.contains("\"dead\":[]"), v4)
+      assert(!segsBefore.exists(v4.contains), "rewrite must reference only fresh segments")
+      // content identical, no data file touched (same paths, same mtimes),
+      // history intact
+      assert(dataFiles() == dataBefore)
+      assert(spark.read.format("colf").load(dir).count() == 80)
+      assert(spark.read.format("colf").option("versionAsOf", 3).load(dir).count() == 80)
+      assert(spark.read.format("colf").option("versionAsOf", 1).load(dir).count() == 100)
+    }
+  }
+
   test("vacuum sweeps unreferenced segments, keeps referenced ones") {
     withKnobs(0, 3) {
       val dir = tmp()
