@@ -1065,6 +1065,70 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       else if (headersNeeded)
         OptionalLong.of(ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum)
       else OptionalLong.empty()
+
+    /** Per-column stats for Catalyst's cost-based estimation (Spark's
+      * `transformV2Stats` folds these into logical `ColumnStat`s):
+      * exact null counts always; exact min/max for NUMERIC columns
+      * (CBO's range-selectivity inputs — string bounds are unused there
+      * and their external/internal form is ambiguous). Derived entirely
+      * from manifest-recorded facts — zero I/O, any file count — so a
+      * versioned table under `spark.sql.cbo.enabled` gets real filter
+      * selectivity and join-side estimates. Unrecorded tables report
+      * nothing, as before.
+      */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (refs.isEmpty || !refs.forall(_.recorded)) return out
+      val totalRows = refs.map(_.fileNumRows).sum
+      required.fields.foreach { fld =>
+        val isPart = refs.head.partValues.contains(fld.name)
+        var nulls = 0L
+        var mn: Any = null
+        var mx: Any = null
+        var boundsOk = fld.dataType == IntegerType || fld.dataType == DoubleType
+        def fold(v: Any): Unit = {
+          if (mn == null || ColfPartitions.cmpValues(v, mn).exists(_ < 0)) mn = v
+          if (mx == null || ColfPartitions.cmpValues(v, mx).exists(_ > 0)) mx = v
+        }
+        refs.foreach { r =>
+          if (isPart) {
+            // constant per file, never null, exactly typed
+            if (boundsOk && r.fileNumRows > 0)
+              fold(ColfUtil.typedPartValues(r, fullSchema)(fld.name))
+          } else r.fileStats.get(fld.name) match {
+            case Some(st) =>
+              nulls += st.nullCount
+              if (st.nullCount < r.fileNumRows) {
+                // non-null values exist: both bounds must be recorded or
+                // the column's extremes are unknowable from here
+                if (st.min.isDefined && st.max.isDefined) {
+                  if (boundsOk) { fold(st.min.get); fold(st.max.get) }
+                } else boundsOk = false
+              }
+            case None =>
+              // file predates the column (schema evolution): all null
+              nulls += r.fileNumRows
+          }
+        }
+        out.put(org.apache.spark.sql.connector.expressions.Expressions.column(fld.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+            override def min(): java.util.Optional[Object] =
+              if (boundsOk && mn != null && totalRows > nulls)
+                java.util.Optional.of(mn.asInstanceOf[Object])
+              else java.util.Optional.empty()
+            override def max(): java.util.Optional[Object] =
+              if (boundsOk && mx != null && totalRows > nulls)
+                java.util.Optional.of(mx.asInstanceOf[Object])
+              else java.util.Optional.empty()
+          })
+      }
+      out
+    }
   }
 }
 

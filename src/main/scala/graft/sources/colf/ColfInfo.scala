@@ -23,7 +23,8 @@ object ColfInfo {
   def filesPlan(path: String): LogicalPlan = {
     val conf = ColfUtil.driverHadoopConf()
     val refs = ColfUtil.resolveFileRefs(Seq(path), conf)
-    val headers = ColfHeaderCache.getAll(refs, conf)
+    // manifest-recorded facts answer without opening files (same counts)
+    val headers = ColfHeaderCache.getAllPlanning(refs, conf)
     val rows = refs.lazyZip(headers).map { (r, h) =>
       val rel = r.partValues.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
       InternalRow(UTF8String.fromString(r.path), UTF8String.fromString(rel),

@@ -205,6 +205,25 @@ class ColfManifestSchemaSpec extends AnyFunSuite {
       s"bloom tier should fetch only the stats-surviving subset, got $bloomFetches")
   }
 
+  test("manifest-derived column statistics reach Catalyst") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .select($"id".cast("int").as("k"), ($"id" % 5).cast("int").as("p"),
+        when($"id" % 10 === 0, lit(null)).otherwise($"id" * 0.5).as("v"))
+      .write.format("colf").option("partitionBy", "p").option("manifest", "true")
+      .mode("append").save(dir)
+    val plan = spark.read.format("colf").load(dir).queryExecution.optimizedPlan
+    val attrStats = plan.stats.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+    assert(plan.stats.rowCount.contains(BigInt(1000)))
+    val k = attrStats("k")
+    assert(k.min.contains(0) && k.max.contains(999) && k.nullCount.contains(BigInt(0)), k)
+    val v = attrStats("v")
+    assert(v.nullCount.contains(BigInt(100)), v)
+    assert(v.min.contains(0.5) && v.max.contains(499.5), v)
+    val p = attrStats("p")
+    assert(p.min.contains(0) && p.max.contains(4) && p.nullCount.contains(BigInt(0)), p)
+  }
+
   test("DML and compaction keep the manifest fully recorded") {
     val dir = tmp()
     spark.conf.set("spark.sql.catalog.colf_msch",
