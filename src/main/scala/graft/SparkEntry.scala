@@ -1106,6 +1106,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))),
 
+    // Model-based quality filtering (fastText-style hashed linear scorer):
+    // map-only, bit-reproducible scores via integer-numerator weights.
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        dim = 65536, seed = 7L, threshold = 0.0)),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1975,6 +1982,26 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    // Same md5-bucket weights and long-numerator fold as
+    // TextAnalysis.hashedLinearScore — scores must match bit-for-bit.
+    "q_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |summed AS (
+        |  SELECT doc_id, ts,
+        |    CAST(coalesce(list_sum(list_transform(ts, t ->
+        |      CAST(('0x' || substr(md5('w7-' || CAST(
+        |        CAST(('0x' || substr(md5('b' || t), 1, 8)) AS BIGINT) % 65536
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) - 2147483648)), 0) AS BIGINT) AS num
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS INTEGER) AS n_tokens,
+        |  (CAST(num AS DOUBLE) / 4294967296.0) / CAST(greatest(len(ts), 1) AS DOUBLE) AS score,
+        |  (CAST(num AS DOUBLE) / 4294967296.0) / CAST(greatest(len(ts), 1) AS DOUBLE) > 0.0 AS keep
+        |FROM summed""".stripMargin,
 
     // Same formulas as q_quality_score / q_lang_id, reached through the
     // SQL function registry on the Spark side.

@@ -20,6 +20,45 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** FastText-style hashed-linear text scorer — the MODEL-BASED quality
+    * filter stage of modern pretraining pipelines (DataComp, FineWeb),
+    * distinct from the heuristic [[qualityScore]]: each token hashes into
+    * one of `dim` weight buckets (the hashing trick — no vocabulary, no
+    * OOV), a document's score is the mean bucket weight of its tokens,
+    * and `keep` thresholds it. Weights here are md5-derived stand-ins
+    * for trained parameters with the same shape and cost — production
+    * swaps `wNum` for a lookup into a broadcast trained vector and the
+    * plan is otherwise unchanged.
+    *
+    * 100-TB shape: map-only — per-row hashing plus an array fold, all
+    * codegen'd built-ins, no UDF, no shuffle — so scoring runs at scan
+    * bandwidth and composes with [[dropBoilerplateLines]]/[[redactPii]]
+    * in one pass. Engine-portable by construction: weights are INTEGER
+    * numerators (uniform over ±2³¹) summed associatively as longs, so
+    * any engine with md5 reproduces every score bit-for-bit — the only
+    * floating-point steps are two final divisions on identical operands.
+    *
+    * Output: (doc_id, n_tokens, score, keep). Null text scores null;
+    * an empty document scores 0.0 and is dropped at any threshold ≥ 0.
+    */
+  def hashedLinearScore(df: DataFrame, id: Column, text: Column,
+      dim: Int = 1 << 16, seed: Long = 7L, threshold: Double = 0.0): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = filter(tokens(text), t => length(t) > 0)
+    def bucket(t: Column): Column =
+      conv(substring(md5(concat(lit("b"), t).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % dim
+    def wNum(b: Column): Column =
+      conv(substring(md5(concat(lit(s"w$seed-"), b.cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long") - 2147483648L
+    val num = aggregate(toks, lit(0L), (acc, t) => acc + wNum(bucket(t)))
+    val n = size(toks)
+    val score = (num.cast("double") / lit(4294967296.0)) /
+      greatest(n, lit(1)).cast("double")
+    df.select(id.as("doc_id"), n.as("n_tokens"), score.as("score"),
+      (score > threshold).as("keep"))
+  }
+
   /** TF-IDF-style salient terms: per document, the k tokens with the
     * highest `tf · n_docs / df` (a log-free idf — integer-ratio doubles
     * are bit-reproducible across engines, unlike `ln` whose libm bits

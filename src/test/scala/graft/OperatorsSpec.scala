@@ -877,6 +877,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
   }
 
+  test("hashedLinearScore: deterministic, map-only, sane edges") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, ""), (4L, "zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(df, $"doc_id", $"text",
+      dim = 64, seed = 7L)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // identical text ⇒ identical score (hashing is the only "model")
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L)._1 == 3)
+    // empty document: zero tokens, zero score, dropped
+    assert(rows(3L) == ((0, 0.0, false)))
+    // score bounded by construction: mean of ±0.5-uniform weights
+    assert(rows.values.forall(v => math.abs(v._2) <= 0.5))
+    // map-only plan: no exchange anywhere — the property that makes the
+    // scorer run at scan bandwidth on 100 TB
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // threshold sidedness
+    val kept = TextAnalysis.hashedLinearScore(df, $"doc_id", $"text",
+      dim = 64, seed = 7L, threshold = -1.0).collect()
+    assert(kept.forall(_.getBoolean(3))) // every score clears -1
+  }
+
   // ------------------------------------------------------- multimodal
 
   test("multimodal stub decode: plumbing carries bytes and derives meta") {
