@@ -467,7 +467,12 @@ object ColfVersions {
           deadM.lengthCompare(
             (members.length * SegmentRewriteDeadRatio).toInt) <= 0 &&
           liveM.forall(e => !claimed(e.relPath) && !poisoned(e.relPath)) &&
-          deadM.forall(e => !claimed(e.relPath))
+          // a dead member whose path is still PRESENT in the new version
+          // (same-name replacement: a changed size/mtime entry, e.g. a
+          // streaming epoch replay overwriting its own file) cannot be
+          // tombstoned — the tombstone would mask the new entry too.
+          // Rewrite the segment instead, dropping the stale member.
+          deadM.forall(e => !claimed(e.relPath) && !curByPath.contains(e.relPath))
         if (keepable) {
           kept += name -> members
           claimed ++= liveM.map(_.relPath)

@@ -172,6 +172,34 @@ class ColfShardedManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("same-path replacement in a kept segment rewrites it, never tombstones") {
+    // A dead member whose relPath is STILL PRESENT in the new version —
+    // the same-name overwrite a streaming epoch replay produces — cannot
+    // be tombstoned (the path-keyed tombstone would mask the new entry
+    // too). The segment must be rewritten; before this rule the
+    // reconstruction check crashed the commit.
+    withKnobs(0, 100) {
+      val dir = tmp()
+      spark.range(0, 100).select($"id".cast("int").as("k"), ($"id" * 1.0).as("v"))
+        .repartition(10)
+        .write.format("colf").option("manifest", "true").mode("append").save(dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val f = fs(dir)
+      val es = ColfVersions.read(f, root, 1L)
+      assert(es.size == 10)
+      val v2 = ColfVersions.append(f, root, basis => {
+        val cur = basis.get._2
+        cur.head.copy(mtime = cur.head.mtime + 1000) +: cur.tail
+      })
+      val got = ColfVersions.read(f, root, v2)
+      assert(got.size == 10)
+      assert(got.find(_.relPath == es.head.relPath).get.mtime == es.head.mtime + 1000)
+      assert(versionJson(dir, v2).contains("\"dead\":[]"),
+        "replacement must rewrite the segment, not tombstone a live path")
+      assert(spark.read.format("colf").load(dir).count() == 100)
+    }
+  }
+
   test("vacuum sweeps unreferenced segments, keeps referenced ones") {
     withKnobs(0, 3) {
       val dir = tmp()
