@@ -25,7 +25,7 @@ object Bench {
     "q_chunk", "q_pii_redact", "q_colf_zorder", "q_bucketed_join",
     "q_pack", "q_interval_overlap",
     "q_span_dedup", "q_dedup_normalized", "q_upsert", "q_colf_meta_agg",
-    "q_dedup_semantic", "q_heavy_hitters",
+    "q_dedup_semantic", "q_heavy_hitters", "q_quality_classifier",
   )
 
   def main(args: Array[String]): Unit = {
