@@ -1991,11 +1991,15 @@ object SparkEntry {
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
         |  FROM documents),
         |summed AS (
+        |  -- NULL text propagates (ts IS NULL -> num NULL), matching the
+        |  -- Spark side exactly; the coalesce covers only the EMPTY-list
+        |  -- case, where list_sum returns NULL but Spark's fold returns 0
         |  SELECT doc_id, ts,
-        |    CAST(coalesce(list_sum(list_transform(ts, t ->
-        |      CAST(('0x' || substr(md5('w7-' || CAST(
-        |        CAST(('0x' || substr(md5('b' || t), 1, 8)) AS BIGINT) % 65536
-        |      AS VARCHAR)), 1, 8)) AS BIGINT) - 2147483648)), 0) AS BIGINT) AS num
+        |    CAST(CASE WHEN ts IS NULL THEN NULL ELSE
+        |      coalesce(list_sum(list_transform(ts, t ->
+        |        CAST(('0x' || substr(md5('w7-' || CAST(
+        |          CAST(('0x' || substr(md5('b' || t), 1, 8)) AS BIGINT) % 65536
+        |        AS VARCHAR)), 1, 8)) AS BIGINT) - 2147483648)), 0) END AS BIGINT) AS num
         |  FROM toks)
         |SELECT doc_id,
         |  CAST(len(ts) AS INTEGER) AS n_tokens,

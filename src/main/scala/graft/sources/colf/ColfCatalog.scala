@@ -97,8 +97,14 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
     tableFor(path, Map("versionAsOf" -> v.toString))
   }
 
+  /** Only an addressing/not-found failure means "no table" — a transient
+    * FS/auth/IO error must PROPAGATE, or callers would treat an
+    * unreachable filesystem as an absent table and, e.g., proceed to
+    * create over it.
+    */
   override def tableExists(ident: Identifier): Boolean =
-    scala.util.Try(loadTable(ident)).isSuccess
+    try { loadTable(ident); true }
+    catch { case _: IllegalArgumentException => false }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no namespace to enumerate

@@ -1084,7 +1084,9 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (refs.isEmpty || !refs.forall(_.recorded)) return out
       val totalRows = refs.map(_.fileNumRows).sum
-      required.fields.foreach { fld =>
+      // metadata columns (_file) are neither in file stats nor partition
+      // values — the fold below would misreport them as all-null to CBO
+      required.fields.filterNot(_.name == ColfUtil.FileMetaCol).foreach { fld =>
         val isPart = refs.head.partValues.contains(fld.name)
         var nulls = 0L
         var mn: Any = null

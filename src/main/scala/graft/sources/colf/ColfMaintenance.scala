@@ -225,16 +225,29 @@ object ColfMaintenance {
     * version that commit is about to publish. Returns
     * (dataFilesDeleted, versionsPruned). Idempotent; safe to run
     * concurrently with writers given an honest grace window.
+    *
+    * `olderThanMillis` adds TIME-based retention, the idiom operations
+    * teams actually express ("expire snapshots older than 30 days"): a
+    * version is pruned only if its commit time ([[ColfVersions.commitTime]]
+    * — embedded ts, mtime fallback) is before the cutoff AND it falls
+    * outside the `retainLast` tail — the two protections are a union, so
+    * the default `Long.MaxValue` cutoff ("any age is prunable") keeps
+    * the count-only behavior, and `retainLast = 1` with a cutoff gives
+    * pure time-based expiry with the latest version always surviving.
     */
   def vacuumVersions(spark: SparkSession, dir: String, retainLast: Int = 2,
-      graceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+      graceMs: Long = 24L * 3600 * 1000,
+      olderThanMillis: Long = Long.MaxValue): (Int, Int) = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val versions = ColfVersions.listVersions(fs, root)
     if (versions.isEmpty) return (0, 0)
     val cutoff = System.currentTimeMillis() - graceMs
-    val (pruned, retained) = versions.splitAt(math.max(0, versions.length - retainLast))
+    val (byCount, tail) = versions.splitAt(math.max(0, versions.length - retainLast))
+    val (pruned, protectedByAge) =
+      byCount.partition(v => ColfVersions.commitTime(fs, root, v) < olderThanMillis)
+    val retained = (protectedByAge ++ tail).sorted
     val referenced = retained.flatMap(v => ColfVersions.read(fs, root, v))
       .map(_.relPath).toSet
     // Manifests BEFORE data files: a crash between the two phases must

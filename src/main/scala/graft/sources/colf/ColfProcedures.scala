@@ -82,13 +82,19 @@ private[graft] object ColfProcedures {
     proc("vacuum_versions",
       "prune manifest versions to the last retain_last and delete data " +
         "files referenced only by pruned versions (grace_minutes protects " +
-        "in-flight commits)",
+        "in-flight commits); older_than_days >= 0 additionally RETAINS " +
+        "every version committed within that window (time-based expiry)",
       Array(p("path", StringType), pd("retain_last", IntegerType, "2"),
-        pd("grace_minutes", IntegerType, "1440")),
+        pd("grace_minutes", IntegerType, "1440"),
+        pd("older_than_days", DoubleType, "-1.0")),
       StructType(Seq(StructField("data_files_deleted", IntegerType, nullable = false),
         StructField("versions_pruned", IntegerType, nullable = false)))) { in =>
+      val days = in.getDouble(3)
+      val cutoff =
+        if (days < 0) Long.MaxValue
+        else System.currentTimeMillis() - (days * 86400000L).toLong
       val (f, v) = ColfMaintenance.vacuumVersions(SparkSession.active,
-        in.getUTF8String(0).toString, in.getInt(1), in.getInt(2) * 60000L)
+        in.getUTF8String(0).toString, in.getInt(1), in.getInt(2) * 60000L, cutoff)
       Array(f, v)
     },
     proc("enable_versioning",

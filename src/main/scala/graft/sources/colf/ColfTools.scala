@@ -185,9 +185,26 @@ object ColfTools {
 
     val partCols = ColfPartitions.partitionCols(
       ColfUtil.resolveFileRefs(Seq(targetDir), ColfUtil.driverHadoopConf()))
-    if (partCols.isEmpty) {
+    // Partition-scoped merge is only sound when no key CHANGED partition
+    // values — a moved key's old row lives in a partition the updates
+    // never touch and would silently survive as a duplicate. Detect moves
+    // with a key-join over just (keys ++ partCols) — a column-pruned scan,
+    // cheap next to the merge itself — and route moved-key batches through
+    // the full-table upsert, which restates every partition and cannot
+    // strand old rows.
+    val keysMoved = partCols.nonEmpty && {
+      val tKeyParts = target.select((keys ++ partCols).map(col): _*)
+        .toDF(keys ++ partCols.map("__t_" + _): _*)
+      !updates.select((keys ++ partCols).map(col): _*)
+        .join(tKeyParts, keys)
+        .where(partCols.map(c => !(col(c) <=> col("__t_" + c))).reduce(_ || _))
+        .isEmpty
+    }
+    if (partCols.isEmpty || keysMoved) {
       val merged = graft.operators.Upsert(target, updates, keys)
-      merged.write.format("colf").mode("overwrite").save(targetDir)
+      val w = merged.write.format("colf").mode("overwrite")
+      (if (partCols.isEmpty) w
+       else w.option("partitionBy", partCols.mkString(","))).save(targetDir)
     } else {
       // merge ONLY within the touched partitions; dynamic overwrite
       // then replaces exactly those

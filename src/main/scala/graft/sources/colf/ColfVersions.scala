@@ -235,15 +235,57 @@ object ColfVersions {
   def latest(fs: FileSystem, root: Path): Option[(Long, Seq[Entry])] =
     latestVersion(fs, root).map(v => v -> read(fs, root, v))
 
-  /** The newest version committed at or before `tsMillis` (manifest file
-    * mtimes ARE the commit times — each manifest is written once and
-    * never touched again). Backs SQL `TIMESTAMP AS OF`. Fails loudly on
-    * an unversioned table and on a timestamp before the first commit.
+  /** A version's commit time: the `ts` field the committer EMBEDDED in
+    * the manifest JSON, falling back to the manifest file's mtime for
+    * pre-ts manifests. The embedded field is what survives a table
+    * copy/restore/relocation — file mtimes silently become the copy
+    * time, so resolving `TIMESTAMP AS OF` from them would time-travel a
+    * restored table to the wrong snapshots. Version files are immutable,
+    * so results cache per qualified path.
+    */
+  def commitTime(fs: FileSystem, root: Path, version: Long): Long = {
+    val p = versionFile(root, version)
+    val key = fs.makeQualified(p).toString
+    val hit = tsCache.get(key)
+    if (hit != null) return hit
+    val st = fs.getFileStatus(p)
+    // the header is rendered first ({"version":N,"ts":T,...}) — read one
+    // small block, not the (possibly inline-2048-entry) whole manifest
+    val in = fs.open(p)
+    val head = try {
+      val buf = new Array[Byte](256)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      new String(buf, 0, off, "UTF-8")
+    } finally in.close()
+    val ts = TsField.findFirstMatchIn(head).map(_.group(1).toLong)
+      .getOrElse(st.getModificationTime)
+    tsCache.put(key, ts)
+    ts
+  }
+
+  private val TsField = """"ts":(\d+)""".r
+  private val tsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 4096
+    })
+
+  /** The newest version committed at or before `tsMillis` (embedded
+    * manifest commit times, mtime fallback — see [[commitTime]]). Backs
+    * SQL `TIMESTAMP AS OF`. Fails loudly on an unversioned table and on
+    * a timestamp before the first commit. Linear over the version list
+    * rather than a binary search: a restored table mixing pre-ts
+    * manifests (whose mtimes jumped to the copy time) with embedded-ts
+    * ones need not be monotone, and the version count is bounded by
+    * vacuum retention, not table size.
     */
   def versionAt(fs: FileSystem, root: Path, tsMillis: Long): Long = {
     val vs = listVersions(fs, root)
     require(vs.nonEmpty, s"colf: $root is not a versioned table (no manifests)")
-    val committed = vs.map(v => v -> fs.getFileStatus(versionFile(root, v)).getModificationTime)
+    val committed = vs.map(v => v -> commitTime(fs, root, v))
     val at = committed.filter(_._2 <= tsMillis)
     if (at.isEmpty)
       throw new IllegalArgumentException(
@@ -256,10 +298,13 @@ object ColfVersions {
     case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
   }
 
-  /** Inline version file: header + full entry body. */
+  /** Inline version file: header + full entry body. `ts` (epoch millis)
+    * embeds the commit time in the manifest itself — the durable record
+    * [[commitTime]] prefers over the copy-fragile file mtime.
+    */
   private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(s"""{"version":$version""")
+    sb.append(s"""{"version":$version,"ts":${System.currentTimeMillis()}""")
     renderBody(entries, sb)
     sb.append('}')
     sb.toString.getBytes("UTF-8")
@@ -359,7 +404,15 @@ object ColfVersions {
       val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
       val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
       try { java.nio.file.Files.createLink(d, t); fs.delete(tmp, false); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // file:-mounted filesystems without hard links (CIFS, some NFS):
+        // link(2) fails for every commit, not just contended ones — fall
+        // back to exists+rename, accepting its weaker (TOCTOU) guarantee
+        // rather than making the table unwritable on such mounts.
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          !fs.exists(dst) && fs.rename(tmp, dst)
+      }
     } else {
       // rename-to-existing returns false on HDFS-semantics filesystems:
       // the slot was claimed by a concurrent committer
@@ -500,7 +553,7 @@ object ColfVersions {
           s"(${got.size} vs ${curByPath.size} entries) — refusing to publish")
 
     val sb = new StringBuilder
-    sb.append(s"""{"version":$next,"segs":[""")
+    sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()},"segs":[""")
     view.segs.zipWithIndex.foreach { case ((n, _), i) =>
       if (i > 0) sb.append(',')
       sb.append('"').append(esc(n)).append('"')

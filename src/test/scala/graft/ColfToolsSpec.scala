@@ -163,6 +163,27 @@ class ColfToolsSpec extends AnyFunSuite {
     assert(filesOf("b") == bBefore, "untouched partition must not be rewritten")
   }
 
+  test("merge with a partition-moved key falls back to full restatement — no duplicate rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tools_merge_moved").toString
+    val upd = Files.createTempDirectory("tools_merge_moved_upd").toString + "/u.parquet"
+    Seq((1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "b"))
+      .toDF("k", "v", "p")
+      .write.format("colf").option("partitionBy", "p").mode("overwrite").save(dir)
+    // k=3 MOVES from p=b to p=a: partition-scoped overwrite of touched
+    // partitions alone would leave the old (3, 30.0, b) row alive
+    Seq((3, 33.0, "a")).toDF("k", "v", "p").write.mode("overwrite").parquet(upd)
+    val (ins, repl) = ColfTools.merge(spark, dir, upd, Seq("k"), "parquet")
+    assert((ins, repl) == (0L, 1L))
+    val got = spark.read.format("colf").load(dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set((1, 10.0, "a"), (2, 20.0, "a"), (3, 33.0, "a"), (4, 40.0, "b")),
+      "moved key must not survive in its old partition")
+    // the fallback preserved the hive layout (k=3 now lives under p=a)
+    assert(new java.io.File(dir, "p=a").exists() && new java.io.File(dir, "p=b").exists())
+    assert(spark.read.format("colf").load(dir).where($"p" === "b").count() == 1)
+  }
+
   test("merge on an unpartitioned table restates in place (self-read overwrite)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tools_merge_flat").toString

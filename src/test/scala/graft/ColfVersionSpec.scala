@@ -363,4 +363,85 @@ class ColfVersionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("version"))
   }
+
+  test("TIMESTAMP AS OF survives a table copy: commit times are embedded, not mtimes") {
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((1, "a")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    Thread.sleep(20) // commit times are millis; make v1 < v2 strictly
+    Seq((2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val t1 = ColfVersions.commitTime(fs, root, 1L)
+    val t2 = ColfVersions.commitTime(fs, root, 2L)
+    assert(t1 < t2, s"distinct embedded commit times expected, got $t1 / $t2")
+
+    // relocate: copy the whole table; every copied file's mtime becomes
+    // "now + 10 days" (the restore-from-backup worst case)
+    val copy = tmp() + "/restored"
+    org.apache.hadoop.fs.FileUtil.copy(fs, root, fs,
+      new org.apache.hadoop.fs.Path(copy), false, spark.sessionState.newHadoopConf())
+    val future = System.currentTimeMillis() + 10L * 86400000
+    java.nio.file.Files.walk(java.nio.file.Paths.get(copy)).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) p.toFile.setLastModified(future)
+    }
+    val copyRoot = new org.apache.hadoop.fs.Path(copy)
+    // mtime-based resolution would say NOTHING existed at t1; the embedded
+    // ts keeps the original history addressable
+    assert(ColfVersions.versionAt(fs, copyRoot, t1) == 1L)
+    assert(ColfVersions.versionAt(fs, copyRoot, t2) == 2L)
+    assert(spark.read.format("colf")
+      .option("versionAsOf", ColfVersions.versionAt(fs, copyRoot, t1)).load(copy)
+      .select("k").as[Int].collect().toSeq == Seq(1))
+    intercept[IllegalArgumentException] {
+      ColfVersions.versionAt(fs, copyRoot, t1 - 1)
+    }
+  }
+
+  test("time-based retention: vacuumVersions(olderThan) prunes by commit age, latest survives") {
+    val dir = tmp()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 3).foreach { i =>
+      Seq((i, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.format("colf").option("manifest", "true").mode("append").save(dir)
+      Thread.sleep(20)
+    }
+    assert(versions(dir) == Seq(1L, 2L, 3L))
+    val t2 = ColfVersions.commitTime(fs, root, 2L)
+    // cutoff at v2's commit time, retainLast=1: v1 (strictly older) is
+    // pruned, v2 is age-protected (not < cutoff), v3 is the retained tail
+    val (_, pruned1) = ColfMaintenance.vacuumVersions(spark, dir,
+      retainLast = 1, graceMs = 0, olderThanMillis = t2)
+    assert(pruned1 == 1 && versions(dir) == Seq(2L, 3L))
+    assert(spark.read.format("colf").option("versionAsOf", 2).load(dir).count() == 2)
+    // age cutoff far in the future: count-based retention alone applies
+    val (_, pruned2) = ColfMaintenance.vacuumVersions(spark, dir,
+      retainLast = 1, graceMs = 0, olderThanMillis = Long.MaxValue)
+    assert(pruned2 == 1 && versions(dir) == Seq(3L))
+    assert(spark.read.format("colf").load(dir).count() == 3)
+  }
+
+  test("vacuum_versions procedure accepts older_than_days") {
+    val dir = tmp()
+    (1 to 3).foreach { i =>
+      Seq((i, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    }
+    spark.conf.set("spark.sql.catalog.colf_ret",
+      classOf[graft.sources.colf.ColfCatalog].getName)
+    // every commit is seconds old: a 1-day window protects all of them,
+    // so even retain_last=1 prunes nothing
+    val kept = spark.sql(
+      s"CALL colf_ret.vacuum_versions('$dir', retain_last => 1, " +
+        "grace_minutes => 0, older_than_days => 1.0)").collect()(0)
+    assert(kept.getInt(1) == 0 && versions(dir) == Seq(1L, 2L, 3L))
+    // disabled window (default -1): count-based pruning as before
+    val again = spark.sql(
+      s"CALL colf_ret.vacuum_versions('$dir', retain_last => 1, " +
+        "grace_minutes => 0)").collect()(0)
+    assert(again.getInt(1) == 2 && versions(dir) == Seq(3L))
+  }
 }
