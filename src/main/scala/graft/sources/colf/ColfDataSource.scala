@@ -119,7 +119,8 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false),
-      ColfUtil.versionAsOf(opts), ColfUtil.changesSince(opts))
+      ColfUtil.versionAsOf(opts), ColfUtil.changesSince(opts),
+      Option(opts.get("dmlMode")))
   }
 }
 
@@ -135,6 +136,15 @@ private[colf] object ColfUtil {
     * becomes exact file selection.
     */
   val FileMetaCol = "_file"
+
+  /** Metadata column: a row's 0-based ORDINAL within its `.colf` file.
+    * With [[FileMetaCol]] it forms the row identity `(_file, _pos)` that
+    * merge-on-read DML deletes by ([[ColfDeltaOperation]]): a deletion
+    * vector is just the set of `_pos` values masked for one file.
+    * Positions are original file ordinals — rows surviving a deletion
+    * vector KEEP their positions, so later deletes compose.
+    */
+  val PosMetaCol = "_pos"
 
   /** The session's Hadoop conf (so `spark.hadoop.*` — S3A credentials,
     * endpoints, timeouts — reach every COLF filesystem call), falling
@@ -255,11 +265,28 @@ private[colf] object ColfUtil {
             case (None, Some(since)) =>
               // incremental read: latest's entries minus version `since`'s
               // (by relative path — files are immutable once committed)
-              val base = ColfVersions.read(fs, st.getPath, since).map(_.relPath).toSet
+              val baseEntries = ColfVersions.read(fs, st.getPath, since)
+              val base = baseEntries.map(_.relPath).toSet
               val cur = ColfVersions.latest(fs, st.getPath).map(_._2).getOrElse(
                 throw new IllegalArgumentException(
                   s"colf: changesSinceVersion requires a versioned table; " +
                     s"${st.getPath} has no manifests"))
+              // A deletion vector that changed WITHIN the range deletes
+              // rows from a file the base version already delivered —
+              // adds-only CDC has no way to say "minus these rows", and
+              // returning just the new files would silently misreport the
+              // delta. Fail loudly; diffVersions carries removals.
+              // (A file both ADDED and DV'd inside the range is fine: its
+              // delta rows are exactly its live rows, DV applied.)
+              val curBy = cur.map(e => e.relPath -> e).toMap
+              val dvChanged = baseEntries.filter(e => curBy.get(e.relPath).exists(c =>
+                c.dv != e.dv || c.dvRows != e.dvRows))
+              if (dvChanged.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"colf: changesSinceVersion($since) of ${st.getPath} spans " +
+                    s"row-level deletes on ${dvChanged.length} pre-existing file(s) " +
+                    "(merge-on-read DML) — an adds-only delta cannot represent " +
+                    "them; use ColfMaintenance.diffVersions for added+removed rows")
               ColfVersions.toRefs(fs, st.getPath, cur.filterNot(e => base.contains(e.relPath)))
             case (None, None) =>
               ColfVersions.latest(fs, st.getPath) match {
@@ -338,53 +365,88 @@ private[colf] object ColfUtil {
     val maxBytes: Long =
       try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
       catch { case _: Throwable => 128L * 1024 * 1024 }
+    // Files carrying a deletion vector pack into their own partitions:
+    // their reader is the row-based skip path, while DV-free files keep
+    // the vectorized ColumnarBatch path — per-partition, because that is
+    // the granularity `supportColumnarReads` decides at. On a healthy
+    // table DVs cover the recently-deleted minority (compaction folds
+    // them), so the hot path stays columnar.
     val sized = refs.sortBy(-_.size)
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[ColfFileRef], Long)]
+      .empty[(scala.collection.mutable.ArrayBuffer[ColfFileRef], Long, Boolean)]
     sized.foreach { r =>
-      bins.indexWhere { case (_, total) => total + r.size <= maxBytes } match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(r), r.size))
-        case i  => val (fs0, total) = bins(i); fs0 += r; bins(i) = (fs0, total + r.size)
+      val dv = r.dvPath != null
+      bins.indexWhere { case (_, total, hasDv) =>
+        hasDv == dv && total + r.size <= maxBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(r), r.size, dv))
+        case i  => val (fs0, total, _) = bins(i); fs0 += r; bins(i) = (fs0, total + r.size, dv)
       }
     }
-    bins.map { case (fs0, _) =>
-      ColfInputPartition(fs0.map(_.path).toSeq, fs0.map(_.partValues).toSeq): InputPartition
+    bins.map { case (fs0, _, hasDv) =>
+      ColfInputPartition(fs0.map(_.path).toSeq, fs0.map(_.partValues).toSeq,
+        if (hasDv) fs0.map(_.dvPath).toSeq else Seq.empty): InputPartition
     }.toArray
   }
 }
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
     mergeSchema: Boolean = false, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None)
+    changesSince: Option[Long] = None, dmlMode: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `SELECT _file, * FROM t`: per-row provenance, and the group identity
-    * the row-level operations filter on (see [[ColfUtil.FileMetaCol]]).
-    * Suppressed entirely when the table has a DATA column of the same
-    * name (then `_file` means the data, and row-level DML — which needs
-    * the metadata column — fails at analysis instead of mis-grouping).
+  /** `SELECT _file, _pos, * FROM t`: per-row provenance, and the row
+    * identity merge-on-read DML deletes by ([[ColfUtil.FileMetaCol]],
+    * [[ColfUtil.PosMetaCol]]). Each is suppressed when the table has a
+    * DATA column of the same name (then the name means the data, and the
+    * DML paths that need the metadata fail at analysis instead of
+    * mis-grouping).
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (schema.fieldNames.contains(ColfUtil.FileMetaCol))
-      Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = ColfUtil.FileMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "path of the .colf file this row was read from"
-    })
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val out = Array.newBuilder[org.apache.spark.sql.connector.catalog.MetadataColumn]
+    if (!schema.fieldNames.contains(ColfUtil.FileMetaCol))
+      out += new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ColfUtil.FileMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "path of the .colf file this row was read from"
+      }
+    if (!schema.fieldNames.contains(ColfUtil.PosMetaCol))
+      out += new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ColfUtil.PosMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "0-based ordinal of this row within its .colf file"
+      }
+    out.result()
+  }
 
-  /** SQL MERGE INTO / UPDATE / data-predicate DELETE: the group-based
-    * copy-on-write path ([[ColfRowLevelOperation]]). Partition-provable
-    * DELETEs still take the metadata-only route below — Spark's
-    * OptimizeMetadataOnlyDeleteFromTable asks [[canDeleteWhere]] first
-    * and only falls back to the rewrite when file-level deletion can't
-    * answer exactly.
+  /** SQL MERGE INTO / UPDATE / data-predicate DELETE. Two execution
+    * strategies, selected by the table option `dmlMode` (DDL OPTIONS or
+    * read option), falling back to the session conf `spark.colf.dml.mode`,
+    * defaulting to copy-on-write:
+    *
+    *  - `copy-on-write` ([[ColfRowLevelOperation]]): group-based — every
+    *    file holding a matched row is rewritten wholesale. The right plan
+    *    for bulk restatement (DML touching a large fraction of rows):
+    *    output files are clean, reads stay vectorized.
+    *  - `merge-on-read` ([[ColfDeltaOperation]]): delta-based — deletes
+    *    become position-delete files ([[ColfDeletes]]), updates become
+    *    delete + insert, and NO existing data file is rewritten. The
+    *    right plan for frequent small DML at scale: a 1-row UPDATE costs
+    *    bytes proportional to 1 row, not to the 512 MB file holding it.
+    *    Requires a versioned table (the manifest carries the DV refs).
+    *
+    * Partition-provable DELETEs still take the metadata-only route below
+    * in either mode — Spark's OptimizeMetadataOnlyDeleteFromTable asks
+    * [[canDeleteWhere]] first and only falls back to the rewrite when
+    * file-level deletion can't answer exactly.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo): org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -400,7 +462,21 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
           s"colf: row-level DML requires the ${ColfUtil.FileMetaCol} metadata " +
             s"column, but this table has a DATA column named ${ColfUtil.FileMetaCol} — " +
             "rename it (or use ColfTools merge / overwrite paths)")
-        new ColfRowLevelOperation(paths, schema, layoutPartitionCols, info)
+        val mode = dmlMode.orElse(SparkSession.getActiveSession
+            .flatMap(_.conf.getOption("spark.colf.dml.mode")))
+          .getOrElse("copy-on-write")
+        mode match {
+          case "copy-on-write" =>
+            new ColfRowLevelOperation(paths, schema, layoutPartitionCols, info)
+          case "merge-on-read" =>
+            require(!schema.fieldNames.contains(ColfUtil.PosMetaCol),
+              s"colf: merge-on-read DML needs the ${ColfUtil.PosMetaCol} metadata " +
+                s"column, but this table has a DATA column named ${ColfUtil.PosMetaCol} — " +
+                "rename it or use dmlMode copy-on-write")
+            new ColfDeltaOperation(paths, schema, layoutPartitionCols, info)
+          case other => throw new IllegalArgumentException(
+            s"colf: unknown dmlMode '$other' — use copy-on-write or merge-on-read")
+        }
       }
     }
 
@@ -673,6 +749,11 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
       agg: aggregate.Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
     val groupCols = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
     val refs = ColfUtil.resolveFileRefs(paths, conf, versionAsOf, changesSince)
+    // deletion vectors mask rows the headers still count: every
+    // header-derived fact (counts, bounds, null counts) is stale for a
+    // DV'd file, so metadata-only answering declines and Spark plans the
+    // real scan (which applies the DVs). Compaction restores pushdown.
+    if (refs.exists(_.dvRows > 0L)) return None
     val kept = refs.filter { r =>
       val tv = ColfUtil.typedPartValues(r, fullSchema)
       absorbed.forall(f => ColfPartitions.evalExact(tv, f) match {
@@ -894,9 +975,17 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   private lazy val prunedRefs: Seq[ColfFileRef] =
     if (filters.isEmpty) absorbedRefs
     else {
+      // `_file` participates like a partition value (exactly known per
+      // file, zero I/O) when it really is the metadata column — a static
+      // `_file IN (...)` (compaction's group selection) then prunes to
+      // exactly those files, mirroring the runtime-filter path below.
+      val fileIsMeta = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol)
       val partKept = absorbedRefs.filter { r =>
-        r.partValues.isEmpty ||
-          filters.forall(ColfPartitions.mayMatch(typedPartValues(r), _))
+        val vals =
+          if (fileIsMeta) typedPartValues(r) + (ColfUtil.FileMetaCol -> r.path)
+          else typedPartValues(r)
+        vals.isEmpty ||
+          filters.forall(ColfPartitions.mayMatch(vals, _))
       }
       statsPrune(partKept, filters)
     }
@@ -915,10 +1004,13 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     * one data file. Always keep ≥1 file (when any survived pruning) so
     * schema/zero-row behavior holds.
     */
-  /** Recorded row count when the manifest carried one; header otherwise. */
+  /** LIVE rows of a file: recorded (or header) count minus its deletion
+    * vector's masked rows — limit coverage counting full rows of a DV'd
+    * file would under-deliver the limit.
+    */
   private def numRowsOf(f: ColfFileRef): Long =
-    if (f.fileNumRows >= 0) f.fileNumRows
-    else ColfHeaderCache.get(f, conf).schema.numRows
+    (if (f.fileNumRows >= 0) f.fileNumRows
+     else ColfHeaderCache.get(f, conf).schema.numRows) - f.dvRows
 
   private lazy val refs: Seq[ColfFileRef] = limit match {
     case None => prunedRefs
@@ -1030,10 +1122,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf),
-      // a DATA column literally named `_file` (legal in CSV-converted
-      // inputs) must win over the metadata constant — the table also
-      // stops advertising the metadata column in that case
-      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol))
+      // a DATA column literally named `_file` / `_pos` (legal in
+      // CSV-converted inputs) must win over the metadata value — the
+      // table also stops advertising the metadata column in that case
+      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol),
+      posMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.PosMetaCol),
+      allowColumnar = !plannedRefs.exists(_.dvPath != null))
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ColfFilesListedMetric, new ColfFilesPlannedMetric)
@@ -1061,9 +1155,10 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       // a versioned table gives AQE/broadcast decisions real cardinality
       // where an unrecorded 10⁵-file directory must stay silent
       if (refs.forall(_.fileNumRows >= 0))
-        OptionalLong.of(refs.map(_.fileNumRows).sum)
+        OptionalLong.of(refs.map(r => r.fileNumRows - r.dvRows).sum)
       else if (headersNeeded)
-        OptionalLong.of(ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum)
+        OptionalLong.of(ColfHeaderCache.getAll(refs, conf).map(_.schema.numRows).sum -
+          refs.map(_.dvRows).sum)
       else OptionalLong.empty()
 
     /** Per-column stats for Catalyst's cost-based estimation (Spark's
@@ -1082,7 +1177,10 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (refs.isEmpty || !refs.forall(_.recorded)) return out
+      // deletion vectors invalidate per-column exactness (a masked row
+      // may have held the min, or a null) — report nothing rather than
+      // skewed estimates; compaction folds DVs and restores the stats
+      if (refs.isEmpty || !refs.forall(r => r.recorded && r.dvRows == 0L)) return out
       val totalRows = refs.map(_.fileNumRows).sum
       // metadata columns (_file) are neither in file stats nor partition
       // values — the fold below would misreport them as all-null to CBO
@@ -1159,47 +1257,63 @@ private case class ColfDriverMetric(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 case class ColfInputPartition(files: Seq[String],
-    partValues: Seq[Map[String, String]] = Seq.empty) extends InputPartition {
+    partValues: Seq[Map[String, String]] = Seq.empty,
+    dvs: Seq[String] = Seq.empty) extends InputPartition {
   /** Raw `k=v` values for file i (empty when the layout is flat). */
   def valuesFor(i: Int): Map[String, String] =
     if (partValues.isEmpty) Map.empty else partValues(i)
+  /** Deletion-vector path for file i, or null (empty = whole partition
+    * DV-free — the planner packs DV files separately).
+    */
+  def dvFor(i: Int): String = if (dvs.isEmpty) null else dvs(i)
+  def hasDvs: Boolean = dvs.exists(_ != null)
 }
 
 class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
-    fileMetaEnabled: Boolean = true)
+    fileMetaEnabled: Boolean = true, posMetaEnabled: Boolean = true,
+    allowColumnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition], required,
-      missingAsNull, conf, fileMetaEnabled)
+      missingAsNull, conf, fileMetaEnabled, posMetaEnabled)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
     * exposing them as one zero-copy ColumnarBatch per file lets Spark's
     * codegen'd ColumnarToRow produce rows — no per-row GenericInternalRow
     * allocation, no boxing, and the scan participates in whole-stage
-    * codegen.
+    * codegen. A scan whose plan includes ANY deletion-vector file answers
+    * false FOR EVERY partition (Spark refuses mixed row/columnar scans):
+    * masking ordinals inside a zero-copy batch would need a selection
+    * vector the DSv2 batch contract doesn't carry, so the whole scan
+    * takes the row path until compaction folds the vectors.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allowColumnar
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition], required,
-      missingAsNull, conf, fileMetaEnabled)
+      missingAsNull, conf, fileMetaEnabled, posMetaEnabled)
 }
 
 /** Per-file split of the required schema into decoder-read data columns
   * and path-derived partition constants (typed per the session schema).
   * `emit(i)` says where required field i comes from: Left(dataIdx) reads
-  * the decoded column, Right(value) is the file-constant.
+  * the decoded column, Right([[ColfFilePlan.Pos]]) is the row's file
+  * ordinal, any other Right(value) is the file-constant.
   */
 private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, String],
-    file: String, fileMetaEnabled: Boolean = true) {
+    file: String, fileMetaEnabled: Boolean = true, posMetaEnabled: Boolean = true) {
   val dataRequired: StructType = StructType(required.fields.filterNot(f =>
-    raw.contains(f.name) || (fileMetaEnabled && f.name == ColfUtil.FileMetaCol)))
+    raw.contains(f.name) || (fileMetaEnabled && f.name == ColfUtil.FileMetaCol) ||
+      (posMetaEnabled && f.name == ColfUtil.PosMetaCol)))
   val emit: IndexedSeq[Either[Int, Any]] = {
     var d = -1
     required.fields.toIndexedSeq.map { f =>
       if (fileMetaEnabled && f.name == ColfUtil.FileMetaCol)
         Right(file) // metadata: source file path
+      else if (posMetaEnabled && f.name == ColfUtil.PosMetaCol)
+        Right(ColfFilePlan.Pos) // metadata: per-row ordinal, not a constant
       else if (raw.contains(f.name))
         Right(try ColfPartitions.typedValue(raw(f.name), ColfUtil.colfType(f.dataType))
         catch {
@@ -1210,6 +1324,11 @@ private[colf] final class ColfFilePlan(required: StructType, raw: Map[String, St
       else { d += 1; Left(d) }
     }
   }
+}
+
+private[colf] object ColfFilePlan {
+  /** Sentinel emit value for the `_pos` metadata column. */
+  case object Pos
 }
 
 /** Shared selective-decode: seek straight to each required block via the
@@ -1289,14 +1408,18 @@ private[colf] class ColfFileDecoder(file: String, required: StructType,
   def close(): Unit = in.close()
 }
 
-/** Row-based read path (kept for engines/paths that ask for rows).
-  * Streams the partition's files sequentially, preserving file order;
-  * partition-path columns materialize as per-file constants.
+/** Row-based read path — also the DELETION-VECTOR path: a file whose
+  * manifest entry references a DV ([[ColfDeletes]]) is read here with the
+  * masked ordinals skipped (the columnar path serves DV-free partitions;
+  * the planner packs the two kinds separately). Streams the partition's
+  * files sequentially, preserving file order; partition-path columns
+  * materialize as per-file constants; `_pos` emits the row's ORIGINAL
+  * file ordinal — deletes never renumber survivors.
   */
 class ColfPartitionReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
-    fileMetaEnabled: Boolean = true)
+    fileMetaEnabled: Boolean = true, posMetaEnabled: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -1308,24 +1431,40 @@ class ColfPartitionReader(part: ColfInputPartition, required: StructType,
   private var plan: ColfFilePlan = null
   private var constants: Array[Any] = null
   private var row = -1
+  // current file's sorted deleted ordinals (null = none) + skip cursor;
+  // rows stream in ordinal order, so one forward pointer applies the
+  // whole vector in O(rows + deletes)
+  private var dv: Array[Long] = null
+  private var dvPtr = 0
 
   override def next(): Boolean = {
     row += 1
-    while (dec == null || row >= dec.numRows) {
-      if (dec != null) { dec.close(); dec = null }
-      fileIdx += 1
-      if (fileIdx >= files.length) return false
-      plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx),
-        fileMetaEnabled)
-      constants = plan.emit.map {
-        case Right(v: String) => UTF8String.fromString(v): Any
-        case Right(v)         => v
-        case Left(_)          => null
-      }.toArray
-      dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
-      row = 0
+    while (true) {
+      if (dec == null || row >= dec.numRows) {
+        if (dec != null) { dec.close(); dec = null }
+        fileIdx += 1
+        if (fileIdx >= files.length) return false
+        plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx),
+          fileMetaEnabled, posMetaEnabled)
+        constants = plan.emit.map {
+          case Right(ColfFilePlan.Pos) => null: Any // per-row, not constant
+          case Right(v: String)        => UTF8String.fromString(v): Any
+          case Right(v)                => v
+          case Left(_)                 => null
+        }.toArray
+        dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
+        row = 0
+        dv = Option(part.dvFor(fileIdx)).map { p =>
+          val path = new Path(p)
+          ColfDeletes.readFile(path.getFileSystem(conf.value), path)
+        }.orNull
+        dvPtr = 0
+      } else if (dv != null && dvPtr < dv.length && dv(dvPtr) == row) {
+        dvPtr += 1
+        row += 1
+      } else return true
     }
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = {
@@ -1334,6 +1473,7 @@ class ColfPartitionReader(part: ColfInputPartition, required: StructType,
     var c = 0
     while (c < plan.emit.length) {
       values(c) = plan.emit(c) match {
+        case Right(ColfFilePlan.Pos) => row.toLong
         case Right(_) => constants(c)
         case Left(d) =>
           val col = cols(d)
@@ -1420,13 +1560,40 @@ private[colf] class ColfConstantVector(dt: org.apache.spark.sql.types.DataType, 
     new UnsupportedOperationException(s"COLF constant vector has no $t accessor")
 }
 
+/** `_pos` metadata vector for the columnar path: a batch spans exactly
+  * one file, so the row's file ordinal IS its batch index — no backing
+  * array, no allocation.
+  */
+private[colf] class ColfPositionVector
+    extends org.apache.spark.sql.vectorized.ColumnVector(org.apache.spark.sql.types.LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long = i.toLong
+  override def getInt(i: Int): Int = throw unsupported("int")
+  override def getDouble(i: Int): Double = throw unsupported("double")
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = throw unsupported("string")
+  override def getBoolean(i: Int): Boolean = throw unsupported("boolean")
+  override def getByte(i: Int): Byte = throw unsupported("byte")
+  override def getShort(i: Int): Short = throw unsupported("short")
+  override def getFloat(i: Int): Float = throw unsupported("float")
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = throw unsupported("array")
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = throw unsupported("map")
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = throw unsupported("decimal")
+  override def getBinary(i: Int): Array[Byte] = throw unsupported("binary")
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector = throw unsupported("child")
+  private def unsupported(t: String) =
+    new UnsupportedOperationException(s"COLF position vector has no $t accessor")
+}
+
 /** Columnar read: one zero-copy batch per file, files in order;
   * partition-path columns ride as constant vectors.
   */
 class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
-    fileMetaEnabled: Boolean = true)
+    fileMetaEnabled: Boolean = true, posMetaEnabled: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -1440,10 +1607,12 @@ class ColfColumnarReader(part: ColfInputPartition, required: StructType,
     fileIdx += 1
     if (fileIdx >= files.length) return false
     val plan = new ColfFilePlan(required, part.valuesFor(fileIdx), files(fileIdx),
-      fileMetaEnabled)
+      fileMetaEnabled, posMetaEnabled)
     dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
     val vectors = plan.emit.zipWithIndex.map {
       case (Left(d), _)  => new ColfColumnVector(dec.cols(d)): ColumnVector
+      // one batch spans one whole file, so `_pos` is the batch index
+      case (Right(ColfFilePlan.Pos), _) => new ColfPositionVector: ColumnVector
       case (Right(v), i) => new ColfConstantVector(required.fields(i).dataType, v): ColumnVector
     }
     batch = new ColumnarBatch(vectors.toArray, dec.numRows)

@@ -78,19 +78,36 @@ object ColfMaintenance {
       sortBy: Seq[String] = Seq.empty): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = ColfUtil.driverHadoopConf()
-    val before = ColfUtil.resolveFileRefs(Seq(dir), conf)
-    if (before.lengthCompare(1) <= 0 && sortBy.isEmpty)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    // Versioned tables compact a PINNED snapshot (the latest version at
+    // entry): every group read below plans from that one manifest, so a
+    // concurrent commit landing mid-compaction can neither leak its new
+    // files into the rewrite nor change what the final diff removes.
+    // Pinned reads also carry the snapshot's DELETION VECTORS, and the
+    // scan applies them — compaction is the operation that FOLDS
+    // merge-on-read deletes back into clean files (outputs get no dv),
+    // so it must run even for a single-file table that carries one.
+    val pinned: Option[(Long, Seq[ColfVersions.Entry])] = ColfVersions.latest(fs, root)
+    val before = pinned match {
+      case Some((_, entries)) => ColfVersions.toRefs(fs, root, entries)
+      case None               => ColfUtil.resolveFileRefs(Seq(dir), conf)
+    }
+    if (before.lengthCompare(1) <= 0 && sortBy.isEmpty &&
+        before.forall(_.dvPath == null))
       return (before.length, before.length)
 
     // Hive-partitioned tables compact PER PARTITION DIRECTORY: each
-    // group's files are read by explicit path (schema only — partition
-    // values live in the directory name, which is also the write
-    // target), rewritten into that same directory, so the layout
-    // readers partition-prune on is preserved byte-for-byte. This is
-    // also the scale-correct granularity — partition-local I/O, bounded
-    // rewrite working set, and sortBy clusters WITHIN a partition where
-    // stats pruning actually bites. An unpartitioned table is the
-    // single group rooted at `dir`, the previous behavior exactly.
+    // group's files are read exactly (explicit paths on unversioned
+    // tables; a pinned `_file IN (...)` selection on versioned ones —
+    // which the scan prunes to exactly those files, zero value-semantics
+    // traps), rewritten into that same directory, so the layout readers
+    // partition-prune on is preserved byte-for-byte. This is also the
+    // scale-correct granularity — partition-local I/O, bounded rewrite
+    // working set, and sortBy clusters WITHIN a partition where stats
+    // pruning actually bites. An unpartitioned table is the single group
+    // rooted at `dir`, the previous behavior exactly.
+    val partCols = ColfPartitions.partitionCols(before)
     val groups = before.groupBy(r => new Path(r.path).getParent.toString)
     def writeGroups(skipManifest: Boolean): Unit = groups.foreach {
       case (parent, refs) =>
@@ -102,8 +119,20 @@ object ColfMaintenance {
         // later-added columns — and the delete below would make that
         // loss permanent. Type conflicts fail loudly before anything is
         // written or deleted.
-        val df = spark.read.format("colf").option("mergeSchema", "true")
-          .load(refs.map(_.path): _*)
+        val df = pinned match {
+          case Some((v, _)) =>
+            // pinned manifest read: DVs applied, file set immutable; the
+            // partition columns it surfaces are dropped again because the
+            // write target IS the partition directory
+            import org.apache.spark.sql.functions.col
+            val full = spark.read.format("colf")
+              .option("versionAsOf", v).option("mergeSchema", "true").load(dir)
+              .where(col(ColfUtil.FileMetaCol).isin(refs.map(_.path): _*))
+            if (partCols.isEmpty) full else full.drop(partCols: _*)
+          case None =>
+            spark.read.format("colf").option("mergeSchema", "true")
+              .load(refs.map(_.path): _*)
+        }
         val w0 =
           if (sortBy.nonEmpty)
             df.write.format("colf")
@@ -114,9 +143,7 @@ object ColfMaintenance {
         w.mode("append").save(parent)
     }
 
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    if (ColfVersions.enabled(fs, root)) {
+    if (pinned.isDefined) {
       // Versioned table: ONE atomic manifest flip — the rewrite's append
       // suppresses its own manifest (__skipManifest) so no reader ever
       // sees the transient old∪new duplicate state, then the compaction
@@ -248,8 +275,8 @@ object ColfMaintenance {
     val (pruned, protectedByAge) =
       byCount.partition(v => ColfVersions.commitTime(fs, root, v) < olderThanMillis)
     val retained = (protectedByAge ++ tail).sorted
-    val referenced = retained.flatMap(v => ColfVersions.read(fs, root, v))
-      .map(_.relPath).toSet
+    val retainedEntries = retained.flatMap(v => ColfVersions.read(fs, root, v))
+    val referenced = retainedEntries.map(_.relPath).toSet
     // Manifests BEFORE data files: a crash between the two phases must
     // leave only re-vacuumable garbage. Deleting data first would let a
     // crash strand pruned manifests that reference deleted files — a
@@ -261,9 +288,18 @@ object ColfMaintenance {
     // this before deleting any version file so a crash mid-prune can only
     // strand re-vacuumable orphans, never break a retained version.
     val refSegs = retained.flatMap(v => ColfVersions.segmentNames(fs, root, v)).toSet
+    // deletion vectors referenced by any retained version must survive;
+    // the rest (superseded merged vectors, task partials from failed or
+    // finished commits) are unreferenced scratch once their versions go
+    val refDvs = retainedEntries.flatMap(e => Option(e.dv)).toSet
     pruned.foreach { v =>
       fs.delete(new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"), false)
     }
+    val dvStale = ColfDeletes.listDvFiles(fs, root).filter { st =>
+      !refDvs.contains(s"${ColfDeletes.DeletesDir}/${st.getPath.getName}") &&
+        st.getModificationTime < cutoff
+    }
+    ColfHeaderCache.mapParallel(dvStale)(st => fs.delete(st.getPath, false))
     // Orphaned segments: unreferenced by any remaining version file —
     // pruned versions' exclusive segments and failed-claim leftovers. The
     // grace window keeps an in-flight commit's just-written segments safe

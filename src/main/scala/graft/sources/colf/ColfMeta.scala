@@ -24,12 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * LIMIT coverage, and statistics estimation consult them before paying
   * a header fetch. None of the three reach executors — tasks carry only
   * (path, partValues) ([[ColfUtil.binPack]]) and read the real header.
+  *
+  * `dvPath` / `dvRows`: the file's deletion vector ([[ColfDeletes]]) as
+  * an ABSOLUTE path (executors open it directly) masking `dvRows` rows;
+  * null/0 = no deletes. Unlike the planning facts above, `dvPath` DOES
+  * reach executors (via the input partition) — applying it is the read's
+  * correctness, not an optimization.
   */
 final case class ColfFileRef(path: String, size: Long, mtime: Long,
     partValues: Map[String, String] = Map.empty,
     fileSchema: Seq[ColfField] = null,
     fileNumRows: Long = -1L,
-    fileStats: Map[String, ColfColStats] = null)
+    fileStats: Map[String, ColfColStats] = null,
+    dvPath: String = null,
+    dvRows: Long = 0L)
     extends Serializable {
   /** All manifest-recorded facts present — planning can synthesize the
     * header ([[ColfPrune.syntheticHeader]]) instead of fetching it.

@@ -64,7 +64,28 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  private def list(): Seq[ColfFileRef] = ColfUtil.resolveFileRefs(paths, conf)
+  /** Live view, with the merge-on-read guard: the stream's contract is
+    * append-only FILES, but a deletion vector ([[ColfDeletes]]) mutates a
+    * file's logical content in place — rows this stream may have already
+    * emitted become deleted with no retraction to send. There is no
+    * sound way to represent that in an append-only source, so ANY DV in
+    * the view fails the stream loudly (even one on a not-yet-consumed
+    * file: its vector could grow after consumption just as silently).
+    * Fold deletes away with compaction, or diff snapshots in batch
+    * ([[ColfMaintenance.diffVersions]] emits added/removed rows).
+    */
+  private def list(): Seq[ColfFileRef] = {
+    val refs = ColfUtil.resolveFileRefs(paths, conf)
+    val dvd = refs.filter(_.dvPath != null)
+    if (dvd.nonEmpty)
+      throw new IllegalStateException(
+        s"colf stream: ${paths.mkString(",")} carries deletion vectors on " +
+          s"${dvd.length} file(s) (merge-on-read DML ran against it) — an " +
+          "append-only stream cannot retract already-emitted rows. Compact " +
+          "the table to fold the deletes, or use ColfMaintenance.diffVersions " +
+          "for batch change capture with removals")
+    refs
+  }
 
   /** Strictly after `o`: a later millisecond, or an unseen name within
     * the boundary millisecond. Boundary names are probed as a Set — a
@@ -189,7 +210,8 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColfPartitionReaderFactory(required, mergeSchema, new SerializableConfiguration(conf),
-      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol))
+      fileMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.FileMetaCol),
+      posMetaEnabled = !fullSchema.fieldNames.contains(ColfUtil.PosMetaCol))
 
   override def commit(end: Offset): Unit = () // nothing to clean up
   override def stop(): Unit = ()

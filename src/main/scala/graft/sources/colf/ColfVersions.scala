@@ -62,10 +62,18 @@ object ColfVersions {
     * instead of 10⁵ header RPCs, and `estimateStatistics` reports exact
     * row counts at any file count. -1 / null = unrecorded (pre-stats
     * manifests): the scan falls back to header fetches, as before.
+    *
+    * `dv` / `dvRows` reference this file's deletion vector
+    * ([[ColfDeletes]]): the root-relative path of the position-delete
+    * file masking `dvRows` of this file's rows, or null/0 when no rows
+    * are deleted. A merge-on-read DELETE/UPDATE repoints `dv` at a new
+    * merged vector in the next version; the data file itself is
+    * immutable throughout.
     */
   final case class Entry(relPath: String, size: Long, mtime: Long,
       schema: Seq[ColfField] = null, numRows: Long = -1L,
-      stats: Map[String, ColfColStats] = null)
+      stats: Map[String, ColfColStats] = null,
+      dv: String = null, dvRows: Long = 0L)
 
   private val mapper = new ObjectMapper()
 
@@ -226,8 +234,10 @@ object ColfVersions {
             }
             b.result()
           }
+        val dv = if (f.hasNonNull("dv")) f.get("dv").asText() else null
+        val dvRows = if (f.hasNonNull("dr")) f.get("dr").asLong() else 0L
         Entry(f.get("p").asText(), f.get("s").asLong(), f.get("m").asLong(),
-          schema, numRows, stats)
+          schema, numRows, stats, dv, dvRows)
       }
   }
 
@@ -351,6 +361,7 @@ object ColfVersions {
         if (e.schema == null) "" else s""","sc":${schemaIdx(e.schema)}"""
       sb.append(s"""{"p":"${esc(e.relPath)}","s":${e.size},"m":${e.mtime}$sc""")
       if (e.numRows >= 0) sb.append(s""","r":${e.numRows}""")
+      if (e.dv != null) sb.append(s""","dv":"${esc(e.dv)}","dr":${e.dvRows}""")
       // stats render in schema field order (determinism) and only WITH a
       // schema — parsing types each bound against the recorded column type
       if (e.stats != null && e.schema != null) {
@@ -595,7 +606,8 @@ object ColfVersions {
         .map { s => val Array(k, v) = s.split("=", 2); k -> v }
         .toMap
       ColfFileRef(new Path(q, e.relPath).toString, e.size, e.mtime, partValues,
-        e.schema, e.numRows, e.stats)
+        e.schema, e.numRows, e.stats,
+        if (e.dv == null) null else new Path(q, e.dv).toString, e.dvRows)
     }
   }
 

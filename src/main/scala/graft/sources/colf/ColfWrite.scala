@@ -616,7 +616,8 @@ class ColfDataWriter(
     maxRowsPerFile: Int, maxBytesPerFile: Long, compressionLevel: Int,
     conf: org.apache.spark.util.SerializableConfiguration =
       new org.apache.spark.util.SerializableConfiguration(new Configuration()),
-    epoch: Option[Long] = None, partitionBy: Seq[String] = Seq.empty)
+    epoch: Option[Long] = None, partitionBy: Seq[String] = Seq.empty,
+    allowEmptyFile: Boolean = true)
     extends DataWriter[InternalRow] {
 
   // Partition columns route to k=v path segments; only the remaining
@@ -729,9 +730,11 @@ class ColfDataWriter(
     // SURVEY.md §5). Streaming epochs skip this, and so do partitioned
     // writes (a zero-row table has no partition value to place a file
     // under): an empty microbatch must not litter one empty part file per
-    // trigger.
+    // trigger. Merge-on-read DML opts out too (allowEmptyFile=false): a
+    // pure DELETE writes no data rows and must not leave a stray file.
     if (rows > 0 ||
-        (partitionId == 0 && written.isEmpty && epoch.isEmpty && partPos.isEmpty))
+        (allowEmptyFile && partitionId == 0 && written.isEmpty &&
+          epoch.isEmpty && partPos.isEmpty))
       flushFile()
     ColfCommitMessage(
       written.reverse.map { case (t, f, _) => (t.toString, f.toString) },
