@@ -792,6 +792,37 @@ object SparkEntry {
            |FROM colf_cat.`$out` TIMESTAMP AS OF '2099-01-01'""".stripMargin)
     }),
 
+    "q_colf_ddl" -> ((s, dir) => {
+      // Catalog DDL end-to-end, metadata-only schema evolution: CREATE
+      // TABLE declares an empty partitioned table in its own manifest,
+      // INSERT fills it, ALTER TABLE ADD COLUMN makes a column visible
+      // with zero data reads (old files read null), a second INSERT
+      // carries values, DROP COLUMN projects one away (bytes untouched,
+      // recoverable via VERSION AS OF). The oracle recomputes the final
+      // projection relationally from the source parquet.
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_ddl")
+      rmDir(out)
+      s.sql(
+        s"""CREATE TABLE colf_cat.`$out`
+           |(c_custkey INT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING)
+           |PARTITIONED BY (c_mktsegment)""".stripMargin)
+      t(s, dir, "customer").createOrReplaceTempView("graft_ddl_src")
+      s.sql(
+        s"""INSERT INTO colf_cat.`$out`
+           |SELECT CAST(c_custkey AS INT), c_name, c_acctbal, c_mktsegment
+           |FROM graft_ddl_src WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE colf_cat.`$out` ADD COLUMN c_nationkey INT")
+      s.sql(
+        s"""INSERT INTO colf_cat.`$out`
+           |SELECT CAST(c_custkey AS INT), c_name, c_acctbal, c_mktsegment,
+           |  CAST(c_nationkey AS INT)
+           |FROM graft_ddl_src WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(s"ALTER TABLE colf_cat.`$out` DROP COLUMN c_name")
+      s.sql(s"SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey FROM colf_cat.`$out`")
+    }),
+
     "q_colf_version_diff" -> ((s, dir) => {
       // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
       // diffVersions(1) must tag exactly the odd div-3 rows `added` and
@@ -1682,6 +1713,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(doc_id AS INTEGER) AS doc_id, source, lang, 'latest' AS snap
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q_colf_ddl" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal, c_mktsegment,
+        | CAST(NULL AS INTEGER) AS c_nationkey
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey AS INTEGER), c_acctbal, c_mktsegment,
+        | CAST(c_nationkey AS INTEGER)
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
 
     "q_colf_version_diff" ->
       """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, 'added' AS change

@@ -36,6 +36,16 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = ColfUtil.driverHadoopConf()
+    // A DECLARED schema (catalog DDL, [[ColfVersions.TableMeta]]) is
+    // authoritative: it's how an empty CREATE TABLE has a shape at all,
+    // how ADD COLUMN is visible before any file stores it, and how DROP
+    // COLUMN hides bytes still present in files. versionAsOf pins the
+    // declaration too — time travel shows the schema AS OF that commit.
+    ColfUtil.declaredMeta(ColfUtil.paths(options), conf,
+        ColfUtil.versionAsOf(options)).foreach { m =>
+      return StructType(m.fields.map(f =>
+        StructField(f.name, ColfUtil.sparkType(f.tpe), f.nullable)))
+    }
     val sel = ColfUtil.resolveFileRefs(ColfUtil.paths(options), conf,
       ColfUtil.versionAsOf(options), ColfUtil.changesSince(options))
     // an empty SNAPSHOT still has a schema — an empty incremental delta,
@@ -303,6 +313,21 @@ private[colf] object ColfUtil {
     }.flatten
   }
 
+  /** The declared table schema ([[ColfVersions.TableMeta]]) governing
+    * `paths`, when there is one: a SINGLE directory path, versioned, and
+    * a manifest carrying DDL state (at `versionAsOf`, default latest).
+    * Multi-path reads, globs, and explicit files have no DDL surface —
+    * they resolve from file schemas as always.
+    */
+  def declaredMeta(paths: Seq[String], conf: Configuration,
+      versionAsOf: Option[Long] = None): Option[ColfVersions.TableMeta] = {
+    if (paths.lengthCompare(1) != 0) return None
+    val p = new Path(paths.head)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return None
+    ColfVersions.tableMeta(fs, p, versionAsOf)
+  }
+
   /** Concrete .colf file paths (compat shim over [[resolveFileRefs]]). */
   def resolveFiles(paths: Seq[String]): Seq[String] =
     resolveFileRefs(paths, driverHadoopConf()).map(_.path)
@@ -506,8 +531,19 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     else ColfUtil.listingFileRefs(paths, ColfUtil.driverHadoopConf())
   }
 
+  /** DDL state, when the table carries one ([[ColfVersions.TableMeta]]).
+    * Declared partition columns then OVERRIDE layout derivation (an
+    * empty CREATE TABLE … PARTITIONED BY table has no files to derive
+    * from, yet its first INSERT must write hive-layout), and reads
+    * treat declared columns missing from older files as null (ADD
+    * COLUMN) without requiring the mergeSchema option.
+    */
+  private lazy val declaredMeta: Option[ColfVersions.TableMeta] =
+    ColfUtil.declaredMeta(paths, ColfUtil.driverHadoopConf(), versionAsOf)
+
   private lazy val layoutPartitionCols: Seq[String] =
-    ColfPartitions.partitionCols(layoutRefs)
+    declaredMeta.map(_.parts.toList).getOrElse(
+      ColfPartitions.partitionCols(layoutRefs))
 
   /** Partition columns with a value present AND parseable (under the
     * table schema's type) on EVERY file — the set over which filters can
@@ -554,7 +590,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     val (effVer, effChg) =
       if (readVer.isDefined || readChg.isDefined) (readVer, readChg)
       else (versionAsOf, changesSince)
-    new ColfScanBuilder(paths, schema, mergeSchema,
+    new ColfScanBuilder(paths, schema, mergeSchema || declaredMeta.isDefined,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
       exactPartCols, layoutPartitionCols, effVer, effChg)

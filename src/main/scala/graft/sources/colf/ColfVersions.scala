@@ -75,6 +75,26 @@ object ColfVersions {
       stats: Map[String, ColfColStats] = null,
       dv: String = null, dvRows: Long = 0L)
 
+  /** The table's DECLARED schema — the catalog-DDL surface. `fields` is
+    * the full logical schema in declared order (partition columns
+    * included), `parts` names which of them are hive-layout partition
+    * columns. When a version carries one, table resolution returns IT —
+    * not the union of file schemas — so `CREATE TABLE` can declare an
+    * empty table's shape, `ALTER TABLE ADD COLUMN` makes a column
+    * visible before any file stores it (older files read it as null),
+    * and `ALTER TABLE DROP COLUMN` is metadata-only (files keep the
+    * bytes; scans stop projecting them). Absent (`None`) on tables never
+    * touched by DDL: resolution falls back to file schemas exactly as
+    * before, so pre-DDL manifests and listing-based tables are
+    * unaffected. Carried forward by every commit unless the commit
+    * explicitly changes it (the DDL paths in [[graft.sources.colf.ColfCatalog]]).
+    */
+  final case class TableMeta(fields: Seq[ColfField], parts: Seq[String]) {
+    require(parts.forall(p => fields.exists(_.name == p)),
+      s"colf: declared partition columns ${parts.mkString(",")} must appear " +
+        s"in the declared schema (${fields.map(_.name).mkString(",")})")
+  }
+
   private val mapper = new ObjectMapper()
 
   private def versionsPath(root: Path): Path = new Path(root, VersionsDir)
@@ -105,7 +125,7 @@ object ColfVersions {
     * segments. `entries` is the live view every caller consumes.
     */
   private[colf] final case class View(segs: Seq[(String, Seq[Entry])],
-      dead: Set[String]) {
+      dead: Set[String], meta: Option[TableMeta] = None) {
     def entries: Seq[Entry] =
       if (dead.isEmpty) segs.flatMap(_._2)
       else segs.flatMap(_._2).filterNot(e => dead(e.relPath))
@@ -128,9 +148,10 @@ object ColfVersions {
     try {
       val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
+      val meta = parseMeta(node)
       if (node.has("files")) {
         // inline format: small tables and every pre-sharding manifest
-        View(Seq((null: String) -> parseBody(node)), Set.empty)
+        View(Seq((null: String) -> parseBody(node)), Set.empty, meta)
       } else {
         // sharded format: the version file references immutable entry
         // SEGMENTS (written once, reused across versions) plus the
@@ -145,7 +166,7 @@ object ColfVersions {
           else (0 until dn.size()).map(dn.get(_).asText()).toSet
         val segs = ColfHeaderCache.mapParallel(names)(n =>
           n -> readSegment(fs, root, n))
-        View(segs, dead)
+        View(segs, dead, meta)
       }
     } catch {
       case e: IllegalArgumentException if e.getMessage.startsWith("colf:") => throw e
@@ -241,6 +262,75 @@ object ColfVersions {
       }
   }
 
+  /** Declared-schema fields of a version header: `"tschema":[{n,t,nl}…],
+    * "parts":[…]`. Absent keys (every pre-DDL manifest) → None.
+    */
+  private def parseMeta(node: com.fasterxml.jackson.databind.JsonNode): Option[TableMeta] = {
+    val ts = node.get("tschema")
+    if (ts == null || !ts.isArray) None
+    else {
+      val fields = (0 until ts.size()).map { j =>
+        val f = ts.get(j)
+        require(f.hasNonNull("n") && f.hasNonNull("t") && f.hasNonNull("nl"),
+          s"tschema field $j missing n/t/nl")
+        ColfField(f.get("n").asText(), ColfType.fromName(f.get("t").asText()),
+          f.get("nl").asBoolean())
+      }
+      val pn = node.get("parts")
+      val parts =
+        if (pn == null || !pn.isArray) Seq.empty[String]
+        else (0 until pn.size()).map(pn.get(_).asText())
+      Some(TableMeta(fields, parts))
+    }
+  }
+
+  /** Render the declared-schema header fields (after "ts", before the
+    * entry body — [[commitTime]] reads only the first bytes and must
+    * still find "ts" there).
+    */
+  private def renderMeta(meta: Option[TableMeta], sb: StringBuilder): Unit =
+    meta.foreach { m =>
+      sb.append(""","tschema":[""")
+      m.fields.zipWithIndex.foreach { case (f, j) =>
+        if (j > 0) sb.append(',')
+        sb.append(s"""{"n":"${esc(f.name)}","t":"${f.tpe.name}","nl":${f.nullable}}""")
+      }
+      sb.append(']')
+      if (m.parts.nonEmpty) {
+        sb.append(""","parts":[""")
+        m.parts.zipWithIndex.foreach { case (p, j) =>
+          if (j > 0) sb.append(',')
+          sb.append('"').append(esc(p)).append('"')
+        }
+        sb.append(']')
+      }
+    }
+
+  /** The declared table schema at `version` (default: latest), or None
+    * when the table is unversioned or no DDL ever declared one. One
+    * version-file read; results cache with the (immutable) version file.
+    */
+  def tableMeta(fs: FileSystem, root: Path, version: Option[Long] = None): Option[TableMeta] = {
+    val v = version.orElse(latestVersion(fs, root)).getOrElse(return None)
+    val key = fs.makeQualified(versionFile(root, v)).toString
+    metaCache.get(key) match {
+      case null =>
+        // corruption propagates (resolution would fail on the entries
+        // anyway) — a silent None here would quietly fall back to
+        // union-of-files schema and unhide dropped columns
+        val m = readView(fs, root, v).meta
+        metaCache.put(key, m)
+        m
+      case hit => hit
+    }
+  }
+
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[TableMeta]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[TableMeta]]): Boolean = size() > 4096
+    })
+
   /** Entries of the latest version, or None when versioning is off. */
   def latest(fs: FileSystem, root: Path): Option[(Long, Seq[Entry])] =
     latestVersion(fs, root).map(v => v -> read(fs, root, v))
@@ -312,9 +402,11 @@ object ColfVersions {
     * embeds the commit time in the manifest itself — the durable record
     * [[commitTime]] prefers over the copy-fragile file mtime.
     */
-  private def render(version: Long, entries: Seq[Entry]): Array[Byte] = {
+  private def render(version: Long, entries: Seq[Entry],
+      meta: Option[TableMeta]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(s"""{"version":$version,"ts":${System.currentTimeMillis()}""")
+    renderMeta(meta, sb)
     renderBody(entries, sb)
     sb.append('}')
     sb.toString.getBytes("UTF-8")
@@ -445,7 +537,9 @@ object ColfVersions {
   def append(fs: FileSystem, root: Path,
       compute: Option[(Long, Seq[Entry])] => Seq[Entry],
       maxRetries: Int = 5,
-      freshSegments: Boolean = false): Long = {
+      freshSegments: Boolean = false,
+      metaUpdate: (Option[TableMeta], Seq[Entry]) => Option[TableMeta] =
+        (m, _) => m): Long = {
     val lock = appendLocks.computeIfAbsent(
       fs.makeQualified(root).toString, _ => new Object)
     lock.synchronized {
@@ -456,6 +550,12 @@ object ColfVersions {
         val basisEntries = basisView.map(_.entries)
         val next = basisV.getOrElse(0L) + 1
         val current = compute(basisV.zip(basisEntries))
+        // The declared schema (DDL) carries forward by DEFAULT: data
+        // commits never touch it, so an ALTER is never lost to a racing
+        // append. Like `compute`, the update runs INSIDE the claim loop
+        // against the basis actually observed — a racing DDL makes the
+        // loser re-derive, not overwrite.
+        val meta = metaUpdate(basisView.flatMap(_.meta), current)
         val vp = versionsPath(root)
         if (!fs.exists(vp)) fs.mkdirs(vp)
         // Small version → inline (one file, trivially atomic). Big →
@@ -467,9 +567,9 @@ object ColfVersions {
         // freshSegments (manifest rewrite): ignore the basis layout so
         // every entry lands in brand-new segments — tombstones fold away
         val bytes =
-          if (current.lengthCompare(InlineMaxEntries) <= 0) render(next, current)
+          if (current.lengthCompare(InlineMaxEntries) <= 0) render(next, current, meta)
           else renderSharded(fs, root,
-            if (freshSegments) None else basisView, current, next)
+            if (freshSegments) None else basisView, current, next, meta)
         val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
@@ -513,7 +613,8 @@ object ColfVersions {
     * live member.
     */
   private def renderSharded(fs: FileSystem, root: Path,
-      basisView: Option[View], current: Seq[Entry], next: Long): Array[Byte] = {
+      basisView: Option[View], current: Seq[Entry], next: Long,
+      meta: Option[TableMeta]): Array[Byte] = {
     val vp = versionsPath(root)
     val curByPath: Map[String, Entry] = current.map(e => e.relPath -> e).toMap
     require(curByPath.size == current.size,
@@ -564,7 +665,9 @@ object ColfVersions {
           s"(${got.size} vs ${curByPath.size} entries) — refusing to publish")
 
     val sb = new StringBuilder
-    sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()},"segs":[""")
+    sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()}""")
+    renderMeta(meta, sb)
+    sb.append(""","segs":[""")
     view.segs.zipWithIndex.foreach { case ((n, _), i) =>
       if (i > 0) sb.append(',')
       sb.append('"').append(esc(n)).append('"')

@@ -107,11 +107,10 @@ class ColfVersionSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM colf_sql.not_a_path").collect()
     }
     assert(notPath.getMessage.contains("by path"))
-    // DDL through the catalog is rejected loudly (stateless by design)
-    val ddl = intercept[Exception] {
-      spark.sql(s"DROP TABLE colf_sql.`$dir`")
-    }
-    assert(ddl.getMessage.contains("not supported"))
+    // DDL through the catalog WORKS since round 7 (ColfDdlSpec covers it);
+    // DROP TABLE here doubles as the spec's cleanup
+    spark.sql(s"DROP TABLE colf_sql.`$dir`")
+    assert(!new java.io.File(dir).exists())
   }
 
   test("unversioned tables are untouched: no manifest appears, overwrite deletes") {
