@@ -137,8 +137,9 @@ object ColfCodec {
       * rules ([[StringStatMaxBytes]]; NaN/Inf doubles drop both bounds).
       */
     def statsMinMax: (Option[Any], Option[Any])
-    /** Equality-skipping Bloom filter — utf8 columns only, None when the
-      * per-file distinct count exceeded [[ColfBloom.MaxDistinct]].
+    /** Equality-skipping Bloom filter over this column's distinct values
+      * (all three types), None when the per-file distinct count exceeded
+      * [[ColfBloom.MaxDistinct]].
       */
     def statsBloom: Option[ColfBloom] = None
     protected def ensureNulls(): Unit =
@@ -177,8 +178,16 @@ object ColfCodec {
     private var values = new Array[Int](16)
     private var mn = Int.MaxValue
     private var mx = Int.MinValue
+    // Equality-bloom hashes (same cap/discipline as the utf8 builder):
+    // on an UNSORTED high-cardinality int key, min/max bounds span ~the
+    // whole range in every file, so `id = k` point lookups prune nothing
+    // without this.
+    private var valueHashes: java.util.HashSet[java.lang.Long] = new java.util.HashSet()
     override def statsMinMax: (Option[Any], Option[Any]) =
       if (n == nullCount) (None, None) else (Some(mn), Some(mx))
+    override def statsBloom: Option[ColfBloom] =
+      if (valueHashes == null || valueHashes.isEmpty) None
+      else Some(ColfBloom.build(valueHashes))
     private def ensure(): Unit = {
       ensureNulls()
       if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
@@ -187,6 +196,10 @@ object ColfCodec {
       ensure(); values(n) = v; nulls(n) = false; n += 1
       if (v < mn) mn = v
       if (v > mx) mx = v
+      if (valueHashes != null) {
+        valueHashes.add(ColfBloom.hashInt(v))
+        if (valueHashes.size() > ColfBloom.MaxDistinct) valueHashes = null
+      }
     }
     override def appendNull(): Unit = { ensure(); values(n) = 0; nulls(n) = true; nullCount += 1; n += 1 }
     override def payload(): Array[Byte] = {
@@ -205,12 +218,19 @@ object ColfCodec {
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
     private var nonFinite = false
+    // Equality-bloom hashes over NORMALIZED bit patterns (zeros unified,
+    // NaN canonical — ColfBloom.normDouble) so probe and stored value
+    // hash identically whenever SQL equality holds.
+    private var valueHashes: java.util.HashSet[java.lang.Long] = new java.util.HashSet()
     /** NaN is unordered (and Spark treats it as LARGER than any value in
       * predicates, unlike Java); ±Inf is not JSON-encodable — any
       * non-finite value drops both bounds rather than risk a wrong prune.
       */
     override def statsMinMax: (Option[Any], Option[Any]) =
       if (n == nullCount || nonFinite) (None, None) else (Some(mn), Some(mx))
+    override def statsBloom: Option[ColfBloom] =
+      if (valueHashes == null || valueHashes.isEmpty) None
+      else Some(ColfBloom.build(valueHashes))
     private def ensure(): Unit = {
       ensureNulls()
       if (n >= values.length) values = java.util.Arrays.copyOf(values, values.length * 2)
@@ -225,6 +245,10 @@ object ColfCodec {
         if (sv < mn) mn = sv
         if (sv > mx) mx = sv
       } else nonFinite = true
+      if (valueHashes != null) {
+        valueHashes.add(ColfBloom.hashDouble(v))
+        if (valueHashes.size() > ColfBloom.MaxDistinct) valueHashes = null
+      }
     }
     override def appendNull(): Unit = { ensure(); values(n) = 0.0; nulls(n) = true; nullCount += 1; n += 1 }
     override def payload(): Array[Byte] = {

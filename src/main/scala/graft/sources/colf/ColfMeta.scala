@@ -448,20 +448,26 @@ private[graft] object ColfPrune {
   }
 
   /** Could a per-file Bloom filter prune MORE than min/max bounds for
-    * this filter? True only for string-equality shapes ([[bloomAllows]]
-    * ignores everything else) — the scan fetches real headers for
-    * recorded-stats survivors only when this holds, otherwise recorded
-    * bounds are the whole decision and planning does zero header I/O.
+    * this filter? True only for equality shapes over bloom-carrying
+    * types — string, int32, float64 ([[bloomAllows]] ignores everything
+    * else) — the scan fetches real headers for recorded-stats survivors
+    * only when this holds, otherwise recorded bounds are the whole
+    * decision and planning does zero header I/O.
     */
   def bloomEligible(f: Filter): Boolean = {
-    def isStr(v: Any): Boolean =
-      v.isInstanceOf[String] || v.isInstanceOf[UTF8String]
+    def probeable(v: Any): Boolean = v match {
+      case null => false
+      case _: String | _: UTF8String => true
+      case _: java.lang.Integer | _: java.lang.Long |
+           _: java.lang.Double | _: java.lang.Float => true
+      case _ => false
+    }
     f match {
       case And(l, r)           => bloomEligible(l) || bloomEligible(r)
       case Or(l, r)            => bloomEligible(l) || bloomEligible(r)
-      case EqualTo(_, v)       => v != null && isStr(v)
-      case EqualNullSafe(_, v) => v != null && isStr(v)
-      case In(_, vs) => vs != null && vs.exists(v => v != null && isStr(v))
+      case EqualTo(_, v)       => probeable(v)
+      case EqualNullSafe(_, v) => probeable(v)
+      case In(_, vs) => vs != null && vs.exists(probeable)
       case _         => false
     }
   }
@@ -546,12 +552,15 @@ private[graft] object ColfPrune {
     * A string `min` may be a truncated prefix (≤ true min): v < minT still
     * proves v < trueMin, so the prune direction stays sound.
     *
-    * For string equality probes a per-file Bloom filter (when present)
-    * answers beyond min/max: on high-cardinality columns every file spans
-    * ~the whole range so bounds never exclude `id = X`, but a definitive
-    * Bloom miss proves X was never written to this file. The hash is over
-    * the value's UTF-8 bytes — the same bytes the writer hashed — so a
-    * Bloom "no" is exact; a "yes" just keeps the file.
+    * For equality probes a per-file Bloom filter (when present) answers
+    * beyond min/max: on high-cardinality columns every file spans ~the
+    * whole range so bounds never exclude `id = X`, but a definitive
+    * Bloom miss proves X was never written to this file. Each probe is
+    * hashed under the COLUMN's type with exactly the writer's scheme
+    * (utf8 bytes / int32 value / normalized float64 bits — [[ColfBloom]])
+    * so a Bloom "no" is exact; a "yes" just keeps the file. Probes whose
+    * type can't hash faithfully (e.g. a fractional literal against an
+    * int column) simply decline — the bounds verdict stands.
     */
   private def withinBounds(h: ColfHeader, a: String, v: Any): Boolean = {
     if (allNull(h, a)) return false
@@ -560,20 +569,53 @@ private[graft] object ColfPrune {
       case Some(st) =>
         val aboveMin = st.min.forall(mn => cmp(mn, v).forall(_ <= 0))
         val belowMax = st.max.forall(mx => cmp(mx, v).forall(_ >= 0))
-        aboveMin && belowMax && bloomAllows(st, v)
+        aboveMin && belowMax && {
+          val i = fieldIdx(h, a)
+          i < 0 || bloomAllows(h.schema.fields(i).tpe, st, v)
+        }
     }
   }
 
-  private def bloomAllows(st: ColfColStats, v: Any): Boolean = st.bloom match {
-    case None => true
-    case Some(bf) =>
-      val bytes = v match {
-        case s: String     => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        case u: UTF8String => u.getBytes
-        case _             => null // non-string probe: bloom doesn't apply
-      }
-      bytes == null || bf.mightContain(ColfBloom.hash(bytes, 0, bytes.length))
-  }
+  private def bloomAllows(tpe: ColfType, st: ColfColStats, v: Any): Boolean =
+    st.bloom match {
+      case None => true
+      case Some(bf) =>
+        // null = "can't hash this probe faithfully" → keep the file
+        val h: java.lang.Long = tpe match {
+          case ColfType.Utf8 => v match {
+            case s: String =>
+              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              ColfBloom.hash(b, 0, b.length)
+            case u: UTF8String =>
+              val b = u.getBytes
+              ColfBloom.hash(b, 0, b.length)
+            case _ => null
+          }
+          case ColfType.Int32 => v match {
+            case i: java.lang.Integer => ColfBloom.hashInt(i.intValue())
+            case l: java.lang.Long
+                if l.longValue() == l.intValue().toLong =>
+              ColfBloom.hashInt(l.intValue())
+            // a whole-valued double probe CAN equal a stored int (Spark
+            // compares in double space); fractional/out-of-range cannot,
+            // but bounds already decide those — decline either way is
+            // sound, hash only the exactly-representable case
+            case d: java.lang.Double
+                if d.doubleValue() == Math.rint(d.doubleValue()) &&
+                  d.doubleValue() >= Int.MinValue.toDouble &&
+                  d.doubleValue() <= Int.MaxValue.toDouble =>
+              ColfBloom.hashInt(d.doubleValue().toInt)
+            case _ => null
+          }
+          case ColfType.Float64 => v match {
+            // Spark compares mixed numeric types in double space, so the
+            // probe's double CONVERSION is the compared value — hash it
+            case x: java.lang.Number => ColfBloom.hashDouble(x.doubleValue())
+            case _                   => null
+          }
+        }
+        h == null || bf.mightContain(h.longValue())
+    }
 
   /** Range predicates: keep the file iff some value beyond `v` could exist.
     * useMax → the filter needs values ABOVE v (>, >=): check against max.

@@ -41,13 +41,14 @@ final case class ColfField(name: String, tpe: ColfType, nullable: Boolean)
   * PREFIX of the true minimum — still a valid lower bound in binary
   * (UTF8String) order; a string `max` is only written when exact.
   *
-  * `bloom` (utf8 columns only): a small Bloom filter over the column's
-  * distinct values, for EQUALITY skipping where min/max can't bite — a
-  * high-cardinality id/URL column makes every file span ~the whole sort
-  * range, so range bounds never exclude an equality probe, but a Bloom
-  * answers "id = X" per file with ~1% false positives. False positives
-  * only KEEP files (never prune wrongly); absence (high-distinct columns
-  * past the build cap, legacy files) keeps everything.
+  * `bloom`: a small Bloom filter over the column's distinct values (all
+  * three types — utf8 bytes, int32 values, normalized float64 bits), for
+  * EQUALITY skipping where min/max can't bite — a high-cardinality
+  * id/URL column makes every file span ~the whole sort range, so range
+  * bounds never exclude an equality probe, but a Bloom answers "id = X"
+  * per file with ~1% false positives. False positives only KEEP files
+  * (never prune wrongly); absence (high-distinct columns past the build
+  * cap, legacy files) keeps everything.
   */
 final case class ColfColStats(nullCount: Long, min: Option[Any], max: Option[Any],
     bloom: Option[ColfBloom] = None)
@@ -55,10 +56,12 @@ final case class ColfColStats(nullCount: Long, min: Option[Any], max: Option[Any
 
 /** Split-hash Bloom filter (Kirsch–Mitzenmacher: the i-th probe bit is
   * h1 + i·h2 from the two halves of one xxhash64). The WRITER hashes each
-  * value's raw UTF-8 bytes with [[ColfBloom.hash]]; the PRUNER hashes the
-  * filter literal the same way, so membership agrees byte-for-byte with
-  * Spark string equality. Serialized little-endian base64 in the header
-  * JSON — a few tens of KB per column at the 50k-distinct build cap.
+  * value with the type's scheme ([[ColfBloom.hash]] over raw UTF-8 bytes
+  * for utf8, [[ColfBloom.hashInt]] / [[ColfBloom.hashDouble]] for the
+  * numerics); the PRUNER hashes the filter literal the same way, so
+  * membership agrees exactly with Spark predicate equality. Serialized
+  * little-endian base64 in the header JSON — a few tens of KB per column
+  * at the 50k-distinct build cap.
   */
 final case class ColfBloom(bits: Array[Long], k: Int) extends Serializable {
   private def m: Long = bits.length.toLong * 64L
@@ -99,6 +102,29 @@ object ColfBloom {
   def hash(bytes: Array[Byte], off: Int, len: Int): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, len, 0L)
+
+  /** Int32 value hash (xxhash64's int-specialized path) — shared
+    * verbatim by writer and pruner so an `id = k` Bloom miss is exact.
+    */
+  def hashInt(v: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(v, 0L)
+
+  /** Float64 value hash over the IEEE bit pattern. BOTH sides must
+    * normalize first ([[normDouble]]): -0.0 and 0.0 are equal under
+    * SQL/IEEE predicate equality but differ in bits, and NaN has many bit
+    * patterns — hashing raw bits would let a probe for one representation
+    * wrongly prune a file storing the other.
+    */
+  def hashDouble(v: Double): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+      java.lang.Double.doubleToLongBits(normDouble(v)), 0L)
+
+  /** Canonical double for hashing: all zeros → +0.0, all NaNs → the
+    * canonical quiet NaN (doubleToLongBits already canonicalizes NaN;
+    * the explicit branch documents the intent).
+    */
+  def normDouble(v: Double): Double =
+    if (v == 0.0d) 0.0d else if (java.lang.Double.isNaN(v)) Double.NaN else v
 
   def build(hashes: java.util.Set[java.lang.Long]): ColfBloom = {
     val nbits = math.max(512L, hashes.size().toLong * BitsPerKey)

@@ -282,6 +282,59 @@ class ColfStatsSpec extends AnyFunSuite {
     assert(spark.read.format("colf").load(dir).where($"doc_id" === "id-999999x").count() == 0)
   }
 
+  test("bloom prunes int and double equality probes where min/max keeps every file") {
+    val dir = tmp()
+    // Each file holds one residue class mod 8 (ids i, 8+i, 16+i, …), so
+    // every file spans ~the ENTIRE numeric range — min/max alone can
+    // never exclude an `id = k` point lookup on this unsorted key.
+    for (i <- 0 until 4)
+      spark.range(0, 2000)
+        .select(($"id" * 8 + i).cast("int").as("id"),
+          (($"id" * 8 + i) * 0.5).as("score"))
+        .coalesce(1).write.format("colf")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+
+    def planned(q: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val m = scans.head.scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+      (m("colfFilesListed"), m("colfFilesPlanned"))
+    }
+
+    // int probe: 9 ≡ 1 (mod 8) lives only in file 1; min/max keeps all 4
+    val qi = spark.read.format("colf").load(dir).where($"id" === 9)
+    assert(qi.select($"score").as[Double].collect().toSeq == Seq(4.5))
+    val (listedI, plannedI) = planned(qi)
+    assert(listedI == 4L)
+    assert(plannedI <= 2L, s"int bloom should prune most of 4 files, planned $plannedI")
+
+    // double probe: score 4.5 ⇔ id 9 — same single file
+    val qd = spark.read.format("colf").load(dir).where($"score" === 4.5)
+    assert(qd.select($"id").as[Int].collect().toSeq == Seq(9))
+    assert(planned(qd)._2 <= 2L, "double bloom should prune")
+
+    // absent-but-in-range value (residue 4 was never written): no rows,
+    // and the plan touches (almost) nothing
+    val qa = spark.read.format("colf").load(dir).where($"id" === 12)
+    assert(qa.count() == 0)
+    assert(planned(qa)._2 <= 1L, "absent int should bloom-prune everything")
+
+    // zero unification: a file storing -0.0 must NOT be pruned by = 0.0
+    // (and vice versa) — both sides hash the normalized bit pattern
+    val zd = tmp()
+    Seq((1, -0.0), (2, 5.5)).toDF("k", "score").coalesce(1)
+      .write.format("colf").mode("overwrite").save(zd)
+    assert(spark.read.format("colf").load(zd).where($"score" === 0.0)
+      .select($"k").as[Int].collect().toSeq == Seq(1))
+    // NaN: Spark's `=` matches NaN to NaN; canonical-bits hashing keeps it
+    val nd = tmp()
+    Seq((1, Double.NaN), (2, 1.0)).toDF("k", "score").coalesce(1)
+      .write.format("colf").mode("overwrite").save(nd)
+    assert(spark.read.format("colf").load(nd).where($"score" === Double.NaN)
+      .select($"k").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("runtime filtering: a join's build side prunes colf FILES at execution") {
     val dir = tmp()
     // fact table range-clustered on k -> 4 files with disjoint k ranges
@@ -572,7 +625,9 @@ class ColfStatsSpec extends AnyFunSuite {
     // header must actually carry stats
     val in = new java.io.BufferedInputStream(new java.io.FileInputStream(part))
     val header = try ColfCodec.readHeader(in) finally in.close()
-    assert(header.schema.stats("k") == ColfColStats(0L, Some(1), Some(3)))
+    val ks = header.schema.stats("k")
+    assert((ks.nullCount, ks.min, ks.max) == ((0L, Some(1), Some(3))))
+    assert(ks.bloom.nonEmpty, "int column should carry an equality bloom too")
     val s = header.schema.stats("s")
     assert((s.nullCount, s.min, s.max) == ((0L, Some("a"), Some("c"))))
     assert(s.bloom.nonEmpty, "string column should carry an equality bloom")
