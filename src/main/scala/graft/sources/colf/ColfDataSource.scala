@@ -492,13 +492,14 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
           .getOrElse("copy-on-write")
         mode match {
           case "copy-on-write" =>
-            new ColfRowLevelOperation(paths, schema, layoutPartitionCols, info)
+            new ColfRowLevelOperation(paths, schema, partColsLogical, info,
+              nameMap, mergeSchema || declaredMeta.isDefined)
           case "merge-on-read" =>
             require(!schema.fieldNames.contains(ColfUtil.PosMetaCol),
               s"colf: merge-on-read DML needs the ${ColfUtil.PosMetaCol} metadata " +
                 s"column, but this table has a DATA column named ${ColfUtil.PosMetaCol} — " +
                 "rename it or use dmlMode copy-on-write")
-            new ColfDeltaOperation(paths, schema, layoutPartitionCols, info)
+            new ColfDeltaOperation(paths, schema, partColsLogical, info, nameMap)
           case other => throw new IllegalArgumentException(
             s"colf: unknown dmlMode '$other' — use copy-on-write or merge-on-read")
         }
@@ -541,9 +542,25 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
   private lazy val declaredMeta: Option[ColfVersions.TableMeta] =
     ColfUtil.declaredMeta(paths, ColfUtil.driverHadoopConf(), versionAsOf)
 
-  private lazy val layoutPartitionCols: Seq[String] =
+  /** Logical↔physical column mapping (RENAME COLUMN): `schema` (this
+    * table's Spark-facing surface) is LOGICAL; file bytes, partition
+    * directories, manifests, and headers are PHYSICAL. The scan/write
+    * builders below receive physical schemas plus this map and translate
+    * at their Spark-facing boundaries ([[ColfNames]]). Identity (a
+    * no-op) for every table without renames.
+    */
+  private lazy val nameMap: ColfNames = ColfNames.of(declaredMeta)
+  private lazy val physSchema: StructType = nameMap.physSchema(schema)
+
+  /** Partition columns in both domains: declared parts are logical; a
+    * layout-derived set (no DDL history) is physical == logical.
+    */
+  private lazy val partColsLogical: Seq[String] =
     declaredMeta.map(_.parts.toList).getOrElse(
       ColfPartitions.partitionCols(layoutRefs))
+
+  private lazy val layoutPartitionCols: Seq[String] =
+    partColsLogical.map(nameMap.phys)
 
   /** Partition columns with a value present AND parseable (under the
     * table schema's type) on EVERY file — the set over which filters can
@@ -554,7 +571,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     */
   private lazy val exactPartCols: Set[String] =
     layoutPartitionCols.filter { pc =>
-      schema.fields.find(_.name == pc).exists { f =>
+      physSchema.fields.find(_.name == pc).exists { f =>
         layoutRefs.nonEmpty && layoutRefs.forall { r =>
           r.partValues.get(pc).exists(v =>
             scala.util.Try(
@@ -568,7 +585,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     * against this table.
     */
   override lazy val partitioning: Array[Transform] =
-    layoutPartitionCols
+    partColsLogical // Spark resolves these against the LOGICAL schema
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
 
@@ -590,10 +607,10 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     val (effVer, effChg) =
       if (readVer.isDefined || readChg.isDefined) (readVer, readChg)
       else (versionAsOf, changesSince)
-    new ColfScanBuilder(paths, schema, mergeSchema || declaredMeta.isDefined,
+    new ColfScanBuilder(paths, physSchema, mergeSchema || declaredMeta.isDefined,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
-      exactPartCols, layoutPartitionCols, effVer, effChg)
+      exactPartCols, layoutPartitionCols, effVer, effChg, nameMap)
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -603,7 +620,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     * layout the readers partition-prune on.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ColfWriteBuilder(paths, info, layoutPartitionCols)
+    new ColfWriteBuilder(paths, info, partColsLogical, nameMap)
 
   // ------------------------------------------------------- DELETE FROM
   //
@@ -622,11 +639,15 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     * none-matching (file-level deletion would be unsound).
     */
   private def deletePlan(filters: Array[Filter]): Option[Seq[ColfFileRef]] = {
+    // filters arrive logical; an untranslatable shape can't be proven at
+    // file granularity → refuse (Spark falls back to the row-level path)
+    val phys = filters.toSeq.map(f =>
+      nameMap.physFilter(f).getOrElse(return None))
     val refs = ColfUtil.resolveFileRefs(paths, ColfUtil.driverHadoopConf())
     val toDelete = Seq.newBuilder[ColfFileRef]
     refs.foreach { r =>
-      val tv = ColfUtil.typedPartValues(r, schema)
-      val evs = filters.toSeq.map(f => ColfPartitions.evalExact(tv, f))
+      val tv = ColfUtil.typedPartValues(r, physSchema)
+      val evs = phys.map(f => ColfPartitions.evalExact(tv, f))
       if (evs.forall(_.contains(true))) toDelete += r
       else if (evs.exists(_.contains(false))) () // provably untouched: keep
       else return None
@@ -686,16 +707,23 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
     layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None)
+    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
+  // NAME DOMAINS ([[ColfNames]]): `fullSchema`, `exactPartCols`, and
+  // `layoutPartitionCols` arrive PHYSICAL (ColfTable translated them);
+  // everything Spark hands this builder — filters, required columns,
+  // aggregation references — arrives LOGICAL and is translated at the
+  // method boundary below. All internal state is physical.
   private val conf = ColfUtil.driverHadoopConf()
-  private var required: StructType = fullSchema
+  private var required: StructType = fullSchema            // physical
+  private var requiredLog: StructType = names.logSchema(fullSchema)
   private var metaAgg: Option[(StructType, Seq[Seq[Any]], String)] = None
   private var limit: Option[Int] = None
-  private var pushed: Array[Filter] = Array.empty
-  private var absorbed: Seq[Filter] = Seq.empty
+  private var pushed: Array[Filter] = Array.empty          // physical
+  private var absorbed: Seq[Filter] = Seq.empty            // physical
+  private var pushedLog: Array[Filter] = Array.empty       // logical mirror
 
   /** LIMIT n plans only enough FILES to cover n rows (header row counts
     * are free), instead of scanning the whole directory and discarding.
@@ -715,21 +743,33 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     * false positives from kept files and Spark's own filter finishes the
     * job (overlap of pushed and residual sets is explicitly allowed by
     * the DSv2 contract).
+    *
+    * A filter [[ColfNames.physFilter]] cannot translate (unknown shape
+    * over a renamed column) stays fully residual and is excluded from
+    * every physical-side evaluation — Spark's own filter then decides it
+    * per row, which is always correct.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (abs, res) = filters.partition(f =>
-      exactPartCols.nonEmpty && ColfPartitions.exactShape(f, exactPartCols, fullSchema))
-    absorbed = ArraySeq.unsafeWrapArray(abs)
-    pushed = res.filter(ColfPrune.prunable)
-    res
+    val translated: Seq[(Filter, Option[Filter])] =
+      filters.toSeq.map(f => f -> names.physFilter(f))
+    val (absPairs, resPairs) = translated.partition { case (_, p) =>
+      p.exists(pf => exactPartCols.nonEmpty &&
+        ColfPartitions.exactShape(pf, exactPartCols, fullSchema))
+    }
+    absorbed = absPairs.flatMap(_._2)
+    val resPrunable = resPairs.filter(_._2.exists(ColfPrune.prunable))
+    pushed = resPrunable.flatMap(_._2).toArray
+    pushedLog = (resPrunable.map(_._1) ++
+      absPairs.map(_._1).filterNot(resPrunable.map(_._1).contains)).toArray
+    resPairs.map(_._1).toArray
   }
-  override def pushedFilters(): Array[Filter] =
-    pushed ++ absorbed.filterNot(pushed.contains)
+  override def pushedFilters(): Array[Filter] = pushedLog
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve file column order; an empty projection (count(*)) keeps
     // zero columns and the reader emits empty rows.
-    required = requiredSchema
+    requiredLog = requiredSchema
+    required = names.physSchema(requiredSchema)
   }
 
   // ------------------------------------------------ aggregate pushdown
@@ -752,16 +792,20 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
       case _ => None
     }
 
+  /** Aggregation references arrive LOGICAL; translate before any lookup. */
+  private def physName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    fieldName(e).map(names.phys)
+
   private def shapeOk(agg: aggregate.Aggregation): Boolean = {
     val colOk = (n: String) =>
       fullSchema.fieldNames.contains(n) &&
         (!layoutPartitionCols.contains(n) || exactPartCols(n))
-    agg.groupByExpressions.forall(e => fieldName(e).exists(exactPartCols)) &&
+    agg.groupByExpressions.forall(e => physName(e).exists(exactPartCols)) &&
       agg.aggregateExpressions.forall {
         case _: aggregate.CountStar => true
-        case c: aggregate.Count => !c.isDistinct && fieldName(c.column).exists(colOk)
-        case m: aggregate.Min   => fieldName(m.column).exists(colOk)
-        case m: aggregate.Max   => fieldName(m.column).exists(colOk)
+        case c: aggregate.Count => !c.isDistinct && physName(c.column).exists(colOk)
+        case m: aggregate.Min   => physName(m.column).exists(colOk)
+        case m: aggregate.Max   => physName(m.column).exists(colOk)
         case _ => false
       }
   }
@@ -783,7 +827,9 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     */
   private def computeMetaAgg(
       agg: aggregate.Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
-    val groupCols = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
+    // physical names for every internal lookup; logical kept for labels
+    val groupColsLog = agg.groupByExpressions.toSeq.map(e => fieldName(e).get)
+    val groupCols = groupColsLog.map(names.phys)
     val refs = ColfUtil.resolveFileRefs(paths, conf, versionAsOf, changesSince)
     // deletion vectors mask rows the headers still count: every
     // header-derived fact (counts, bounds, null counts) is stale for a
@@ -877,8 +923,9 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     }
 
     val fieldsB = Seq.newBuilder[StructField]
-    groupCols.foreach { c =>
-      fieldsB += fullSchema.fields.find(_.name == c).get.copy(nullable = false)
+    groupCols.lazyZip(groupColsLog).foreach { (c, lg) =>
+      fieldsB += fullSchema.fields.find(_.name == c).get
+        .copy(name = lg, nullable = false)
     }
     agg.aggregateExpressions.foreach {
       case _: aggregate.CountStar =>
@@ -888,11 +935,11 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
       case m: aggregate.Min =>
         val n = fieldName(m.column).get
         fieldsB += StructField(s"min($n)",
-          fullSchema.fields.find(_.name == n).get.dataType, nullable = true)
+          fullSchema.fields.find(_.name == names.phys(n)).get.dataType, nullable = true)
       case m: aggregate.Max =>
         val n = fieldName(m.column).get
         fieldsB += StructField(s"max($n)",
-          fullSchema.fields.find(_.name == n).get.dataType, nullable = true)
+          fullSchema.fields.find(_.name == names.phys(n)).get.dataType, nullable = true)
       case _ => return None
     }
 
@@ -902,17 +949,17 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
       agg.aggregateExpressions.foreach {
         case _: aggregate.CountStar => vals += files.map(_._2.schema.numRows).sum
         case c: aggregate.Count =>
-          vals += (countCol(files, fieldName(c.column).get) match {
+          vals += (countCol(files, physName(c.column).get) match {
             case Some(n) => n
             case None    => return None
           })
         case m: aggregate.Min =>
-          vals += (minMax(files, fieldName(m.column).get, wantMax = false) match {
+          vals += (minMax(files, physName(m.column).get, wantMax = false) match {
             case Some(v) => v
             case None    => return None
           })
         case m: aggregate.Max =>
-          vals += (minMax(files, fieldName(m.column).get, wantMax = true) match {
+          vals += (minMax(files, physName(m.column).get, wantMax = true) match {
             case Some(v) => v
             case None    => return None
           })
@@ -933,7 +980,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     case None =>
       new ColfScan(paths, fullSchema, required, mergeSchema, limit,
         ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
-        absorbed, versionAsOf, changesSince)
+        absorbed, versionAsOf, changesSince, names)
   }
 }
 
@@ -977,8 +1024,11 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
     absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None)
+    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+  // NAME DOMAINS: `fullSchema`/`required`/`filters`/`absorbed` are all
+  // PHYSICAL; `readSchema`/`filterAttributes` present LOGICAL names to
+  // Spark and incoming runtime filters translate back at `filter()`.
 
   private lazy val allRefs: Seq[ColfFileRef] =
     ColfUtil.resolveFileRefs(paths, conf, versionAsOf, changesSince)
@@ -1071,7 +1121,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     filters.nonEmpty || absorbed.nonEmpty || limit.isDefined ||
       allRefs.lengthCompare(ColfScan.StatsExactMaxFiles) <= 0
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = names.logSchema(required)
 
   override def toBatch: Batch = this
 
@@ -1102,11 +1152,16 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   private var runtimeFilters: Array[Filter] = Array.empty
 
   // Only columns in the scan OUTPUT are offerable (Spark resolves these
-  // against the pruned read schema, not the table schema).
+  // against the pruned read schema, not the table schema) — LOGICAL
+  // names, like the read schema itself.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    readSchema().fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+  // runtime filters arrive logical; untranslatable shapes drop out of
+  // the (optional, superset-safe) pruning rather than mis-prune
+  override def filter(fs: Array[Filter]): Unit = {
+    runtimeFilters = fs.flatMap(names.physFilter)
+  }
 
   /** Re-prune `base` under the runtime filters (same two-tier path as the
     * static pruning: partition values first — zero I/O — then cached

@@ -94,6 +94,13 @@ private[colf] object ColfDdl {
           "value for it")
       require(!meta.fields.exists(_.name == name),
         s"colf: column '$name' already exists")
+      // the new column stores under its own name; that PHYSICAL slot must
+      // be free — a renamed column still occupies its original stored name
+      meta.fields.find(f => meta.physicalOf(f.name) == name).foreach { f =>
+        throw new IllegalArgumentException(
+          s"colf: cannot add '$name' — column '${f.name}' (renamed) still " +
+            s"stores its data under the physical name '$name'")
+      }
       // name-based format: a live file already storing a column named
       // `name` (written before a DROP, or by a path-API writer ahead of
       // the ALTER) would resurrect its old values into the new logical
@@ -137,7 +144,8 @@ private[colf] object ColfDdl {
         require(meta.fields.exists(f =>
             f.name != name && !meta.parts.contains(f.name)),
           "colf: cannot drop the last data column")
-        meta.copy(fields = meta.fields.filterNot(_.name == name))
+        meta.copy(fields = meta.fields.filterNot(_.name == name),
+          physical = meta.physical - name)
       }
 
     case un: TableChange.UpdateColumnNullability =>
@@ -152,12 +160,27 @@ private[colf] object ColfDdl {
       meta.copy(fields = meta.fields.updated(i,
         meta.fields(i).copy(nullable = true)))
 
-    case _: TableChange.RenameColumn =>
-      throw new UnsupportedOperationException(
-        "colf: RENAME COLUMN is not supported — files resolve columns by " +
-          "NAME (reference byte-compat), so a metadata rename would orphan " +
-          "every stored column. ADD a new column and backfill via MERGE, or " +
-          "rewrite with CTAS.")
+    case ren: TableChange.RenameColumn =>
+      // Column mapping: the rename flips the LOGICAL name only; the
+      // stored (physical) name is frozen at first declaration, so every
+      // existing file — and every future write — keeps one stable column
+      // name, and the reference reader's view of the bytes never changes.
+      // The scan/write boundary translates (ColfTable.physicalSchema).
+      require(ren.fieldNames().length == 1,
+        "colf: nested columns are not supported")
+      val from = ren.fieldNames()(0)
+      val to = ren.newName()
+      val i = meta.fields.indexWhere(_.name == from)
+      require(i >= 0, s"colf: column '$from' does not exist")
+      require(!meta.fields.exists(_.name == to),
+        s"colf: cannot rename '$from' to '$to' — a column '$to' already exists")
+      val storedAs = meta.physicalOf(from)
+      val base = meta.physical - from
+      meta.copy(
+        fields = meta.fields.updated(i, meta.fields(i).copy(name = to)),
+        parts = meta.parts.map(p => if (p == from) to else p),
+        // renaming BACK to the stored name drops to the identity mapping
+        physical = if (storedAs == to) base else base + (to -> storedAs))
 
     case _: TableChange.UpdateColumnType =>
       throw new UnsupportedOperationException(

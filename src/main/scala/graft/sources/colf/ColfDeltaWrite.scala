@@ -40,8 +40,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DISJOINT files merge cleanly through the ordinary optimistic retry.
   */
 class ColfDeltaOperation(paths: Seq[String], fullSchema: StructType,
-    layoutPartitionCols: Seq[String], info: RowLevelOperationInfo)
+    layoutPartitionCols: Seq[String], info: RowLevelOperationInfo,
+    names: ColfNames = ColfNames.Identity)
     extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+  // `fullSchema`/`layoutPartitionCols` arrive LOGICAL; the scan/write
+  // translate to physical at their boundaries ([[ColfNames]]).
 
   /** Scan-time snapshot of the planned file set (path, size, mtime, dv):
     * the conflict-validation basis the commit compares against. Same
@@ -76,17 +79,23 @@ class ColfDeltaOperation(paths: Seq[String], fullSchema: StructType,
     new ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
         with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = fullSchema
-      private var pushed: Array[Filter] = Array.empty
+      private var pushed: Array[Filter] = Array.empty      // physical
+      private var pushedLog: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters.filter(ColfPrune.prunable)
+        val pairs = filters.toSeq
+          .flatMap(f => names.physFilter(f).map(p => f -> p))
+          .filter(p => ColfPrune.prunable(p._2))
+        pushed = pairs.map(_._2).toArray
+        pushedLog = pairs.map(_._1).toArray
         filters // everything stays residual
       }
-      override def pushedFilters(): Array[Filter] = pushed
+      override def pushedFilters(): Array[Filter] = pushedLog
       override def build(): Scan =
-        new ColfDeltaScan(ColfDeltaOperation.this, paths, fullSchema, required,
-          pushed.toSeq)
+        new ColfDeltaScan(ColfDeltaOperation.this, paths,
+          names.physSchema(fullSchema), names.physSchema(required),
+          pushed.toSeq, names)
     }
 
   override def newWriteBuilder(lwi: LogicalWriteInfo): DeltaWriteBuilder =
@@ -102,8 +111,9 @@ class ColfDeltaOperation(paths: Seq[String], fullSchema: StructType,
             "manifests — enable with CALL colf.enable_versioning(...) or " +
             "option(\"manifest\",\"true\") on a write, or use dmlMode copy-on-write")
         ColfUtil.colfFields(lwi.schema())
-        new ColfDeltaWrite(paths.head, lwi.schema(), lwi.queryId(),
-          layoutPartitionCols, ColfDeltaOperation.this)
+        new ColfDeltaWrite(paths.head, names.physSchema(lwi.schema()),
+          lwi.queryId(), layoutPartitionCols.map(names.phys),
+          ColfDeltaOperation.this)
       }
     }
 }
@@ -116,9 +126,10 @@ class ColfDeltaOperation(paths: Seq[String], fullSchema: StructType,
   * files pre-pass still narrows the scan.
   */
 private[colf] class ColfDeltaScan(op: ColfDeltaOperation, paths: Seq[String],
-    fullSchema: StructType, required: StructType, filters: Seq[Filter])
+    fullSchema: StructType, required: StructType, filters: Seq[Filter],
+    names: ColfNames = ColfNames.Identity)
     extends ColfScan(paths, fullSchema, required, mergeSchema = true,
-      filters = filters) {
+      filters = filters, names = names) {
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val refs = plannedRefs

@@ -45,8 +45,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * visible, never a partial table).
   */
 class ColfRowLevelOperation(paths: Seq[String], fullSchema: StructType,
-    layoutPartitionCols: Seq[String], info: RowLevelOperationInfo)
+    layoutPartitionCols: Seq[String], info: RowLevelOperationInfo,
+    names: ColfNames = ColfNames.Identity, missingAsNull: Boolean = false)
     extends RowLevelOperation {
+  // `fullSchema` and `layoutPartitionCols` arrive LOGICAL here (Spark
+  // resolves the rewrite plan against them); the scan/write below
+  // translate to physical at their boundaries, like the batch paths.
 
   /** The operation's scan publishes its final planned file set here; the
     * write's commit consumes it. Both run on the driver within one
@@ -79,7 +83,9 @@ class ColfRowLevelOperation(paths: Seq[String], fullSchema: StructType,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan =
-        new ColfRowLevelScan(ColfRowLevelOperation.this, paths, fullSchema, required)
+        new ColfRowLevelScan(ColfRowLevelOperation.this, paths,
+          names.physSchema(fullSchema), names.physSchema(required), names,
+          missingAsNull)
     }
 
   override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
@@ -88,11 +94,12 @@ class ColfRowLevelOperation(paths: Seq[String], fullSchema: StructType,
         require(paths.size == 1,
           s"colf row-level write requires exactly one table path, got $paths")
         ColfUtil.colfFields(lwi.schema())
-        new ColfWrite(paths.head, lwi.schema(), lwi.queryId(), false,
+        new ColfWrite(paths.head, names.physSchema(lwi.schema()), lwi.queryId(), false,
           ColfWrite.DefaultMaxRowsPerFile, ColfWrite.DefaultMaxBytesPerFile,
           ColfCodec.DefaultCompressionLevel,
-          partitionBy = layoutPartitionCols,
-          replaceScannedFn = () => scannedRefs)
+          partitionBy = layoutPartitionCols.map(names.phys),
+          replaceScannedFn = () => scannedRefs,
+          distPartitionBy = layoutPartitionCols)
       }
     }
 }
@@ -105,8 +112,10 @@ class ColfRowLevelOperation(paths: Seq[String], fullSchema: StructType,
   * group-filter rule target it.
   */
 private[colf] class ColfRowLevelScan(op: ColfRowLevelOperation,
-    paths: Seq[String], fullSchema: StructType, required: StructType)
-    extends ColfScan(paths, fullSchema, required) {
+    paths: Seq[String], fullSchema: StructType, required: StructType,
+    names: ColfNames = ColfNames.Identity, missingAsNull: Boolean = false)
+    extends ColfScan(paths, fullSchema, required, mergeSchema = missingAsNull,
+      names = names) {
 
   /** Group filtering targets `_file` alone: the matching-rows subquery
     * projects the files containing affected rows and the scan receives

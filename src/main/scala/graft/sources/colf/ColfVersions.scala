@@ -76,23 +76,43 @@ object ColfVersions {
       dv: String = null, dvRows: Long = 0L)
 
   /** The table's DECLARED schema — the catalog-DDL surface. `fields` is
-    * the full logical schema in declared order (partition columns
+    * the full LOGICAL schema in declared order (partition columns
     * included), `parts` names which of them are hive-layout partition
-    * columns. When a version carries one, table resolution returns IT —
-    * not the union of file schemas — so `CREATE TABLE` can declare an
-    * empty table's shape, `ALTER TABLE ADD COLUMN` makes a column
-    * visible before any file stores it (older files read it as null),
-    * and `ALTER TABLE DROP COLUMN` is metadata-only (files keep the
-    * bytes; scans stop projecting them). Absent (`None`) on tables never
-    * touched by DDL: resolution falls back to file schemas exactly as
-    * before, so pre-DDL manifests and listing-based tables are
-    * unaffected. Carried forward by every commit unless the commit
-    * explicitly changes it (the DDL paths in [[graft.sources.colf.ColfCatalog]]).
+    * columns (logical names). When a version carries one, table
+    * resolution returns IT — not the union of file schemas — so `CREATE
+    * TABLE` can declare an empty table's shape, `ALTER TABLE ADD
+    * COLUMN` makes a column visible before any file stores it (older
+    * files read it as null), and `ALTER TABLE DROP COLUMN` is
+    * metadata-only (files keep the bytes; scans stop projecting them).
+    * Absent (`None`) on tables never touched by DDL: resolution falls
+    * back to file schemas exactly as before, so pre-DDL manifests and
+    * listing-based tables are unaffected. Carried forward by every
+    * commit unless the commit explicitly changes it (the DDL paths in
+    * [[graft.sources.colf.ColfCatalog]]).
+    *
+    * `physical` maps logical column name → the PHYSICAL name stored in
+    * data files and partition directories, for columns that have been
+    * RENAMED (identity entries are omitted; empty = no renames). The
+    * physical name never changes after a column is first declared —
+    * renames are pure metadata, old files stay readable, and new writes
+    * keep storing the physical name so the reference reader sees one
+    * stable column name per table lifetime (column-mapping, as in
+    * Delta/Iceberg, minus the id indirection the format cannot store).
     */
-  final case class TableMeta(fields: Seq[ColfField], parts: Seq[String]) {
+  final case class TableMeta(fields: Seq[ColfField], parts: Seq[String],
+      physical: Map[String, String] = Map.empty) {
     require(parts.forall(p => fields.exists(_.name == p)),
       s"colf: declared partition columns ${parts.mkString(",")} must appear " +
         s"in the declared schema (${fields.map(_.name).mkString(",")})")
+    require(physical.keySet.forall(l => fields.exists(_.name == l)),
+      s"colf: physical-name mapping references undeclared columns " +
+        s"(${physical.keySet.filterNot(l => fields.exists(_.name == l)).mkString(",")})")
+
+    /** Physical (stored) name of logical column `l`. */
+    def physicalOf(l: String): String = physical.getOrElse(l, l)
+    /** Logical name of stored column `p` (inverse of [[physicalOf]]). */
+    def logicalOf(p: String): String =
+      physical.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p)
   }
 
   private val mapper = new ObjectMapper()
@@ -269,18 +289,21 @@ object ColfVersions {
     val ts = node.get("tschema")
     if (ts == null || !ts.isArray) None
     else {
+      val physical = Map.newBuilder[String, String]
       val fields = (0 until ts.size()).map { j =>
         val f = ts.get(j)
         require(f.hasNonNull("n") && f.hasNonNull("t") && f.hasNonNull("nl"),
           s"tschema field $j missing n/t/nl")
-        ColfField(f.get("n").asText(), ColfType.fromName(f.get("t").asText()),
+        val name = f.get("n").asText()
+        if (f.hasNonNull("pn")) physical += name -> f.get("pn").asText()
+        ColfField(name, ColfType.fromName(f.get("t").asText()),
           f.get("nl").asBoolean())
       }
       val pn = node.get("parts")
       val parts =
         if (pn == null || !pn.isArray) Seq.empty[String]
         else (0 until pn.size()).map(pn.get(_).asText())
-      Some(TableMeta(fields, parts))
+      Some(TableMeta(fields, parts, physical.result()))
     }
   }
 
@@ -293,7 +316,9 @@ object ColfVersions {
       sb.append(""","tschema":[""")
       m.fields.zipWithIndex.foreach { case (f, j) =>
         if (j > 0) sb.append(',')
-        sb.append(s"""{"n":"${esc(f.name)}","t":"${f.tpe.name}","nl":${f.nullable}}""")
+        val pn = m.physical.get(f.name)
+          .map(p => s""","pn":"${esc(p)}"""").getOrElse("")
+        sb.append(s"""{"n":"${esc(f.name)}","t":"${f.tpe.name}","nl":${f.nullable}$pn}""")
       }
       sb.append(']')
       if (m.parts.nonEmpty) {

@@ -39,9 +39,16 @@ import org.apache.spark.sql.types._
   *  - task abort deletes that task's temps; job abort deletes all temps.
   */
 class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
-    defaultPartitionBy: Seq[String] = Seq.empty)
+    defaultPartitionBy: Seq[String] = Seq.empty,
+    names: ColfNames = ColfNames.Identity)
     extends WriteBuilder with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
+  // NAME DOMAINS ([[ColfNames]]): everything here — the write schema,
+  // sortBy/partitionBy options, overwrite filters — arrives LOGICAL;
+  // [[build]] hands [[ColfWrite]] the PHYSICAL schema/columns/filters
+  // (what files and partition directories store) plus the logical
+  // partition/sort columns for the distribution API, which Spark
+  // resolves against the INSERT query's (logical) output.
   private var truncateMode = false
   private var overwriteFilters: Seq[Filter] = Seq.empty
   private var dynamicMode = false
@@ -145,9 +152,18 @@ class ColfWriteBuilder(paths: Seq[String], info: LogicalWriteInfo,
     // (compaction composes its own single atomic version).
     val manifestOpt = Option(info.options.get("manifest")).exists(_.toBoolean)
     val skipManifest = Option(info.options.get("__skipManifest")).exists(_.toBoolean)
-    new ColfWrite(paths.head, info.schema(), info.queryId(), truncateMode, maxRows, maxBytes,
-      level, sortBy, targetBytes, numFiles, partitionBy, overwriteFilters, dynamicMode,
-      manifestOpt, skipManifest)
+    // logical → physical at the boundary; overwrite shapes (equality/IN
+    // over named columns) always translate, enforced by supportedShape
+    val physOverwrite = overwriteFilters.map(f => names.physFilter(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"colf: overwrite condition $f cannot be resolved against the " +
+          "table's stored column names")))
+    new ColfWrite(paths.head, names.physSchema(info.schema()), info.queryId(),
+      truncateMode, maxRows, maxBytes,
+      level, sortBy.map(names.phys), targetBytes, numFiles,
+      partitionBy.map(names.phys), physOverwrite, dynamicMode,
+      manifestOpt, skipManifest,
+      distPartitionBy = partitionBy, distSortBy = sortBy)
   }
 }
 
@@ -173,10 +189,21 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     partitionBy: Seq[String] = Seq.empty, overwriteFilters: Seq[Filter] = Seq.empty,
     dynamicOverwrite: Boolean = false, manifestOpt: Boolean = false,
     skipManifest: Boolean = false,
-    replaceScannedFn: () => Seq[ColfFileRef] = null)
+    replaceScannedFn: () => Seq[ColfFileRef] = null,
+    distPartitionBy: Seq[String] = null, distSortBy: Seq[String] = null)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
+
+  // `schema`/`sortBy`/`partitionBy`/`overwriteFilters` are PHYSICAL
+  // (what files and k=v directories store); `distPartitionBy`/
+  // `distSortBy` are their LOGICAL twins for requiredDistribution/
+  // requiredOrdering, which Spark resolves against the (logical) query
+  // output. Null twins = no renames in play (the common case).
+  private val dPartitionBy: Seq[String] =
+    if (distPartitionBy == null) partitionBy else distPartitionBy
+  private val dSortBy: Seq[String] =
+    if (distSortBy == null) sortBy else distSortBy
 
   override def toBatch: BatchWrite = this
 
@@ -201,14 +228,14 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
     * bounded memory no matter how many distinct values a task gets.
     */
   override def requiredDistribution(): Distribution =
-    if (partitionBy.nonEmpty && sortBy.isEmpty)
-      Distributions.clustered(partitionBy.map(Expressions.column).toArray[
+    if (dPartitionBy.nonEmpty && dSortBy.isEmpty)
+      Distributions.clustered(dPartitionBy.map(Expressions.column).toArray[
         org.apache.spark.sql.connector.expressions.Expression])
-    else if (partitionBy.nonEmpty || sortBy.nonEmpty)
-      Distributions.ordered(asOrders(partitionBy ++ sortBy))
+    else if (dPartitionBy.nonEmpty || dSortBy.nonEmpty)
+      Distributions.ordered(asOrders(dPartitionBy ++ dSortBy))
     else Distributions.unspecified()
 
-  override def requiredOrdering(): Array[SortOrder] = asOrders(partitionBy ++ sortBy)
+  override def requiredOrdering(): Array[SortOrder] = asOrders(dPartitionBy ++ dSortBy)
 
   /** Best-effort by default: Spark then plans a range REBALANCE instead of
     * a rigid exchange — AQE coalesces small partitions toward the advisory

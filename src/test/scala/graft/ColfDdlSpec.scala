@@ -140,16 +140,109 @@ class ColfDdlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE colf_ddl.`$dir` DROP COLUMN k")
     }
     assert(dropLast.getMessage.contains("last data column"))
-    val ren = intercept[Exception] {
-      spark.sql(s"ALTER TABLE colf_ddl.`$dir` RENAME COLUMN k TO kk")
-    }
-    assert(ren.getMessage.contains("RENAME COLUMN is not supported"))
     val retype = intercept[Exception] {
       spark.sql(s"ALTER TABLE colf_ddl.`$dir` ALTER COLUMN k TYPE DOUBLE")
     }
     assert(retype.getMessage.contains("TYPE is not supported"))
     // DROP NOT NULL (widen nullability) is allowed
     spark.sql(s"ALTER TABLE colf_ddl.`$dir` ALTER COLUMN k DROP NOT NULL")
+  }
+
+  test("RENAME COLUMN is metadata-only column mapping: old data readable, writes stay physical") {
+    val dir = tmp() + "/t"
+    spark.sql(s"CREATE TABLE colf_ddl.`$dir` (k INT, v STRING, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val before = dataFiles(dir)
+
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` RENAME COLUMN v TO label")
+    assert(dataFiles(dir) == before, "RENAME must not touch any data file")
+    val df = spark.sql(s"SELECT * FROM colf_ddl.`$dir`")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "label", "seg"))
+    // old data reads under the NEW name
+    assert(spark.sql(s"SELECT label FROM colf_ddl.`$dir` ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b"))
+    // filters on the renamed column work (and push/prune physically)
+    assert(spark.sql(s"SELECT k FROM colf_ddl.`$dir` WHERE label = 'b'")
+      .as[Int].collect().toSeq == Seq(2))
+
+    // a write AFTER the rename keeps storing the PHYSICAL name — files
+    // carry one stable column name for the table's whole lifetime
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (3, 'c', 'x')")
+    val newFile = (dataFiles(dir).keySet -- before.keySet).head
+    def findFile(d: java.io.File, name: String): java.io.File = {
+      val es = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      es.find(f => f.isFile && f.getName == name).getOrElse(
+        es.filter(_.isDirectory).map(findFile(_, name)).find(_ != null).orNull)
+    }
+    val part = findFile(new java.io.File(dir), newFile)
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(part))
+    val hdr = try graft.sources.colf.ColfCodec.readHeader(in) finally in.close()
+    assert(hdr.schema.fields.map(_.name).toSeq == Seq("k", "v"),
+      "new files must store the physical name 'v', not the logical 'label'")
+    assert(spark.sql(s"SELECT label FROM colf_ddl.`$dir` WHERE k = 3")
+      .as[String].collect().toSeq == Seq("c"))
+
+    // time travel shows the schema as declared THEN
+    assert(spark.sql(s"SELECT * FROM colf_ddl.`$dir` VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("k", "v", "seg"))
+
+    // the physical slot stays occupied: re-adding 'v' would alias the
+    // renamed column's stored data
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE colf_ddl.`$dir` ADD COLUMN v STRING")
+    }
+    assert(e.getMessage.contains("physical name"))
+
+    // renaming BACK drops to the identity mapping and still reads
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` RENAME COLUMN label TO v")
+    assert(spark.sql(s"SELECT v FROM colf_ddl.`$dir` ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b", "c"))
+  }
+
+  test("RENAME COLUMN on a partition column: directories keep the physical name") {
+    val dir = tmp() + "/t"
+    spark.sql(s"CREATE TABLE colf_ddl.`$dir` (k INT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` RENAME COLUMN seg TO region")
+    // reads resolve the logical name from the physical k=v layout
+    assert(spark.sql(s"SELECT k FROM colf_ddl.`$dir` WHERE region = 'y'")
+      .as[Int].collect().toSeq == Seq(2))
+    // INSERT still routes partition values into the PHYSICAL directories
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (3, 'y')")
+    val segDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    assert(segDirs == Set("seg=x", "seg=y"), s"got $segDirs")
+    assert(spark.sql(s"SELECT k FROM colf_ddl.`$dir` WHERE region = 'y' ORDER BY k")
+      .as[Int].collect().toSeq == Seq(2, 3))
+    // metadata-only agg over the renamed partition column still answers
+    assert(spark.sql(s"SELECT region, count(*) AS n FROM colf_ddl.`$dir` GROUP BY region ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("row-level DML works through the rename mapping (CoW and merge-on-read)") {
+    val dir = tmp() + "/t"
+    spark.sql(s"CREATE TABLE colf_ddl.`$dir` (k INT, v STRING)")
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` RENAME COLUMN v TO label")
+
+    // copy-on-write UPDATE on the renamed column
+    spark.sql(s"UPDATE colf_ddl.`$dir` SET label = 'B' WHERE label = 'b'")
+    assert(spark.sql(s"SELECT label FROM colf_ddl.`$dir` ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "B", "c"))
+    // rewritten files still store the physical name
+    assert(spark.read.format("colf").load(dir).schema.fieldNames.toSeq
+      == Seq("k", "label"))
+
+    // merge-on-read DELETE keyed on the renamed column
+    spark.conf.set("spark.colf.dml.mode", "merge-on-read")
+    try {
+      val files = dataFiles(dir)
+      spark.sql(s"DELETE FROM colf_ddl.`$dir` WHERE label = 'a'")
+      assert(dataFiles(dir) == files, "merge-on-read must not rewrite data files")
+      assert(spark.sql(s"SELECT label FROM colf_ddl.`$dir` ORDER BY k")
+        .as[String].collect().toSeq == Seq("B", "c"))
+    } finally spark.conf.unset("spark.colf.dml.mode")
   }
 
   test("ALTER adopts a pre-DDL versioned table's schema (union + layout parts)") {

@@ -125,12 +125,14 @@ object ColfSchemaFuzzProps extends Properties("ColfSchemaFuzz") {
   private case class Insert(n: Int) extends DdlOp
   private case object AddCol extends DdlOp
   private case object DropCol extends DdlOp
+  private case object RenameCol extends DdlOp
 
   private val genDdlOps: Gen[List[DdlOp]] =
-    Gen.listOfN(7, Gen.frequency(
+    Gen.listOfN(8, Gen.frequency(
       (4, Gen.choose(1, 25).map(Insert)),
       (2, Gen.const(AddCol)),
-      (2, Gen.const(DropCol))))
+      (2, Gen.const(DropCol)),
+      (2, Gen.const(RenameCol))))
 
   // fresh-name pool with fixed types (resurrection refusal is pinned in
   // ColfDdlSpec; the fuzz exercises commit machinery with clean names)
@@ -217,7 +219,22 @@ object ColfSchemaFuzzProps extends Properties("ColfSchemaFuzz") {
           declared = declared.filterNot(_._1 == victim)
           model.indices.foreach(i => model(i) = model(i) - victim)
           snap()
-        case _ => () // AddCol with drained pool / DropCol with none left: skip
+        case RenameCol if declared.exists(c => c._1 != "k" && c._1 != "p") =>
+          val renameable = declared.collect {
+            case (c, _) if c != "k" && c != "p" => c }
+          val victim = renameable(key % renameable.length)
+          val to = victim + "r" // fresh logical name, physical slot unchanged
+          val before = ddlDataFiles(dir)
+          s.sql(s"ALTER TABLE colf_fuzz.`$dir` RENAME COLUMN $victim TO $to")
+          ok &= ddlDataFiles(dir) == before
+          declared = declared.map { case (c, t) =>
+            if (c == victim) (to, t) else (c, t) }
+          model.indices.foreach { i =>
+            val m = model(i)
+            model(i) = m - victim + (to -> m(victim))
+          }
+          snap()
+        case _ => () // AddCol with drained pool / Drop/Rename with none left: skip
       }
 
       // final read == model under the current declared column set
