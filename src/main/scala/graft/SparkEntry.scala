@@ -820,7 +820,36 @@ object SparkEntry {
            |  CAST(c_nationkey AS INT)
            |FROM graft_ddl_src WHERE c_custkey % 2 = 1""".stripMargin)
       s.sql(s"ALTER TABLE colf_cat.`$out` DROP COLUMN c_name")
-      s.sql(s"SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey FROM colf_cat.`$out`")
+      // RENAME is metadata-only column mapping: files keep storing
+      // c_nationkey (physical); the logical surface becomes nation_id
+      s.sql(s"ALTER TABLE colf_cat.`$out` RENAME COLUMN c_nationkey TO nation_id")
+      s.sql(s"SELECT c_custkey, c_acctbal, c_mktsegment, nation_id FROM colf_cat.`$out`")
+    }),
+
+    "q_colf_dv" -> ((s, dir) => {
+      // Merge-on-read row-level DML (deletion vectors): a DELETE and an
+      // UPDATE against a multi-file table record position-delete files in
+      // the manifest — NO data file is rewritten (ColfDeleteVectorSpec
+      // asserts byte/mtime identity; here the oracle pins the visible
+      // rows) — and the pre-DML snapshot stays exactly readable.
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_dv")
+      rmDir(out)
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"))
+        .write.format("colf").option("manifest", "true")
+        .option("maxRowsPerFile", "400").mode("append").save(out)   // v1, multi-file
+      s.conf.set("spark.colf.dml.mode", "merge-on-read")
+      try {
+        s.sql(s"DELETE FROM colf_cat.`$out` WHERE c_custkey % 10 = 3")          // v2: DV only
+        s.sql(s"UPDATE colf_cat.`$out` SET c_acctbal = c_acctbal * 2 " +
+          s"WHERE c_custkey % 10 = 4")                                          // v3: DV + insert
+      } finally s.conf.unset("spark.colf.dml.mode")
+      val v1 = s.read.format("colf").option("versionAsOf", 1).load(out)
+        .withColumn("snap", lit("v1"))
+      val cur = s.read.format("colf").load(out).withColumn("snap", lit("cur"))
+      v1.unionByName(cur)
     }),
 
     "q_colf_version_diff" -> ((s, dir) => {
@@ -1716,12 +1745,21 @@ object SparkEntry {
 
     "q_colf_ddl" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal, c_mktsegment,
-        | CAST(NULL AS INTEGER) AS c_nationkey
+        | CAST(NULL AS INTEGER) AS nation_id
         |FROM customer WHERE c_custkey % 2 = 0
         |UNION ALL
         |SELECT CAST(c_custkey AS INTEGER), c_acctbal, c_mktsegment,
         | CAST(c_nationkey AS INTEGER)
         |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+
+    "q_colf_dv" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal, 'v1' AS snap
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS INTEGER),
+        | CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2 ELSE c_acctbal END,
+        | 'cur' AS snap
+        |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
 
     "q_colf_version_diff" ->
       """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, 'added' AS change

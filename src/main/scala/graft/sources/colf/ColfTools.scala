@@ -117,7 +117,10 @@ object ColfTools {
     case Array("read_columns", in, cols) =>
       val df = spark.read.format("colf").load(in)
         .select(cols.split(",").map(_.trim).map(org.apache.spark.sql.functions.col): _*)
-      // reference prints CSV to stdout (reader.py:268-274); stream, don't collect
+      // reference prints CSV to stdout (reader.py:268-274); stream, don't
+      // collect. SCALE CEILING: toLocalIterator funnels every row through
+      // the driver — right for this stdout CLI parity tool, wrong for any
+      // job-sized export (use df.write.csv, which stays distributed).
       println(df.columns.mkString(","))
       df.toLocalIterator().forEachRemaining { row =>
         println(df.columns.indices.map { i =>

@@ -107,12 +107,24 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
   private val genKnobs: Gen[(Int, Int)] =
     Gen.oneOf((2048, 8192), (0, 2), (0, 5), (3, 3))
 
+  /** DML-mode knob: the same histories run under copy-on-write (file
+    * rewrites) and merge-on-read (deletion vectors) — MERGE and
+    * data-predicate DELETE then take the delta path, so DV write/merge,
+    * DV'd snapshots, diffs over DV'd versions, and compaction's DV
+    * folding all ride the fuzz. Partition DELETEs stay metadata-only in
+    * both modes (canDeleteWhere answers before row-level planning).
+    */
+  private val genDmlMode: Gen[String] =
+    Gen.oneOf("copy-on-write", "merge-on-read")
+
   property("every snapshot, every diff, and the live view match the model") =
-    forAllNoShrink(Gen.zip(genHistory, genKnobs)) { case (ops, (inlineMax, segMax)) =>
+    forAllNoShrink(Gen.zip(genHistory, genKnobs, genDmlMode)) {
+        case (ops, (inlineMax, segMax), dmlMode) =>
       val oldInline = ColfVersions.InlineMaxEntries
       val oldSeg = ColfVersions.SegmentMaxEntries
       ColfVersions.InlineMaxEntries = inlineMax
       ColfVersions.SegmentMaxEntries = segMax
+      spark.conf.set("spark.colf.dml.mode", dmlMode)
       try {
       val dir = Files.createTempDirectory("colf_hist_fuzz").toString
       val view = s"hf_src_${System.nanoTime()}"
@@ -241,6 +253,7 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
       } finally {
         ColfVersions.InlineMaxEntries = oldInline
         ColfVersions.SegmentMaxEntries = oldSeg
+        spark.conf.unset("spark.colf.dml.mode")
       }
     }
 }
