@@ -75,6 +75,18 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
     opts.put("mergeSchema", "true")
+    // persisted table properties (CREATE ... TBLPROPERTIES / ALTER SET —
+    // most importantly dmlMode) resolve into the table's options, so a
+    // merge-on-read table IS merge-on-read in every session; per-call
+    // extras (version pins) always win, and addressing keys can't be
+    // smuggled in via properties
+    val root = new Path(path)
+    val fs = root.getFileSystem(ColfUtil.driverHadoopConf())
+    if (fs.exists(root) && fs.getFileStatus(root).isDirectory)
+      ColfVersions.tableMeta(fs, root).foreach(_.props.foreach { case (k, v) =>
+        if (!k.equalsIgnoreCase("path") && !k.equalsIgnoreCase("paths"))
+          opts.put(k, v)
+      })
     extra.foreach { case (k, v) => opts.put(k, v) }
     val provider = new ColfDataSource()
     provider.getTable(provider.inferSchema(new CaseInsensitiveStringMap(opts)),
@@ -190,7 +202,8 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
     if (ColfVersions.enabled(fs, root) ||
         ColfVersions.listDataFiles(fs, root).nonEmpty)
       throw new TableAlreadyExistsException(ident)
-    val meta = ColfVersions.TableMeta(fields, parts)
+    val meta = ColfVersions.TableMeta(fields, parts,
+      props = ColfDdl.userProps(properties))
     // two racing CREATEs: the claim loop's loser must FAIL (a retry would
     // commit the second declaration as version 2 over the winner's table)
     ColfVersions.append(fs, root, _ => Seq.empty, maxRetries = 0,

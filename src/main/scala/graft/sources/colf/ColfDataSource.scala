@@ -508,6 +508,15 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
 
   override def name(): String = s"colf:${paths.mkString(",")}"
 
+  /** Persisted table properties (DESCRIBE EXTENDED surface) — the
+    * manifest-declared props, when the table carries DDL state.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    declaredMeta.foreach(_.props.foreach { case (k, v) => m.put(k, v) })
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,

@@ -28,6 +28,32 @@ import ColfVersions.{Entry, TableMeta}
   */
 private[colf] object ColfDdl {
 
+  /** Property keys Spark manages itself (or that would hijack path
+    * addressing) — never persisted into the manifest.
+    */
+  private val ReservedProps = Set("provider", "location", "comment", "owner",
+    "external", "is_managed_location", "table_type", "collation",
+    "path", "paths", "versionasof", "changessinceversion")
+
+  /** User table properties from a CREATE TABLE property map: OPTIONS
+    * arrive `option.`-prefixed (stripped here), TBLPROPERTIES raw;
+    * Spark-managed keys are dropped. `dmlMode` is validated eagerly —
+    * failing at first DML with a table-creation typo would be cruel.
+    */
+  def userProps(properties: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val out = properties.asScala.toSeq.flatMap { case (k, v) =>
+      val key = if (k.startsWith("option.")) k.stripPrefix("option.") else k
+      if (ReservedProps.contains(key.toLowerCase(java.util.Locale.ROOT))) None
+      else Some(key -> v)
+    }.toMap
+    out.find(_._1.equalsIgnoreCase("dmlMode")).foreach { case (_, v) =>
+      require(v == "copy-on-write" || v == "merge-on-read",
+        s"colf: dmlMode must be copy-on-write or merge-on-read, got '$v'")
+    }
+    out
+  }
+
   /** First declaration of a table never CREATEd through DDL: adopt the
     * union of live file schemas (first-appearance order, absent-in-some
     * ⇒ nullable — the exact rule mergeSchema reads already resolve
@@ -186,6 +212,19 @@ private[colf] object ColfDdl {
       throw new UnsupportedOperationException(
         "colf: ALTER COLUMN TYPE is not supported — stored blocks are typed " +
           "int32/float64/utf8 with no read-time widening; rewrite with CTAS")
+
+    case sp: TableChange.SetProperty =>
+      val k = sp.property()
+      require(!ReservedProps.contains(k.toLowerCase(java.util.Locale.ROOT)),
+        s"colf: table property '$k' is managed by Spark / the connector " +
+          "and cannot be set")
+      if (k.equalsIgnoreCase("dmlMode"))
+        require(sp.value() == "copy-on-write" || sp.value() == "merge-on-read",
+          s"colf: dmlMode must be copy-on-write or merge-on-read, got '${sp.value()}'")
+      meta.copy(props = meta.props + (k -> sp.value()))
+
+    case rp: TableChange.RemoveProperty =>
+      meta.copy(props = meta.props - rp.property())
 
     case other =>
       throw new UnsupportedOperationException(

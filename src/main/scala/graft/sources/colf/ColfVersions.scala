@@ -98,9 +98,16 @@ object ColfVersions {
     * keep storing the physical name so the reference reader sees one
     * stable column name per table lifetime (column-mapping, as in
     * Delta/Iceberg, minus the id indirection the format cannot store).
+    *
+    * `props` holds persisted TABLE PROPERTIES (CREATE TABLE
+    * OPTIONS/TBLPROPERTIES, ALTER TABLE SET/UNSET TBLPROPERTIES) — most
+    * importantly `dmlMode`, so a table declared merge-on-read stays
+    * merge-on-read for every session without per-operation confs.
+    * Loaded back into the table's options at catalog resolution.
     */
   final case class TableMeta(fields: Seq[ColfField], parts: Seq[String],
-      physical: Map[String, String] = Map.empty) {
+      physical: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     require(parts.forall(p => fields.exists(_.name == p)),
       s"colf: declared partition columns ${parts.mkString(",")} must appear " +
         s"in the declared schema (${fields.map(_.name).mkString(",")})")
@@ -303,7 +310,16 @@ object ColfVersions {
       val parts =
         if (pn == null || !pn.isArray) Seq.empty[String]
         else (0 until pn.size()).map(pn.get(_).asText())
-      Some(TableMeta(fields, parts, physical.result()))
+      val pr = node.get("props")
+      val props: Map[String, String] =
+        if (pr == null || !pr.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, String]
+          val it = pr.fieldNames()
+          while (it.hasNext) { val k = it.next(); b += k -> pr.get(k).asText() }
+          b.result()
+        }
+      Some(TableMeta(fields, parts, physical.result(), props))
     }
   }
 
@@ -328,6 +344,14 @@ object ColfVersions {
           sb.append('"').append(esc(p)).append('"')
         }
         sb.append(']')
+      }
+      if (m.props.nonEmpty) {
+        sb.append(""","props":{""")
+        m.props.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), j) =>
+          if (j > 0) sb.append(',')
+          sb.append('"').append(esc(k)).append("\":\"").append(esc(v)).append('"')
+        }
+        sb.append('}')
       }
     }
 

@@ -317,6 +317,35 @@ class ColfDdlSpec extends AnyFunSuite {
       .as[Int].collect().toSeq == Seq(1))
   }
 
+  test("table properties persist in the manifest: dmlMode sticks across sessions") {
+    val dir = tmp() + "/t"
+    spark.sql(s"""CREATE TABLE colf_ddl.`$dir` (k INT, v STRING)
+                 |TBLPROPERTIES ('dmlMode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (1, 'a'), (2, 'b')")
+    // NO session conf set: the persisted property alone must route the
+    // DELETE through the delta (deletion-vector) path — data files untouched
+    val before = dataFiles(dir)
+    spark.sql(s"DELETE FROM colf_ddl.`$dir` WHERE v = 'a'")
+    assert(dataFiles(dir) == before,
+      "persisted dmlMode=merge-on-read must keep DML from rewriting files")
+    assert(spark.sql(s"SELECT k FROM colf_ddl.`$dir`").as[Int].collect().toSeq == Seq(2))
+
+    // ALTER ... SET/UNSET TBLPROPERTIES flips it durably
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` SET TBLPROPERTIES ('dmlMode' = 'copy-on-write')")
+    spark.sql(s"DELETE FROM colf_ddl.`$dir` WHERE v = 'b'")
+    assert(dataFiles(dir) != before, "copy-on-write DML rewrites/replaces files")
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` UNSET TBLPROPERTIES ('dmlMode')")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ColfVersions.tableMeta(fs, root).get.props.isEmpty)
+    // bad values refuse at CREATE and at SET
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE colf_ddl.`${tmp()}/u` (k INT, v STRING) " +
+        "TBLPROPERTIES ('dmlMode' = 'nope')")
+    }
+    assert(bad.getMessage.contains("dmlMode"))
+  }
+
   test("CTAS creates and loads in one statement") {
     val dir = tmp() + "/t"
     spark.sql(s"""CREATE TABLE colf_ddl.`$dir` AS
