@@ -852,6 +852,37 @@ object SparkEntry {
       v1.unionByName(cur)
     }),
 
+    "q_colf_cdf" -> ((s, dir) => {
+      // Streaming change feed: the version history of q_colf_dv's table
+      // (append → DV delete → DV update) drained as a stream of tagged
+      // row changes — inserts AND retractions, offsets = manifest
+      // versions. The oracle recomputes every (change, version) row
+      // relationally.
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_colf_cdf")
+      val sink = work("q_colf_cdf_sink")
+      val ckpt = work("q_colf_cdf_ckpt")
+      rmDir(out); rmDir(sink); rmDir(ckpt)
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"))
+        .write.format("colf").option("manifest", "true")
+        .option("maxRowsPerFile", "400").mode("append").save(out)   // v1
+      s.conf.set("spark.colf.dml.mode", "merge-on-read")
+      try {
+        s.sql(s"DELETE FROM colf_cat.`$out` WHERE c_custkey % 10 = 3")          // v2
+        s.sql(s"UPDATE colf_cat.`$out` SET c_acctbal = c_acctbal * 2 " +
+          s"WHERE c_custkey % 10 = 4")                                          // v3
+      } finally s.conf.unset("spark.colf.dml.mode")
+      val q = s.readStream.format("colf").option("readChangeFeed", "true").load(out)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    }),
+
     "q_colf_version_diff" -> ((s, dir) => {
       // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
       // diffVersions(1) must tag exactly the odd div-3 rows `added` and
@@ -1760,6 +1791,20 @@ object SparkEntry {
         | CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2 ELSE c_acctbal END,
         | 'cur' AS snap
         |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
+
+    "q_colf_cdf" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal,
+        | 'insert' AS _change_type, CAST(1 AS INTEGER) AS _commit_version
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS INTEGER), c_acctbal, 'delete', CAST(2 AS INTEGER)
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT CAST(c_custkey AS INTEGER), c_acctbal, 'delete', CAST(3 AS INTEGER)
+        |FROM customer WHERE c_custkey % 10 = 4
+        |UNION ALL
+        |SELECT CAST(c_custkey AS INTEGER), c_acctbal * 2, 'insert', CAST(3 AS INTEGER)
+        |FROM customer WHERE c_custkey % 10 = 4""".stripMargin,
 
     "q_colf_version_diff" ->
       """SELECT CAST(doc_id AS INTEGER) AS doc_id, source, 'added' AS change

@@ -36,6 +36,24 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = ColfUtil.driverHadoopConf()
+    // change feed (streaming CDC): the table schema plus the change
+    // metadata columns every emitted row carries
+    if (options.getBoolean("readChangeFeed", false)) {
+      // CaseInsensitiveStringMap stores keys lowercased — remove the
+      // lowercased form or the recursion below never terminates
+      val opts = new java.util.HashMap[String, String](options)
+      opts.remove("readchangefeed")
+      val base = inferSchema(new CaseInsensitiveStringMap(opts))
+      Seq(ColfChangeFeedStream.ChangeTypeCol,
+          ColfChangeFeedStream.CommitVersionCol).foreach { c =>
+        require(!base.fieldNames.contains(c),
+          s"colf: readChangeFeed reserves the column name '$c' but the " +
+            "table already has a data column with that name")
+      }
+      return base
+        .add(StructField(ColfChangeFeedStream.ChangeTypeCol, StringType, nullable = false))
+        .add(StructField(ColfChangeFeedStream.CommitVersionCol, IntegerType, nullable = false))
+    }
     // A DECLARED schema (catalog DDL, [[ColfVersions.TableMeta]]) is
     // authoritative: it's how an empty CREATE TABLE has a shape at all,
     // how ADD COLUMN is visible before any file stores it, and how DROP
@@ -130,7 +148,7 @@ class ColfDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new ColfTable(ColfUtil.paths(opts), schema, opts.getBoolean("mergeSchema", false),
       ColfUtil.versionAsOf(opts), ColfUtil.changesSince(opts),
-      Option(opts.get("dmlMode")))
+      Option(opts.get("dmlMode")), opts.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -416,7 +434,8 @@ private[colf] object ColfUtil {
 
 class ColfTable(paths: Seq[String], override val schema: StructType,
     mergeSchema: Boolean = false, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None, dmlMode: Option[String] = None)
+    changesSince: Option[Long] = None, dmlMode: Option[String] = None,
+    cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -480,6 +499,7 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
         require(versionAsOf.isEmpty && changesSince.isEmpty,
           "colf: DML on a snapshot-pinned read is not meaningful — " +
             "MERGE/UPDATE/DELETE target the latest table state")
+        require(!cdf, "colf: a readChangeFeed relation is read-only")
         // without the metadata column, `_file` would resolve to the DATA
         // column and group filtering would prune on document values as
         // if they were file paths — a silent no-op. Refuse instead.
@@ -616,10 +636,21 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     val (effVer, effChg) =
       if (readVer.isDefined || readChg.isDefined) (readVer, readChg)
       else (versionAsOf, changesSince)
+    val effCdf = cdf || options.getBoolean("readChangeFeed", false)
+    require(!effCdf || (effVer.isEmpty && effChg.isEmpty),
+      "colf: readChangeFeed is incompatible with versionAsOf/" +
+        "changesSinceVersion — the feed's offsets ARE versions")
+    val startVer = Option(options.get("startingVersion")).map { v =>
+      val n = scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
+        s"colf: startingVersion must be a version number, got '$v'"))
+      require(n >= 1, s"colf: startingVersion must be >= 1, got $n")
+      n
+    }.getOrElse(1L)
     new ColfScanBuilder(paths, physSchema, mergeSchema || declaredMeta.isDefined,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
-      exactPartCols, layoutPartitionCols, effVer, effChg, nameMap)
+      exactPartCols, layoutPartitionCols, effVer, effChg, nameMap,
+      effCdf, startVer)
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -628,8 +659,10 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
     * root-level files with partition values stored in-file, breaking the
     * layout the readers partition-prune on.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!cdf, "colf: a readChangeFeed relation is read-only")
     new ColfWriteBuilder(paths, info, partColsLogical, nameMap)
+  }
 
   // ------------------------------------------------------- DELETE FROM
   //
@@ -716,7 +749,8 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     mergeSchema: Boolean = false, maxFilesPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
     layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity)
+    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity,
+    cdf: Boolean = false, cdfStartingVersion: Long = 1L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -759,6 +793,10 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     * per row, which is always correct.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // change feed: every filter stays residual and nothing is absorbed
+    // or pruned — a retraction partition's rows are not the live rows
+    // the pruning stats describe
+    if (cdf) return filters
     val translated: Seq[(Filter, Option[Filter])] =
       filters.toSeq.map(f => f -> names.physFilter(f))
     val (absPairs, resPairs) = translated.partition { case (_, p) =>
@@ -806,6 +844,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     fieldName(e).map(names.phys)
 
   private def shapeOk(agg: aggregate.Aggregation): Boolean = {
+    if (cdf) return false // header facts describe live rows, not changes
     val colOk = (n: String) =>
       fullSchema.fieldNames.contains(n) &&
         (!layoutPartitionCols.contains(n) || exactPartCols(n))
@@ -989,7 +1028,7 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     case None =>
       new ColfScan(paths, fullSchema, required, mergeSchema, limit,
         ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
-        absorbed, versionAsOf, changesSince, names)
+        absorbed, versionAsOf, changesSince, names, cdf, cdfStartingVersion)
   }
 }
 
@@ -1033,7 +1072,8 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     filters: Seq[Filter] = Seq.empty, conf: Configuration = ColfUtil.driverHadoopConf(),
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
     absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None,
-    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity)
+    changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity,
+    cdf: Boolean = false, cdfStartingVersion: Long = 1L)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
   // NAME DOMAINS: `fullSchema`/`required`/`filters`/`absorbed` are all
   // PHYSICAL; `readSchema`/`filterAttributes` present LOGICAL names to
@@ -1199,7 +1239,14 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
   protected def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
 
   /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]]. */
-  override def planInputPartitions(): Array[InputPartition] = ColfUtil.binPack(plannedRefs)
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf)
+      throw new IllegalArgumentException(
+        "colf: readChangeFeed is a STREAMING surface (spark.readStream) — " +
+          "for batch change capture use ColfMaintenance.diffVersions or " +
+          "the colf_diff table function")
+    ColfUtil.binPack(plannedRefs)
+  }
 
   /** Micro-batch streaming read of an append-only colf directory; offsets,
     * contract, and per-batch stats pruning in [[ColfMicroBatchStream]].
@@ -1216,6 +1263,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
         "colf: versionAsOf/changesSinceVersion are batch-only — a stream " +
           "follows the live manifest view; drop the option (incremental " +
           "reads ARE the stream's own offset contract)")
+    if (cdf) {
+      require(paths.lengthCompare(1) == 0,
+        s"colf: readChangeFeed follows ONE versioned table, got $paths")
+      return new ColfChangeFeedStream(paths.head, required, conf,
+        cdfStartingVersion, maxFilesPerTrigger)
+    }
     new ColfMicroBatchStream(paths, required, mergeSchema, filters, conf,
       maxFilesPerTrigger, maxRowsPerTrigger, absorbed, fullSchema)
   }
@@ -1358,7 +1411,9 @@ private case class ColfDriverMetric(name: String, value: Long)
 
 case class ColfInputPartition(files: Seq[String],
     partValues: Seq[Map[String, String]] = Seq.empty,
-    dvs: Seq[String] = Seq.empty) extends InputPartition {
+    dvs: Seq[String] = Seq.empty,
+    emitOnlyDeleted: Boolean = false,
+    priorDvs: Seq[String] = Seq.empty) extends InputPartition {
   /** Raw `k=v` values for file i (empty when the layout is flat). */
   def valuesFor(i: Int): Map[String, String] =
     if (partValues.isEmpty) Map.empty else partValues(i)
@@ -1366,6 +1421,13 @@ case class ColfInputPartition(files: Seq[String],
     * DV-free — the planner packs DV files separately).
     */
   def dvFor(i: Int): String = if (dvs.isEmpty) null else dvs(i)
+  /** Change-feed retraction partitions ([[ColfChangeFeedStream]]):
+    * `emitOnlyDeleted` INVERTS the deletion-vector semantics — the
+    * reader emits EXACTLY the ordinals of `dvs(i)` minus `priorDvs(i)`
+    * (the rows newly masked by one commit's vector growth), instead of
+    * the surviving rows. Row path only.
+    */
+  def priorDvFor(i: Int): String = if (priorDvs.isEmpty) null else priorDvs(i)
   def hasDvs: Boolean = dvs.exists(_ != null)
 }
 
@@ -1554,11 +1616,23 @@ class ColfPartitionReader(part: ColfInputPartition, required: StructType,
         }.toArray
         dec = new ColfFileDecoder(files(fileIdx), plan.dataRequired, missingAsNull, conf.value)
         row = 0
-        dv = Option(part.dvFor(fileIdx)).map { p =>
+        def load(p: String): Array[Long] = {
           val path = new Path(p)
           ColfDeletes.readFile(path.getFileSystem(conf.value), path)
-        }.orNull
+        }
+        dv =
+          if (part.emitOnlyDeleted) {
+            // retraction mode: the emit list is the NEW vector minus the
+            // prior one — exactly the rows one commit newly deleted
+            val newD = load(part.dvFor(fileIdx))
+            val oldD = Option(part.priorDvFor(fileIdx)).map(load)
+              .getOrElse(Array.empty[Long])
+            ColfDeletes.diffSorted(newD, oldD)
+          } else Option(part.dvFor(fileIdx)).map(load).orNull
         dvPtr = 0
+      } else if (part.emitOnlyDeleted) {
+        if (dv == null || dvPtr >= dv.length) row = dec.numRows // exhausted → next file
+        else { row = dv(dvPtr).toInt; dvPtr += 1; return true }
       } else if (dv != null && dvPtr < dv.length && dv(dvPtr) == row) {
         dvPtr += 1
         row += 1

@@ -152,6 +152,22 @@ private[graft] object ColfDeletes {
     if (k == out.length) out else java.util.Arrays.copyOf(out, k)
   }
 
+  /** Sorted-set difference a \ b: the ordinals a commit NEWLY deleted,
+    * given the file's vector after (`a`) and before (`b`) — the
+    * change-feed retraction list ([[ColfChangeFeedStream]]).
+    */
+  def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length) {
+      val av = a(i)
+      while (j < b.length && b(j) < av) j += 1
+      if (j >= b.length || b(j) != av) { out(k) = av; k += 1 }
+      i += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /** DV files currently on disk (empty when the directory is absent) —
     * vacuum's sweep domain.
     */

@@ -81,9 +81,10 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
       throw new IllegalStateException(
         s"colf stream: ${paths.mkString(",")} carries deletion vectors on " +
           s"${dvd.length} file(s) (merge-on-read DML ran against it) — an " +
-          "append-only stream cannot retract already-emitted rows. Compact " +
-          "the table to fold the deletes, or use ColfMaintenance.diffVersions " +
-          "for batch change capture with removals")
+          "append-only stream cannot retract already-emitted rows. Stream " +
+          "with option(\"readChangeFeed\",\"true\") to receive inserts AND " +
+          "deletes, compact the table to fold the vectors, or use " +
+          "ColfMaintenance.diffVersions for batch change capture")
     refs
   }
 
@@ -215,4 +216,187 @@ class ColfMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def commit(end: Offset): Unit = () // nothing to clean up
   override def stop(): Unit = ()
+}
+
+/** Change-feed stream position: the last fully-consumed manifest
+  * VERSION (0 = nothing consumed).
+  */
+case class ColfCdfOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object ColfCdfOffset {
+  private val mapper = new ObjectMapper()
+  def fromJson(json: String): ColfCdfOffset =
+    ColfCdfOffset(mapper.readTree(json).get("version").asLong())
+}
+
+/** Streaming CHANGE FEED over a versioned colf table
+  * (`readStream.format("colf").option("readChangeFeed", "true")`):
+  * each micro batch emits the ROW-LEVEL changes of one or more manifest
+  * versions, every row tagged with `_change_type` ('insert' | 'delete')
+  * and `_commit_version` — the streaming CDC surface that the
+  * append-only source cannot provide once merge-on-read DML runs
+  * (its contract rejects deletion vectors loudly; this source is the
+  * escape hatch it points to).
+  *
+  * Offsets are manifest versions — exact, replayable, and shared with
+  * time travel — so a checkpointed restart resumes at the next
+  * unconsumed commit. Per version, the file-level manifest diff maps to
+  * row changes with NO join and no shuffle:
+  *
+  *  - added files → their live rows as inserts (the entry's own DV
+  *    applied — a file added and vectored in the same commit delivers
+  *    exactly its surviving rows);
+  *  - removed files → their previously-live rows as deletes (the PRIOR
+  *    version's DV applied: rows already deleted are not re-retracted);
+  *  - same-path entries whose DV GREW → exactly the newly-masked
+  *    ordinals as deletes ([[ColfInputPartition.emitOnlyDeleted]]);
+  *  - same-path entries whose bytes changed (size/mtime — an epoch
+  *    replay's idempotent rewrite) → old rows deleted, new inserted.
+  *
+  * DDL-only commits (schema changes, property flips) change no entries
+  * and emit nothing. Vacuumed-away versions fail loudly (the manifest
+  * read names what survives) — a stream lagging past the retention
+  * window must not silently skip changes. Version numbers are capped to
+  * Int range by the int32 column lattice; `startingVersion` (default 1)
+  * begins the feed later.
+  */
+class ColfChangeFeedStream(path: String, required: StructType,
+    conf: Configuration, startingVersion: Long = 1L,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val root = new org.apache.hadoop.fs.Path(path)
+  private def fs = root.getFileSystem(conf)
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersion())
+
+  private def latestVersion(): Long =
+    ColfVersions.latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"colf: readChangeFeed requires a VERSIONED table, but $path has " +
+          "no manifests — write with option(\"manifest\",\"true\") or " +
+          "CALL <catalog>.enable_versioning first"))
+
+  override def initialOffset(): Offset = ColfCdfOffset(startingVersion - 1)
+
+  override def latestOffset(): Offset = ColfCdfOffset(latestVersion())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admit whole versions; `maxFilesPerTrigger` caps the batch by the
+    * cumulative CHANGED-file count (always ≥ 1 version, so the stream
+    * progresses even past a wide commit).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ColfCdfOffset].version
+    val target = availableNowTarget.getOrElse(latestVersion())
+    if (target <= s) return ColfCdfOffset(s)
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _               => Int.MaxValue
+    }
+    var v = s
+    var files = 0
+    while (v < target && (files == 0 || files < cap)) {
+      v += 1
+      files += changedFiles(v)
+    }
+    ColfCdfOffset(v)
+  }
+
+  /** Number of entries that differ between v-1 and v (admission cost). */
+  private def changedFiles(v: Long): Int = {
+    val prev = entriesOf(v - 1)
+    val cur = entriesOf(v)
+    val prevBy = prev.map(e => e.relPath -> e).toMap
+    val curBy = cur.map(e => e.relPath -> e).toMap
+    cur.count(e => !prevBy.get(e.relPath).contains(e)) +
+      prev.count(e => !curBy.contains(e.relPath))
+  }
+
+  private def entriesOf(v: Long): Seq[ColfVersions.Entry] =
+    if (v < 1) Seq.empty else ColfVersions.read(fs, root, v)
+
+  override def deserializeOffset(json: String): Offset = ColfCdfOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ColfCdfOffset].version
+    val e = end.asInstanceOf[ColfCdfOffset].version
+    val parts = Array.newBuilder[InputPartition]
+    var v = s + 1
+    while (v <= e) {
+      require(v <= Int.MaxValue, s"colf: change-feed version $v exceeds int32")
+      val prev = entriesOf(v - 1).map(e => e.relPath -> e).toMap
+      val cur = entriesOf(v).map(e => e.relPath -> e).toMap
+
+      def refsOf(es: Seq[ColfVersions.Entry]): Seq[ColfFileRef] =
+        ColfVersions.toRefs(fs, root, es)
+      def tagged(r: ColfFileRef, tpe: String): Map[String, String] =
+        r.partValues ++ Map(
+          ColfChangeFeedStream.ChangeTypeCol -> tpe,
+          ColfChangeFeedStream.CommitVersionCol -> v.toString)
+
+      // inserts: files new in v (their own DV applied)
+      val added = refsOf(cur.collect {
+        case (rel, e) if !prev.contains(rel) => e }.toSeq)
+      if (added.nonEmpty)
+        parts += ColfInputPartition(added.map(_.path),
+          added.map(tagged(_, "insert")), added.map(_.dvPath))
+      // deletes: files gone in v (retract what was LIVE at v-1)
+      val removed = refsOf(prev.collect {
+        case (rel, e) if !cur.contains(rel) => e }.toSeq)
+      if (removed.nonEmpty)
+        parts += ColfInputPartition(removed.map(_.path),
+          removed.map(tagged(_, "delete")), removed.map(_.dvPath))
+      // same path, changed entry
+      val common = cur.keySet.intersect(prev.keySet).toSeq.sorted
+      val replacedRel = common.filter { rel =>
+        val (p, c) = (prev(rel), cur(rel))
+        p.size != c.size || p.mtime != c.mtime
+      }
+      val dvGrewRel = common.filterNot(replacedRel.contains).filter { rel =>
+        prev(rel).dv != cur(rel).dv
+      }
+      if (replacedRel.nonEmpty) {
+        val olds = refsOf(replacedRel.map(prev(_)))
+        val news = refsOf(replacedRel.map(cur(_)))
+        parts += ColfInputPartition(olds.map(_.path),
+          olds.map(tagged(_, "delete")), olds.map(_.dvPath))
+        parts += ColfInputPartition(news.map(_.path),
+          news.map(tagged(_, "insert")), news.map(_.dvPath))
+      }
+      if (dvGrewRel.nonEmpty) {
+        val news = refsOf(dvGrewRel.map(cur(_)))
+        val priors = dvGrewRel.map(rel => refsOf(Seq(prev(rel))).head.dvPath)
+        parts += ColfInputPartition(news.map(_.path),
+          news.map(tagged(_, "delete")), news.map(_.dvPath),
+          emitOnlyDeleted = true, priorDvs = priors)
+      }
+      v += 1
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColfPartitionReaderFactory(required, missingAsNull = true,
+      new SerializableConfiguration(conf),
+      fileMetaEnabled = !required.fieldNames.contains(ColfUtil.FileMetaCol),
+      posMetaEnabled = !required.fieldNames.contains(ColfUtil.PosMetaCol),
+      allowColumnar = false) // retraction partitions need the row path
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object ColfChangeFeedStream {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 }
