@@ -236,6 +236,36 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
       }
       // 3. live view == final model
       val liveOk = readVersion(dir, None) == snaps.getOrElse(vPrev, Set.empty)
+      // 3b. the change feed REPLAYS the history: drain readChangeFeed
+      //     from version 1 and fold every (insert|delete) in version
+      //     order (deletes first within a version — an update is
+      //     delete+insert of the same key in one commit); the folded
+      //     state must equal the final model. This closes the loop on
+      //     CDC: not just per-version diffs, but the composed feed.
+      val cdfOk = vPrev >= 1 && {
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = Files.createTempDirectory("colf_hist_cdf").toString
+        val q = spark.readStream.format("colf")
+          .option("readChangeFeed", "true").load(dir)
+          .writeStream.format("parquet").option("path", s"$sink/out")
+          .option("checkpointLocation", s"$sink/ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val changes = spark.read.parquet(s"$sink/out")
+          .select("k", "s", "p", "_change_type", "_commit_version").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+            r.getString(3), r.getInt(4)))
+        var folded = Map.empty[Int, (String, Int)]
+        changes.groupBy(_._5).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+          rows.filter(_._4 == "delete").foreach(r => folded -= r._1)
+          rows.filter(_._4 == "insert").foreach(r => folded += r._1 -> (r._2, r._3))
+        }
+        val want = snaps.getOrElse(vPrev, Set.empty)
+        val got = folded.map { case (k, (s, p)) => (k, s, p) }.toSet
+        if (got != want) println(s"HIST CDF-REPLAY MISMATCH: " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} ops=$ops")
+        got == want
+      }
       // 4. changesSinceVersion across append-only suffixes
       val csOk = versions.forall { v =>
         val suffix = versions.filter(_ > v)
@@ -249,7 +279,7 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
           got == want
         }
       }
-      travelOk && diffOk && liveOk && csOk
+      travelOk && diffOk && liveOk && cdfOk && csOk
       } finally {
         ColfVersions.InlineMaxEntries = oldInline
         ColfVersions.SegmentMaxEntries = oldSeg
