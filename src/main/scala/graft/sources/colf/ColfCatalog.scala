@@ -207,7 +207,7 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
     // two racing CREATEs: the claim loop's loser must FAIL (a retry would
     // commit the second declaration as version 2 over the winner's table)
     ColfVersions.append(fs, root, _ => Seq.empty, maxRetries = 0,
-      metaUpdate = (_, _) => Some(meta))
+      metaUpdate = (_, _) => Some(meta), op = "create")
     tableFor(path, Map.empty)
   }
 
@@ -232,7 +232,7 @@ class ColfCatalog extends TableCatalog with ProcedureCatalog {
       metaUpdate = (cur, entries) => {
         val basisMeta = cur.getOrElse(ColfDdl.adoptMeta(fs, root, entries))
         Some(changes.foldLeft(basisMeta)(ColfDdl.applyChange(fs, root, entries)))
-      })
+      }, op = "alter")
     tableFor(path, Map.empty)
   }
 

@@ -721,7 +721,8 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
         if (deletedUnder.nonEmpty) {
           val deletedRel = deletedUnder.map(_.substring(q.length + 1)).toSet
           ColfVersions.append(fs, root, basis =>
-            basis.map(_._2).getOrElse(Seq.empty).filterNot(e => deletedRel(e.relPath)))
+            basis.map(_._2).getOrElse(Seq.empty).filterNot(e => deletedRel(e.relPath)),
+            op = "delete")
           handled ++= deletedUnder
         }
       }

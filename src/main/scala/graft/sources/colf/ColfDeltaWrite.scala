@@ -222,7 +222,7 @@ class ColfDeltaWrite(dir: String, schema: StructType, queryId: String,
     // 2) one manifest append: repoint touched entries at merged DVs, drop
     //    fully-deleted entries, add insert entries. Validation re-runs
     //    against every observed basis inside the optimistic claim loop.
-    ColfVersions.append(fs, root, { basis =>
+    ColfVersions.append(fs, root, op = "dml.mor", compute = { basis =>
       val prev = basis.map(_._2).getOrElse(
         throw new IllegalStateException(
           s"colf: $dir lost its manifests mid-operation — merge-on-read " +

@@ -38,9 +38,14 @@ object ColfInfo {
       AttributeReference("num_rows", LongType, nullable = false)()), rows)
   }
 
-  /** One row per retained snapshot: version, file count, total bytes,
-    * commit time (manifest mtime — written once, never touched again).
-    * Fails loudly on an unversioned table, naming the opt-in.
+  /** One row per retained snapshot — the DESCRIBE-HISTORY surface:
+    * version, the committing OPERATION ("append", "overwrite",
+    * "dml.mor", "create", "alter", … — "commit" for pre-op manifests),
+    * file count, total bytes, live row count (-1 when some file's count
+    * is unrecorded), and the commit time ([[ColfVersions.commitTime]] —
+    * the ts EMBEDDED in the manifest, so history survives a table
+    * copy/relocation; mtime fallback for pre-ts manifests). Fails
+    * loudly on an unversioned table, naming the opt-in.
     */
   def versionsPlan(path: String): LogicalPlan = {
     val root = new Path(path)
@@ -51,15 +56,21 @@ object ColfInfo {
         "(enable with option(\"manifest\", \"true\") on a write)")
     val rows = versions.map { v =>
       val entries = ColfVersions.read(fs, root, v)
-      val committedAt = fs.getFileStatus(
-        new Path(new Path(root, ColfVersions.VersionsDir), f"v$v%012d.json"))
-        .getModificationTime
-      InternalRow(v, entries.length.toLong, entries.map(_.size).sum, committedAt)
+      val numRows =
+        if (entries.exists(_.numRows < 0)) -1L
+        else entries.map(e => e.numRows - e.dvRows).sum
+      InternalRow(v,
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          ColfVersions.commitOp(fs, root, v)),
+        entries.length.toLong, entries.map(_.size).sum, numRows,
+        ColfVersions.commitTime(fs, root, v))
     }
     LocalRelation(Seq(
       AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
       AttributeReference("num_files", LongType, nullable = false)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = false)(),
       AttributeReference("committed_at", LongType, nullable = false)()), rows)
   }
 }

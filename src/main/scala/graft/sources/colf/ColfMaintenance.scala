@@ -162,7 +162,7 @@ object ColfMaintenance {
           .filterNot(e => diskBefore.contains(e.relPath)), conf)
       val beforeRel = before.map(r =>
         ColfVersions.relativize(fs, root, new Path(r.path))).toSet
-      ColfVersions.append(fs, root, { basis =>
+      ColfVersions.append(fs, root, op = "compact", compute = { basis =>
         val prev = basis.map(_._2).getOrElse(Seq.empty)
         // a concurrent append's files show up BOTH in the disk diff and
         // in the basis manifest — keep the basis copy only, or the
@@ -194,7 +194,8 @@ object ColfMaintenance {
     // one-time header sweep: v1 records every file's schema, so all later
     // resolutions of this table are manifest-only
     ColfVersions.append(fs, root, _ =>
-      ColfVersions.withSchemas(fs, root, ColfVersions.listDataFiles(fs, root), conf))
+      ColfVersions.withSchemas(fs, root, ColfVersions.listDataFiles(fs, root), conf),
+      op = "enable_versioning")
   }
 
   /** Rewrite the latest version's METADATA into fresh segments — fold
@@ -212,7 +213,8 @@ object ColfMaintenance {
     require(ColfVersions.enabled(fs, root),
       s"colf: $dir is not a versioned table — nothing to rewrite")
     ColfVersions.append(fs, root,
-      basis => basis.map(_._2).getOrElse(Seq.empty), freshSegments = true)
+      basis => basis.map(_._2).getOrElse(Seq.empty), freshSegments = true,
+      op = "rewrite_manifests")
   }
 
   /** Row-level snapshot diff of a versioned table: what changed between

@@ -422,6 +422,36 @@ object ColfVersions {
           e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 4096
     })
 
+  /** A version's OPERATION label ("append", "overwrite", "dml.mor", …),
+    * embedded by the committer; "commit" for pre-op manifests. Same
+    * head-bytes read as [[commitTime]] — ts and op render first.
+    */
+  def commitOp(fs: FileSystem, root: Path, version: Long): String = {
+    val p = versionFile(root, version)
+    val key = fs.makeQualified(p).toString
+    val hit = opCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(p)
+    val head = try {
+      val buf = new Array[Byte](256)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      new String(buf, 0, off, "UTF-8")
+    } finally in.close()
+    val op = OpField.findFirstMatchIn(head).map(_.group(1)).getOrElse("commit")
+    opCache.put(key, op)
+    op
+  }
+
+  private val OpField = """"op":"([^"\\]+)"""".r
+  private val opCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean = size() > 4096
+    })
+
   /** The newest version committed at or before `tsMillis` (embedded
     * manifest commit times, mtime fallback — see [[commitTime]]). Backs
     * SQL `TIMESTAMP AS OF`. Fails loudly on an unversioned table and on
@@ -452,9 +482,10 @@ object ColfVersions {
     * [[commitTime]] prefers over the copy-fragile file mtime.
     */
   private def render(version: Long, entries: Seq[Entry],
-      meta: Option[TableMeta]): Array[Byte] = {
+      meta: Option[TableMeta], op: String): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(s"""{"version":$version,"ts":${System.currentTimeMillis()}""")
+    // ts and op render FIRST — commitTime/commitOp read only the head
+    sb.append(s"""{"version":$version,"ts":${System.currentTimeMillis()},"op":"${esc(op)}"""")
     renderMeta(meta, sb)
     renderBody(entries, sb)
     sb.append('}')
@@ -588,7 +619,8 @@ object ColfVersions {
       maxRetries: Int = 5,
       freshSegments: Boolean = false,
       metaUpdate: (Option[TableMeta], Seq[Entry]) => Option[TableMeta] =
-        (m, _) => m): Long = {
+        (m, _) => m,
+      op: String = "commit"): Long = {
     val lock = appendLocks.computeIfAbsent(
       fs.makeQualified(root).toString, _ => new Object)
     lock.synchronized {
@@ -616,9 +648,10 @@ object ColfVersions {
         // freshSegments (manifest rewrite): ignore the basis layout so
         // every entry lands in brand-new segments — tombstones fold away
         val bytes =
-          if (current.lengthCompare(InlineMaxEntries) <= 0) render(next, current, meta)
+          if (current.lengthCompare(InlineMaxEntries) <= 0)
+            render(next, current, meta, op)
           else renderSharded(fs, root,
-            if (freshSegments) None else basisView, current, next, meta)
+            if (freshSegments) None else basisView, current, next, meta, op)
         val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
@@ -663,7 +696,7 @@ object ColfVersions {
     */
   private def renderSharded(fs: FileSystem, root: Path,
       basisView: Option[View], current: Seq[Entry], next: Long,
-      meta: Option[TableMeta]): Array[Byte] = {
+      meta: Option[TableMeta], op: String = "commit"): Array[Byte] = {
     val vp = versionsPath(root)
     val curByPath: Map[String, Entry] = current.map(e => e.relPath -> e).toMap
     require(curByPath.size == current.size,
@@ -714,7 +747,7 @@ object ColfVersions {
           s"(${got.size} vs ${curByPath.size} entries) — refusing to publish")
 
     val sb = new StringBuilder
-    sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()}""")
+    sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()},"op":"${esc(op)}"""")
     renderMeta(meta, sb)
     sb.append(""","segs":[""")
     view.segs.zipWithIndex.foreach { case ((n, _), i) =>

@@ -417,11 +417,18 @@ class ColfWrite(dir: String, schema: StructType, queryId: String, truncate: Bool
       // the pre-commit listing seeds the manifest, with each pre-existing
       // file's schema attached by a one-time header sweep so the table is
       // fully recorded from v1 on.
+      val opLabel =
+        if (rowLevelReplaced.isDefined) "dml.cow"
+        else if (truncate) "overwrite"
+        else if (dynamicOverwrite) "overwrite.dynamic"
+        else if (overwriteFilters.nonEmpty) "overwrite.filter"
+        else "append"
       ColfVersions.append(fs, dirPath, basis =>
         buildEntries(basis.map(_._2).getOrElse(
           ColfVersions.withSchemas(fs, dirPath,
             ColfVersions.listDataFiles(fs, dirPath)
-              .filterNot(e => newNames.contains(e.relPath.split('/').last)), conf))))
+              .filterNot(e => newNames.contains(e.relPath.split('/').last)), conf))),
+        op = opLabel)
     } else if ((truncate || dynamicOverwrite || overwriteFilters.nonEmpty ||
         rowLevelReplaced.isDefined) && fs.exists(dirPath)) {
       // 2) Deferred deletes LAST (unversioned tables): a crash anywhere

@@ -346,6 +346,23 @@ class ColfDdlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("dmlMode"))
   }
 
+  test("colf_versions records each commit's operation (DESCRIBE HISTORY)") {
+    val dir = tmp() + "/t"
+    GraftFunctions.register(spark)
+    spark.sql(s"""CREATE TABLE colf_ddl.`$dir` (k INT, v STRING)
+                 |TBLPROPERTIES ('dmlMode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO colf_ddl.`$dir` VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE colf_ddl.`$dir` ADD COLUMN score DOUBLE")
+    spark.sql(s"DELETE FROM colf_ddl.`$dir` WHERE k = 1")
+    val hist = spark.sql(
+      s"""SELECT version, operation, num_rows FROM colf_versions('$dir')
+         |ORDER BY version""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.map(_._2).toSeq == Seq("create", "append", "alter", "dml.mor"))
+    // live row counts track the history: empty → 2 → 2 → 1 (DV applied)
+    assert(hist.map(_._3).toSeq == Seq(0L, 2L, 2L, 1L))
+  }
+
   test("CTAS creates and loads in one statement") {
     val dir = tmp() + "/t"
     spark.sql(s"""CREATE TABLE colf_ddl.`$dir` AS

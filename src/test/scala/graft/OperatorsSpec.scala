@@ -815,11 +815,17 @@ class OperatorsSpec extends AnyFunSuite {
       assert(files.nonEmpty && files.map(_.getLong(1)).sum == 3L)
       assert(files.forall(_.getString(0).endsWith(".colf")))
       val vers = spark.sql(
-        s"""SELECT version, num_files FROM colf_versions('$dir')
+        s"""SELECT version, num_files, operation, num_rows, committed_at
+           |FROM colf_versions('$dir')
            |ORDER BY version""".stripMargin).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
       assert(vers.map(_._1).toSeq == Seq(1L, 2L))
       assert(vers.last._2 > vers.head._2) // the append grew the file set
+      // DESCRIBE-HISTORY facts: the committing operation, exact live row
+      // counts, and the EMBEDDED commit time (manifest ts, not mtime)
+      assert(vers.map(_._3).toSeq == Seq("append", "append"))
+      assert(vers.map(_._4).toSeq == Seq(1L, 3L))
+      assert(vers.forall(_._5 > 1700000000000L))
       val unversioned = intercept[Exception] {
         val d2 = java.nio.file.Files.createTempDirectory("tvf_unver").toString
         Seq((1, "a")).toDF("k", "v").write.format("colf").mode("append").save(d2)
