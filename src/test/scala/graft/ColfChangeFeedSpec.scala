@@ -81,6 +81,27 @@ class ColfChangeFeedSpec extends AnyFunSuite {
     assert(drain(dir, ckpt, out) == second)
   }
 
+  test("feed crosses schema evolution: pre-ADD rows read the new column as null") {
+    val dir = tmp() + "/t"
+    spark.sql(s"CREATE TABLE colf_cdf.`$dir` (k INT, v STRING)")           // v1
+    spark.sql(s"INSERT INTO colf_cdf.`$dir` VALUES (1, 'a')")              // v2
+    spark.sql(s"ALTER TABLE colf_cdf.`$dir` ADD COLUMN score DOUBLE")      // v3 (no entries change)
+    spark.sql(s"INSERT INTO colf_cdf.`$dir` VALUES (2, 'b', 1.5)")         // v4
+    val out = tmp() + "/out"
+    val q = spark.readStream.format("colf").option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp() + "/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("k", "score", "_change_type", "_commit_version").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getString(2), r.getInt(3))).toSet
+    // v3 (pure DDL) emits nothing; the v2 row reads score as null
+    assert(got == Set((1, None, "insert", 2), (2, Some(1.5), "insert", 4)))
+  }
+
   test("startingVersion skips history; guards reject misuse") {
     val dir = tmp() + "/t"
     Seq((1, "a")).toDF("k", "v").coalesce(1).write.format("colf")
