@@ -852,6 +852,47 @@ object SparkEntry {
       v1.unionByName(cur)
     }),
 
+    "q_colf_spj" -> ((s, dir) => {
+      // Storage-partitioned join: two colf tables hive-partitioned on
+      // c_mktsegment, joined ON the partition column under v2 bucketing
+      // with preservePartitioning — ZERO shuffles on either side
+      // (ColfSpjSpec asserts the plan; here the oracle pins the values).
+      // Confs are scoped: the join materializes inside, then they reset.
+      val a = work("q_colf_spj_a")
+      val b = work("q_colf_spj_b")
+      val outP = work("q_colf_spj_out")
+      rmDir(a); rmDir(b); rmDir(outP)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      cust.write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(a)
+      cust.where(col("c_custkey") % 2 === 0)
+        .write.format("colf").option("partitionBy", "c_mktsegment")
+        .mode("overwrite").save(b)
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val l = s.read.format("colf").option("preservePartitioning", "true").load(a)
+          .select(col("c_mktsegment"), col("c_acctbal").as("bal_a"))
+        val r = s.read.format("colf").option("preservePartitioning", "true").load(b)
+          .select(col("c_mktsegment"), col("c_acctbal").as("bal_b"))
+        l.join(r, Seq("c_mktsegment"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            dsum2(col("bal_a") + col("bal_b")).as("sum_bal"))
+          .write.mode("overwrite").parquet(outP)
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      s.read.parquet(outP)
+    }),
+
     "q_colf_cdf" -> ((s, dir) => {
       // Streaming change feed: the version history of q_colf_dv's table
       // (append → DV delete → DV update) drained as a stream of tagged
@@ -1791,6 +1832,14 @@ object SparkEntry {
         | CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2 ELSE c_acctbal END,
         | 'cur' AS snap
         |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin,
+
+    "q_colf_spj" ->
+      """SELECT a.c_mktsegment, count(*) AS n,
+        | CAST(SUM(CAST(a.c_acctbal + b.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer a
+        |JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) b
+        |  ON a.c_mktsegment = b.c_mktsegment
+        |GROUP BY a.c_mktsegment""".stripMargin,
 
     "q_colf_cdf" ->
       """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_acctbal,

@@ -646,11 +646,20 @@ class ColfTable(paths: Seq[String], override val schema: StructType,
       require(n >= 1, s"colf: startingVersion must be >= 1, got $n")
       n
     }.getOrElse(1L)
+    // SPJ eligibility (option preservePartitioning): every layout
+    // partition column must be EXACT (value present and parseable on
+    // every file) — partial layouts cannot honestly report a
+    // key-grouped partitioning
+    val spjCols: Seq[String] =
+      if (options.getBoolean("preservePartitioning", false) &&
+          layoutPartitionCols.nonEmpty && layoutPartitionCols.forall(exactPartCols))
+        layoutPartitionCols
+      else Seq.empty
     new ColfScanBuilder(paths, physSchema, mergeSchema || declaredMeta.isDefined,
       positive("maxFilesPerTrigger", _.toInt),
       positive("maxRowsPerTrigger", _.toLong),
       exactPartCols, layoutPartitionCols, effVer, effChg, nameMap,
-      effCdf, startVer)
+      effCdf, startVer, spjCols)
   }
 
   /** SQL INSERT paths (DDL tables) don't carry write options, so the
@@ -751,7 +760,8 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
     maxRowsPerTrigger: Option[Long] = None, exactPartCols: Set[String] = Set.empty,
     layoutPartitionCols: Seq[String] = Seq.empty, versionAsOf: Option[Long] = None,
     changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity,
-    cdf: Boolean = false, cdfStartingVersion: Long = 1L)
+    cdf: Boolean = false, cdfStartingVersion: Long = 1L,
+    spjCols: Seq[String] = Seq.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
@@ -1027,9 +1037,16 @@ class ColfScanBuilder(paths: Seq[String], fullSchema: StructType,
   override def build(): Scan = metaAgg match {
     case Some((schema, rows, desc)) => new ColfMetaAggScan(schema, rows, desc)
     case None =>
+      // SPJ only when every partition column survives column pruning —
+      // a key-grouped partitioning must reference scan OUTPUT columns
+      val spjActive =
+        if (spjCols.nonEmpty && spjCols.forall(required.fieldNames.contains))
+          spjCols
+        else Seq.empty[String]
       new ColfScan(paths, fullSchema, required, mergeSchema, limit,
         ArraySeq.unsafeWrapArray(pushed), conf, maxFilesPerTrigger, maxRowsPerTrigger,
-        absorbed, versionAsOf, changesSince, names, cdf, cdfStartingVersion)
+        absorbed, versionAsOf, changesSince, names, cdf, cdfStartingVersion,
+        spjActive)
   }
 }
 
@@ -1074,8 +1091,10 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
     maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
     absorbed: Seq[Filter] = Seq.empty, versionAsOf: Option[Long] = None,
     changesSince: Option[Long] = None, names: ColfNames = ColfNames.Identity,
-    cdf: Boolean = false, cdfStartingVersion: Long = 1L)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    cdf: Boolean = false, cdfStartingVersion: Long = 1L,
+    spjPartCols: Seq[String] = Seq.empty)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // NAME DOMAINS: `fullSchema`/`required`/`filters`/`absorbed` are all
   // PHYSICAL; `readSchema`/`filterAttributes` present LOGICAL names to
   // Spark and incoming runtime filters translate back at `filter()`.
@@ -1203,9 +1222,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   // Only columns in the scan OUTPUT are offerable (Spark resolves these
   // against the pruned read schema, not the table schema) — LOGICAL
-  // names, like the read schema itself.
+  // names, like the read schema itself. Under SPJ, runtime filtering is
+  // NOT offered: execution-time file pruning could change the
+  // key-grouped partition count the reported partitioning promised.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    readSchema().fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    if (spjPartCols.nonEmpty) Array.empty
+    else readSchema().fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   // runtime filters arrive logical; untranslatable shapes drop out of
   // the (optional, superset-safe) pruning rather than mis-prune
@@ -1239,14 +1261,63 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
 
   protected def plannedRefs: Seq[ColfFileRef] = applyRuntimeFilters(refs)
 
-  /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]]. */
+  // ------------------------------------- storage-partitioned joins (SPJ)
+  //
+  // Opt-in (`option("preservePartitioning","true")`, activated by the
+  // builder only when every layout partition column is exact and
+  // projected): the scan groups files by their hive partition-value
+  // tuple — ONE InputPartition per tuple, carrying the tuple as a DSv2
+  // partition key — and reports KeyGroupedPartitioning over the
+  // partition columns. With spark.sql.sources.v2.bucketing.enabled,
+  // Spark then plans colf⋈colf joins and aggregations ON the partition
+  // columns with NO Exchange on the colf side(s) — at 100 TB, the
+  // difference between a co-located merge of two day-partitioned tables
+  // and shuffling both. The trade: task granularity becomes one task
+  // per partition tuple (why it is opt-in, not the default plan).
+
+  /** One group per distinct typed partition tuple, deterministic order. */
+  private lazy val spjGroups: Seq[(Seq[Any], Seq[ColfFileRef])] =
+    plannedRefs.groupBy { r =>
+      val tv = typedPartValues(r)
+      spjPartCols.map(pc => tv.getOrElse(pc, throw new IllegalStateException(
+        s"colf: SPJ partition value for '$pc' missing on ${r.path} — " +
+          "layout changed since the table was resolved")))
+    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+
+  private def spjActive: Boolean = spjPartCols.nonEmpty && spjGroups.nonEmpty
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        spjPartCols.map(pc => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(names.log(pc)))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        spjGroups.length)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** Size-based first-fit bin-packing — see [[ColfUtil.binPack]] — or,
+    * under SPJ, one key-tagged partition per partition-value tuple.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     if (cdf)
       throw new IllegalArgumentException(
         "colf: readChangeFeed is a STREAMING surface (spark.readStream) — " +
           "for batch change capture use ColfMaintenance.diffVersions or " +
           "the colf_diff table function")
-    ColfUtil.binPack(plannedRefs)
+    if (spjActive) {
+      spjGroups.map { case (key, refs) =>
+        val inner = ColfInputPartition(refs.map(_.path),
+          refs.map(_.partValues),
+          if (refs.exists(_.dvPath != null)) refs.map(_.dvPath) else Seq.empty)
+        val vals = key.map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case v         => v
+        }.toArray[Any]
+        ColfSpjInputPartition(inner,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+          : InputPartition
+      }.toArray
+    } else ColfUtil.binPack(plannedRefs)
   }
 
   /** Micro-batch streaming read of an append-only colf directory; offsets,
@@ -1432,13 +1503,29 @@ case class ColfInputPartition(files: Seq[String],
   def hasDvs: Boolean = dvs.exists(_ != null)
 }
 
+/** Storage-partitioned-join partition: one hive partition-value tuple's
+  * complete file set, carrying the tuple as the DSv2 partition key
+  * ([[org.apache.spark.sql.connector.read.HasPartitionKey]]) so Spark's
+  * v2 bucketing plans colf⋈colf joins on partition columns WITHOUT
+  * shuffling either side ([[ColfScan.outputPartitioning]]).
+  */
+case class ColfSpjInputPartition(inner: ColfInputPartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = false,
     conf: SerializableConfiguration = new SerializableConfiguration(new Configuration()),
     fileMetaEnabled: Boolean = true, posMetaEnabled: Boolean = true,
     allowColumnar: Boolean = true)
     extends PartitionReaderFactory {
+  private def unwrap(partition: InputPartition): ColfInputPartition = partition match {
+    case s: ColfSpjInputPartition => s.inner
+    case p                        => p.asInstanceOf[ColfInputPartition]
+  }
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new ColfPartitionReader(partition.asInstanceOf[ColfInputPartition], required,
+    new ColfPartitionReader(unwrap(partition), required,
       missingAsNull, conf, fileMetaEnabled, posMetaEnabled)
 
   /** Columnar read path: each file decodes to per-column arrays anyway, so
@@ -1455,7 +1542,7 @@ class ColfPartitionReaderFactory(required: StructType, missingAsNull: Boolean = 
     allowColumnar
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ColfColumnarReader(partition.asInstanceOf[ColfInputPartition], required,
+    new ColfColumnarReader(unwrap(partition), required,
       missingAsNull, conf, fileMetaEnabled, posMetaEnabled)
 }
 
