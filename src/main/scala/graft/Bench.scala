@@ -60,7 +60,7 @@ object Bench {
       * max/min ratio far above ~2 says the machine was busy, no re-run
       * needed to diagnose it. Failures short-circuit as (-1, -1).
       */
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     def run(name: String): (Double, Double) = {
       var best = Double.MaxValue
       var worst = 0.0
@@ -91,12 +91,41 @@ object Bench {
     }
 
     val results = Headline.map(n => n -> run(n))
+
+    // ANN quality trend: recall@10 of each approximate strategy against the
+    // exact brute-force top-k over the same corpus and a 64-query probe set
+    // — the rows-only similarity queries carry a quantitative quality
+    // number the driver can trend round-over-round, not just a runtime.
+    val annRecall: String = try {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val probes = emb.where(col("id") < 64)
+      val k = 10
+      val exact = Similarity.bruteForceTopK(emb, probes, k)
+        .select("query_id", "nbr_id").cache()
+      val denom = exact.count().toDouble
+      def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+        val hits = exact.join(approx.select("query_id", "nbr_id"),
+          Seq("query_id", "nbr_id")).count()
+        math.round(hits / denom * 10000) / 10000.0
+      }
+      val lsh = recall(Similarity.lshTopK(emb, probes, k))
+      val ivf = recall(Similarity.ivfTopK(emb, probes, k))
+      val pq = recall(Similarity.pqTopK(emb, probes, k, m = 8, bits = 6, refine = 8))
+      exact.unpersist()
+      s""","ann_recall":{"k":$k,"probes":64,"lsh":$lsh,"ivf":$ivf,"pq":$pq}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""
+    }
+
     // `queries` stays the min map (what the harness reads as the signal);
     // `queries_max` carries the worst run for the integrity check above.
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, (_, mx)) => "\"" + k + "\":" + mx }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"$annRecall}""")
     spark.stop()
   }
 }

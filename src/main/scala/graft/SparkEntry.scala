@@ -27,14 +27,38 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark rejects; the harness sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong`, so `ts` arrives as nanos since
-    * epoch — truncate to micros (matching engines that read nanos natively
-    * and truncate to their micro precision).
+  /** Event time as micros-since-epoch, adaptive to the OBSERVED physical
+    * type of the `ts` column. External parquet has shipped event time to
+    * this engine in three flavors already:
+    *  - parquet TIMESTAMP(NANOS), which Spark reads as INT64 nanos under
+    *    `spark.sql.legacy.parquet.nanosAsLong` → integer-truncate to micros
+    *    (matching engines that read nanos natively at micro precision);
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false → TIMESTAMP_NTZ:
+    *    reinterpret in the session tz (pinned to UTC by Verify/Bench/tests,
+    *    making the reinterpretation exact and equal to DuckDB's
+    *    `epoch_us(ts)` over the same naive timestamps);
+    *  - instant-semantics TIMESTAMP → `unix_micros` directly.
+    * An engine fronting external data must branch on what the file says,
+    * not on what a previous file said — hard-coding any single flavor broke
+    * six queries when the upstream generator switched from NANOS to MICROS.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def tsMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType           => expr(s"$c div 1000")
+      case TimestampNTZType   => unix_micros(col(c).cast(TimestampType))
+      case TimestampType      => unix_micros(col(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for column $c: $other")
+    }
+
+  /** The events table with `ts` normalized to a session-tz TIMESTAMP at
+    * micro precision, whatever physical flavor the file carries (see
+    * [[tsMicros]]) — downstream event-time queries see one canonical type.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts", timestamp_micros(tsMicros(raw)))
+  }
 
   /** Scratch dir for sink round-trips (colf/csv write-then-read queries). */
   private def work(name: String): String = s"/tmp/graft_work/$name"
@@ -336,13 +360,15 @@ object SparkEntry {
       // Point-in-time join: each event picks up the user's most recent
       // purchase at-or-before it (AsOfJoin union-window form — one keyed
       // shuffle, no range-join pair blowup). Times compare as integer
-      // micros, which both engines derive from the nanos column by
-      // truncation.
-      val evs = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
-      val purchases = t(s, dir, "events")
+      // micros, derived type-adaptively from the observed `ts` flavor
+      // (tsMicros); the oracle computes the same via DuckDB's epoch_us.
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw
+        .select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+      val purRaw = t(s, dir, "events")
+      val purchases = purRaw
         .where(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("p_us"), col("event_id").as("pe"))
+        .select(col("user_id"), tsMicros(purRaw).as("p_us"), col("event_id").as("pe"))
         .groupBy("user_id", "p_us").agg(min("pe").as("purchase_id"))
       operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us", "left")
     }),
@@ -358,11 +384,15 @@ object SparkEntry {
       // sentinels themselves are filtered back out. The oracle is DuckDB's
       // native ASOF LEFT JOIN over the same millisecond-truncated times.
       import org.apache.spark.sql.streaming.Trigger
-      val evs = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("t_ts"))
-      val pur = t(s, dir, "events").where(col("event_type") === "purchase")
-        .select(col("user_id"), expr("timestamp_millis(ts div 1000000)").as("p_ts"),
-          col("event_id").as("pe"))
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw.select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_millis(t_us div 1000)").as("t_ts"))
+      val purRaw = t(s, dir, "events")
+      val pur = purRaw.where(col("event_type") === "purchase")
+        .select(col("user_id"), tsMicros(purRaw).as("p_us"), col("event_id").as("pe"))
+        .select(col("user_id"), expr("timestamp_millis(p_us div 1000)").as("p_ts"),
+          col("pe"))
         .groupBy("user_id", "p_ts").agg(min("pe").as("purchase_id"))
       val sentinel = expr("timestamp_millis(1900000000000)") // far past any test event
       val lIn = work("q_stream_asof_l")
