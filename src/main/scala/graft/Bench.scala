@@ -111,11 +111,21 @@ object Bench {
           Seq("query_id", "nbr_id")).count()
         math.round(hits / denom * 10000) / 10000.0
       }
+      // Each strategy at its harness default AND a high-recall setting, so
+      // the artifact shows the recall/cost knob, not one point on it:
+      // fewer LSH planes = bigger buckets; more IVF probes; deeper PQ
+      // refine. Synthetic embeddings are near-isotropic (weak neighbor
+      // structure), so defaults sit low by construction — the *_hi deltas
+      // are what demonstrate the tradeoff works.
       val lsh = recall(Similarity.lshTopK(emb, probes, k))
+      val lshHi = recall(Similarity.lshTopK(emb, probes, k, planes = 4))
       val ivf = recall(Similarity.ivfTopK(emb, probes, k))
+      val ivfHi = recall(Similarity.ivfTopK(emb, probes, k, nProbe = 8))
       val pq = recall(Similarity.pqTopK(emb, probes, k, m = 8, bits = 6, refine = 8))
+      val pqHi = recall(Similarity.pqTopK(emb, probes, k, m = 8, bits = 6, refine = 32))
       exact.unpersist()
-      s""","ann_recall":{"k":$k,"probes":64,"lsh":$lsh,"ivf":$ivf,"pq":$pq}"""
+      s""","ann_recall":{"k":$k,"probes":64,"lsh":$lsh,"lsh_hi":$lshHi,""" +
+        s""""ivf":$ivf,"ivf_hi":$ivfHi,"pq":$pq,"pq_hi":$pqHi}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""
     }
