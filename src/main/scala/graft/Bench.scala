@@ -119,12 +119,13 @@ object Bench {
       // are what demonstrate the tradeoff works.
       val lsh = recall(Similarity.lshTopK(emb, probes, k))
       val lshHi = recall(Similarity.lshTopK(emb, probes, k, planes = 4))
+      val lshMt = recall(Similarity.lshTopK(emb, probes, k, tables = 4))
       val ivf = recall(Similarity.ivfTopK(emb, probes, k))
       val ivfHi = recall(Similarity.ivfTopK(emb, probes, k, nProbe = 8))
       val pq = recall(Similarity.pqTopK(emb, probes, k, m = 8, bits = 6, refine = 8))
       val pqHi = recall(Similarity.pqTopK(emb, probes, k, m = 8, bits = 6, refine = 32))
       exact.unpersist()
-      s""","ann_recall":{"k":$k,"probes":64,"lsh":$lsh,"lsh_hi":$lshHi,""" +
+      s""","ann_recall":{"k":$k,"probes":64,"lsh":$lsh,"lsh_hi":$lshHi,"lsh_mt4":$lshMt,""" +
         s""""ivf":$ivf,"ivf_hi":$ivfHi,"pq":$pq,"pq_hi":$pqHi}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""

@@ -108,17 +108,24 @@ object Similarity {
   /** A built LSH index: the signed-and-bucketed corpus (persisted) plus
     * the plane parameters queries must hash with. Like [[IvfIndex]]:
     * build once, search many batches — corpus signatures are the
-    * expensive half.
+    * expensive half. With `tables > 1` the corpus carries one bucket row
+    * per table (a `tbl` column disambiguates), ×tables index size — the
+    * standard OR-amplification storage cost.
     */
   final case class LshIndex private[Similarity] (
-      bucketed: DataFrame, planes: Int, dim: Int, seed: Long) {
+      bucketed: DataFrame, planes: Int, dim: Int, seed: Long, tables: Int = 1) {
     def unpersist(): Unit = bucketed.unpersist()
   }
 
+  /** Seed for table `t` — t=0 MUST equal the caller's seed so the
+    * single-table path is bit-identical to the pre-multi-table behavior.
+    */
+  private def tableSeed(seed: Long, t: Int): Long = seed + 1000003L * t
+
   def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): LshIndex = {
+      seed: Long = 42L, tables: Int = 1): LshIndex = {
     import org.apache.spark.storage.StorageLevel
-    val idx = lshPrepare(corpus, planes, dim, seed)
+    val idx = lshPrepare(corpus, planes, dim, seed, tables)
     idx.bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     idx
   }
@@ -127,47 +134,80 @@ object Similarity {
     * single search never leaks cached blocks (nothing would unpersist
     * them; the caller-held [[LshIndex]] is what makes persistence safe).
     */
-  private def lshPrepare(corpus: DataFrame, planes: Int, dim: Int, seed: Long): LshIndex = {
-    val hp = hyperplanes(planes, dim, seed)
-    val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
-      .withColumn("bucket", signature(col("nbr_vec"), hp))
+  private def lshPrepare(corpus: DataFrame, planes: Int, dim: Int, seed: Long,
+      tables: Int = 1): LshIndex = {
+    require(tables >= 1 && tables <= 64, s"tables must be in [1,64], got $tables")
+    val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
-    LshIndex(c, planes, dim, seed)
+    val c =
+      if (tables == 1)
+        c0.withColumn("bucket", signature(col("nbr_vec"), hyperplanes(planes, dim, seed)))
+      else {
+        // One signed copy per table (union of per-table projections, each
+        // with its own plane set): the corpus is replicated ×tables — the
+        // textbook OR-amplification trade of index size for recall. A
+        // per-row `tbl` key keeps tables from cross-matching in the join.
+        (0 until tables).map { t =>
+          val hp = hyperplanes(planes, dim, tableSeed(seed, t))
+          c0.withColumn("tbl", lit(t))
+            .withColumn("bucket", signature(col("nbr_vec"), hp))
+        }.reduce(_ unionByName _)
+      }
+    LshIndex(c, planes, dim, seed, tables)
   }
 
   def lshSearch(index: LshIndex, queries: DataFrame, k: Int,
       multiProbe: Boolean = true): DataFrame = {
-    val hp = hyperplanes(index.planes, index.dim, index.seed)
     val c = index.bucketed
     val planes = index.planes
-    val q0 = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
-      .withColumn("bucket", signature(col("q_vec"), hp))
-      .withColumn("q_nrm", norm(col("q_vec")))
     // Multi-probe: a near neighbor differing on ONE hyperplane's side lands
     // in a bucket at Hamming distance 1 from the query's — probing those
     // `planes` extra buckets recovers most of single-probe's misses for a
     // (planes+1)× fan-out of the (tiny) query side only; the corpus is
-    // never replicated.
-    val q =
+    // never replicated. Composes with multi-table: each table gets its own
+    // signature AND its own probe ring.
+    def probed(q0: DataFrame): DataFrame =
       if (!multiProbe) q0
       else {
         val probes = lit(0L) +: (0 until planes).map(i => lit(1L << i))
         q0.withColumn("bucket", explode(array(probes.map(col("bucket").bitwiseXOR): _*)))
       }
-    val scored = c.join(q, "bucket")
+    val qBase = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val (q, joinKeys) =
+      if (index.tables == 1) {
+        val hp = hyperplanes(planes, index.dim, index.seed)
+        (probed(qBase.withColumn("bucket", signature(col("q_vec"), hp))), Seq("bucket"))
+      } else {
+        val perTable = (0 until index.tables).map { t =>
+          val hp = hyperplanes(planes, index.dim, tableSeed(index.seed, t))
+          probed(qBase.withColumn("bucket", signature(col("q_vec"), hp)))
+            .withColumn("tbl", lit(t))
+        }
+        (perTable.reduce(_ unionByName _), Seq("tbl", "bucket"))
+      }
+    val scored = c.join(q, joinKeys)
       .where(col("query_id") =!= col("nbr_id"))
       // a corpus row can match a query through several probed buckets
+      // and/or several tables — candidates are scored once
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
 
   /** One-shot LSH ANN: build + search (see [[lshBuild]]/[[lshSearch]] to
-    * amortize corpus signatures across query batches).
+    * amortize corpus signatures across query batches). `tables` is the
+    * OR-amplification knob: a true neighbor is found if it collides in
+    * ANY of the `tables` independent hash tables — miss probability
+    * (1-p^planes)^tables decays geometrically in tables, at ×tables
+    * index/join cost. Recall levers, cheapest first: multiProbe (query-
+    * side fan-out only), fewer planes (bigger buckets), more tables
+    * (corpus replication).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true): DataFrame =
-    lshSearch(lshPrepare(corpus, planes, dim, seed), queries, k, multiProbe)
+      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true,
+      tables: Int = 1): DataFrame =
+    lshSearch(lshPrepare(corpus, planes, dim, seed, tables), queries, k, multiProbe)
 
   /** IVF-style two-level ANN: a coarse quantizer (sign-bit LSH over
     * `coarseBits` hyperplanes) splits the corpus into inverted lists; each

@@ -285,6 +285,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rMulti > 0.3, s"multi-probe recall unexpectedly low: $rMulti")
   }
 
+  test("lsh tables=1 is bit-identical to the pre-multi-table path") {
+    val rnd = new scala.util.Random(33)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // explicit tables=1 vs the default-parameter call: same plan family,
+    // same seeds (tableSeed(seed, 0) == seed), so same rows exactly
+    val explicit = rows(Similarity.lshTopK(df, q, k = 4, planes = 5, dim = 16, tables = 1))
+    val default0 = rows(Similarity.lshTopK(df, q, k = 4, planes = 5, dim = 16))
+    assert(explicit == default0)
+  }
+
+  test("lsh OR-amplification: more tables never lose recall, and gain it here") {
+    val rnd = new scala.util.Random(44)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.where($"id" < 12)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(df, q, k = 5))
+    def recall(tables: Int): Double = {
+      val got = pairs(Similarity.lshTopK(df, q, k = 5, planes = 8, dim = 16,
+        multiProbe = false, tables = tables))
+      (got intersect exact).size.toDouble / exact.size
+    }
+    // Candidate sets are supersets as tables grow ONLY in expectation per
+    // pair (each table is independent) — but table 0 of the t=4 index IS
+    // the t=1 index (same seed), so every t=1 candidate survives and
+    // measured recall is monotone here, not just expectedly so.
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"4-table recall $r4 < 1-table $r1")
+    assert(r4 > r1, s"4 tables should find strictly more on this corpus (r1=$r1)")
+    // deterministic (seeded corpus + seeded planes): r1=0.1, r4=0.2333 —
+    // the bar guards against a regression to near-zero, not a point value
+    assert(r4 > 0.15, s"4-table recall unexpectedly low: $r4")
+  }
+
+  test("lsh multi-table index: build once, search many batches, deterministic") {
+    val rnd = new scala.util.Random(55)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val idx = Similarity.lshBuild(df, planes = 4, dim = 8, tables = 3)
+    try {
+      val a1 = Similarity.lshSearch(idx, df.where($"id" < 3), k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val a2 = Similarity.lshSearch(idx, df.where($"id" < 3), k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a1 == a2 && a1.nonEmpty)
+      // no self-pairs, no duplicate (query, neighbor) rows across tables
+      val pairs = Similarity.lshSearch(idx, df.where($"id" < 3), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.distinct.length == pairs.length)
+      assert(pairs.forall { case (a, b) => a != b })
+    } finally idx.unpersist()
+  }
+
   test("ivfTopK with full probe equals brute force; partial probe is a subset") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
