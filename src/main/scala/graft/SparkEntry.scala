@@ -394,7 +394,12 @@ object SparkEntry {
         .select(col("user_id"), expr("timestamp_millis(p_us div 1000)").as("p_ts"),
           col("pe"))
         .groupBy("user_id", "p_ts").agg(min("pe").as("purchase_id"))
-      val sentinel = expr("timestamp_millis(1900000000000)") // far past any test event
+      // Sentinel time is DERIVED (newest event + 1 day), not a literal: a
+      // hard-coded "far future" is exactly the environment-drift trap the
+      // ts-flavor breakage was — a regenerated dataset past the literal
+      // would silently stop finalizing rows. One-row bounded aggregate.
+      val maxMs = evs.agg(max(unix_millis(col("t_ts")))).head.getLong(0)
+      val sentinel = timestamp_millis(lit(maxMs + 86400000L))
       val lIn = work("q_stream_asof_l")
       val rIn = work("q_stream_asof_r")
       evs.unionByName(s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
