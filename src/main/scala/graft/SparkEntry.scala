@@ -282,6 +282,42 @@ object SparkEntry {
       s.table(qname)
     }),
 
+    "q_stream_sessionize" -> ((s, dir) => {
+      // STREAMING sessionization via Spark's native session_window — the
+      // incremental-state twin of the batch gaps-and-islands Sessionize
+      // operator; drained on a finite input both must produce the same
+      // sessions, so the oracle is the BATCH SQL (minus the session index,
+      // which a merge-as-you-go session window never numbers). A derived
+      // sentinel (newest event + 2 days, user −1, filtered back out) pushes
+      // the final watermark past every real session so append mode emits
+      // them all before AvailableNow drains. Boundary caveat: session_window
+      // merges on gap < g where the batch form splits on gap > g — they
+      // disagree only on a pair EXACTLY g apart (none exist in any shipped
+      // testdata at micro precision; the tie shape is checked out-of-band).
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val inDir = work("q_stream_sessionize_in")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      ev.unionByName(s.range(1).select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 2L * 86400L * 1000000L)).as("ts"), lit(0.0).as("value")))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      val qname = s"graft_stream_sessionize_${System.nanoTime()}"
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname).where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+          col("sum_value"))
+    }),
+
     "q_json_extract" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -1617,6 +1653,22 @@ object SparkEntry {
 
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |               > 28800000000 THEN 1 ELSE 0 END AS s
+        |    FROM events))
+        |GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM (

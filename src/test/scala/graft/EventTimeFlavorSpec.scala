@@ -76,7 +76,7 @@ class EventTimeFlavorSpec extends AnyFunSuite {
 
   private val eventTimeQueries = Seq(
     "q_events_window", "q_sessionize", "q_json_extract",
-    "q_asof_join", "q_stream_window", "q_stream_asof")
+    "q_asof_join", "q_stream_window", "q_stream_asof", "q_stream_sessionize")
 
   for (name <- eventTimeQueries)
     test(s"$name agrees across all ts flavors") {
