@@ -60,6 +60,11 @@ object SparkEntry {
     raw.withColumn("ts", timestamp_micros(tsMicros(raw)))
   }
 
+  /** Typed row for the streaming-dedup entry (field names match the events
+    * parquet columns it selects, so `as[EventRow]` binds by name).
+    */
+  private[graft] case class EventRow(event_id: Long, user_id: Long, event_type: String)
+
   /** Scratch dir for sink round-trips (colf/csv write-then-read queries). */
   private def work(name: String): String = s"/tmp/graft_work/$name"
 
@@ -316,6 +321,29 @@ object SparkEntry {
       s.table(qname).where(col("user_id") >= 0)
         .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
           col("sum_value"))
+    }),
+
+    "q_stream_dedup" -> ((s, dir) => {
+      // STREAMING exact dedup (StreamingOps.firstPerKey): the events table
+      // delivered TWICE — an at-least-once feed — must come out
+      // exactly-once, so the oracle is simply the events table. Both
+      // deliveries carry identical payloads per key, so "first seen" is
+      // deterministic regardless of file/partition arrival order.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+      val inDir = work("q_stream_dedup_in")
+      ev.unionByName(ev).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      implicit val enc: org.apache.spark.sql.Encoder[EventRow] =
+        org.apache.spark.sql.Encoders.product[EventRow]
+      implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      val dd = streaming.StreamingOps.firstPerKey(stream.as[EventRow], (r: EventRow) => r.event_id)
+      val qname = s"graft_stream_dedup_${System.nanoTime()}"
+      val query = dd.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname)
     }),
 
     "q_json_extract" -> ((s, dir) =>
@@ -1666,6 +1694,9 @@ object SparkEntry {
         |               > 28800000000 THEN 1 ELSE 0 END AS s
         |    FROM events))
         |GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     "q_stream_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
