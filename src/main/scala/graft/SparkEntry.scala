@@ -231,6 +231,15 @@ object SparkEntry {
           |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin)
     }),
 
+    "q_unpivot" -> ((s, dir) =>
+      // wide→long reshape (Dataset.unpivot / SQL UNPIVOT): value columns
+      // must share a type, so the int size column rides as double
+      t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "attr", "val")),
+
     "q_intersect" -> ((s, dir) =>
       t(s, dir, "orders").where(col("o_totalprice") > 300000).select("o_custkey")
         .intersect(t(s, dir, "customer").where(col("c_acctbal") > 0).select(col("c_custkey").as("o_custkey")))),
@@ -1657,6 +1666,11 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         |INTERSECT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
