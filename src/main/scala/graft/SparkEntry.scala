@@ -231,6 +231,21 @@ object SparkEntry {
           |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin)
     }),
 
+    "q_lateral_topk" -> ((s, dir) => {
+      // Correlated LATERAL subquery (per-group top-n without a global
+      // window): for each nation, its two richest customers. Catalyst
+      // decorrelates this into a ranked join — the per-group LIMIT bounds
+      // what each group contributes to the shuffle, the same property the
+      // TopKByScore aggregate gives the ANN paths.
+      t(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+      s.sql("""SELECT n_name, t.c_custkey, t.c_acctbal
+              |FROM graft_lat_nation,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM graft_lat_customer
+              |         WHERE c_nationkey = n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+
     "q_unpivot" -> ((s, dir) =>
       // wide→long reshape (Dataset.unpivot / SQL UNPIVOT): value columns
       // must share a type, so the int size column rides as double
@@ -1666,6 +1681,13 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         |INTERSECT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
 
     "q_unpivot" ->
       """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
