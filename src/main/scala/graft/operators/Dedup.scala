@@ -426,9 +426,14 @@ object Dedup {
     * verified — and must equal [[cosineNearDups]] bit-for-bit (spec'd).
     */
   def cosineNearDupsLSH(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      bands: Int = 8, planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 4, dim: Int = Similarity.AutoDim,
+      seed: Long = 42L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val hp = Similarity.hyperplanes(bands * planesPerBand, dim, seed)
+    // dim derived from the data unless pinned — a plane set of the wrong
+    // width nulls every projection and silently collapses all bands to one
+    // bucket (= quadratic verification), see Similarity.AutoDim.
+    val d = if (dim == Similarity.AutoDim) Similarity.observedDim(df, vec) else dim
+    val hp = Similarity.hyperplanes(bands * planesPerBand, d, seed)
     def bandKey(vCol: Column, band: Int): Column =
       if (planesPerBand == 0) lit(0L)
       else (0 until planesPerBand).map { i =>
@@ -500,7 +505,7 @@ object Dedup {
     * singleton keepers — matching the exact path's treatment.
     */
   def semanticDedup(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      coarseBits: Int = AutoCoarseBits, dim: Int = 64, seed: Long = 42L,
+      coarseBits: Int = AutoCoarseBits, dim: Int = Similarity.AutoDim, seed: Long = 42L,
       targetBucket: Long = 1024L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(coarseBits == AutoCoarseBits || (coarseBits >= 0 && coarseBits <= 62),
@@ -527,7 +532,12 @@ object Dedup {
     val bits =
       if (coarseBits != AutoCoarseBits) coarseBits
       else coarseBitsFor(reps0.count(), targetBucket)
-    val hp = Similarity.hyperplanes(bits, dim, seed)
+    // dim likewise derived from the (persisted, distinct) reps unless
+    // pinned — wrong-width planes silently put EVERYTHING in bucket 0 and
+    // the pair stage goes quadratic (see Similarity.AutoDim).
+    val d =
+      if (dim == Similarity.AutoDim) Similarity.observedDim(reps0, col("v")) else dim
+    val hp = Similarity.hyperplanes(bits, d, seed)
     def bucketOf(vCol: Column): Column =
       if (bits == 0) lit(0L)
       else (0 until bits).map { i =>

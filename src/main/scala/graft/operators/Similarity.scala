@@ -26,6 +26,27 @@ object Similarity {
   /** Cast to array<double> once up front: all scoring happens in f64. */
   def asDouble(vec: Column): Column = vec.cast("array<double>")
 
+  /** Sentinel: derive embedding dimensionality from the corpus at build
+    * time instead of trusting a remembered constant. A plane set built for
+    * the wrong dim doesn't error — `vec_dot` nulls on length mismatch, so
+    * every signature bit reads 0 and ALL rows silently share bucket 0,
+    * degenerating the candidate stage to quadratic while results stay
+    * correct. Same lesson as the event-time flavor drift: branch on what
+    * the data says, loudly or adaptively, never on what it used to say.
+    */
+  val AutoDim: Int = -1
+
+  /** Observed dimensionality: the length of the first non-null vector (one
+    * bounded row fetched). Empty / all-null input → 0 (any plane set is
+    * vacuous there — everything buckets together and pairs to nothing).
+    */
+  private[graft] def observedDim(df: DataFrame, vec: Column): Int =
+    df.select(size(asDouble(vec)).as("d")).where(col("d") >= 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
+  private def resolveDim(dim: Int, df: DataFrame, vec: Column): Int =
+    if (dim == AutoDim) observedDim(df, vec) else dim
+
   /** Sequential-fold dot product. Backed by the codegen'd
     * [[graft.functions.DotProduct]] expression — the composable
     * `aggregate(zip_with(...))` form is CodegenFallback and pays an
@@ -122,7 +143,7 @@ object Similarity {
     */
   private def tableSeed(seed: Long, t: Int): Long = seed + 1000003L * t
 
-  def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = 64,
+  def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = AutoDim,
       seed: Long = 42L, tables: Int = 1): LshIndex = {
     import org.apache.spark.storage.StorageLevel
     val idx = lshPrepare(corpus, planes, dim, seed, tables)
@@ -134,9 +155,10 @@ object Similarity {
     * single search never leaks cached blocks (nothing would unpersist
     * them; the caller-held [[LshIndex]] is what makes persistence safe).
     */
-  private def lshPrepare(corpus: DataFrame, planes: Int, dim: Int, seed: Long,
+  private def lshPrepare(corpus: DataFrame, planes: Int, dim0: Int, seed: Long,
       tables: Int = 1): LshIndex = {
     require(tables >= 1 && tables <= 64, s"tables must be in [1,64], got $tables")
+    val dim = resolveDim(dim0, corpus, col("vec"))
     val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
     val c =
@@ -205,7 +227,7 @@ object Similarity {
     * (corpus replication).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = 64, seed: Long = 42L, multiProbe: Boolean = true,
+      planes: Int = 8, dim: Int = AutoDim, seed: Long = 42L, multiProbe: Boolean = true,
       tables: Int = 1): DataFrame =
     lshSearch(lshPrepare(corpus, planes, dim, seed, tables), queries, k, multiProbe)
 
@@ -234,7 +256,7 @@ object Similarity {
     def unpersist(): Unit = { bucketed.unpersist(); centroids.unpersist() }
   }
 
-  def ivfBuild(corpus: DataFrame, coarseBits: Int = 4, dim: Int = 64,
+  def ivfBuild(corpus: DataFrame, coarseBits: Int = 4, dim: Int = AutoDim,
       seed: Long = 42L): IvfIndex = {
     import org.apache.spark.storage.StorageLevel
     val idx = ivfPrepare(corpus, coarseBits, dim, seed)
@@ -244,8 +266,8 @@ object Similarity {
   }
 
   /** Unpersisted construction for one-shot use — see [[lshPrepare]]. */
-  private def ivfPrepare(corpus: DataFrame, coarseBits: Int, dim: Int, seed: Long): IvfIndex = {
-    val hp = hyperplanes(coarseBits, dim, seed)
+  private def ivfPrepare(corpus: DataFrame, coarseBits: Int, dim0: Int, seed: Long): IvfIndex = {
+    val hp = hyperplanes(coarseBits, resolveDim(dim0, corpus, col("vec")), seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
@@ -287,7 +309,7 @@ object Similarity {
     * amortize the build across query batches).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame =
+      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = AutoDim, seed: Long = 42L): DataFrame =
     ivfSearch(ivfPrepare(corpus, coarseBits, dim, seed), queries, k, nProbe)
 
   /** Deterministic ±1 random-projection matrix (Achlioptas/JL): outDims
@@ -376,7 +398,7 @@ object Similarity {
     * per subspace instead of k-means iterations, and empty codes simply
     * never occur (a code exists iff some vector produced it).
     */
-  def pqBuild(corpus: DataFrame, m: Int = 8, bits: Int = 4, dim: Int = 64,
+  def pqBuild(corpus: DataFrame, m: Int = 8, bits: Int = 4, dim: Int = AutoDim,
       seed: Long = 42L): PqIndex = {
     import org.apache.spark.storage.StorageLevel
     val idx = pqPrepare(corpus, m, bits, dim, seed)
@@ -385,8 +407,9 @@ object Similarity {
     idx
   }
 
-  private def pqPrepare(corpus: DataFrame, m: Int, bits: Int, dim: Int,
+  private def pqPrepare(corpus: DataFrame, m: Int, bits: Int, dim0: Int,
       seed: Long): PqIndex = {
+    val dim = resolveDim(dim0, corpus, col("vec"))
     require(dim % m == 0, s"pq: dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
     val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
@@ -459,7 +482,7 @@ object Similarity {
     * amortize the codebooks across query batches).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      bits: Int = 4, refine: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
+      bits: Int = 4, refine: Int = 4, dim: Int = AutoDim, seed: Long = 42L): DataFrame =
     pqSearch(pqPrepare(corpus, m, bits, dim, seed), queries, k, refine)
 
   /** Scalar int8 quantization per vector: scale = 127 / max|x|, each

@@ -393,6 +393,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AutoDim derives dimensionality from the data, not a remembered constant") {
+    val rnd = new scala.util.Random(77)
+    // 24-dim corpus: NOT the historical default of 64 — the drift case
+    val vecs = (0L until 80L).map(i => (i, Array.fill(24)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    assert(Similarity.observedDim(df, $"vec") == 24)
+    assert(Similarity.observedDim(df.where($"id" < 0), $"vec") == 0) // empty → 0
+    val q = df.where($"id" < 4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    // AutoDim (the default) ≡ the explicitly-correct dim, bit-identical
+    assert(rows(Similarity.lshTopK(df, q, k = 3, planes = 6))
+      == rows(Similarity.lshTopK(df, q, k = 3, planes = 6, dim = 24)))
+    // The hazard AutoDim removes: planes of the WRONG width null every
+    // projection, every row lands in bucket 0, and "LSH" silently becomes
+    // brute force — right answers, quadratic candidate stage. Pinned here
+    // so the failure mode stays documented and detectable.
+    val wrongDim = rows(Similarity.lshTopK(df, q, k = 3, planes = 6, dim = 64,
+      multiProbe = false))
+    val brute = rows(Similarity.bruteForceTopK(df, q, k = 3))
+    assert(wrongDim == brute, "wrong-width planes should degenerate to one bucket")
+    val genuine = rows(Similarity.lshTopK(df, q, k = 3, planes = 6, multiProbe = false))
+    assert(genuine != brute, "real bucketing must drop some cross-bucket neighbor here")
+    // semanticDedup rides the same derivation
+    assert(rows(Dedup.semanticDedup(df, $"id", $"vec", threshold = 0.2, coarseBits = 3))
+      == rows(Dedup.semanticDedup(df, $"id", $"vec", threshold = 0.2, coarseBits = 3,
+        dim = 24)))
+  }
+
   test("ivfTopK with full probe equals brute force; partial probe is a subset") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
