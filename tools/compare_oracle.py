@@ -16,7 +16,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # tz-aware → naive UTC so Spark/DuckDB timestamps compare equal
     for c in df.columns:
-        if pd.api.types.is_datetime64tz_dtype(df[c]):
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
