@@ -34,9 +34,17 @@ object SparkEntry {
     *    `spark.sql.legacy.parquet.nanosAsLong` → integer-truncate to micros
     *    (matching engines that read nanos natively at micro precision);
     *  - TIMESTAMP_MICROS with isAdjustedToUTC=false → TIMESTAMP_NTZ:
-    *    reinterpret in the session tz (pinned to UTC by Verify/Bench/tests,
-    *    making the reinterpretation exact and equal to DuckDB's
-    *    `epoch_us(ts)` over the same naive timestamps);
+    *    the file's wall-clock digits taken as-UTC (equal to DuckDB's
+    *    `epoch_us(ts)` over the same naive timestamps), computed by
+    *    tz-free FIELD EXTRACTION — `unix_date`/`hour`/`minute`/`second`
+    *    are wall-clock operations on NTZ, so no session-tz cast appears
+    *    anywhere in the expression. The earlier `cast(TimestampType)`
+    *    form was correct only under the harness's UTC session pin; a
+    *    non-UTC session shifted event time by the zone offset, and the
+    *    obvious cast-then-correct repair (`from_utc_timestamp` of the
+    *    cast) is still off by 1h for wall times inside the session
+    *    zone's DST hole (measured on Spark 4.1.2). Field extraction has
+    *    no such edge: NTZ carries no zone, so there is nothing to shift.
     *  - instant-semantics TIMESTAMP → `unix_micros` directly.
     * An engine fronting external data must branch on what the file says,
     * not on what a previous file said — hard-coding any single flavor broke
@@ -45,11 +53,29 @@ object SparkEntry {
   private def tsMicros(df: DataFrame, c: String = "ts"): Column =
     df.schema(c).dataType match {
       case LongType           => expr(s"$c div 1000")
-      case TimestampNTZType   => unix_micros(col(c).cast(TimestampType))
+      case TimestampNTZType   =>
+        unix_date(col(c).cast(DateType)).cast("long") * lit(86400000000L) +
+          (hour(col(c)) * lit(3600L) + minute(col(c)) * lit(60L)) * lit(1000000L) +
+          (date_part(lit("SECOND"), col(c)) * lit(1000000L)).cast("long")
       case TimestampType      => unix_micros(col(c))
       case other => throw new IllegalArgumentException(
         s"unsupported event-time type for column $c: $other")
     }
+
+  /** Max of an event-time column as a long, with a DESCRIPTIVE failure on
+    * empty/all-null input: the streaming entries derive their drain
+    * sentinel from this, and `max()` over zero rows is null — `getLong`
+    * would throw a bare NullPointerException with no hint at the cause
+    * (ADVICE r9). One-row bounded aggregate.
+    */
+  private def maxEventTime(df: DataFrame, c: Column, table: String): Long = {
+    val row = df.agg(max(c)).head()
+    if (row.isNullAt(0))
+      throw new IllegalStateException(
+        s"$table is empty (or its event time is all-null) - cannot derive " +
+          "the streaming drain sentinel")
+    row.getLong(0)
+  }
 
   /** The events table with `ts` normalized to a session-tz TIMESTAMP at
     * micro precision, whatever physical flavor the file carries (see
@@ -322,11 +348,19 @@ object SparkEntry {
       // them all before AvailableNow drains. Boundary caveat: session_window
       // merges on gap < g where the batch form splits on gap > g — they
       // disagree only on a pair EXACTLY g apart (none exist in any shipped
-      // testdata at micro precision; the tie shape is checked out-of-band).
+      // testdata at micro precision; the tie shape is checked out-of-band,
+      // and DataContract.check counts exactly-g pairs at Verify startup).
+      // SINGLE-BATCH ASSUMPTION: sentinel and real events share one input
+      // directory, which is safe only because the file source reads all
+      // files in one micro-batch under default settings (no
+      // maxFilesPerTrigger is ever set here). If the sentinel file landed
+      // in an EARLIER batch, the watermark would jump past every real
+      // event and silently drop them — do not add per-trigger file limits
+      // to this read without splitting the sentinel into a second stream.
       import org.apache.spark.sql.streaming.Trigger
       val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts"), col("value"))
       val inDir = work("q_stream_sessionize_in")
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val maxUs = maxEventTime(ev, unix_micros(col("ts")), "events")
       ev.unionByName(s.range(1).select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
         timestamp_micros(lit(maxUs + 2L * 86400L * 1000000L)).as("ts"), lit(0.0).as("value")))
         .write.mode("overwrite").parquet(inDir)
@@ -486,7 +520,10 @@ object SparkEntry {
       // hard-coded "far future" is exactly the environment-drift trap the
       // ts-flavor breakage was — a regenerated dataset past the literal
       // would silently stop finalizing rows. One-row bounded aggregate.
-      val maxMs = evs.agg(max(unix_millis(col("t_ts")))).head.getLong(0)
+      // Same single-batch assumption as q_stream_sessionize: sentinels
+      // ride in the same directories as the real rows, safe only while no
+      // per-trigger file limit can split them into separate micro-batches.
+      val maxMs = maxEventTime(evs, unix_millis(col("t_ts")), "events")
       val sentinel = timestamp_millis(lit(maxMs + 86400000L))
       val lIn = work("q_stream_asof_l")
       val rIn = work("q_stream_asof_r")

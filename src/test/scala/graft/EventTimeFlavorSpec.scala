@@ -92,6 +92,38 @@ class EventTimeFlavorSpec extends AnyFunSuite {
             s"(${rows.size} vs ${ref.size} rows)")
     }
 
+  /** Micros-level event-time queries (outputs are epoch-micros longs and
+    * ids — no timestamp RENDERING, which legitimately follows session tz).
+    */
+  private val microsLevelQueries = Seq("q_asof_join", "q_sessionize")
+
+  test("event-time micros are session-timezone-independent (verdict r9 #5)") {
+    // tsMicros used to reinterpret NTZ via cast(TimestampType), which is
+    // exact only under the harness's UTC session pin — a non-UTC session
+    // shifted every event time by the zone offset. The field-extraction
+    // form has no session-tz dependence at all; prove it by running the
+    // micros-level queries under UTC and under two non-UTC zones (one
+    // negative offset with DST, one positive without) on EVERY flavor and
+    // requiring identical rows.
+    val utcResults = (for {
+      name <- microsLevelQueries; (flavor, dir) <- dirs
+    } yield (name, flavor) ->
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq).toMap
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("America/New_York", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        for { name <- microsLevelQueries; (flavor, dir) <- dirs } {
+          val rows = SparkEntry.queries(name)(spark, dir)
+            .collect().map(_.toString).sorted.toSeq
+          assert(rows == utcResults((name, flavor)),
+            s"$name on flavor $flavor shifts under session tz $tz")
+          assert(rows.nonEmpty, s"$name returned no rows under tz $tz")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("NTZ watermark is rejected by this Spark build — normalization is mandatory") {
     // Empirical pin: Spark 4.1.2 refuses withWatermark on TIMESTAMP_NTZ
     // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the streaming entries MUST
