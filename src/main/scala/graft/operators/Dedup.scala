@@ -592,7 +592,9 @@ object Dedup {
     */
   def coarseBitsFor(distinctVectors: Long, targetBucket: Long = 1024L): Int = {
     require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
-    val buckets = math.max(1L, (distinctVectors + targetBucket - 1) / targetBucket)
+    // overflow-safe ceil division (n + target - 1 wraps at Long.MaxValue)
+    val buckets = math.max(1L,
+      distinctVectors / targetBucket + (if (distinctVectors % targetBucket == 0) 0L else 1L))
     val bits =
       if (buckets <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2

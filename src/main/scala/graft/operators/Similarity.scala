@@ -36,16 +36,92 @@ object Similarity {
     */
   val AutoDim: Int = -1
 
-  /** Observed dimensionality: the length of the first non-null vector (one
-    * bounded row fetched). Empty / all-null input → 0 (any plane set is
-    * vacuous there — everything buckets together and pairs to nothing).
+  /** One-pass corpus statistics for the auto-planners: (vector count,
+    * VALIDATED dimensionality). A single aggregate over `size(vec)` only —
+    * column-pruned, so the scan reads one int per row; at index-build time
+    * this is a small fraction of the signature pass that follows, and it
+    * feeds both [[AutoDim]] and [[AutoPlanes]] from the same job.
+    *
+    * Mixed widths THROW instead of sampling one (ADVICE r9): a plane set
+    * built for one width nulls every projection of the other rows, which
+    * silently drops them all into bucket 0 and degenerates the candidate
+    * stage to quadratic while answers stay plausible — the exact hazard
+    * AutoDim exists to close. Empty / all-null input → (0, 0) (any plane
+    * set is vacuous there — everything buckets together, pairs to nothing).
     */
+  private[graft] def corpusStats(df: DataFrame, vec: Column): (Long, Int) = {
+    val row = df.select(size(asDouble(vec)).as("d")).where(col("d") >= 0)
+      .agg(count(lit(1)).as("n"), min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0)
+    else {
+      val (mn, mx) = (row.getInt(1), row.getInt(2))
+      if (mn != mx) throw new IllegalArgumentException(
+        s"mixed embedding widths in corpus: observed dims in [$mn, $mx] - " +
+          "hyperplane signatures require one dimensionality (rows of any " +
+          "other width would null every projection and silently collapse " +
+          "into a single bucket). Filter or pad the corpus first.")
+      (n, mx)
+    }
+  }
+
+  /** Observed (validated) dimensionality — see [[corpusStats]]. */
   private[graft] def observedDim(df: DataFrame, vec: Column): Int =
-    df.select(size(asDouble(vec)).as("d")).where(col("d") >= 0)
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    corpusStats(df, vec)._2
 
   private def resolveDim(dim: Int, df: DataFrame, vec: Column): Int =
     if (dim == AutoDim) observedDim(df, vec) else dim
+
+  /** Sentinel: plan the plane count from the corpus ([[planesFor]]). */
+  val AutoPlanes: Int = -1
+
+  /** Sentinel: plan IVF's coarse bits from the corpus ([[ivfBitsFor]]). */
+  val AutoCoarse: Int = -1
+
+  /** Sentinel: derive nProbe from the list count ([[nProbeFor]]). */
+  val AutoProbe: Int = -1
+
+  /** Plane count targeting an expected bucket population of
+    * `targetBucket` vectors: ceil-log2(corpus / targetBucket), capped to
+    * [0, 62] — the sibling of `Dedup.coarseBitsFor`, applied to search
+    * instead of dedup. A FIXED default plane count is wrong at both ends:
+    * too many planes for a small corpus shatters it into near-empty
+    * buckets (measured 0.114 recall@10 at 2k vectors with the old
+    * planes=8 default — correct-but-useless), too few for a huge corpus
+    * degenerates candidate generation toward a full scan. Holding bucket
+    * population constant bounds per-query candidate cost at any corpus
+    * size; recall at very large n is then bought with [[lshSearch]]'s
+    * multi-probe ring (on by default) and the `tables` OR-amplification
+    * knob, not by shrinking buckets. n ≤ targetBucket → 0 planes = one
+    * bucket = exact brute force, the right answer for a tiny corpus.
+    */
+  def planesFor(corpusVectors: Long, targetBucket: Long = 128L): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    // overflow-safe ceil division (n + target - 1 wraps at Long.MaxValue)
+    val buckets = math.max(1L,
+      corpusVectors / targetBucket + (if (corpusVectors % targetBucket == 0) 0L else 1L))
+    val bits =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2
+    math.min(62, bits)
+  }
+
+  /** IVF coarse-quantizer bits targeting an expected inverted-list
+    * population of `targetList` vectors — same formula, bigger target
+    * (lists are scanned exactly, so they can be larger than LSH buckets
+    * without hurting precision; probing cost per query is
+    * nProbe × targetList regardless of corpus size).
+    */
+  def ivfBitsFor(corpusVectors: Long, targetList: Long = 256L): Int =
+    planesFor(corpusVectors, targetList)
+
+  /** Default probe width for a 2^coarseBits-list index: √lists (≥2) — the
+    * classic IVF balance point (probed fraction shrinks as 1/√lists while
+    * absolute probed work grows only as √lists · targetList).
+    */
+  def nProbeFor(coarseBits: Int): Int =
+    math.max(2, math.round(math.sqrt(math.pow(2.0, coarseBits))).toInt)
 
   /** Sequential-fold dot product. Backed by the codegen'd
     * [[graft.functions.DotProduct]] expression — the composable
@@ -110,14 +186,17 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of `vec` against the plane set, packed into a long. */
-  private def signature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+  /** Sign-bit signature of `vec` against the plane set, packed into a
+    * long. An empty plane set (the auto-planner's answer for a corpus at
+    * or under its bucket target) signs everything 0 — one global bucket,
+    * exact search within it.
+    */
+  private def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    if (planes.isEmpty) lit(0L)
+    else planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
   /** ANN top-k via random-hyperplane LSH: candidates = corpus rows whose
     * signature equals the query's (single-probe), scored exactly within the
@@ -143,7 +222,7 @@ object Similarity {
     */
   private def tableSeed(seed: Long, t: Int): Long = seed + 1000003L * t
 
-  def lshBuild(corpus: DataFrame, planes: Int = 8, dim: Int = AutoDim,
+  def lshBuild(corpus: DataFrame, planes: Int = AutoPlanes, dim: Int = AutoDim,
       seed: Long = 42L, tables: Int = 1): LshIndex = {
     import org.apache.spark.storage.StorageLevel
     val idx = lshPrepare(corpus, planes, dim, seed, tables)
@@ -155,10 +234,17 @@ object Similarity {
     * single search never leaks cached blocks (nothing would unpersist
     * them; the caller-held [[LshIndex]] is what makes persistence safe).
     */
-  private def lshPrepare(corpus: DataFrame, planes: Int, dim0: Int, seed: Long,
+  private def lshPrepare(corpus: DataFrame, planes0: Int, dim0: Int, seed: Long,
       tables: Int = 1): LshIndex = {
     require(tables >= 1 && tables <= 64, s"tables must be in [1,64], got $tables")
-    val dim = resolveDim(dim0, corpus, col("vec"))
+    require(planes0 == AutoPlanes || (planes0 >= 0 && planes0 <= 62),
+      s"planes must be in [0,62] or AutoPlanes, got $planes0")
+    // One stats pass feeds both auto knobs; explicit knobs skip it.
+    val (planes, dim) =
+      if (planes0 == AutoPlanes) {
+        val (n, d) = corpusStats(corpus, col("vec"))
+        (planesFor(n), if (dim0 == AutoDim) d else dim0)
+      } else (planes0, resolveDim(dim0, corpus, col("vec")))
     val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
     val c =
@@ -227,8 +313,8 @@ object Similarity {
     * (corpus replication).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 8, dim: Int = AutoDim, seed: Long = 42L, multiProbe: Boolean = true,
-      tables: Int = 1): DataFrame =
+      planes: Int = AutoPlanes, dim: Int = AutoDim, seed: Long = 42L,
+      multiProbe: Boolean = true, tables: Int = 1): DataFrame =
     lshSearch(lshPrepare(corpus, planes, dim, seed, tables), queries, k, multiProbe)
 
   /** IVF-style two-level ANN: a coarse quantizer (sign-bit LSH over
@@ -256,7 +342,7 @@ object Similarity {
     def unpersist(): Unit = { bucketed.unpersist(); centroids.unpersist() }
   }
 
-  def ivfBuild(corpus: DataFrame, coarseBits: Int = 4, dim: Int = AutoDim,
+  def ivfBuild(corpus: DataFrame, coarseBits: Int = AutoCoarse, dim: Int = AutoDim,
       seed: Long = 42L): IvfIndex = {
     import org.apache.spark.storage.StorageLevel
     val idx = ivfPrepare(corpus, coarseBits, dim, seed)
@@ -266,8 +352,16 @@ object Similarity {
   }
 
   /** Unpersisted construction for one-shot use — see [[lshPrepare]]. */
-  private def ivfPrepare(corpus: DataFrame, coarseBits: Int, dim0: Int, seed: Long): IvfIndex = {
-    val hp = hyperplanes(coarseBits, resolveDim(dim0, corpus, col("vec")), seed)
+  private def ivfPrepare(corpus: DataFrame, coarseBits0: Int, dim0: Int,
+      seed: Long): IvfIndex = {
+    require(coarseBits0 == AutoCoarse || (coarseBits0 >= 0 && coarseBits0 <= 62),
+      s"coarseBits must be in [0,62] or AutoCoarse, got $coarseBits0")
+    val (coarseBits, dim) =
+      if (coarseBits0 == AutoCoarse) {
+        val (n, d) = corpusStats(corpus, col("vec"))
+        (ivfBitsFor(n), if (dim0 == AutoDim) d else dim0)
+      } else (coarseBits0, resolveDim(dim0, corpus, col("vec")))
+    val hp = hyperplanes(coarseBits, dim, seed)
     val c = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("bucket", signature(col("nbr_vec"), hp))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
@@ -284,9 +378,11 @@ object Similarity {
   /** Search a prebuilt [[IvfIndex]]: score the (tiny, broadcast) centroid
     * table, probe the nProbe nearest inverted lists, search those exactly.
     */
-  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = AutoProbe): DataFrame = {
     val c = index.bucketed
     val centroids = index.centroids
+    val probeN = if (nProbe == AutoProbe) nProbeFor(index.coarseBits) else nProbe
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
     // Probe selection ranks each query against ≤ 2^coarseBits centroids —
@@ -297,7 +393,7 @@ object Similarity {
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cscore", dot(col("q_vec"), col("centroid")) / (col("q_nrm") * norm(col("centroid"))))
       .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nProbe)
+      .where(col("prank") <= probeN)
       .select("query_id", "q_vec", "q_nrm", "bucket")
     val scored = c.join(probes, "bucket")
       .where(col("query_id") =!= col("nbr_id"))
@@ -309,7 +405,8 @@ object Similarity {
     * amortize the build across query batches).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      coarseBits: Int = 4, nProbe: Int = 2, dim: Int = AutoDim, seed: Long = 42L): DataFrame =
+      coarseBits: Int = AutoCoarse, nProbe: Int = AutoProbe, dim: Int = AutoDim,
+      seed: Long = 42L): DataFrame =
     ivfSearch(ivfPrepare(corpus, coarseBits, dim, seed), queries, k, nProbe)
 
   /** Deterministic ±1 random-projection matrix (Achlioptas/JL): outDims

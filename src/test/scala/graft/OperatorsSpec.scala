@@ -400,6 +400,18 @@ class OperatorsSpec extends AnyFunSuite {
     val df = vecs.toDF("id", "vec")
     assert(Similarity.observedDim(df, $"vec") == 24)
     assert(Similarity.observedDim(df.where($"id" < 0), $"vec") == 0) // empty → 0
+    // Mixed widths throw LOUDLY (ADVICE r9): a sampled width would leave
+    // the other rows nulling every projection — the silent bucket-0
+    // quadratic degeneration AutoDim exists to prevent.
+    val ragged = df.unionByName(Seq((999L, Array.fill(8)(0.5f))).toDF("id", "vec"))
+    val mixedErr = intercept[IllegalArgumentException] {
+      Similarity.observedDim(ragged, $"vec")
+    }
+    assert(mixedErr.getMessage.contains("mixed embedding widths"))
+    val mixedAuto = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(ragged, ragged.where($"id" < 4), k = 3).collect()
+    }
+    assert(mixedAuto.getMessage.contains("mixed embedding widths"))
     val q = df.where($"id" < 4)
     def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).sorted.toSeq
     // AutoDim (the default) ≡ the explicitly-correct dim, bit-identical
@@ -419,6 +431,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(Dedup.semanticDedup(df, $"id", $"vec", threshold = 0.2, coarseBits = 3))
       == rows(Dedup.semanticDedup(df, $"id", $"vec", threshold = 0.2, coarseBits = 3,
         dim = 24)))
+  }
+
+  test("AutoPlanes plans plane count from corpus size; auto == explicit") {
+    // The formula: ceil-log2(n / targetBucket), floor 0, cap 62 — bucket
+    // population stays ~targetBucket at any corpus size.
+    assert(Similarity.planesFor(0) == 0)
+    assert(Similarity.planesFor(128) == 0)   // n <= target: one bucket
+    assert(Similarity.planesFor(129) == 1)
+    assert(Similarity.planesFor(2000) == 4)  // the sf0.1 embeddings corpus
+    assert(Similarity.planesFor(1L << 40) == 33)
+    assert(Similarity.planesFor(Long.MaxValue) == 56) // ceil-log2(2^63 / 128)
+    assert(Similarity.planesFor(Long.MaxValue, targetBucket = 1) == 62) // cap
+    assert(Similarity.ivfBitsFor(2000) == 3) // 256-vector target lists
+    assert(Similarity.nProbeFor(0) == 2 && Similarity.nProbeFor(4) == 4 &&
+      Similarity.nProbeFor(10) == 32)
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val q = df.where($"id" < 4)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    // default (AutoPlanes) is bit-identical to spelling the planned count out
+    assert(rows(Similarity.lshTopK(df, q, k = 3))
+      == rows(Similarity.lshTopK(df, q, k = 3, planes = Similarity.planesFor(300))))
+    assert(rows(Similarity.ivfTopK(df, q, k = 3))
+      == rows(Similarity.ivfTopK(df, q, k = 3,
+        coarseBits = Similarity.ivfBitsFor(300),
+        nProbe = Similarity.nProbeFor(Similarity.ivfBitsFor(300)))))
+    // a tiny corpus plans to 0 planes = one bucket = exact brute force
+    val tiny = df.where($"id" < 60)
+    assert(rows(Similarity.lshTopK(tiny, tiny.where($"id" < 4), k = 3))
+      == rows(Similarity.bruteForceTopK(tiny, tiny.where($"id" < 4), k = 3)))
   }
 
   test("ivfTopK with full probe equals brute force; partial probe is a subset") {
