@@ -50,7 +50,7 @@ object SparkEntry {
     * not on what a previous file said — hard-coding any single flavor broke
     * six queries when the upstream generator switched from NANOS to MICROS.
     */
-  private def tsMicros(df: DataFrame, c: String = "ts"): Column =
+  private[graft] def tsMicros(df: DataFrame, c: String = "ts"): Column =
     df.schema(c).dataType match {
       case LongType           => expr(s"$c div 1000")
       case TimestampNTZType   =>

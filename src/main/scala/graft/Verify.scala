@@ -32,6 +32,34 @@ object Verify {
       case c => c.toString
     } + "\""
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Testdata contract preflight (VERDICT r9 #1): assert every table's
+    // observed schema against the accepted flavor set and run the three
+    // data-level probes (props-is-JSON, embedding-width uniformity,
+    // exactly-gap session ties) BEFORE any query executes. Drift lands in
+    // _contract.json immediately, on stderr, and in _errors.json under
+    // `_contract:` keys — so a red correctness report carries its probable
+    // cause next to the failures. Advisory-loud, never fatal: the queries
+    // still run (adaptive paths may well survive the drift).
+    try {
+      val drifts = DataContract.check(spark, sfDir)
+      val contractJson = drifts.map { d =>
+        s"""{"table":${q(d.table)},"check":${q(d.check)},"detail":${q(d.detail)}}"""
+      }.mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/_contract.json"), contractJson)
+      drifts.foreach { d =>
+        System.err.println(s"[verify] CONTRACT DRIFT ${d.table}/${d.check}: ${d.detail}")
+        errors(s"_contract:${d.table}:${d.check}") = d.detail.take(2000)
+      }
+      if (drifts.isEmpty)
+        System.err.println(s"[verify] testdata contract holds for $sfDir")
+    } catch { case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.toString).take(2000)
+      System.err.println(s"[verify] contract check crashed: $msg")
+      errors("_contract:crashed") = msg
+      try Files.writeString(Paths.get(s"$outDir/_contract.json"),
+        s"""[{"table":"_all","check":"crashed","detail":${q(msg)}}]""")
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
