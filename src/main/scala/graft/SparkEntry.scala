@@ -1526,15 +1526,33 @@ object SparkEntry {
     // Sketch aggregates: HyperLogLog++ distinct counts and a quantile
     // sketch — at 100 TB these replace their exact forms wherever a
     // bounded-memory one-pass answer is enough (the exact percentile
-    // holds every value per group; the sketch holds ~KBs). Sketch
-    // estimates are engine-specific -> rows-only check here; the error
-    // bounds vs exact are pinned in OperatorsSpec.
+    // holds every value per group; the sketch holds ~KBs). Error bounds
+    // vs exact are also pinned in OperatorsSpec.
+    // Sketch estimates themselves are engine-specific (HLL++ register
+    // layout, quantile-summary merge order) — but their ERROR BOUNDS are
+    // deterministic claims any engine can verify (VERDICT r9 #4): emit the
+    // exact values plus bound-check booleans, and the oracle recomputes
+    // the exact side and literal TRUEs. hll_ok allows 3×rsd relative
+    // error (rsd=0.02 → 6%; HLL++'s standard error is rsd, so 3σ);
+    // p50_ok brackets the sketch median between the exact 0.495/0.505
+    // percentiles — 50× approx_percentile's ±1/accuracy rank guarantee,
+    // so the booleans are stable under any partitioning while still
+    // catching a broken sketch outright.
     "q_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_sketch"),
-          count(lit(1)).as("n"))),
+          expr("percentile(l_extendedprice, 0.495)").as("p_lo"),
+          expr("percentile(l_extendedprice, 0.505)").as("p_hi"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.06)).as("hll_ok"),
+          (col("p50_sketch") >= col("p_lo") && col("p50_sketch") <= col("p_hi"))
+            .as("p50_ok"))),
 
     // End-to-end curation composition: score -> filter -> dedup, the whole
     // path a corpus takes before training. One scan, one shuffle (the
@@ -2633,12 +2651,17 @@ object SparkEntry {
         | CAST(strlen(text) % 600 AS INTEGER) AS height,
         | strlen(text) * 2654435761 AS checksum
         |FROM documents""".stripMargin,
+    // q_sketches graduated to oracle in r10: the engine-specific sketch
+    // VALUES stay out of the result; the deterministic exact values and
+    // bound-check booleans are what the oracle verifies.
+    "q_sketches" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        | count(*) AS n, TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
     // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
     // q_dedup_clusters_lsh / q_dedup_incremental (LSH candidate generation
     // is probabilistic-recall, not ANSI-expressible), q_sim_ann / q_sim_pq
-    // (approximate by construction; PQ exactness properties spec'd),
-    // q_sketches (HLL++/quantile-sketch estimates are engine-specific;
-    // error bounds spec'd vs exact).
+    // (approximate by construction; PQ exactness properties spec'd).
   )
 }
