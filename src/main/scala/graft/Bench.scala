@@ -188,7 +188,13 @@ object Bench {
       prior match {
         case None => "[]"
         case Some(f) =>
-          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          // The driver's artifact wraps the bench line in an escaped
+          // "tail" string ({"n":9,...,"tail":"{\"metric\":...}"}) — the
+          // key markers only appear backslash-escaped there. Unescape if
+          // the plain marker is absent so both artifact shapes parse.
+          val txt = if (raw.contains("\"queries\":{")) raw
+                    else raw.replace("\\\"", "\"")
           def block(key: String): Option[String] = {
             val i = txt.indexOf("\"" + key + "\":{")
             if (i < 0) None
@@ -219,9 +225,27 @@ object Bench {
     }
 
     val total = mins.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(mins)},""" +
-      s""""queries_median":${jmap(meds)},"queries_max":${jmap(maxs)},""" +
-      s""""regressions":$regressions,"runs":$runs,"sf":"$sfDir"$annRecall}""")
+    // The driver's artifact keeps only the LAST ~2000 chars of stdout
+    // (BENCH_r09.json: tail length exactly 2000, `parsed: null`), so the
+    // line is laid out to degrade gracefully under tail-truncation: the
+    // maps run min → max → MEDIAN, with the round-over-round signal
+    // (medians, regressions, ann_recall) last so it survives whatever
+    // budget the capture has. Times are ms-rounded (plan-cost
+    // adjudication never needs sub-ms), and the COMPLETE line is also
+    // written to BENCH_full_latest.json next to the prior-round
+    // artifacts (best-effort — read-only trees just log).
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(mins.map { case (k, v) => k -> r3(v) })},""" +
+      s""""queries_max":${jmap(maxs.map { case (k, v) => k -> r3(v) })},""" +
+      s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
+      s""""regressions":$regressions,"runs":$runs,"sf":"$sfDir"$annRecall}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"), "BENCH_full_latest.json"), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }
