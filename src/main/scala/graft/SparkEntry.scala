@@ -1252,9 +1252,13 @@ object SparkEntry {
       Dedup.blockedTokenJaccard(t(s, dir, "documents"), col("doc_id"), col("text"),
         col("source"), threshold = 0.5)),
 
-    // Embedding-cosine near-dup: exact all-pairs baseline (oracle-checked
-    // bit-for-bit) and the banded-hyperplane LSH scale path (probabilistic
-    // recall → rows-only; its exactness at degenerate parameters is spec'd).
+    // Embedding-cosine near-dup: exact all-pairs baseline and the
+    // banded-hyperplane LSH scale path — BOTH oracle-checked bit-for-bit
+    // since r10: the band keys are deterministic given the seeded planes,
+    // so DuckDB recomputes candidate generation independently from plane
+    // literals inlined in the SQL (the q_dedup_semantic precedent,
+    // extended to banding). "Probabilistic recall" describes the
+    // pair-vs-θ collision law, not run-to-run nondeterminism.
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.35)),
@@ -2188,6 +2192,67 @@ object SparkEntry {
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
 
+    "q_dedup_cosine_lsh" -> {
+      // The SAME 32 banded planes the operator derives (8 bands × 4 sign
+      // bits, seeded gaussians over the 64-dim corpus), inlined as
+      // shortest-round-trip double literals — DuckDB independently
+      // recomputes every band key, the candidate set (pairs sharing ANY
+      // band key), exact cosine verification, and the fingerprint-group
+      // expansion (grouping by the vector VALUE, which equals the
+      // operator's xxhash64-fingerprint grouping for well-formed data).
+      // Dim is deliberately pinned to the contract's 64 (like
+      // q_dedup_semantic): under an embedding-dim drift this mismatches
+      // LOUDLY while the operator adapts — the failure mode we want now
+      // that DataContract names the drift.
+      val hp = operators.Similarity.hyperplanes(32, 64, 42L)
+      def planeLit(p: Array[Double]) =
+        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val bandKeys = (0 until 8).map { b =>
+        (0 until 4).map { i =>
+          s"(CASE WHEN list_dot_product(e, ${planeLit(hp(b * 4 + i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS k$b")
+      }.mkString(",\n    ")
+      val orJoin = (0 until 8).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH dv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), grp AS (
+         |  SELECT e, min(id) AS rep FROM dv GROUP BY e
+         |), reps AS (
+         |  SELECT rep AS id, e FROM grp
+         |), bk AS (
+         |  SELECT id,
+         |    $bandKeys
+         |  FROM reps
+         |), cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM bk a JOIN bk b ON a.id < b.id AND ($orJoin)
+         |), verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_dot_product(ra.e, rb.e) /
+         |      (sqrt(list_dot_product(ra.e, ra.e)) * sqrt(list_dot_product(rb.e, rb.e))) AS cos
+         |  FROM cand c JOIN reps ra ON ra.id = c.id_a JOIN reps rb ON rb.id = c.id_b
+         |  WHERE list_dot_product(ra.e, rb.e) /
+         |      (sqrt(list_dot_product(ra.e, ra.e)) * sqrt(list_dot_product(rb.e, rb.e))) >= 0.35
+         |), members AS (
+         |  SELECT g.rep, d.id FROM dv d JOIN grp g ON d.e = g.e
+         |), cross_exp AS (
+         |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, v.cos
+         |  FROM verified v JOIN members ma ON ma.rep = v.id_a JOIN members mb ON mb.rep = v.id_b
+         |), selfcos AS (
+         |  SELECT id AS rep, list_dot_product(e, e) /
+         |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e, e))) AS cos
+         |  FROM reps
+         |), intra AS (
+         |  SELECT ma.id AS id_a, mb.id AS id_b, sc.cos
+         |  FROM members ma JOIN members mb ON ma.rep = mb.rep AND ma.id < mb.id
+         |  JOIN selfcos sc ON sc.rep = ma.rep
+         |  WHERE sc.cos >= 0.35
+         |)
+         |SELECT id_a, id_b, cos FROM cross_exp
+         |UNION ALL
+         |SELECT id_a, id_b, cos FROM intra""".stripMargin
+    },
+
     "q_dedup_semantic" -> {
       // The SAME coarse planes the operator derives (seeded
       // scala.util.Random gaussians), rendered as shortest-round-trip
@@ -2659,9 +2724,12 @@ object SparkEntry {
         | count(*) AS n, TRUE AS hll_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
-    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_cosine_lsh /
-    // q_dedup_clusters_lsh / q_dedup_incremental (LSH candidate generation
-    // is probabilistic-recall, not ANSI-expressible), q_sim_ann / q_sim_pq
-    // (approximate by construction; PQ exactness properties spec'd).
+    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_clusters_lsh
+    // / q_dedup_incremental (their candidate generation hashes through
+    // xxhash64-based minhash/simhash signatures DuckDB cannot reproduce —
+    // unlike the plane-literal cosine paths), q_sim_ann / q_sim_pq
+    // (bucket/probe counts are auto-planned from corpus SIZE, which a
+    // static oracle SQL cannot mirror across scale factors; PQ exactness
+    // properties spec'd).
   )
 }

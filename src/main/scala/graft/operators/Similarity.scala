@@ -433,9 +433,10 @@ object Similarity {
       outDims: Int, seed: Long = 42L): DataFrame = {
     require(outDims >= 1 && outDims <= 4096, s"outDims must be in [1,4096], got $outDims")
     val v = asDouble(vec)
-    val probe = df.select(size(v)).limit(1).collect()
-    require(probe.nonEmpty, "randomProject needs a non-empty input to derive inDims")
-    val inDims = probe(0).getInt(0)
+    // validated width derivation (see corpusStats): a mixed-width corpus
+    // would otherwise null every off-width projection silently
+    val inDims = observedDim(df, v)
+    require(inDims > 0, "randomProject needs a non-empty input to derive inDims")
     val m = projectionMatrix(inDims, outDims, seed)
     val scale = 1.0 / math.sqrt(outDims.toDouble)
     val comps = m.map(row => dot(v, lit(row)) * scale)
