@@ -1581,14 +1581,21 @@ object SparkEntry {
       Similarity.bruteForceTopK(corpus, corpus.where(col("id") < 8), k = 5)
     }),
 
+    // The harness similarity entries PIN their knobs (planes / coarse
+    // bits / nProbe) so the whole LSH and IVF machinery is oracle-checked
+    // bit-for-bit from plane literals — a static SQL cannot mirror the
+    // library's corpus-size auto-planning across scale factors. The auto
+    // path (the actual default) is exercised by OperatorsSpec
+    // (auto == explicit identity) and trended by Bench's ann_recall.
     "q_sim_ann" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5)
+      Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5, planes = 6)
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.ivfTopK(corpus, corpus.where(col("id") < 8), k = 5)
+      Similarity.ivfTopK(corpus, corpus.where(col("id") < 8), k = 5,
+        coarseBits = 3, nProbe = 2)
     }),
 
     "q_sim_pq" -> ((s, dir) => {
@@ -2192,6 +2199,164 @@ object SparkEntry {
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
 
+    "q_sim_ann" -> {
+      // Single-table multiprobe LSH top-k, recomputed independently: 6
+      // inlined planes sign the bucket for both sides, the query side
+      // fans out over the Hamming-1 probe ring (bucket XOR {0, 1<<i}),
+      // candidates dedupe on (query, nbr), exact cosine, per-query top-5
+      // with nbr_id tie-break — stage-for-stage the lshTopK pipeline.
+      val planes = 6; val k = 5
+      val hp = operators.Similarity.hyperplanes(planes, 64, 42L)
+      def planeLit(p: Array[Double]) =
+        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val sig = (0 until planes).map { i =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(hp(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val masks = (0L +: (0 until planes).map(i => 1L << i)).mkString("[", ", ", "]")
+      s"""WITH dv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cs AS (
+         |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm, $sig AS bucket FROM dv
+         |), qs AS (
+         |  SELECT id, e, nrm, bucket FROM cs WHERE id < 8
+         |), probes AS (
+         |  SELECT q.id, q.e, q.nrm, xor(q.bucket, m.m) AS bucket
+         |  FROM qs q, UNNEST($masks) m(m)
+         |), cand AS (
+         |  SELECT DISTINCT p.id AS query_id, c.id AS nbr_id
+         |  FROM probes p JOIN cs c ON c.bucket = p.bucket AND c.id <> p.id
+         |), scored AS (
+         |  SELECT c.query_id, c.nbr_id,
+         |    list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cos
+         |  FROM cand c JOIN qs q ON q.id = c.query_id JOIN cs n ON n.id = c.nbr_id
+         |)
+         |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank, cos FROM (
+         |  SELECT query_id, nbr_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
+         |  FROM scored WHERE cos IS NOT NULL)
+         |WHERE rn <= $k""".stripMargin
+    },
+
+    "q_sim_ivf" -> {
+      // IVF top-k recomputed independently: 3 inlined coarse planes
+      // assign inverted lists, per-list centroids are exact DECIMAL
+      // means (partial-aggregation-order-proof, same as the operator),
+      // each query probes its nProbe=2 best centroids (cosine desc,
+      // bucket tie-break — the wProbe window), probed lists are searched
+      // exactly, per-query top-5 with nbr_id tie-break.
+      val cb = 3; val nProbe = 2; val k = 5
+      val hp = operators.Similarity.hyperplanes(cb, 64, 42L)
+      def planeLit(p: Array[Double]) =
+        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val csig = (0 until cb).map { i =>
+        s"(CASE WHEN list_dot_product(e, ${planeLit(hp(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH dv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cs AS (
+         |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm, $csig AS bucket FROM dv
+         |), qs AS (
+         |  SELECT id, e, nrm FROM cs WHERE id < 8
+         |), cents AS (
+         |  SELECT bucket, list(mn ORDER BY pos) AS centroid FROM (
+         |    SELECT cs.bucket, p.pos,
+         |      CAST(SUM(CAST(cs.e[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+         |    FROM cs, UNNEST(range(1, 65)) p(pos)
+         |    GROUP BY cs.bucket, p.pos
+         |  ) GROUP BY bucket
+         |), psel AS (
+         |  SELECT query_id, bucket FROM (
+         |    SELECT q.id AS query_id, ct.bucket,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.e, ct.centroid) /
+         |          (q.nrm * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+         |        ct.bucket) AS prank
+         |    FROM qs q, cents ct)
+         |  WHERE prank <= $nProbe
+         |), scored AS (
+         |  SELECT p.query_id, c.id AS nbr_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM psel p JOIN cs c ON c.bucket = p.bucket
+         |  JOIN qs q ON q.id = p.query_id
+         |  WHERE c.id <> p.query_id
+         |)
+         |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank, cos FROM (
+         |  SELECT query_id, nbr_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
+         |  FROM scored WHERE cos IS NOT NULL)
+         |WHERE rn <= $k""".stripMargin
+    },
+
+    "q_sim_pq" -> {
+      // PQ is deterministic end-to-end given its seeded subspace planes:
+      // per-subspace sign codes, exact DECIMAL-mean codebooks, ADC
+      // lookup-table scoring (the m partial products summed in explicit
+      // s-order, matching the operator's left fold), k×refine candidate
+      // cut, exact re-rank — every stage recomputed independently by
+      // DuckDB from inlined plane literals. Ties break on nbr_id
+      // ascending at both cuts, exactly like TopKByScore. Dim pinned to
+      // the contract's 64 (see q_dedup_cosine_lsh note on drift).
+      val m = 8; val bits = 6; val sub = 8; val k = 5; val refine = 8
+      def planeLit(p: Array[Double]) =
+        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val codeCols = (0 until m).map { s =>
+        val hp = operators.Similarity.hyperplanes(bits, sub, 42L + s)
+        val lo = s * sub + 1; val hi = s * sub + sub
+        (0 until bits).map { i =>
+          s"(CASE WHEN list_dot_product(e[$lo:$hi], ${planeLit(hp(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", s") AS c$s")
+      }.mkString(",\n    ")
+      val caseCode = "CASE u.s " +
+        (0 until m).map(s => s"WHEN $s THEN c$s").mkString(" ") + " END"
+      val adcSum = (0 until m).map(s => s"max(CASE WHEN l.s=$s THEN l.p END)").mkString(" + ")
+      s"""WITH dv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), qs AS (
+         |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm FROM dv WHERE id < 8
+         |), codes AS (
+         |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         |    $codeCols
+         |  FROM dv
+         |), cl AS (
+         |  SELECT id, u.s, $caseCode AS code, e
+         |  FROM codes, UNNEST(range(0, $m)) u(s)
+         |), cb AS (
+         |  SELECT s, code, list(mn ORDER BY pos) AS centroid FROM (
+         |    SELECT cl.s, cl.code, p.pos,
+         |      CAST(SUM(CAST(cl.e[cl.s * $sub + p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+         |    FROM cl, UNNEST(range(1, ${sub + 1})) p(pos)
+         |    GROUP BY cl.s, cl.code, p.pos
+         |  ) GROUP BY s, code
+         |), lut AS (
+         |  SELECT q.id AS query_id, cb.s, cb.code,
+         |    list_dot_product(q.e[cb.s * $sub + 1 : cb.s * $sub + $sub], cb.centroid) AS p
+         |  FROM qs q, cb
+         |), padc AS (
+         |  SELECT l.query_id, cl.id AS nbr_id, $adcSum AS adc
+         |  FROM cl JOIN lut l ON l.s = cl.s AND l.code = cl.code
+         |  WHERE l.query_id <> cl.id
+         |  GROUP BY l.query_id, cl.id
+         |), adccos AS (
+         |  SELECT p.query_id, p.nbr_id, p.adc / (q.nrm * c.nrm) AS cos
+         |  FROM padc p JOIN qs q ON q.id = p.query_id JOIN codes c ON c.id = p.nbr_id
+         |), cand AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT query_id, nbr_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
+         |    FROM adccos WHERE cos IS NOT NULL)
+         |  WHERE rn <= ${k * refine}
+         |), exact AS (
+         |  SELECT c.query_id, c.nbr_id,
+         |    list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cos
+         |  FROM cand c JOIN qs q ON q.id = c.query_id JOIN codes n ON n.id = c.nbr_id
+         |)
+         |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank, cos FROM (
+         |  SELECT query_id, nbr_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
+         |  FROM exact WHERE cos IS NOT NULL)
+         |WHERE rn <= $k""".stripMargin
+    },
+
     "q_dedup_cosine_lsh" -> {
       // The SAME 32 banded planes the operator derives (8 bands × 4 sign
       // bits, seeded gaussians over the 64-dim corpus), inlined as
@@ -2724,12 +2889,10 @@ object SparkEntry {
         | count(*) AS n, TRUE AS hll_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
-    // equivalent), q_dedup_minhash / q_dedup_simhash / q_dedup_clusters_lsh
-    // / q_dedup_incremental (their candidate generation hashes through
-    // xxhash64-based minhash/simhash signatures DuckDB cannot reproduce —
-    // unlike the plane-literal cosine paths), q_sim_ann / q_sim_pq
-    // (bucket/probe counts are auto-planned from corpus SIZE, which a
-    // static oracle SQL cannot mirror across scale factors; PQ exactness
-    // properties spec'd).
+    // equivalent) and q_dedup_minhash / q_dedup_simhash /
+    // q_dedup_clusters_lsh / q_dedup_incremental (their candidate
+    // generation hashes through xxhash64-based minhash/simhash signatures
+    // DuckDB cannot reproduce — unlike the plane-literal similarity
+    // paths, all of which are oracle-checked as of r10).
   )
 }
