@@ -187,6 +187,20 @@ object DataContract {
       }
     }
 
+    // -- data-level probe 2b: a STRING-typed date column is accepted by
+    // the flavor set only because every use site casts it — verify the
+    // cast actually succeeds row-for-row (try_to_date nulls on junk
+    // instead of throwing under ANSI, so junk rows = non-null input with
+    // null output).
+    for ((table, cname) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate");
+         df <- schemaClean(table, cname)
+         if df.schema(cname).dataType == StringType) {
+      val bad = df.where(col(cname).isNotNull && try_to_date(col(cname)).isNull).count()
+      if (bad > 0)
+        drifts += Drift(table, s"uncastable_date:$cname",
+          s"$bad rows of string-typed $cname do not cast to DATE")
+    }
+
     // -- data-level probe 3 (VERDICT r9 #6): no consecutive per-user event
     // pair sits EXACTLY at the session gap — the one input shape on which
     // the batch and streaming sessionizers legitimately disagree. Ordering

@@ -80,6 +80,22 @@ class DataContractSpec extends AnyFunSuite {
       s"expected mixed_dim, got: $drifts")
   }
 
+  test("a string date column that fails to cast is flagged") {
+    val dir = cleanDir("baddate",
+      Map("orders" -> (df => df.withColumn("o_orderdate",
+        when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(col("o_orderdate").cast("string"))))))
+    val drifts = DataContract.check(spark, dir)
+    assert(drifts.exists(d =>
+      d.table == "orders" && d.check == "uncastable_date:o_orderdate"),
+      s"expected uncastable_date drift, got: $drifts")
+    // ...while a CLEANLY castable string date column passes
+    val ok = cleanDir("strdate",
+      Map("orders" -> (df => df.withColumn("o_orderdate",
+        date_format(col("o_orderdate"), "yyyy-MM-dd")))))
+    assert(DataContract.check(spark, ok).isEmpty)
+  }
+
   test("an exactly-gap consecutive pair is flagged (the sessionize knife-edge)") {
     // Append, for one user, an event EXACTLY SessionGapMicros after that
     // user's newest event — the only input shape on which batch and
