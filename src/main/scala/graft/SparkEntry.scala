@@ -1345,6 +1345,30 @@ object SparkEntry {
         col("doc_id"), col("source"),
         Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0)),
 
+    "q_split_safe" -> ((s, dir) => {
+      // Leakage-safe splitting: exact-duplicate texts MUST share a split
+      // (a per-document split leaks paraphrase/dup content into eval).
+      // Edges star each doc to its md5-group representative; components
+      // over those edges are exactly the duplicate groups; the split is
+      // then a pure function of the component id.
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val g = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val reps = g.groupBy("h").agg(min("doc_id").as("rep"))
+      val edges = g.join(reps, "h").where(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+      operators.Sampling.leakageSafeSplits(docs, col("doc_id"), edges,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
+    "q_sample_budget" -> ((s, dir) =>
+      // Budget-bounded deterministic subset: the largest md5-priority
+      // prefix whose running character total stays within budget —
+      // "give me an N-token slice" as a pure function of (id, salt),
+      // prefix-closed under budget growth. Distributed prefix sum via
+      // Packing.globalCumsum, never a one-task global window.
+      operators.Sampling.sampleToBudget(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), budget = 100000L)),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // Continuous-ingestion dedup: the corpus is 80% of documents; the
       // arriving batch is built from corpus docs verbatim (-> exact),
@@ -2494,6 +2518,31 @@ object SparkEntry {
          |FROM (SELECT doc_id, substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
          |      FROM documents)""".stripMargin
     },
+
+    "q_split_safe" -> {
+      // Components over exact-dup star edges == min doc_id per md5(text)
+      // group, so the oracle needs no recursion; the split CASE hashes
+      // the COMPONENT with the same thresholds as q_sample_split.
+      val t1 = operators.Sampling.thresholdHex(0.0 + 0.8)
+      val t2 = operators.Sampling.thresholdHex(0.0 + 0.8 + 0.1)
+      s"""SELECT id, component,
+         |  CASE WHEN h < '$t1' THEN 'train' WHEN h < '$t2' THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id AS id,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS component,
+         |    substr(md5('graft' || CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS VARCHAR)), 1, 8) AS h
+         |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+    },
+
+    "q_sample_budget" ->
+      """SELECT id, cost, cum FROM (
+        |  SELECT doc_id AS id, n_chars AS cost,
+        |    CAST(SUM(n_chars) OVER (
+        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |        || lpad(CAST(doc_id AS VARCHAR), 20, '0')
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |WHERE cum <= 100000""".stripMargin,
 
     "q_weighted_mix" -> {
       val half = operators.Sampling.thresholdHex(0.5)

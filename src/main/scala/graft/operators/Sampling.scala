@@ -138,4 +138,51 @@ object Sampling {
     df.withColumn("epoch",
       explode(when(nCopies > 0, sequence(lit(0), nCopies - 1))))
   }
+
+  /** Leakage-safe train/eval splits: near-duplicate documents must land
+    * in the SAME split, or the eval set silently contains paraphrases of
+    * training rows and measures memorization instead of generalization —
+    * the standard contamination failure mode of naive per-document
+    * splitting. The split is therefore a pure function of the document's
+    * duplicate-CLUSTER id (connected components over `edges`, any dedup
+    * path's pair output), not of the document id: every member inherits
+    * its component's assignment, singletons behave exactly like
+    * [[assignSplits]] on their own id (component == id for them).
+    *
+    * Scale shape: components are `Dedup.assignClusters` (O(log n)
+    * large-star/small-star over the pair edges, never all-pairs); the
+    * split itself is the same map-only md5 CASE as [[assignSplits]].
+    * Output: (id, component, split).
+    */
+  def leakageSafeSplits(df: DataFrame, id: Column, edges: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "graft"): DataFrame =
+    assignSplits(Dedup.assignClusters(df, id, edges), col("component"), weights, salt)
+
+  /** Deterministic budget-bounded subset: keep rows in md5-priority
+    * order until the running `cost` total (tokens, characters, bytes…)
+    * reaches `budget` — "give me a 1B-token slice of this corpus" as a
+    * pure function of (id, salt), reproducible by any engine with md5.
+    * Rows are ranked by the same 8-hex-char bucket key every sampler
+    * here uses (id decimal-zero-padded as tie-break, so the order is
+    * total), the running total is [[Packing.globalCumsum]] — a range
+    * exchange plus per-range offsets, NOT a single-task global window —
+    * and a row is kept iff its inclusive running total is ≤ `budget`.
+    * Output: (id, cost, cum) for the kept rows.
+    *
+    * The boundary row that would cross the budget is dropped (its
+    * inclusive total exceeds it), so the kept total is always ≤ budget
+    * and the result is prefix-closed: raising the budget only ever ADDS
+    * rows, it never reshuffles membership — the property that lets a
+    * pipeline grow a sample without invalidating earlier work.
+    */
+  def sampleToBudget(df: DataFrame, id: Column, cost: Column, budget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df.select(id.cast("long").as("id"), cost.cast("long").as("cost"))
+      .withColumn("__pri",
+        concat(hexKey(col("id"), salt), lpad(col("id").cast("string"), 20, "0")))
+    Packing.globalCumsum(keyed, col("__pri"), col("cost"))
+      .where(col("cum") <= budget)
+      .select(col("id"), col("cost"), col("cum"))
+  }
 }

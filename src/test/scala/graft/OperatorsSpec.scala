@@ -894,6 +894,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((4L, 3L, 0.25, 0.5)))
   }
 
+  test("leakageSafeSplits: every dup-cluster member shares one split; singletons match assignSplits") {
+    import graft.operators.Sampling
+    // 90 docs; ids 0..29 pair into 15 two-doc clusters (edges i -> i+30);
+    // ids 60..89 are singletons.
+    val df = spark.range(90).select($"id")
+    val edges = spark.range(30).select($"id".as("id_a"), ($"id" + 30).as("id_b"))
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplits(df, $"id", edges, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 90)
+    // cluster members agree on component AND split
+    for (i <- 0L until 30L) {
+      assert(out(i)._1 == i && out(i + 30)._1 == i, s"pair $i component")
+      assert(out(i)._2 == out(i + 30)._2, s"pair $i split leaks across eval boundary")
+    }
+    // singletons behave exactly like plain per-id assignSplits
+    val plain = Sampling.assignSplits(df.where($"id" >= 60), $"id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 60L until 90L) assert(out(i) == ((i, plain(i))))
+    // all three splits are populated at this n
+    assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
+  test("sampleToBudget: within budget, prefix-closed, partitioning-invariant") {
+    import graft.operators.Sampling
+    val df = spark.range(500).select($"id", ($"id" % 97 + 5).as("cost"))
+    def run(budget: Long, parts: Int) =
+      Sampling.sampleToBudget(df.repartition(parts), $"id", $"cost", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val small = run(3000, 4)
+    val big = run(9000, 4)
+    assert(small.nonEmpty && small.map(_._2).sum <= 3000)
+    assert(big.map(_._2).sum <= 9000)
+    // prefix-closed: a bigger budget only ADDS rows
+    assert(small.map(_._1).toSet.subsetOf(big.map(_._1).toSet))
+    assert(small.toSet.subsetOf(big.toSet)) // cum values identical too
+    // partitioning cannot move the cut
+    assert(run(3000, 13) == small)
+    // degenerate budgets
+    assert(run(0, 4).isEmpty)
+  }
+
   test("stratified sample and per-group cap are deterministic and bounded") {
     import graft.operators.Sampling
     val df = spark.range(3000)
