@@ -28,6 +28,37 @@ object Bench {
     "q_dedup_semantic", "q_heavy_hitters", "q_quality_classifier",
   )
 
+  /** Extract a prior round's per-query times from a BENCH artifact of
+    * EITHER shape: the raw one-line JSON this main prints, or the
+    * driver's wrapper ({"n":9,...,"tail":"{\"metric\":...}"}) whose tail
+    * is backslash-escaped AND truncated to the last ~2000 chars — the
+    * markers only appear escaped there, and the leading maps may be cut
+    * mid-stream. Preference order: `queries_median` (the comparison
+    * column since r10), falling back to `queries` (the min map, all
+    * pre-median rounds). Returns empty when the artifact is for a
+    * DIFFERENT scale factor (cross-sf diffs are noise in both
+    * directions) or when no complete map survived truncation — the
+    * tripwire is advisory and must never invent a comparison baseline.
+    */
+  private[graft] def parsePriorQueryTimes(raw: String, sfDir: String): Map[String, Double] = {
+    val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
+    def block(key: String): Option[String] = {
+      val i = txt.indexOf("\"" + key + "\":{")
+      if (i < 0) None
+      else {
+        val end = txt.indexOf('}', i)
+        if (end < 0) None else Some(txt.substring(i, end + 1))
+      }
+    }
+    val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
+    (if (sameSf) block("queries_median").orElse(block("queries")) else None) match {
+      case None => Map.empty
+      case Some(b) =>
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(b)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -189,27 +220,7 @@ object Bench {
         case None => "[]"
         case Some(f) =>
           val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          // The driver's artifact wraps the bench line in an escaped
-          // "tail" string ({"n":9,...,"tail":"{\"metric\":...}"}) — the
-          // key markers only appear backslash-escaped there. Unescape if
-          // the plain marker is absent so both artifact shapes parse.
-          val txt = if (raw.contains("\"queries\":{")) raw
-                    else raw.replace("\\\"", "\"")
-          def block(key: String): Option[String] = {
-            val i = txt.indexOf("\"" + key + "\":{")
-            if (i < 0) None
-            else Some(txt.substring(i, txt.indexOf('}', i) + 1))
-          }
-          // only compare same-scale rounds — an sf0.01 iteration run diffed
-          // against the sf0.1 driver artifact is noise in both directions
-          val sameSf = txt.contains("\"sf\":\"" + sfDir + "\"")
-          val prevMap = (if (sameSf) block("queries_median").orElse(block("queries"))
-                         else None) match {
-            case None => Map.empty[String, Double]
-            case Some(b) =>
-              "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+-]+)".r.findAllMatchIn(b)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
+          val prevMap = parsePriorQueryTimes(raw, sfDir)
           val regs = meds.flatMap { case (n, med) =>
             prevMap.get(n) match {
               case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench regression-tripwire's prior-artifact parsing against
+  * both artifact shapes it meets in the wild: the raw one-line JSON
+  * `graft.Bench` prints, and the driver's per-round wrapper whose `tail`
+  * field is backslash-escaped AND truncated to the last ~2000 chars of
+  * stdout (BENCH_r09.json is exactly that shape, with `parsed: null`).
+  * A silent mis-parse here doesn't fail anything visibly — it just makes
+  * the `regressions` field permanently empty, which defeats the
+  * tripwire's purpose — so the parsing rules are worth their own spec.
+  */
+class BenchParseSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("raw bench line: medians preferred over the min map") {
+    val raw =
+      s"""{"metric":"total","value":10.0,"unit":"sec","queries":{"q1_agg":1.0,"q_topk":0.2},""" +
+        s""""queries_max":{"q1_agg":3.0,"q_topk":0.4},""" +
+        s""""queries_median":{"q1_agg":2.0,"q_topk":0.3},""" +
+        s""""regressions":[],"runs":3,"sf":"$sf"}"""
+    val m = Bench.parsePriorQueryTimes(raw, sf)
+    assert(m == Map("q1_agg" -> 2.0, "q_topk" -> 0.3))
+  }
+
+  test("pre-median artifact: falls back to the min map") {
+    val raw =
+      s"""{"metric":"total","value":10.0,"queries":{"q1_agg":1.5},"runs":2,"sf":"$sf"}"""
+    assert(Bench.parsePriorQueryTimes(raw, sf) == Map("q1_agg" -> 1.5))
+  }
+
+  test("driver wrapper shape: escaped tail parses, truncated leading map is skipped") {
+    // Mimics BENCH_r09.json: the tail keeps only the END of stdout, so the
+    // "queries" marker itself is cut off and only queries_max (complete)
+    // plus trailing fields survive, all backslash-escaped. No median map,
+    // no complete min map → empty (queries_max must NOT be used: maxes
+    // compared to medians would fire spurious regressions).
+    val tail = """agg\":1.0,\"q_topk\":0.2},\"queries_max\":{\"q1_agg\":3.0,\"q_topk\":0.4},\"runs\":3,\"sf\":\"""" +
+      sf.replace("/", "\\/") // escaped-solidus variant must also not crash
+    val wrapper = s"""{"n":9,"rc":0,"cpus":32,"sf":0.1,"tail":"$tail","parsed":null}"""
+    assert(Bench.parsePriorQueryTimes(wrapper, sf) == Map.empty[String, Double])
+
+    // ...but a wrapper whose tail RETAINS the median map parses it.
+    val tail2 = """x\":1},\"queries_median\":{\"q1_agg\":2.0},\"regressions\":[],\"runs\":3,\"sf\":\"""" + sf + """\"}"""
+    val wrapper2 = s"""{"n":9,"rc":0,"tail":"$tail2","parsed":null}"""
+    assert(Bench.parsePriorQueryTimes(wrapper2, sf) == Map("q1_agg" -> 2.0))
+  }
+
+  test("a different scale factor yields no baseline") {
+    val raw =
+      s"""{"metric":"total","queries_median":{"q1_agg":2.0},"queries":{"q1_agg":1.0},"sf":"/root/testdata/sf0.01"}"""
+    assert(Bench.parsePriorQueryTimes(raw, sf).isEmpty)
+  }
+
+  test("the real committed r9 artifact parses without crashing and without inventing a baseline") {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/BENCH_r09.json")), "UTF-8")
+    // r9's tail is truncated before the median map existed; the min map's
+    // opening marker is cut too — the safe answer is "no baseline".
+    assert(Bench.parsePriorQueryTimes(raw, sf).isEmpty)
+  }
+}
