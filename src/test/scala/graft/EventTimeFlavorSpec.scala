@@ -124,6 +124,38 @@ class EventTimeFlavorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("NTZ field extraction is exact over the full micros range, incl. pre-1970") {
+    // tsMicros's NTZ branch reconstructs micros from wall-clock fields
+    // (unix_date/hour/minute/second). Pin exactness against the ground
+    // truth across awkward values: negative epochs (wall digits before
+    // 1970 — unix_date is negative while the time-of-day part is still
+    // positive), sub-second micros, second boundaries, DST-hole wall
+    // times, far past/future. Ground truth: the micros each NTZ was
+    // BUILT from (timestamp_micros under the UTC session, then cast).
+    val samples: Seq[Long] = Seq(
+      0L, 1L, -1L, 999999L, -999999L, 1000000L, -1000000L,
+      1704067200123456L,            // 2024-01-01 00:00:00.123456
+      -86400000000L,                // 1969-12-31
+      -86399999999L,                // 1969-12-31 00:00:00.000001
+      -62135596800000000L,          // year 1
+      253402300799999999L,          // 9999-12-31 23:59:59.999999
+      1710037800000000L,            // inside the US DST spring-forward hole
+      1730597400000000L             // inside the US DST fall-back overlap
+    ) ++ (1 to 50).map(i => i * 1234567891234L - 30000000000000L)
+    val df = samples.toDF("us")
+      .select($"us", timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Kathmandu")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val bad = df.select($"us", SparkEntry.tsMicros(df).as("got"))
+          .where($"us" =!= $"got").collect()
+        assert(bad.isEmpty,
+          s"tz=$tz: field extraction diverges at ${bad.take(3).mkString(", ")}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("NTZ watermark is rejected by this Spark build — normalization is mandatory") {
     // Empirical pin: Spark 4.1.2 refuses withWatermark on TIMESTAMP_NTZ
     // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the streaming entries MUST
