@@ -1369,6 +1369,14 @@ object SparkEntry {
       operators.Sampling.sampleToBudget(t(s, dir, "documents"),
         col("doc_id"), col("n_chars"), budget = 100000L)),
 
+    "q_group_budget" -> ((s, dir) =>
+      // Domain-balanced corpus assembly: per source, keep md5-priority
+      // docs until 3k characters (≈40% of each shipped source — the cap
+      // REALLY cuts at every sf) — one keyed exchange + per-group
+      // running sum, no global ordering anywhere.
+      operators.Sampling.capPerGroupBudget(t(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"), budget = 3000L)),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // Continuous-ingestion dedup: the corpus is 80% of documents; the
       // arriving batch is built from corpus docs verbatim (-> exact),
@@ -2543,6 +2551,17 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM documents)
         |WHERE cum <= 100000""".stripMargin,
+
+    "q_group_budget" ->
+      """SELECT grp, id, cost, cum FROM (
+        |  SELECT source AS grp, doc_id AS id, n_chars AS cost,
+        |    CAST(SUM(n_chars) OVER (
+        |      PARTITION BY source
+        |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |        || lpad(CAST(doc_id AS VARCHAR), 20, '0')
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |WHERE cum <= 3000""".stripMargin,
 
     "q_weighted_mix" -> {
       val half = operators.Sampling.thresholdHex(0.5)

@@ -185,4 +185,33 @@ object Sampling {
       .where(col("cum") <= budget)
       .select(col("id"), col("cost"), col("cum"))
   }
+
+  /** Per-GROUP budget cap — the domain-balanced sibling of
+    * [[sampleToBudget]] and the cost-weighted sibling of [[capPerGroup]]:
+    * within each group (domain, source, language…), keep rows in
+    * md5-priority order until the group's running cost total reaches
+    * `budget` — "at most a million tokens per domain", with membership a
+    * pure function of (id, salt) and the same prefix-closure property
+    * (raising the budget only adds rows). Unlike the global form this
+    * needs no distributed prefix-sum machinery: ONE keyed exchange on the
+    * group column, then a per-group running sum — each group's window is
+    * linear within its partition, which is exactly how the data already
+    * hangs together after the shuffle. Skewed giant groups cost what
+    * they cost to scan; nothing is ever collected.
+    * Output: (grp, id, cost, cum) for the kept rows.
+    */
+  def capPerGroupBudget(df: DataFrame, group: Column, id: Column, cost: Column,
+      budget: Long, salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df.select(group.as("grp"), id.cast("long").as("id"),
+        cost.cast("long").as("cost"))
+      .withColumn("__pri",
+        concat(hexKey(col("id"), salt), lpad(col("id").cast("string"), 20, "0")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("__pri")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    keyed.withColumn("cum", sum(col("cost")).over(w))
+      .where(col("cum") <= budget)
+      .select(col("grp"), col("id"), col("cost"), col("cum"))
+  }
 }

@@ -936,6 +936,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(0, 4).isEmpty)
   }
 
+  test("capPerGroupBudget: per-group bounds, prefix-closed, agrees with global form on one group") {
+    import graft.operators.Sampling
+    val df = spark.range(600).select($"id",
+      concat(lit("g"), ($"id" % 3).cast("string")).as("grp"),
+      ($"id" % 53 + 7).as("cost"))
+    def run(budget: Long) = Sampling.capPerGroupBudget(df, $"grp", $"id", $"cost", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val small = run(2000)
+    val big = run(6000)
+    // every group's kept total respects ITS budget
+    for ((g, rows) <- small.groupBy(_._1)) {
+      assert(rows.map(_._3).sum <= 2000, s"group $g exceeds budget")
+      assert(rows.nonEmpty, s"group $g empty at this budget")
+    }
+    // prefix-closed per group: bigger budget only adds rows, cum unchanged
+    assert(small.toSet.subsetOf(big.toSet))
+    // one-group input == the global sampleToBudget (same priority, same cut)
+    val one = df.where($"grp" === "g0")
+    val grouped = Sampling.capPerGroupBudget(one, $"grp", $"id", $"cost", 2000)
+      .select("id", "cost", "cum").collect().map(_.toString).sorted.toSeq
+    val global = Sampling.sampleToBudget(one, $"id", $"cost", 2000)
+      .collect().map(_.toString).sorted.toSeq
+    assert(grouped == global)
+  }
+
   test("stratified sample and per-group cap are deterministic and bounded") {
     import graft.operators.Sampling
     val df = spark.range(3000)
