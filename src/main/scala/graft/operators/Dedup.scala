@@ -781,8 +781,24 @@ object Dedup {
     * silently-wrong dedup decisions). At O(log n) convergence the default
     * cap covers any physically-storable graph; hitting it means the input
     * is pathological and the caller should see that.
+    *
+    * Small-graph fast path: when the materialized edge list has at most
+    * `driverMaxEdges` rows (default 2^20 ≈ 16 MB of (long,long) pairs —
+    * gated by an actual count of the checkpointed edges, never an
+    * estimate), components are solved in ONE collect + a driver-side
+    * union-find instead of the iterative rounds. Rationale (profiled,
+    * round 10): at small edge counts the rounds' wall time is all fixed
+    * per-round overhead — ~6 Spark jobs × ~4-6 rounds of scheduling,
+    * shuffle setup, and eager checkpoints — not data. The fast path
+    * replaces ~30 tiny jobs with 2 (one count, one collect); the labels
+    * it emits are IDENTICAL (component = min reachable id; spec-pinned
+    * equal to the distributed path on random graphs). At 100 TB the gate
+    * simply fails — a billion-pair near-dup edge set takes the
+    * large-star/small-star path untouched. Set `driverMaxEdges = 0` to
+    * force the distributed path.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Materialize the edge list ONCE before anything reads it: `edges` is
     // typically the tail of a whole LSH pipeline, and three consumers pull
@@ -793,6 +809,8 @@ object Dedup {
     val raw = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
+    if (driverMaxEdges > 0 && raw.count() <= driverMaxEdges)
+      return driverComponents(raw)
     val nodes = raw.select(col("src").as("id")).union(raw.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // Iterative DataFrames MUST truncate lineage each round
@@ -861,6 +879,38 @@ object Dedup {
       .localCheckpoint(true)
     nodes.unpersist()
     labels
+  }
+
+  /** The small-graph path of [[connectedComponents]]: one bounded collect
+    * (gated by the caller's count check — at most `driverMaxEdges` (long,
+    * long) rows reach the driver), union-find with path compression, then
+    * a second pass re-labeling every root to its component MINIMUM so the
+    * labels are bit-identical to the distributed path's star roots.
+    * Self-loop-only nodes come out as their own singleton component,
+    * matching the distributed path's `nodes` left-join + coalesce.
+    */
+  private def driverComponents(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val pairs = raw.select("src", "dst").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression: point every node on the walk at the root
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min: the smaller root wins, so every tree root IS the
+      // component minimum without a separate re-labeling aggregate
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+    spark.createDataFrame(labels).toDF("id", "component")
   }
 
   /** Cluster assignment for a whole corpus: every doc id → its component

@@ -209,7 +209,9 @@ class DedupGroupSpec extends AnyFunSuite {
     // descending-biased so nothing depends on input layout.
     val chain = scala.util.Random.shuffle((0L until 30L).map(i => (i + 1L, i)).toList)
       .toDF("id_a", "id_b")
-    val comps = connectedComponents(chain).collect()
+    // driverMaxEdges = 0 forces the distributed rounds — this test exists
+    // to pin THEIR convergence; the driver fast path would short-circuit it
+    val comps = connectedComponents(chain, driverMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 31)
     assert((0L to 30L).forall(comps(_) == 0L), s"chain must collapse to component 0, got $comps")
@@ -218,7 +220,9 @@ class DedupGroupSpec extends AnyFunSuite {
   test("connectedComponents: throws on maxIter without fixpoint instead of silent partial labels") {
     import Dedup.connectedComponents
     val chain = (0L until 30L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException](connectedComponents(chain, maxIter = 1))
+    // force the distributed path: the round cap is its safety property
+    val e = intercept[IllegalStateException](
+      connectedComponents(chain, maxIter = 1, driverMaxEdges = 0))
     assert(e.getMessage.contains("did not converge"))
   }
 
@@ -239,6 +243,22 @@ class DedupGroupSpec extends AnyFunSuite {
     val got = connectedComponents(edges.toDF("id_a", "id_b")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("connectedComponents: driver fast path and distributed rounds emit identical labels") {
+    import Dedup.connectedComponents
+    // The small-graph collect+union-find path (default gate) must be
+    // bit-identical to the large-star/small-star rounds on the same input —
+    // including self-loops (singleton components) and duplicate edges.
+    val rnd = new scala.util.Random(13)
+    val edges = (Seq.fill(300)((rnd.nextInt(250).toLong, rnd.nextInt(250).toLong)) ++
+      Seq((400L, 400L), (1L, 2L), (1L, 2L))).toDF("id_a", "id_b")
+    val fast = connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = connectedComponents(edges, driverMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, "driver fast path diverged from the distributed rounds")
+    assert(fast(400L) == 400L, "self-loop-only node must be its own singleton component")
   }
 
   test("clusters over MinHash pairs == clusters over exact pairs when LSH recall is 1.0") {
