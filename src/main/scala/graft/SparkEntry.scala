@@ -1671,6 +1671,51 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal plumbing
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.toMediaTable(t(s, dir, "documents"))).toDF()),
+
+    // ---- event analytics: funnel / retention / gap-fill / anomalies.
+    // All take epoch-micros event time (tz-free integral arithmetic);
+    // counts are integers and moments go through exact decimal sums, so
+    // every number hash-matches the oracle.
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.funnel(ev, col("user_id"), col("event_type"),
+        unix_micros(col("ts")), Seq("signup", "click", "purchase"))
+    }),
+
+    "q_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.retention(ev, col("user_id"), unix_micros(col("ts")))
+    }),
+
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.gapFillDaily(ev, col("user_id"), unix_micros(col("ts")))
+    }),
+
+    "q_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.zscoreOutliers(ev, col("event_id"), col("event_type"),
+        col("value"), z = 2.0)
+        .select(col("event_id"), col("grp").as("event_type"),
+          col("v").as("value"), col("z"))
+    }),
+
+    // ---- retrieval & corpus association
+    "q_bm25" -> ((s, dir) =>
+      operators.Retrieval.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("join", "filter", "vector"), k1 = 1.2, b = 0.75, k = 5)),
+
+    "q_pmi" -> ((s, dir) =>
+      operators.Retrieval.pmiPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        topN = 50, limit = 20)),
+
+    // ---- clustering: 2 Lloyd iterations from the deterministic
+    // lowest-id init; the oracle replays both iterations in SQL from the
+    // same init, decimal centroid means and all.
+    "q_kmeans" -> ((s, dir) =>
+      operators.Clustering.kmeansAssign(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("d2"))),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2956,6 +3001,146 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         | count(*) AS n, TRUE AS hll_ok, TRUE AS p50_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // ---- event analytics. The oracle uses raw `ts` where only ordering
+    // matters (funnel) and epoch_us(ts) where the value itself does
+    // (retention/gap-fill week/day indices — matches tsMicros).
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT c.cohort_week, uw.wk - c.cohort_week AS week_off,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |u AS (SELECT DISTINCT user_id FROM d),
+        |g AS (SELECT u.user_id, unnest(generate_series(b.d0, b.d1)) AS day FROM u, b),
+        |c AS (SELECT user_id, day, count(*) AS cnt FROM d GROUP BY 1, 2)
+        |SELECT g.user_id, g.day,
+        |  strftime(DATE '1970-01-01' + CAST(g.day AS INTEGER), '%Y-%m-%d') AS day_s,
+        |  COALESCE(c.cnt, CAST(0 AS BIGINT)) AS n
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day""".stripMargin,
+
+    // Same double expression tree as the operator (moments from exact
+    // decimal sums, then fixed-order IEEE math) → bit-identical z and an
+    // identical boundary decision.
+    "q_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS q
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - s / n) / sqrt(q / n - (s / n) * (s / n)) AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE (e.value - s / n) * (e.value - s / n)
+        |      > 4.0 * (q / n - (s / n) * (s / n))""".stripMargin,
+
+    // Double literals are printed from the SAME Scala doubles the
+    // operator uses (shortest round-trip repr), so both engines parse the
+    // identical IEEE value.
+    "q_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf FROM toks
+         |  WHERE term IN ('join', 'filter', 'vector')
+         |  GROUP BY doc_id, term, dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT count(*) AS nd,
+         |       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sdl FROM documents)
+         |SELECT term, doc_id, tf, df, dl, score, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT term, doc_id, tf, df, dl, score,
+         |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+         |  FROM (
+         |    SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, tf.dl,
+         |      ((CAST(st.nd - dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |        ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}) /
+         |          (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |            (CAST(tf.dl AS DOUBLE) / (CAST(st.sdl AS DOUBLE) / st.nd))))) AS score
+         |    FROM tf, dfreq, st WHERE tf.term = dfreq.term))
+         |WHERE rank <= 5""".stripMargin
+    },
+
+    "q_pmi" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |               unnest(string_split(text, ' ')) AS term FROM documents),
+        |top AS (SELECT term FROM (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term ORDER BY c DESC, term LIMIT 50)),
+        |ft AS (SELECT tok.doc_id, tok.term FROM tok JOIN top ON tok.term = top.term),
+        |dfreq AS (SELECT term, count(*) AS n FROM ft GROUP BY term),
+        |nd AS (SELECT count(*) AS ndocs FROM documents),
+        |pairs AS (
+        |  SELECT a.term AS tok_a, b.term AS tok_b, count(*) AS n_ab
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, da.n AS n_a, db.n AS n_b, n_ab,
+        |  CAST(n_ab * nd.ndocs AS DOUBLE) / CAST(da.n * db.n AS DOUBLE) AS lift
+        |FROM pairs JOIN dfreq da ON pairs.tok_a = da.term
+        |JOIN dfreq db ON pairs.tok_b = db.term, nd
+        |ORDER BY lift DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+
+    // Both Lloyd iterations replayed in SQL from the same lowest-id
+    // init: assignment d² uses the identical dot-product expansion (the
+    // sequential-fold dot == list_dot_product identity every similarity
+    // oracle already relies on), centroid updates are exact element means
+    // on a fixed 1e-12 grid (round → DECIMAL(28,0) → sum; a plain
+    // double→DECIMAL(28,12) cast is NOT tie-portable — see Clustering),
+    // and an emptied cluster COALESCEs to its previous centroid on both
+    // sides.
+    "q_kmeans" -> {
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT id, e, cl, d2 FROM (
+           |  SELECT id, e, cl, d2,
+           |    row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rn FROM (
+           |    SELECT dv.id, dv.e, $cents.cl,
+           |      list_dot_product(dv.e, dv.e) - 2.0 * list_dot_product(dv.e, $cents.c)
+           |        + list_dot_product($cents.c, $cents.c) AS d2
+           |    FROM dv, $cents)) WHERE rn = 1)"""
+      def updateCtes(mName: String, aName: String, oldC: String, newC: String) =
+        s"""$mName AS (SELECT cl, p.pos,
+           |  (CAST(SUM(CAST(round(e[p.pos] * 1000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+           |    / count(*)) / 1000000000000.0 AS mn
+           |  FROM $aName, UNNEST(range(1, 65)) p(pos) GROUP BY cl, p.pos),
+           |$newC AS (SELECT cl, list(v ORDER BY pos) AS c FROM (
+           |  SELECT oc.cl, oc.pos, COALESCE($mName.mn, oc.old) AS v FROM (
+           |    SELECT cl, p.pos, c[p.pos] AS old
+           |    FROM $oldC, UNNEST(range(1, 65)) p(pos)) oc
+           |  LEFT JOIN $mName ON $mName.cl = oc.cl AND $mName.pos = oc.pos)
+           |  GROUP BY cl)"""
+      s"""WITH dv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cl, e AS c
+         |       FROM (SELECT id, e FROM dv ORDER BY id LIMIT 4)),
+         |${assignCte("a0", "c0")},
+         |${updateCtes("m0", "a0", "c0", "c1")},
+         |${assignCte("a1", "c1")},
+         |${updateCtes("m1", "a1", "c1", "c2")},
+         |${assignCte("a2", "c2")}
+         |SELECT id AS vec_id, cl AS cluster, d2 FROM a2""".stripMargin
+    },
+
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB
     // equivalent) and q_dedup_minhash / q_dedup_simhash /
     // q_dedup_clusters_lsh / q_dedup_incremental (their candidate

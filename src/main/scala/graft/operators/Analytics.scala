@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: funnel conversion, cohort retention,
+  * time-series gap filling, and z-score anomaly detection — the standard
+  * product-analytics surface over an append-only event log.
+  *
+  * Scale design (100 TB event logs):
+  *  - every stage is a user- or group-keyed equi-shuffle; nothing is
+  *    all-pairs and nothing collects data to the driver;
+  *  - time is handled as epoch-micros longs (callers pass an explicit
+  *    micros column, normally `unix_micros` of the normalized `ts`), so
+  *    day/week arithmetic is integral and session-timezone-independent —
+  *    the same rule the event-time queries learned the hard way (see
+  *    `SparkEntry.tsMicros`);
+  *  - cross-row double sums go through exact DECIMAL casts, so partial
+  *    aggregation order cannot perturb a mean or variance (harness
+  *    determinism rule #1).
+  *
+  * Reference scope note: satyakalla890/columnar-format has no analytics
+  * operators at all (its surface is the COLF codec + scans); this module
+  * is part of the "engine a reference user would actually need" widening,
+  * same as the dedup/similarity families.
+  */
+object Analytics {
+
+  private val DayMicros = 86400000000L
+  private val WeekMicros = 604800000000L
+
+  /** Ordered conversion funnel: one row per step with the number of
+    * users who completed steps 1..i *in order* (each step strictly after
+    * the user's earliest completion of the previous step — the classic
+    * "first-touch" funnel).
+    *
+    * Plan: step 1 is one user-keyed min; each later step is one
+    * user-keyed equi-join against the previous step's (user, ts) frontier
+    * followed by a user-keyed min. k steps = k bounded shuffles on the
+    * user key; the frontier only ever shrinks, and AQE broadcasts it once
+    * it fits.
+    */
+  def funnel(events: DataFrame, user: Column, eventType: Column,
+             tsMicros: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(user.as("u"), eventType.as("et"), tsMicros.as("tus"))
+    var frontier = base.where(col("et") === steps.head)
+      .groupBy("u").agg(min("tus").as("tus"))
+    val perStep = scala.collection.mutable.ArrayBuffer[(Int, String, DataFrame)]()
+    perStep += ((1, steps.head, frontier))
+    for (i <- 1 until steps.length) {
+      frontier = base.where(col("et") === steps(i)).as("e")
+        .join(frontier.as("p"), col("e.u") === col("p.u"))
+        .where(col("e.tus") > col("p.tus"))
+        .select(col("e.u").as("u"), col("e.tus").as("tus"))
+        .groupBy("u").agg(min("tus").as("tus"))
+      perStep += ((i + 1, steps(i), frontier))
+    }
+    perStep.map { case (i, name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_.union(_))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their first activity; output counts distinct active users per
+    * (cohort_week, week_off) cell. All-integer epoch-week arithmetic —
+    * no calendar/timezone semantics to disagree over.
+    *
+    * Plan: one distinct on (user, week), one user-keyed min, one
+    * user-keyed join back, one grouped count — three keyed shuffles.
+    */
+  def retention(events: DataFrame, user: Column, tsMicros: Column): DataFrame = {
+    val uw = events.select(user.as("u"), tsMicros.as("tus"))
+      .select(col("u"), expr(s"tus div $WeekMicros").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("u").agg(min("wk").as("cohort_week"))
+    uw.join(cohort, "u")
+      .withColumn("week_off", col("wk") - col("cohort_week"))
+      .groupBy("cohort_week", "week_off")
+      // (u, wk) is distinct, so count(*) here IS distinct users
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-user daily activity with missing days filled as explicit zeros
+    * over the corpus-wide [min, max] day range — the densification step
+    * every downstream time-series model (and LAG/LEAD window) needs.
+    *
+    * Plan: the day-range bounds are a one-row aggregate broadcast into a
+    * `sequence` explode (never a driver-side loop); the grid is
+    * users × days, joined left against the observed daily counts on the
+    * composite key. The grid is the output size — building it IS the
+    * operator, there is nothing asymptotically smaller.
+    */
+  def gapFillDaily(events: DataFrame, user: Column, tsMicros: Column): DataFrame = {
+    val d = events.select(user.as("user_id"), tsMicros.as("tus"))
+      .select(col("user_id"), expr(s"tus div $DayMicros").as("day"))
+    val bounds = d.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = d.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val counts = d.groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+    grid.join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
+          "yyyy-MM-dd").as("day_s"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  /** Per-group z-score outliers: rows whose value deviates from the
+    * group mean by more than `z` population standard deviations, with the
+    * z-score itself. Group moments come from exact decimal sums (order-
+    * proof); the flag compares squared deviation against z²·variance —
+    * per-row IEEE double math with a fixed operation order, so the
+    * boundary decision is bit-deterministic.
+    *
+    * The group-stats side is hinted broadcast: the operator targets
+    * low-cardinality grouping columns (event types, sources, domains).
+    * For high-cardinality groups drop the hint and let AQE decide.
+    */
+  def zscoreOutliers(events: DataFrame, id: Column, group: Column,
+                     value: Column, z: Double = 2.0): DataFrame = {
+    // Moments over the exact DECIMAL(14,2) view (the money convention the
+    // TPC-H queries use). Two deliberate properties: (a) the squares' sum
+    // keeps its unscaled magnitude far below 2^53 — above that, decimal→
+    // double conversion is no longer guaranteed correctly rounded in
+    // every engine (measured: DuckDB diverges by 1 ulp at scale 12 with
+    // ~1e19 unscaled); (b) 2-dp metric values have non-terminating binary
+    // expansions, so the double→decimal cast can never land on a
+    // half-way tie (where engines disagree on the tie rule).
+    val base = events.select(id.as("event_id"), group.as("grp"), value.as("v"))
+    val stats = base.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(14,2)")).cast("double").as("s"),
+      sum(col("v").cast("decimal(14,2)") * col("v").cast("decimal(14,2)"))
+        .cast("double").as("q"))
+    val mean = col("s") / col("n")
+    val vr = col("q") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))
+    base.join(broadcast(stats), "grp")
+      .where((col("v") - mean) * (col("v") - mean) > lit(z * z) * vr)
+      .select(col("event_id"), col("grp"), col("v"),
+        ((col("v") - mean) / sqrt(vr)).as("z"))
+  }
+}

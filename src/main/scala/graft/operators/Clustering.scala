@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding column — the clustering primitive a
+  * curation pipeline uses for domain discovery, diversity sampling, and
+  * IVF-style index construction (the coarse quantizer in [[Similarity]]
+  * is the hyperplane shortcut; this is the data-adaptive version).
+  *
+  * Determinism (so the whole iteration is oracle-checkable):
+  *  - init is the k lowest-id vectors — reproducible everywhere, no RNG;
+  *  - assignment distance d² = e·e − 2·e·c + c·c is per-row IEEE double
+  *    math over the same sequential-fold dot product the similarity
+  *    operators use (bit-equal to DuckDB's `list_dot_product`), with
+  *    ties broken by cluster index;
+  *  - centroid updates are exact element-wise decimal means on a fixed
+  *    1e-12 grid (partial-aggregation order cannot perturb them; see the
+  *    tie-rule note at the update below); an emptied cluster keeps its
+  *    previous centroid.
+  *
+  * Scale: each iteration is one broadcast of the k×d centroid table into
+  * a map-side assignment plus one (cluster, dim)-keyed decimal mean —
+  * shuffle volume k·d rows, independent of corpus size. The corpus is
+  * cached across iterations; nothing data-sized reaches the driver.
+  */
+object Clustering {
+
+  /** Assignments after `iters` Lloyd iterations: (id, cluster, d2). */
+  def kmeansAssign(corpus: DataFrame, id: Column, vec: Column,
+                   k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dv = corpus.select(id.as("id"), vec.cast("array<double>").as("e")).cache()
+
+    // init: the k lowest-id vectors, cluster index in id order. The
+    // single-partition window runs over k rows, not the corpus.
+    var cents = dv.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cl"),
+        col("e").as("c"))
+
+    def assign(cs: DataFrame): DataFrame = {
+      val d2 = Similarity.dot(col("e"), col("e")) -
+        lit(2.0) * Similarity.dot(col("e"), col("c")) +
+        Similarity.dot(col("c"), col("c"))
+      val w = Window.partitionBy("id").orderBy(col("d2"), col("cl"))
+      dv.crossJoin(broadcast(cs))
+        .select(col("id"), col("e"), col("cl"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("e"), col("cl"), col("d2"))
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(cents)
+      // Exact mean at a fixed 1e-12 grid: round(x·1e12) is an
+      // integer-valued double (both engines round halves away from zero —
+      // identical), cast to DECIMAL(28,0) exactly, summed associatively.
+      // A direct double→DECIMAL(28,12) cast is NOT portable: a component
+      // that is dyadic with exactly 13 fractional digits (e.g. the real
+      // corpus value 0.1983642578125) is a half-way tie at scale 12, and
+      // Spark (HALF_UP) and DuckDB (half-even) round it apart.
+      val means = assigned
+        .select(col("cl"), posexplode(col("e")))
+        .groupBy("cl", "pos")
+        .agg(((sum(round(col("col") * lit(1.0e12)).cast("decimal(28,0)"))
+          .cast("double") / count(lit(1))) / lit(1.0e12)).as("mn"))
+      cents = cents
+        .select(col("cl"), posexplode(col("c")))
+        .select(col("cl"), col("pos"), col("col").as("old"))
+        .join(means, Seq("cl", "pos"), "left")
+        .withColumn("v", coalesce(col("mn"), col("old")))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("c"))
+    }
+    assign(cents).select(col("id"), col("cl").as("cluster"), col("d2"))
+  }
+
+  /** Cluster sizes + exact-decimal inertia after `iters` iterations. */
+  def kmeansSummary(corpus: DataFrame, id: Column, vec: Column,
+                    k: Int, iters: Int): DataFrame =
+    kmeansAssign(corpus, id, vec, k, iters)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(28,12)")).cast("double").as("inertia"))
+}

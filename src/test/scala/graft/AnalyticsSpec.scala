@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Clustering, Retrieval}
+
+/** Pins the semantics of the event-analytics, retrieval, and clustering
+  * operators on hand-built inputs where the expected answer is computable
+  * by inspection — the value-level gate is the DuckDB oracle at sf0.01;
+  * these specs pin the EDGES the oracle's data may not exercise (ordering
+  * constraints, zero-variance groups, emptied clusters, fill-zeros).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private val us = 1000000L
+
+  // ---- funnel ---------------------------------------------------------
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("u", "et", "tus")
+
+  test("funnel counts only in-order completions") {
+    // u1 completes a->b->c in order; u2 does b BEFORE a (b must not count);
+    // u3 stops after a; u4 never does a.
+    val events = ev(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "b", 5L), (2L, "a", 10L), (2L, "c", 20L),
+      (3L, "a", 10L),
+      (4L, "b", 10L), (4L, "c", 20L))
+    val out = Analytics.funnel(events, col("u"), col("et"), col("tus"),
+      Seq("a", "b", "c"))
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // step a: u1,u2,u3. step b after a: only u1. step c after that b: u1.
+    // u2's c at 20 is after their a at 10 but they never did b after a.
+    assert(out.toSeq == Seq((1, "a", 3L), (2, "b", 1L), (3, "c", 1L)))
+  }
+
+  test("funnel uses strict 'after' (same timestamp does not advance)") {
+    val events = ev((1L, "a", 10L), (1L, "b", 10L))
+    val out = Analytics.funnel(events, col("u"), col("et"), col("tus"), Seq("a", "b"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(1L, 0L))
+  }
+
+  // ---- retention ------------------------------------------------------
+
+  test("retention cohorts by first epoch-week and counts distinct users") {
+    val wk = 604800000000L
+    val events = ev(
+      (1L, "x", 0L * wk), (1L, "x", 0L * wk + 5L), (1L, "x", 2L * wk), // cohort 0, offs 0,2
+      (2L, "x", 1L * wk), (2L, "x", 2L * wk),                          // cohort 1, offs 0,1
+      (3L, "x", 1L * wk))                                              // cohort 1, off 0
+    val out = Analytics.retention(events, col("u"), col("tus"))
+      .orderBy("cohort_week", "week_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
+  // ---- gap fill -------------------------------------------------------
+
+  test("gapFillDaily emits explicit zeros over the corpus day range") {
+    val day = 86400000000L
+    val events = ev(
+      (1L, "x", 0L * day), (1L, "x", 2L * day), (1L, "x", 2L * day + 7L),
+      (2L, "x", 1L * day))
+    val out = Analytics.gapFillDaily(events, col("u"), col("tus"))
+    // 2 users x days 0..2 = 6 rows, zero-filled where absent
+    assert(out.count() == 6)
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(m((1L, 0L)) == 1L && m((1L, 1L)) == 0L && m((1L, 2L)) == 2L)
+    assert(m((2L, 0L)) == 0L && m((2L, 1L)) == 1L && m((2L, 2L)) == 0L)
+    // rendered date pairs with the epoch day
+    val d0 = out.where(col("day") === 0L).select("day_s").head().getString(0)
+    assert(d0 == "1970-01-01")
+  }
+
+  // ---- z-score outliers ----------------------------------------------
+
+  test("zscoreOutliers flags beyond z sigma and skips zero-variance groups") {
+    val rows = (1 to 99).map(i => (i.toLong, "g", 10.0)) :+ (100L, "g", 1000.0)
+    val flat = (1 to 50).map(i => (1000L + i, "flat", 7.0))
+    val df = (rows ++ flat).toDF("id", "grp", "v")
+    val out = Analytics.zscoreOutliers(df, col("id"), col("grp"), col("v"), z = 2.0)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L))
+    assert(out.head.getDouble(3) > 2.0) // the z value itself
+  }
+
+  // ---- bm25 -----------------------------------------------------------
+
+  test("bm25 ranks higher-tf shorter docs first and respects k") {
+    val docs = Seq(
+      (1L, "join join join pad"),
+      (2L, "join pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad"),
+      (4L, "join join pad pad")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("join"), k = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    // doc 1: tf=3 dl=4; doc 4: tf=2 dl=4; doc 2: tf=1 dl=8 — top-2 is 1 then 4
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L))
+    assert(out.map(r => r.getInt(6)).toSeq == Seq(1, 2))
+    // df counts docs containing the term (3), not occurrences (6)
+    assert(out.head.getLong(3) == 3L)
+  }
+
+  test("bm25 idf favors rarer terms at equal tf/dl") {
+    val docs = Seq(
+      (1L, "common rare x x"),
+      (2L, "common x x x"),
+      (3L, "common x x x")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("common", "rare"))
+      .where(col("doc_id") === 1L).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(out("rare") > out("common"))
+  }
+
+  // ---- pmi ------------------------------------------------------------
+
+  test("pmi lift separates attracting from repelling pairs") {
+    // a,b always together (4 docs); c alone in 4 other docs; filler 'z'
+    // everywhere keeps all tokens in the top-N vocabulary.
+    val docs = (1 to 4).map(i => (i.toLong, "a b z")) ++
+      (5 to 8).map(i => (i.toLong, "c z"))
+    val out = Retrieval.pmiPairs(docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      topN = 10, limit = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // lift(a,b) = 8*4/(4*4) = 2.0 ; lift(a,z) = 8*4/(4*8) = 1.0
+    assert(out((("a"), ("b"))) == 2.0)
+    assert(out((("a"), ("z"))) == 1.0)
+    // (a,c) never co-occur: no row at all
+    assert(!out.contains(("a", "c")))
+  }
+
+  // ---- kmeans ---------------------------------------------------------
+
+  private def blobs = {
+    // two tight blobs far apart; ids 1,2 (blob A) seed both init centroids
+    // of k=2 when k picks lowest ids — iteration must still separate them.
+    val a = Seq(1L -> 0.0, 2L -> 0.1, 3L -> 0.05, 4L -> 0.02)
+    val b = Seq(11L -> 100.0, 12L -> 100.1, 13L -> 100.05)
+    (a ++ b).map { case (id, x) => (id, Seq(x.toFloat, (x + 1).toFloat)) }
+      .toDF("id", "vec")
+  }
+
+  test("kmeans separates well-spread blobs and assigns every point once") {
+    val out = Clustering.kmeansAssign(blobs, col("id"), col("vec"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 7)
+    val aCl = Set(1L, 2L, 3L, 4L).map(out)
+    val bCl = Set(11L, 12L, 13L).map(out)
+    assert(aCl.size == 1 && bCl.size == 1 && aCl != bCl)
+  }
+
+  test("kmeans iters=0 assigns to the lowest-id init centroids directly") {
+    val out = Clustering.kmeansAssign(blobs, col("id"), col("vec"), k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // init centroids are vectors of ids 1 (cl 0) and 2 (cl 1); id 1 is its
+    // own centroid at distance 0
+    assert(out(1L)._1 == 0 && out(1L)._2 == 0.0)
+    assert(out(2L)._1 == 1 && out(2L)._2 == 0.0)
+    // the far blob is closer to 0.1 (cl 1) than 0.0 (cl 0)
+    assert(Set(11L, 12L, 13L).forall(out(_)._1 == 1))
+  }
+
+  test("kmeans is invariant to input partitioning") {
+    val a = Clustering.kmeansAssign(blobs, col("id"), col("vec"), k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val b = Clustering.kmeansAssign(blobs.repartition(7), col("id"), col("vec"),
+      k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("kmeans keeps the previous centroid for an emptied cluster") {
+    // k=2 over two identical points: init centroids equal; every point
+    // ties to cl 0, cluster 1 empties — the run must not throw and all
+    // points stay in cluster 0 with a finite d2.
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val out = Clustering.kmeansAssign(df, col("id"), col("vec"), k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.forall(_._2 == 0) && out.length == 2)
+  }
+
+  test("kmeansSummary sizes sum to the corpus") {
+    val out = Clustering.kmeansSummary(blobs, col("id"), col("vec"), k = 2, iters = 2)
+      .agg(sum("n")).head().getLong(0)
+    assert(out == 7L)
+  }
+}
