@@ -1700,6 +1700,34 @@ object SparkEntry {
           col("v").as("value"), col("z"))
     }),
 
+    "q_funnel_window" -> ((s, dir) => {
+      // same funnel, each conversion confined to a 3-day horizon after
+      // the previous step's first completion
+      val ev = events(s, dir)
+      operators.Analytics.funnel(ev, col("user_id"), col("event_type"),
+        unix_micros(col("ts")), Seq("signup", "click", "purchase"),
+        horizonMicros = Some(259200000000L))
+    }),
+
+    "q_corr" -> ((s, dir) =>
+      operators.Analytics.pearson(t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), col("l_discount"))
+        .select(col("grp").as("l_returnflag"), col("n"), col("corr"))),
+
+    // ---- graph: PageRank over the symmetric customer↔supplier trade
+    // graph (who trades with whom via lineitem⋈orders). Key spaces are
+    // mapped to disjoint ids (cust → 2k, supp → 2k+1). 2 power
+    // iterations, both replayed in the oracle SQL.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val or = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+      operators.Graph.pagerank(edges, col("src"), col("dst"), iters = 2)
+    }),
+
     // ---- retrieval & corpus association
     "q_bm25" -> ((s, dir) =>
       operators.Retrieval.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -3052,6 +3080,64 @@ object SparkEntry {
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE (e.value - s / n) * (e.value - s / n)
         |      > 4.0 * (q / n - (s / n) * (s / n))""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |         AND epoch_us(e.ts) <= s1.t + 259200000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |         AND epoch_us(e.ts) <= s2.t + 259200000000 GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+        |FROM m""".stripMargin,
+
+    // Both power iterations replayed: uniform 1/N start, contribution
+    // sums on the 1e-12 decimal grid, damping blend with literals printed
+    // from the operator's own doubles. Dangling mass leaks on both sides
+    // identically (the documented simplified variant).
+    "q_pagerank" -> {
+      val d = 0.85
+      def iterCtes(cN: String, pOld: String, pNew: String) =
+        s"""$cN AS (SELECT e.dst AS node,
+           |  CAST(SUM(CAST(round((p.pr / dg.deg) * 1000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+           |    / 1000000000000.0 AS m
+           |  FROM e JOIN deg dg ON e.src = dg.src JOIN $pOld p ON e.src = p.node
+           |  GROUP BY 1),
+           |$pNew AS (SELECT nodes.node,
+           |  ${1.0 - d} / nn.n + $d * COALESCE($cN.m, 0.0) AS pr
+           |  FROM nodes LEFT JOIN $cN ON nodes.node = $cN.node, nn)"""
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, sp AS dst FROM pairs
+         |      UNION SELECT sp, c FROM pairs),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+         |${iterCtes("c0", "p0", "p1")},
+         |${iterCtes("c1", "p1", "p2")}
+         |SELECT node, pr FROM p2""".stripMargin
+    },
 
     // Double literals are printed from the SAME Scala doubles the
     // operator uses (shortest round-trip repr), so both engines parse the

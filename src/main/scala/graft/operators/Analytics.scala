@@ -41,7 +41,8 @@ object Analytics {
     * it fits.
     */
   def funnel(events: DataFrame, user: Column, eventType: Column,
-             tsMicros: Column, steps: Seq[String]): DataFrame = {
+             tsMicros: Column, steps: Seq[String],
+             horizonMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val base = events.select(user.as("u"), eventType.as("et"), tsMicros.as("tus"))
     var frontier = base.where(col("et") === steps.head)
@@ -49,9 +50,14 @@ object Analytics {
     val perStep = scala.collection.mutable.ArrayBuffer[(Int, String, DataFrame)]()
     perStep += ((1, steps.head, frontier))
     for (i <- 1 until steps.length) {
+      // strict "after", optionally within a per-step conversion horizon
+      val within = horizonMicros match {
+        case Some(h) => col("e.tus") <= col("p.tus") + lit(h)
+        case None    => lit(true)
+      }
       frontier = base.where(col("et") === steps(i)).as("e")
         .join(frontier.as("p"), col("e.u") === col("p.u"))
-        .where(col("e.tus") > col("p.tus"))
+        .where(col("e.tus") > col("p.tus") && within)
         .select(col("e.u").as("u"), col("e.tus").as("tus"))
         .groupBy("u").agg(min("tus").as("tus"))
       perStep += ((i + 1, steps(i), frontier))
@@ -105,6 +111,29 @@ object Analytics {
         date_format(date_add(to_date(lit("1970-01-01")), col("day").cast("int")),
           "yyyy-MM-dd").as("day_s"),
         coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  /** Per-group Pearson correlation between two 2-dp metric columns, from
+    * exact DECIMAL(14,2)-view moments (see [[zscoreOutliers]] for why
+    * this scale: tie-free casts, decimal→double conversions stay far
+    * below 2^53). The final ratio is fixed-order IEEE math; a
+    * zero-variance group yields the IEEE quotient (NaN/±Inf) rather than
+    * an arbitrary sentinel.
+    */
+  def pearson(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val d = df.select(group.as("grp"),
+      x.cast("decimal(14,2)").as("x"), y.cast("decimal(14,2)").as("y"))
+    val m = d.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    m.select(col("grp"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
   }
 
   /** Per-group z-score outliers: rows whose value deviates from the

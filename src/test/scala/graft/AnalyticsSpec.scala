@@ -47,6 +47,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 0L))
   }
 
+  test("funnel horizon caps the conversion window per step") {
+    // u1 converts within the horizon; u2's b lands after it
+    val events = ev(
+      (1L, "a", 0L), (1L, "b", 50L),
+      (2L, "a", 0L), (2L, "b", 200L))
+    val out = Analytics.funnel(events, col("u"), col("et"), col("tus"),
+      Seq("a", "b"), horizonMicros = Some(100L))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(2L, 1L))
+    // horizon boundary is inclusive
+    val edge = Analytics.funnel(ev((3L, "a", 0L), (3L, "b", 100L)),
+      col("u"), col("et"), col("tus"), Seq("a", "b"), Some(100L))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(edge.toSeq == Seq(1L, 1L))
+  }
+
   // ---- retention ------------------------------------------------------
 
   test("retention cohorts by first epoch-week and counts distinct users") {
@@ -89,6 +105,54 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(100L))
     assert(out.head.getDouble(3) > 2.0) // the z value itself
+  }
+
+  // ---- pearson --------------------------------------------------------
+
+  test("pearson detects perfect positive and negative correlation") {
+    val rows = Seq(
+      ("pos", 1.0, 2.0), ("pos", 2.0, 4.0), ("pos", 3.0, 6.0),
+      ("neg", 1.0, 3.0), ("neg", 2.0, 2.0), ("neg", 3.0, 1.0),
+      ("mix", 1.0, 1.0), ("mix", 2.0, 5.0), ("mix", 3.0, 2.0))
+      .toDF("g", "x", "y")
+    val out = Analytics.pearson(rows, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("pos") - 1.0) < 1e-12)
+    assert(math.abs(out("neg") + 1.0) < 1e-12)
+    assert(out("mix") > -1.0 && out("mix") < 1.0)
+  }
+
+  // ---- pagerank -------------------------------------------------------
+
+  test("pagerank gives the hub of a star more mass than its leaves") {
+    // undirected star: center 0 <-> leaves 1..4
+    val edges = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("s", "d")
+    val out = operators.Graph.pagerank(edges, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 4L).forall(l => out(0L) > out(l)))
+    // symmetric leaves score identically
+    assert((2L to 4L).forall(l => out(l) == out(1L)))
+  }
+
+  test("pagerank duplicate edges collapse and iters=0 is uniform") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d")
+    val out0 = operators.Graph.pagerank(edges, col("s"), col("d"), iters = 0)
+      .collect().map(_.getDouble(1)).distinct
+    assert(out0.toSeq == Seq(0.5))
+    // duplicated 1->2 must not double 2's mass: symmetric 2-cycle stays
+    // symmetric after an iteration
+    val out1 = operators.Graph.pagerank(edges, col("s"), col("d"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out1(1L) == out1(2L))
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("s", "d")
+    val a = operators.Graph.pagerank(edges, col("s"), col("d"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = operators.Graph.pagerank(edges.repartition(5), col("s"), col("d"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
   }
 
   // ---- bm25 -----------------------------------------------------------
