@@ -108,6 +108,23 @@ object SparkEntry {
   /** Exact 2-dp decimal view of a money-ish double column. */
   private def dec2(c: Column): Column = c.cast("decimal(14,2)")
 
+  /** Shared by q_funnel AND q_stream_funnel: batch and streaming funnels
+    * must produce identical step counts.
+    */
+  private val FunnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+      |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+      |  (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
   /** Order-insensitive exact sum of a 2-dp double, surfaced as double. */
   private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
 
@@ -1084,6 +1101,34 @@ object SparkEntry {
       s.read.parquet(sink)
     }),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // Incremental view maintenance over the CDC surface: a versioned
+      // table (append → DV delete → DV update), a grouped aggregate
+      // computed at v1, then MAINTAINED from the row-level diff instead
+      // of re-aggregated — O(changed rows) refresh. The oracle
+      // recomputes the aggregate from the FINAL state; the maintained
+      // result must equal it bit-for-bit (decimal sums end to end).
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val out = work("q_incremental_agg")
+      rmDir(out)
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"))
+        .write.format("colf").option("manifest", "true")
+        .option("maxRowsPerFile", "400").mode("append").save(out)   // v1
+      s.conf.set("spark.colf.dml.mode", "merge-on-read")
+      try {
+        s.sql(s"DELETE FROM colf_cat.`$out` WHERE c_custkey % 10 = 3")          // v2
+        s.sql(s"UPDATE colf_cat.`$out` SET c_acctbal = c_acctbal * 2 " +
+          s"WHERE c_custkey % 10 = 4")                                          // v3
+      } finally s.conf.unset("spark.colf.dml.mode")
+      val base = s.read.format("colf").option("versionAsOf", 1).load(out)
+      val changes = sources.colf.ColfMaintenance.diffVersions(s, out, from = 1)
+      operators.Incremental.maintainSumCount(base, changes, col("change"),
+        col("c_custkey") % 10, col("c_acctbal"))
+        .select(col("grp"), col("n"), col("sum_val").as("sum_bal"))
+    }),
+
     "q_colf_version_diff" -> ((s, dir) => {
       // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
       // diffVersions(1) must tag exactly the odd div-3 rows `added` and
@@ -1698,6 +1743,44 @@ object SparkEntry {
         col("value"), z = 2.0)
         .select(col("event_id"), col("grp").as("event_type"),
           col("v").as("value"), col("z"))
+    }),
+
+    "q_stream_funnel" -> ((s, dir) => {
+      // STREAMING ordered funnel (StreamingOps.funnelStream): per-user
+      // deepest in-order step via watermark-bounded state, drained with
+      // the sentinel pattern (derived time, same single-batch assumption
+      // as the other stream entries), then step counts aggregated from
+      // the per-user depths. The oracle is the BATCH funnel SQL —
+      // streaming and batch must agree. Micros ride alongside the
+      // watermarked ts so strict-after comparisons keep full precision.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+      val steps = Seq("signup", "click", "purchase")
+      val base = ev.select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("t_us"))
+      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val inDir = work("q_stream_funnel_in")
+      base.where(col("event_type").isin(steps: _*))
+        .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit(steps.head).as("event_type"),
+          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
+          lit((maxMs + 86400000L) * 1000L).as("t_us")))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        .withWatermark("ts", "0 seconds")
+      val res = streaming.StreamingOps.funnelStream(stream,
+        "user_id", "event_type", "ts", "t_us", steps)
+      val qname = s"graft_stream_funnel_${System.nanoTime()}"
+      val query = res.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      // depth rows are emitted per INCREASE; max per user = final depth
+      val deep = s.table(qname).where(col("user_id") >= 0)
+        .groupBy("user_id").agg(max("deepest").as("deepest"))
+      steps.zipWithIndex.map { case (name, i) =>
+        deep.where(col("deepest") >= i + 1).agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
+      }.reduce(_.union(_))
     }),
 
     "q_funnel_window" -> ((s, dir) => {
@@ -3032,19 +3115,10 @@ object SparkEntry {
     // ---- event analytics. The oracle uses raw `ts` where only ordering
     // matters (funnel) and epoch_us(ts) where the value itself does
     // (retention/gap-fill week/day indices — matches tsMicros).
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
-        |SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
-        |  (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "q_funnel" -> FunnelOracleSql,
+
+    // streaming funnel must agree with the batch funnel — same oracle
+    "q_stream_funnel" -> FunnelOracleSql,
 
     "q_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
@@ -3080,6 +3154,15 @@ object SparkEntry {
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE (e.value - s / n) * (e.value - s / n)
         |      > 4.0 * (q / n - (s / n) * (s / n))""".stripMargin,
+
+    // Maintained aggregate == recompute of the final table state (after
+    // the %10=3 delete and the %10=4 doubling), from the source parquet.
+    "q_incremental_agg" ->
+      """SELECT CAST(c_custkey % 10 AS INTEGER) AS grp, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
+        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |GROUP BY 1""".stripMargin,
 
     "q_funnel_window" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events

@@ -32,16 +32,20 @@ object Graph {
   def pagerank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges.select(src.as("src"), dst.as("dst")).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val e = edges.select(src.as("src"), dst.as("dst")).distinct()
+    // (src, dst, deg) materialized ONCE: the degree join would otherwise
+    // re-shuffle the (large) edge list every iteration — per-iteration
+    // cost drops to one src-keyed rank join + one dst-keyed sum.
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .cache()
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge set")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (_ <- 0 until iters) {
-      val contrib = e
-        .join(outdeg, "src")
+      val contrib = eDeg
         .join(pr.select(col("node").as("src"), col("pr")), "src")
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
       val sums = contrib.groupBy("node")

@@ -128,6 +128,84 @@ object StreamingOps {
       }(stateEnc, Encoders.row(outSchema))
   }
 
+  /** Per-user state for [[funnelStream]]: step events not yet finalized by
+    * the watermark as (stepIdx, tsMicros, tsMs), and the earliest in-order
+    * completion frontier (micros; Long.MaxValue = step unreached). Public
+    * for kryo.
+    */
+  final case class FunnelBuf(pending: List[(Int, Long, Long)],
+                             frontier: List[Long])
+
+  /** STREAMING ordered funnel: per-user deepest step completed *in order*
+    * (strict-after, identical to [[graft.operators.Analytics.funnel]]'s
+    * frontier semantics — the batch operator is the oracle). Emits an
+    * append row `(user, deepest)` every time a user's depth INCREASES;
+    * the consumer takes `max(deepest)` per user (the rows are monotone, so
+    * the latest is the max). A funnel never logically closes — a user may
+    * convert arbitrarily late — so state is NEVER finalized-and-dropped
+    * on watermark passage: an early "drain" design measured here emitted
+    * depth-1 rows and then lost the frontier, breaking batch parity the
+    * moment a conversion spanned a microbatch boundary. State per user is
+    * the pending buffer (bounded by the watermark delay) plus k longs; at
+    * 100 TB the per-key floor is the same one any keyed aggregate pays,
+    * with an optional upstream TTL if the user space is unbounded.
+    *
+    * Exactness under the watermark contract: events are buffered until
+    * ripe (event-time ms ≤ watermark) and folded in ascending MICROS
+    * order — `tsMicros` rides alongside the watermarked Timestamp column
+    * precisely so sub-millisecond orderings (which the strict-after
+    * comparison can hinge on) are preserved. Ripeness gates only WHEN a
+    * fold happens, never its order: by the watermark contract every
+    * later-arriving event has a later event time than everything already
+    * folded, and the frontier is min-monotone (each step's entry is fixed
+    * by the first in-order completion), so incremental folding equals the
+    * batch fold. Late data (arriving after the watermark passed it) folds
+    * on arrival — best-effort, the standard tradeoff.
+    */
+  def funnelStream(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tsMicrosCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    val Unset = Long.MaxValue
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.toMap
+    val filtered = events.where(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__et"),
+        col(tsCol).as("__ts"), col(tsMicrosCol).as("__us"))
+    val envSchema = filtered.schema
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("deepest", IntegerType)))
+
+    implicit val stateEnc: Encoder[FunnelBuf] = Encoders.kryo[FunnelBuf]
+    filtered.as(Encoders.row(envSchema))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelBuf, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: Long, it: Iterator[Row], state: GroupState[FunnelBuf]) =>
+          val st = state.getOption.getOrElse(FunnelBuf(Nil, List.fill(k)(Unset)))
+          val inc = it.toList.map { r =>
+            (stepIdx(r.getString(1)), r.getLong(3),
+              r.getAs[java.sql.Timestamp](2).getTime)
+          }
+          val all = st.pending ++ inc
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = all.partition(_._3 <= wm)
+          val frontier = st.frontier.toArray
+          val prevDeepest = frontier.takeWhile(_ != Unset).length
+          ripe.sortBy(e => (e._2, e._1)).foreach { case (i, tus, _) =>
+            val prevOk = i == 0 || (frontier(i - 1) != Unset && tus > frontier(i - 1))
+            if (prevOk && tus < frontier(i)) frontier(i) = tus
+          }
+          val deepest = frontier.takeWhile(_ != Unset).length
+          state.update(FunnelBuf(pending, frontier.toList))
+          // a pending buffer needs a wake-up once the watermark passes it,
+          // even if this user never sees another event
+          if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          if (deepest > prevDeepest) Iterator(Row(u, deepest)) else Iterator.empty
+      }(stateEnc, Encoders.row(outSchema))
+  }
+
   /** Streaming exact dedup: emit the first row seen per key, suppress every
     * later occurrence — state persists across microbatches, so a key seen
     * in batch 1 stays suppressed in batch 1000. The canonical use is
