@@ -1792,6 +1792,25 @@ object SparkEntry {
         horizonMicros = Some(259200000000L))
     }),
 
+    "q_skyline" -> ((s, dir) =>
+      operators.Analytics.skyline2D(t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+        .select(col("grp").as("l_returnflag"), col("x").as("qty"),
+          col("y").as("price"))),
+
+    "q_abtest" -> ((s, dir) => {
+      // A/B: even- vs odd-id users; "success" = the user's biggest
+      // purchase tops 300 (every user HAS a purchase at this event
+      // density, so plain did-purchase conversion is the degenerate
+      // 100%/100% case the z-test guard nulls out)
+      val ev = events(s, dir)
+      val users = ev.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase", col("value"))).as("mpv"))
+      operators.Analytics.twoProportionZTest(users,
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"),
+        col("mpv") > 300.0, labelA = "even", labelB = "odd")
+    }),
+
     "q_corr" -> ((s, dir) =>
       operators.Analytics.pearson(t(s, dir, "lineitem"), col("l_returnflag"),
         col("l_quantity"), col("l_discount"))
@@ -3179,6 +3198,39 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    // Per-x max reduction + strictly-greater-x running max: the same
+    // window shape on both sides, no arithmetic beyond comparisons.
+    "q_skyline" ->
+      """SELECT l_returnflag, qty, price FROM (
+        |  SELECT grp AS l_returnflag, x AS qty, y AS price,
+        |    max(y) OVER (PARTITION BY grp ORDER BY x DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM (SELECT l_returnflag AS grp, l_quantity AS x,
+        |          max(l_extendedprice) AS y
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE pm IS NULL OR price > pm""".stripMargin,
+
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN value END) AS mpv
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND mpv > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND mpv > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+        |  FROM u)
+        |SELECT n_a, k_a, n_b, k_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0 AND k_a + k_b < n_a + n_b
+        |    THEN (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) /
+        |      sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / n_a + 1.0 / n_b))
+        |  END AS z
+        |FROM c""".stripMargin,
 
     "q_corr" ->
       """WITH m AS (

@@ -113,6 +113,56 @@ object Analytics {
         coalesce(col("cnt"), lit(0L)).as("n"))
   }
 
+  /** Per-group 2D Pareto frontier (skyline), both dimensions maximized:
+    * rows no other row in the group weakly dominates. Spark-first shape:
+    * a (group, x)-keyed max-y reduction first — only per-x maxima can
+    * survive, which collapses the candidate set to |distinct x| rows and
+    * makes the frontier pass a per-GROUP window (running max of y over
+    * strictly-greater x), never a self-join and never a global sort. For
+    * an astronomically wide single group, range-partition x and prefilter
+    * per range with the same reduction — the window itself stays the
+    * last, tiny step.
+    */
+  def skyline2D(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.select(group.as("grp"), x.as("x"), y.as("y"))
+      .groupBy("grp", "x").agg(max("y").as("y"))
+    val w = Window.partitionBy("grp").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX.withColumn("pm", max("y").over(w))
+      .where(col("pm").isNull || col("y") > col("pm"))
+      .select(col("grp"), col("x"), col("y"))
+  }
+
+  /** Two-proportion z-test between variants `labelA` and `labelB` (the
+    * standard A/B significance check): one aggregation pass produces the
+    * four integer counts, then fixed-order IEEE math yields the pooled
+    * z — bit-deterministic, so the whole test is oracle-checkable. One
+    * output row: (n_a, k_a, n_b, k_b, z). Degenerate inputs (an empty
+    * arm, or 0%/100% pooled conversion — where the statistic is 0/0)
+    * yield NULL z instead of a runtime error: ANSI Spark throws on ANY
+    * division by zero, doubles included, and engines disagree on what
+    * 0/0 "should" be, so the guard is both robustness and portability.
+    */
+  def twoProportionZTest(df: DataFrame, variant: Column, success: Column,
+                         labelA: String, labelB: String): DataFrame = {
+    val counts = df.agg(
+      sum(when(variant === labelA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(variant === labelA && success, 1L).otherwise(0L)).as("k_a"),
+      sum(when(variant === labelB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(variant === labelB && success, 1L).otherwise(0L)).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val ks = col("k_a") + col("k_b")
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      ks > 0 && ks < col("n_a") + col("n_b")
+    counts.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      when(defined, (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"))
+  }
+
   /** Per-group Pearson correlation between two 2-dp metric columns, from
     * exact DECIMAL(14,2)-view moments (see [[zscoreOutliers]] for why
     * this scale: tie-free casts, decimal→double conversions stay far

@@ -122,6 +122,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("mix") > -1.0 && out("mix") < 1.0)
   }
 
+  // ---- skyline --------------------------------------------------------
+
+  test("skyline2D keeps exactly the non-dominated per-group frontier") {
+    val pts = Seq(
+      ("g", 1.0, 9.0), ("g", 5.0, 5.0), ("g", 9.0, 1.0), // frontier
+      ("g", 4.0, 4.0),  // dominated by (5,5)
+      ("g", 5.0, 3.0),  // same x as (5,5), lower y
+      ("g", 1.0, 8.0),  // same x as (1,9), lower y
+      ("h", 2.0, 2.0))  // other group: alone => frontier
+      .toDF("g", "x", "y")
+    val out = Analytics.skyline2D(pts, col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(out == Set(("g", 1.0, 9.0), ("g", 5.0, 5.0), ("g", 9.0, 1.0), ("h", 2.0, 2.0)))
+  }
+
+  // ---- two-proportion z-test -----------------------------------------
+
+  test("twoProportionZTest computes the pooled z from exact counts") {
+    // A: 3/4 convert; B: 1/4 convert
+    val rows = Seq(
+      ("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false)).toDF("v", "s")
+    val r = Analytics.twoProportionZTest(rows, col("v"), col("s"), "A", "B").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 4L, 1L)))
+    val (pa, pb, pp) = (0.75, 0.25, 0.5)
+    val expected = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert(r.getDouble(4) == expected)
+  }
+
+  test("twoProportionZTest nulls z on degenerate 100% conversion instead of throwing") {
+    val rows = Seq(("A", true), ("A", true), ("B", true)).toDF("v", "s")
+    val r = Analytics.twoProportionZTest(rows, col("v"), col("s"), "A", "B").head()
+    assert(r.isNullAt(4))
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank gives the hub of a star more mass than its leaves") {
