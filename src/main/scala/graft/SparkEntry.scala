@@ -1792,6 +1792,17 @@ object SparkEntry {
         horizonMicros = Some(259200000000L))
     }),
 
+    "q_expectations" -> ((s, dir) =>
+      // ingest-gate checks over documents: three row predicates in ONE
+      // scan + a key-uniqueness constraint; lang_known is deliberately
+      // narrow so the report exercises a FAILING check too
+      operators.Expectations.check(t(s, dir, "documents"),
+        rowChecks = Seq(
+          "text_not_null" -> col("text").isNotNull,
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("en", "zh")),
+        uniqueKeys = Seq("doc_id_unique" -> Seq(col("doc_id"))))),
+
     "q_skyline" -> ((s, dir) =>
       operators.Analytics.skyline2D(t(s, dir, "lineitem"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))
@@ -3198,6 +3209,28 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    // NULL predicate is not a violation (CASE ELSE 0 both sides).
+    "q_expectations" ->
+      """SELECT 'text_not_null' AS check_name, count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN NOT (text IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  CAST(SUM(CASE WHEN NOT (text IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars_consistent', count(*),
+        |  CAST(SUM(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang_known', count(*),
+        |  CAST(SUM(CASE WHEN NOT (lang IN ('en', 'zh')) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN NOT (lang IN ('en', 'zh')) THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc_id_unique', count(*),
+        |  count(*) - count(DISTINCT doc_id),
+        |  count(*) - count(DISTINCT doc_id) = 0
+        |FROM documents""".stripMargin,
 
     // Per-x max reduction + strictly-greater-x running max: the same
     // window shape on both sides, no arithmetic beyond comparisons.

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations (the Deequ/Great-Expectations idiom): declare
+  * row-level predicates and key-uniqueness constraints, get back one
+  * violation-count report row per check. The gate a production ingest
+  * runs BEFORE publishing a snapshot — the engine-side generalization of
+  * the harness's own testdata contract preflight.
+  *
+  * Scale design: ALL row-level checks evaluate in ONE scan (a single
+  * aggregate computes every (rows, violations) pair, then unpivots via an
+  * inline array — adding a check adds a column to one agg, not a pass
+  * over 100 TB). Each uniqueness check is one keyed count — the shuffle
+  * that constraint fundamentally needs.
+  *
+  * Null semantics (documented, mirrored by the oracle): a row where the
+  * predicate evaluates to NULL is NOT a violation of that check — pair a
+  * not-null expectation with value checks, don't overload them.
+  */
+object Expectations {
+
+  /** Report columns: (check_name, n_rows, n_violations, pass). */
+  def check(df: DataFrame,
+            rowChecks: Seq[(String, Column)],
+            uniqueKeys: Seq[(String, Seq[Column])] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty, "no checks declared")
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (rowChecks.nonEmpty) {
+      val aggs = count(lit(1)).as("__n") +: rowChecks.map { case (name, p) =>
+        sum(when(!p, 1L).otherwise(0L)).as(s"__v_$name")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = rowChecks.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col("__n").as("n_rows"),
+          col(s"__v_$name").as("n_violations"))
+      }
+      parts += one.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.check_name"), col("e.n_rows"), col("e.n_violations"))
+    }
+    uniqueKeys.foreach { case (name, keys) =>
+      parts += df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          (sum(col("c")) - count(lit(1))).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+    }
+    parts.reduce(_.union(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

@@ -122,6 +122,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("mix") > -1.0 && out("mix") < 1.0)
   }
 
+  // ---- expectations ---------------------------------------------------
+
+  test("expectations report counts violations per check; null predicate is not a violation") {
+    val df = Seq(
+      (1L, Some("abc"), 3),
+      (2L, Some("xy"), 5),         // n_chars wrong
+      (3L, None: Option[String], 0), // null text: not_null violated,
+                                     // n_chars check NULL -> no violation
+      (1L, Some("q"), 1))            // duplicate key
+      .toDF("id", "text", "n_chars")
+    val out = operators.Expectations.check(df,
+      rowChecks = Seq(
+        "not_null" -> col("text").isNotNull,
+        "len_ok" -> (col("n_chars") === length(col("text")))),
+      uniqueKeys = Seq("id_unique" -> Seq(col("id"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("not_null") == ((4L, 1L, false)))
+    assert(out("len_ok") == ((4L, 1L, false)))   // only row 2; row 3 is NULL
+    assert(out("id_unique") == ((4L, 1L, false)))
+  }
+
+  test("expectations pass on a clean table") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val out = operators.Expectations.check(df,
+      rowChecks = Seq("not_null" -> col("text").isNotNull),
+      uniqueKeys = Seq("id_unique" -> Seq(col("id"))))
+      .collect()
+    assert(out.forall(_.getBoolean(3)))
+  }
+
   // ---- skyline --------------------------------------------------------
 
   test("skyline2D keeps exactly the non-dominated per-group frontier") {
