@@ -28,7 +28,7 @@ object Bench {
     "q_dedup_semantic", "q_heavy_hitters", "q_quality_classifier",
     "q_split_safe", "q_sample_budget",
     "q_funnel", "q_retention", "q_anomaly", "q_bm25", "q_kmeans",
-    "q_pagerank",
+    "q_pagerank", "q_skyline", "q_corr", "q_incremental_agg", "q_moving_avg",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -1792,6 +1792,25 @@ object SparkEntry {
         horizonMicros = Some(259200000000L))
     }),
 
+    "q_moving_avg" -> ((s, dir) => {
+      // 7-day RANGE-frame moving sum/avg per event type over the daily
+      // series — the frame is day-VALUE based (range), not row based, so
+      // missing days genuinely shrink the window. Decimal sums inside the
+      // frame, one double division at the end.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val daily = ev
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+        .select(col("event_type"), expr("tus div 86400000000").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+      val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("event_type"), col("day"),
+        sum("n").over(w).as("n7"),
+        sum(col("s")).over(w).cast("double").as("sum7"),
+        (sum(col("s")).over(w).cast("double") / sum("n").over(w)).as("avg7"))
+    }),
+
     "q_expectations" -> ((s, dir) =>
       // ingest-gate checks over documents: three row predicates in ONE
       // scan + a key-uniqueness constraint; lang_known is deliberately
@@ -3209,6 +3228,18 @@ object SparkEntry {
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  SUM(n) OVER w AS n7,
+        |  CAST(SUM(s) OVER w AS DOUBLE) AS sum7,
+        |  CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w AS avg7
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // NULL predicate is not a violation (CASE ELSE 0 both sides).
     "q_expectations" ->
