@@ -1846,6 +1846,53 @@ object SparkEntry {
         col("l_quantity"), col("l_discount"))
         .select(col("grp").as("l_returnflag"), col("n"), col("corr"))),
 
+    // ---- sequence / basket / dimension-history analytics (wave 3).
+    // All event-time inputs go through the normalized `events` view; every
+    // per-user ordering is made strict and total with event_id as the
+    // tie-break (equal timestamps otherwise make lead() pairing
+    // partitioning-dependent — the counts would flap run to run).
+    "q_transitions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.transitions(ev, col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"))
+    }),
+
+    "q_basket_lift" -> ((s, dir) =>
+      operators.Analytics.cooccurrence(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minPairs = 2L)),
+
+    "q_scd2" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.scd2(ev, col("user_id"), unix_micros(col("ts")),
+        col("event_id"),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+        .withColumnRenamed("k", "user_id")
+    }),
+
+    "q_twap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.timeWeightedAvg(ev, col("user_id"),
+        unix_micros(col("ts")), col("event_id"), col("value"))
+        .withColumnRenamed("k", "user_id")
+    }),
+
+    "q_cusum" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.cusumDaily(ev, col("event_type"),
+        unix_micros(col("ts")), col("value"))
+        .withColumnRenamed("grp", "event_type")
+    }),
+
+    "q_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // clicks within 3 days before each purchase share its value equally
+      operators.Analytics.attributionLinear(ev, col("user_id"),
+        col("event_type"), unix_micros(col("ts")), col("event_id"),
+        col("value"), convType = "purchase", touchType = "click",
+        horizonMicros = 259200000000L)
+        .withColumnRenamed("k", "user_id")
+    }),
+
     // ---- graph: PageRank over the symmetric customer↔supplier trade
     // graph (who trades with whom via lineitem⋈orders). Key spaces are
     // mapped to disjoint ids (cust → 2k, supp → 2k+1). 2 power
@@ -3309,6 +3356,91 @@ object SparkEntry {
         |  (n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
         |FROM m""".stripMargin,
+
+    // ---- sequence / basket / dimension-history analytics. Integer
+    // counts + fixed-order double divisions, or exact decimal sums cast
+    // to double at the very end — the same determinism idioms as the
+    // first analytics wave.
+    "q_transitions" ->
+      """WITH d AS (
+        |  SELECT event_type AS et,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_et
+        |  FROM events),
+        |c AS (SELECT et AS from_et, to_et, count(*) AS n FROM d
+        |      WHERE to_et IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_et, to_et, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_et) AS p
+        |FROM c""".stripMargin,
+
+    "q_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, b2.it AS item_b, count(*) AS n_pair
+        |      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_pair,
+        |  CAST(n_pair AS DOUBLE) / n_baskets AS support,
+        |  CAST(n_pair AS DOUBLE) * n_baskets
+        |    / (CAST(ca.cnt AS DOUBLE) * cb.cnt) AS lift
+        |FROM p JOIN ic ca ON p.item_a = ca.it
+        |       JOIN ic cb ON p.item_b = cb.it, nb""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) IS NULL AS is_current,
+        |  event_type, value
+        |FROM events""".stripMargin,
+
+    "q_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000000 AS dur_s
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals, SUM(dur_s) AS dur_total_s,
+        |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE) AS vdur,
+        |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE)
+        |    / CAST(SUM(dur_s) AS DOUBLE) AS twap
+        |FROM d WHERE dur_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Division-free scaled CUSUM: cusum(d) = Σ_{day≤d} (n_g·s_day − s_g·n_day),
+    // decimal end to end, one double cast at the very end.
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n_d,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS s_d
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT grp, SUM(n_d) AS n_g,
+        |          CAST(SUM(s_d) AS DECIMAL(18,2)) AS s_g
+        |        FROM daily GROUP BY 1)
+        |SELECT d.grp AS event_type, d.day, d.n_d,
+        |  CAST(SUM(d.s_d * CAST(t.n_g AS DECIMAL(12,0))
+        |           - t.s_g * CAST(d.n_d AS DECIMAL(12,0)))
+        |    OVER (PARTITION BY d.grp ORDER BY d.day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS cusum_scaled
+        |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id, epoch_us(ts) AS ctus,
+        |                event_id AS conv_id, value
+        |              FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, epoch_us(ts) AS ttus, event_id AS touch_id
+        |        FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.user_id, c.conv_id, t.touch_id, c.value
+        |      FROM conv c JOIN tch t ON c.user_id = t.user_id
+        |      WHERE t.ttus < c.ctus AND t.ttus >= c.ctus - 259200000000)
+        |SELECT user_id, conv_id, touch_id,
+        |  COUNT(*) OVER (PARTITION BY conv_id) AS n_touches,
+        |  CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY conv_id) AS credit
+        |FROM j""".stripMargin,
 
     // Both power iterations replayed: uniform 1/N start, contribution
     // sums on the 1e-12 decimal grid, damping blend with literals printed

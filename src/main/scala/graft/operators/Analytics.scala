@@ -186,6 +186,185 @@ object Analytics {
           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
   }
 
+  /** First-order Markov transition matrix over per-key ordered event
+    * sequences: for every (from, to) pair of consecutive event types the
+    * count and the row-normalized probability P(to | from). `tieBreak`
+    * must make (tsMicros, tieBreak) a strict total order within a key
+    * (equal timestamps DO occur in real logs; without the tie-break the
+    * lead() pairing — and therefore the counts — would be
+    * partitioning-dependent).
+    *
+    * Plan: one key-partitioned window (lead) + one grouped count + one
+    * from-partitioned window sum — two keyed shuffles, output bounded by
+    * |event types|². The probability is a single integer/integer double
+    * division, bit-deterministic.
+    */
+  def transitions(events: DataFrame, key: Column, eventType: Column,
+                  tsMicros: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("tus"), col("tb"))
+    val cnt = events
+      .select(key.as("k"), eventType.as("et"), tsMicros.as("tus"), tieBreak.as("tb"))
+      .withColumn("to_et", lead("et", 1).over(w))
+      .where(col("to_et").isNotNull)
+      .groupBy(col("et").as("from_et"), col("to_et"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_et")
+    cnt.select(col("from_et"), col("to_et"), col("n"),
+      (col("n").cast("double") / sum("n").over(wf)).as("p"))
+  }
+
+  /** Market-basket co-occurrence with lift: for every unordered item pair
+    * appearing together in at least `minPairs` baskets, the pair count,
+    * support, and lift = P(a,b)/(P(a)P(b)). The standard association-rule
+    * primitive (plain support/confidence fall out of the same columns).
+    *
+    * Plan: items are first made distinct per basket (multiplicity must
+    * not inflate counts), then pairs come from a basket-keyed self-join
+    * with `item_a < item_b` — the work is Σ basket_size², bounded by the
+    * real-world basket width (single-digit for retail orders), never
+    * all-pairs over the catalog. Item totals re-join broadcast (the item
+    * dimension is small next to the fact table); the basket count rides
+    * in as a one-row broadcast. Support/lift are fixed-order double
+    * expressions over four integers.
+    */
+  def cooccurrence(df: DataFrame, basket: Column, item: Column,
+                   minPairs: Long = 2L): DataFrame = {
+    val b = df.select(basket.as("bk"), item.as("it")).distinct()
+    val nb = b.agg(countDistinct(col("bk")).as("n_baskets"))
+    val itemCnt = b.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    val pairs = b.as("a").join(b.as("b"), "bk")
+      .where(col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairs)
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("it", "item_a")
+        .withColumnRenamed("cnt", "cnt_a")), "item_a")
+      .join(broadcast(itemCnt.withColumnRenamed("it", "item_b")
+        .withColumnRenamed("cnt", "cnt_b")), "item_b")
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        (col("n_pair").cast("double") / col("n_baskets")).as("support"),
+        (col("n_pair").cast("double") * col("n_baskets") /
+          (col("cnt_a").cast("double") * col("cnt_b"))).as("lift"))
+  }
+
+  /** SCD Type-2 dimension build from an append-only change log: each
+    * change row becomes a validity interval [valid_from, valid_to) with
+    * `valid_to` = the key's next change (NULL on the current row). The
+    * lakehouse-standard history table every MERGE-based dimension feeds
+    * from. `tieBreak` again makes the per-key order strict and total.
+    *
+    * Plan: exactly one key-partitioned window (lead) — one keyed shuffle,
+    * map-sized state per key, nothing iterative.
+    */
+  def scd2(changes: DataFrame, key: Column, tsMicros: Column,
+           tieBreak: Column, attrs: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = Seq(key.as("k"), tsMicros.as("tus"), tieBreak.as("tb")) ++
+      attrs.map { case (n, c) => c.as(n) }
+    val w = Window.partitionBy("k").orderBy(col("tus"), col("tb"))
+    changes.select(sel: _*)
+      .withColumn("valid_to_us", lead("tus", 1).over(w))
+      .select(Seq(col("k"), col("tus").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current")) ++ attrs.map(a => col(a._1)): _*)
+  }
+
+  /** Per-key time-weighted average of a 2-dp metric: each observation is
+    * weighted by its holding duration (whole seconds until the key's next
+    * observation; the last observation has no duration and drops out) —
+    * the TWAP/position-weighting primitive.
+    *
+    * Determinism at scale: durations are integral seconds (micros div
+    * 1e6 — exact), the value rides as DECIMAL(14,2), and the weighted sum
+    * is an exact decimal Σ(value·dur) whose unscaled magnitude stays far
+    * below 2^53 for any per-key series bounded by the corpus time range
+    * (the decimal→double conversion-portability rule from the anomaly
+    * work). The final TWAP is one double division.
+    */
+  def timeWeightedAvg(events: DataFrame, key: Column, tsMicros: Column,
+                      tieBreak: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("tus"), col("tb"))
+    events.select(key.as("k"), tsMicros.as("tus"), tieBreak.as("tb"),
+        value.cast("decimal(14,2)").as("v"))
+      .withColumn("dur_us", lead("tus", 1).over(w) - col("tus"))
+      .withColumn("dur_s", expr("dur_us div 1000000"))
+      .where(col("dur_s").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur_s").as("dur_total_s"),
+        sum(col("v") * col("dur_s").cast("decimal(12,0)")).cast("double").as("vdur"))
+      .select(col("k"), col("n_intervals"), col("dur_total_s"), col("vdur"),
+        (col("vdur") / col("dur_total_s").cast("double")).as("twap"))
+  }
+
+  /** Per-group CUSUM drift series over the daily totals: the running sum
+    * of each day's deviation from the group's overall per-row mean, kept
+    * division-free by scaling with the group row count —
+    * cusum_scaled(d) = Σ_{day≤d} (n_g·s_day − s_g·n_day), exact decimal
+    * end to end (a cumulative DOUBLE window would tie the result to the
+    * engine's window-aggregation tree shape; the decimal form has one
+    * canonical value). Sign changes / extremes of the series are the
+    * standard change-point signal.
+    *
+    * Plan: one grouped daily reduction, group totals re-joined broadcast
+    * (group key is low-cardinality by construction), one group-partitioned
+    * cumulative window — two keyed shuffles.
+    */
+  def cusumDaily(events: DataFrame, group: Column, tsMicros: Column,
+                 value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(group.as("grp"),
+        tsMicros.as("tus"), value.cast("decimal(14,2)").as("v"))
+      .select(col("grp"), expr(s"tus div $DayMicros").as("day"), col("v"))
+      .groupBy("grp", "day")
+      .agg(count(lit(1)).as("n_d"), sum("v").cast("decimal(18,2)").as("s_d"))
+    val totals = daily.groupBy("grp").agg(
+      sum("n_d").as("n_g"), sum("s_d").cast("decimal(18,2)").as("s_g"))
+    val w = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), "grp")
+      .withColumn("dev",
+        col("s_d") * col("n_g").cast("decimal(12,0)") -
+          col("s_g") * col("n_d").cast("decimal(12,0)"))
+      .select(col("grp"), col("day"), col("n_d"),
+        sum("dev").over(w).cast("double").as("cusum_scaled"))
+  }
+
+  /** Linear (equal-credit) multi-touch attribution: every `touchType`
+    * event within `horizonMicros` BEFORE a `convType` conversion of the
+    * same key shares the conversion's value equally. Output is row-level
+    * (one row per touch×conversion) — credits are per-row doubles, so no
+    * cross-row double sum exists to make order matter; callers roll up
+    * with the exact-decimal idiom if they need totals.
+    *
+    * Plan: one key-keyed equi-join with a bounded time-range predicate —
+    * the per-key blowup is capped by event density × horizon, the same
+    * shape (and the same salting escape hatch) as the as-of join's
+    * union-window form. The per-conversion touch count is a
+    * conversion-partitioned window, not a second aggregation pass.
+    */
+  def attributionLinear(events: DataFrame, key: Column, eventType: Column,
+                        tsMicros: Column, id: Column, value: Column,
+                        convType: String, touchType: String,
+                        horizonMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(key.as("k"), eventType.as("et"),
+      tsMicros.as("tus"), id.as("eid"), value.as("v"))
+    val conv = base.where(col("et") === convType)
+      .select(col("k"), col("tus").as("ctus"), col("eid").as("conv_id"), col("v"))
+    val touch = base.where(col("et") === touchType)
+      .select(col("k"), col("tus").as("ttus"), col("eid").as("touch_id"))
+    val wc = Window.partitionBy("conv_id")
+    conv.join(touch, Seq("k"))
+      .where(col("ttus") < col("ctus") && col("ttus") >= col("ctus") - lit(horizonMicros))
+      .withColumn("n_touches", count(lit(1)).over(wc))
+      .select(col("k"), col("conv_id"), col("touch_id"), col("n_touches"),
+        (col("v").cast("decimal(14,2)").cast("double") / col("n_touches")).as("credit"))
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the
     * group mean by more than `z` population standard deviations, with the
     * z-score itself. Group moments come from exact decimal sums (order-

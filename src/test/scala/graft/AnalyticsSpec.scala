@@ -321,4 +321,103 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(sum("n")).head().getLong(0)
     assert(out == 7L)
   }
+
+  // ---- wave 3: transitions / baskets / scd2 / twap / cusum / attribution
+
+  private def ev4(rows: (Long, String, Long, Long)*) =
+    rows.toDF("u", "et", "tus", "eid")
+
+  test("transitions pairs consecutive events per key and row-normalizes") {
+    // u1: a->b->a ; u2: a->b. Transitions: a->b ×2, b->a ×1.
+    val events = ev4((1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "b", 20L, 5L))
+    val out = Analytics.transitions(events, col("u"), col("et"), col("tus"), col("eid"))
+      .orderBy("from_et", "to_et").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions breaks equal timestamps by the tie-break column") {
+    // both orderings of the tie produce DIFFERENT pairs; eid pins one
+    val events = ev4((1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L))
+    val out = Analytics.transitions(events, col("u"), col("et"), col("tus"), col("eid"))
+      .orderBy("from_et").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("cooccurrence ignores item multiplicity and computes lift from basket counts") {
+    // 4 baskets; a,b together in 2 (b listed twice in basket 1 — must not
+    // inflate); a appears in 3, b in 2 → lift(a,b) = 2*4/(3*2) = 4/3.
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "c")).toDF("bk", "it")
+    val out = Analytics.cooccurrence(rows, col("bk"), col("it"), minPairs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 0.5, 4.0 / 3.0)))
+  }
+
+  test("cooccurrence minPairs filters singleton pairs") {
+    val rows = Seq((1L, "a"), (1L, "b")).toDF("bk", "it")
+    assert(Analytics.cooccurrence(rows, col("bk"), col("it"), minPairs = 2L).count() == 0L)
+    assert(Analytics.cooccurrence(rows, col("bk"), col("it"), minPairs = 1L).count() == 1L)
+  }
+
+  test("scd2 chains validity intervals and flags only the last row current") {
+    val ch = ev4((1L, "x", 10L, 1L), (1L, "y", 20L, 2L), (1L, "z", 20L, 3L))
+    val out = Analytics.scd2(ch, col("u"), col("tus"), col("eid"),
+      Seq("et" -> col("et")))
+      .orderBy("valid_from_us", "et")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    // equal-ts changes at 20 are ordered by eid: y then z; y's interval is
+    // zero-length [20,20), z is current
+    assert(out.toSeq == Seq((10L, 20L, false, "x"), (20L, 20L, false, "y"),
+      (20L, -1L, true, "z")))
+  }
+
+  test("timeWeightedAvg weights by whole-second holding durations; last obs drops") {
+    // u1: v=10 held 2s, v=20 held 1s, v=99 last (no duration) →
+    // twap = (10*2 + 20*1) / 3
+    val events = Seq((1L, 0L, 1L, 10.0), (1L, 2 * us, 2L, 20.0),
+      (1L, 3 * us, 3L, 99.0)).toDF("u", "tus", "eid", "v")
+    val r = Analytics.timeWeightedAvg(events, col("u"), col("tus"), col("eid"),
+      col("v")).head()
+    assert(r.getLong(1) == 2L)          // n_intervals
+    assert(r.getLong(2) == 3L)          // dur_total_s
+    assert(r.getDouble(4) == 40.0 / 3)  // twap
+  }
+
+  test("timeWeightedAvg truncates sub-second durations (integral seconds)") {
+    val events = Seq((1L, 0L, 1L, 10.0), (1L, 1500000L, 2L, 20.0),
+      (1L, 3 * us, 3L, 0.0)).toDF("u", "tus", "eid", "v")
+    val r = Analytics.timeWeightedAvg(events, col("u"), col("tus"), col("eid"),
+      col("v")).head()
+    // 1.5s → 1s, 1.5s → 1s
+    assert(r.getLong(2) == 2L)
+  }
+
+  test("cusumDaily: scaled deviations sum to zero over the full series") {
+    val day = 86400000000L
+    val events = Seq(("g", 0L, 10.0), ("g", day, 20.0))
+      .toDF("grp", "tus", "v")
+    val out = Analytics.cusumDaily(events, col("grp"), col("tus"), col("v"))
+      .orderBy("day").collect().map(_.getDouble(3))
+    // day0 dev = 10*2 - 30*1 = -10; day1 adds 20*2 - 30*1 = +10 → 0
+    assert(out.toSeq == Seq(-10.0, 0.0))
+  }
+
+  test("attributionLinear shares value equally among in-horizon touches only") {
+    val events = Seq(
+      (1L, "click", 0L, 1L, 0.0),        // in horizon (boundary inclusive)
+      (1L, "click", 50L, 2L, 0.0),       // in horizon
+      (1L, "click", 100L, 3L, 0.0),      // AT conversion ts → excluded (strict before)
+      (1L, "click", -1L, 4L, 0.0),       // before horizon start → excluded
+      (1L, "purchase", 100L, 5L, 30.0))
+      .toDF("u", "et", "tus", "eid", "v")
+    val out = Analytics.attributionLinear(events, col("u"), col("et"),
+      col("tus"), col("eid"), col("v"), "purchase", "click", horizonMicros = 100L)
+      .orderBy("touch_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 15.0), (2L, 2L, 15.0)))
+  }
 }
