@@ -29,6 +29,7 @@ object Bench {
     "q_split_safe", "q_sample_budget",
     "q_funnel", "q_retention", "q_anomaly", "q_bm25", "q_kmeans",
     "q_pagerank", "q_skyline", "q_corr", "q_incremental_agg", "q_moving_avg",
+    "q_transitions", "q_basket_lift", "q_attribution",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -1883,6 +1883,12 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_top_paths" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.topPaths(ev, col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"), maxLen = 5, k = 10)
+    }),
+
     "q_attribution" -> ((s, dir) => {
       val ev = events(s, dir)
       // clicks within 3 days before each purchase share its value equally
@@ -3426,6 +3432,19 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM d WHERE rn <= 5 GROUP BY 1),
+        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
+        |SELECT path, n, rk FROM (
+        |  SELECT path, n, rank() OVER (ORDER BY n DESC, path) AS rk FROM c)
+        |WHERE rk <= 10""".stripMargin,
 
     "q_attribution" ->
       """WITH conv AS (SELECT user_id, epoch_us(ts) AS ctus,

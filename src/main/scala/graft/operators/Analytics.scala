@@ -365,6 +365,44 @@ object Analytics {
         (col("v").cast("decimal(14,2)").cast("double") / col("n_touches")).as("credit"))
   }
 
+  /** Top-k common event paths: each key's first `maxLen` events (in
+    * strict (ts, tie-break) order) form a '>'-joined path string; paths
+    * are counted and the k most common kept — the "what do user journeys
+    * look like" primitive behind funnel design.
+    *
+    * Determinism: the path is built by sorting the COLLECTED (rank, type)
+    * pairs — `collect_list` alone has no row-order guarantee under
+    * parallel aggregation, so the rank rides inside the struct and
+    * `sort_array` restores the one canonical order. The top-k cut ranks
+    * over (count DESC, path ASC) — a TOTAL order, so ranks are unique,
+    * the kept set is exactly k paths, and count ties at the boundary
+    * resolve by the path string instead of by partitioning accident.
+    *
+    * Plan: one key-partitioned window + one key-grouped collect (bounded
+    * at maxLen elements per key) + one count shuffle on the path string;
+    * the final rank is a single-partition window over the distinct-path
+    * counts — safe because the path VOCABULARY (≤ |types|^maxLen,
+    * truncated by the count cut) is the small side, not the event volume;
+    * for huge vocabularies cut by count threshold first.
+    */
+  def topPaths(events: DataFrame, key: Column, eventType: Column,
+               tsMicros: Column, tieBreak: Column,
+               maxLen: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("tus"), col("tb"))
+    val paths = events
+      .select(key.as("k"), eventType.as("et"), tsMicros.as("tus"), tieBreak.as("tb"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxLen)
+      .groupBy("k")
+      .agg(array_join(transform(sort_array(collect_list(struct(col("rn"), col("et")))),
+        s => s.getField("et")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy(col("n").desc, col("path"))
+    paths.withColumn("rk", rank().over(wr)).where(col("rk") <= k)
+      .select(col("path"), col("n"), col("rk"))
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the
     * group mean by more than `z` population standard deviations, with the
     * z-score itself. Group moments come from exact decimal sums (order-

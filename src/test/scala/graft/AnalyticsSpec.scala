@@ -420,4 +420,39 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(out.toSeq == Seq((1L, 2L, 15.0), (2L, 2L, 15.0)))
   }
+
+  test("topPaths builds ordered paths, truncates at maxLen, cuts exactly k by total order") {
+    // u1,u2: a>b ; u3: b>a ; u4: a>b>c>d (maxLen=3 truncates to a>b>c)
+    val events = ev4(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L),
+      (2L, "a", 10L, 3L), (2L, "b", 20L, 4L),
+      (3L, "b", 10L, 5L), (3L, "a", 20L, 6L),
+      (4L, "a", 10L, 7L), (4L, "b", 20L, 8L), (4L, "c", 30L, 9L), (4L, "d", 40L, 10L))
+    val out = Analytics.topPaths(events, col("u"), col("et"), col("tus"),
+      col("eid"), maxLen = 3, k = 1)
+      .orderBy("rk", "path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a>b", 2L, 1)))
+    // count ties resolve by path string (total order): k=2 keeps exactly
+    // the lexicographically-first of the two count-1 paths
+    val out2 = Analytics.topPaths(events, col("u"), col("et"), col("tus"),
+      col("eid"), maxLen = 3, k = 2)
+      .orderBy("rk", "path").collect().map(_.getString(0))
+    assert(out2.toSeq == Seq("a>b", "a>b>c"))
+  }
+
+  test("wave-3 operators are invariant to input partitioning") {
+    val events = ev4(
+      (1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "a", 30L, 3L),
+      (2L, "b", 5L, 4L), (2L, "a", 5L, 5L), (2L, "b", 40L, 6L),
+      (3L, "c", 7L, 7L))
+    def run(df: org.apache.spark.sql.DataFrame) = Seq(
+      Analytics.transitions(df, col("u"), col("et"), col("tus"), col("eid"))
+        .orderBy("from_et", "to_et").collect().toSeq,
+      Analytics.topPaths(df, col("u"), col("et"), col("tus"), col("eid"), 3, 2)
+        .orderBy("rk", "path").collect().toSeq,
+      Analytics.scd2(df, col("u"), col("tus"), col("eid"), Seq("et" -> col("et")))
+        .orderBy("k", "valid_from_us", "et").collect().toSeq)
+    assert(run(events.repartition(7)) == run(events.coalesce(1)))
+  }
 }
