@@ -1883,6 +1883,22 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_pit_join" -> ((s, dir) => {
+      // feature-store point-in-time lookup: each purchase picks up the
+      // user's profile value (SCD2 over signup events) as of purchase time
+      val ev = events(s, dir)
+      val dim = operators.Analytics.scd2(ev.where(col("event_type") === "signup"),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        Seq("profile_value" -> col("value")))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("fact_tus"), col("value"))
+      operators.Analytics.pitJoin(facts, col("user_id"), col("fact_tus"),
+        dim, col("k"), col("valid_from_us"), col("valid_to_us"))
+        .select(col("user_id"), col("event_id"), col("fact_tus"), col("value"),
+          col("profile_value"), col("valid_from_us"), col("is_current"))
+    }),
+
     "q_top_paths" -> ((s, dir) => {
       val ev = events(s, dir)
       operators.Analytics.topPaths(ev, col("user_id"), col("event_type"),
@@ -3432,6 +3448,23 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) IS NULL AS is_current,
+        |    value AS profile_value
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT user_id, event_id, epoch_us(ts) AS fact_tus, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.fact_tus, f.value,
+        |  dim.profile_value, dim.valid_from_us, dim.is_current
+        |FROM f JOIN dim ON f.user_id = dim.k
+        |  AND dim.valid_from_us <= f.fact_tus
+        |  AND (dim.valid_to_us IS NULL OR f.fact_tus < dim.valid_to_us)""".stripMargin,
 
     "q_top_paths" ->
       """WITH d AS (

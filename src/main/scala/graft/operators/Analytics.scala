@@ -365,6 +365,32 @@ object Analytics {
         (col("v").cast("decimal(14,2)").cast("double") / col("n_touches")).as("credit"))
   }
 
+  /** Point-in-time (PIT) join — the feature-store correctness primitive:
+    * each fact row picks up the dimension version whose validity interval
+    * [valid_from, valid_to) contains the fact's event time. Joining
+    * "latest value" instead (the naive feature lookup) leaks the future
+    * into training data; the PIT form is why [[scd2]] keeps history.
+    *
+    * Plan: a key-keyed equi-join with the interval containment as a
+    * residual predicate — per-key version counts are change-log sized, so
+    * the residual evaluates over small per-key groups; no range blow-up,
+    * no broadcast requirement. Facts that predate the key's first version
+    * (or match no key) are dropped (inner semantics — the caller decides
+    * what an unknown-dimension fact means).
+    */
+  def pitJoin(facts: DataFrame, factKey: Column, factTs: Column,
+              dim: DataFrame, dimKey: Column, validFrom: Column,
+              validTo: Column): DataFrame = {
+    val f = facts.withColumn("_pit_ts", factTs).withColumn("_pit_k", factKey)
+    val d = dim.withColumn("_pit_k", dimKey)
+      .withColumn("_pit_from", validFrom).withColumn("_pit_to", validTo)
+    f.join(d.drop(dimKey.toString),
+        f("_pit_k") === d("_pit_k") &&
+          col("_pit_from") <= col("_pit_ts") &&
+          (col("_pit_to").isNull || col("_pit_ts") < col("_pit_to")))
+      .drop("_pit_ts", "_pit_k", "_pit_from", "_pit_to")
+  }
+
   /** Top-k common event paths: each key's first `maxLen` events (in
     * strict (ts, tie-break) order) form a '>'-joined path string; paths
     * are counted and the k most common kept — the "what do user journeys

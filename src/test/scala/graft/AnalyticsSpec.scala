@@ -441,6 +441,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out2.toSeq == Seq("a>b", "a>b>c"))
   }
 
+  test("pitJoin picks the dimension version valid at fact time") {
+    // dim for key 1: A@[10,20), B@[20,∞). Facts: t=5 (pre-history →
+    // dropped), t=15 (A), t=20 (B — valid_from inclusive), t=19 (A —
+    // valid_to exclusive), key 9 unknown (dropped).
+    val dim = Analytics.scd2(
+      ev4((1L, "A", 10L, 1L), (1L, "B", 20L, 2L)),
+      col("u"), col("tus"), col("eid"), Seq("et" -> col("et")))
+    val facts = Seq((1L, 100L, 5L), (1L, 101L, 15L), (1L, 102L, 20L),
+      (1L, 103L, 19L), (9L, 104L, 15L)).toDF("u", "fid", "fts")
+    val out = Analytics.pitJoin(facts, col("u"), col("fts"),
+        dim, col("k"), col("valid_from_us"), col("valid_to_us"))
+      .orderBy("fid").collect().map(r => (r.getAs[Long]("fid"), r.getAs[String]("et")))
+    assert(out.toSeq == Seq((101L, "A"), (102L, "B"), (103L, "A")))
+  }
+
   test("wave-3 operators are invariant to input partitioning") {
     val events = ev4(
       (1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "a", 30L, 3L),
