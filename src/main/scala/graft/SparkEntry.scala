@@ -1883,6 +1883,26 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_rate_cap" -> ((s, dir) => {
+      // ingest throttle: at most 3 events per user per 6-hour bucket
+      val ev = events(s, dir)
+      operators.Sampling.capPerKeyWindow(
+        ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        windowMicros = 21600000000L, n = 3)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("bucket"), col("rn"))
+    }),
+
+    "q_temporal_split" -> ((s, dir) => {
+      // 70% time-prefix train, 1-day embargo band dropped, rest eval
+      val ev = events(s, dir)
+      operators.Sampling.temporalSplit(ev.select(col("event_id"), col("ts")),
+        unix_micros(col("ts")), trainPermille = 700,
+        embargoMicros = 86400000000L)
+        .select(col("event_id"), col("split"))
+    }),
+
     "q_pit_join" -> ((s, dir) => {
       // feature-store point-in-time lookup: each purchase picks up the
       // user's profile value (SCD2 over signup events) as of purchase time
@@ -3448,6 +3468,26 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    "q_rate_cap" ->
+      """SELECT event_id, user_id, event_type, bucket, rn FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 21600000000 AS bucket,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 21600000000
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |           FROM events)
+        |SELECT event_id,
+        |  CASE WHEN tus < cut THEN 'train'
+        |       WHEN tus >= cut + 86400000000 THEN 'eval' END AS split
+        |FROM (SELECT event_id, epoch_us(ts) AS tus,
+        |        t0 + ((t1 - t0) * 700) // 1000 AS cut FROM events, b)
+        |WHERE tus < cut OR tus >= cut + 86400000000""".stripMargin,
 
     "q_pit_join" ->
       """WITH dim AS (

@@ -214,4 +214,57 @@ object Sampling {
       .where(col("cum") <= budget)
       .select(col("grp"), col("id"), col("cost"), col("cum"))
   }
+
+  /** Per-key event-rate cap: keep at most `n` events per (key,
+    * time-bucket) in strict (ts, tie-break) order — the ingest throttle
+    * against bot floods and the per-user example cap in one shape.
+    * Bucketing is integral (`tus div windowMicros`), the kept set is a
+    * pure function of the data (tie-break makes the per-bucket order
+    * total), and the plan is ONE keyed window — the composite partition
+    * key (key, bucket) also spreads a single hot key's history across
+    * time buckets instead of one monster partition.
+    * Output: input columns + `bucket` and `rn` (1-based within bucket).
+    */
+  def capPerKeyWindow(df: DataFrame, key: Column, tsMicros: Column,
+      tieBreak: Column, windowMicros: Long, n: Int): DataFrame = {
+    require(windowMicros > 0 && n > 0, s"need windowMicros>0, n>0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k", "bucket").orderBy("__tus", "__tb")
+    df.withColumn("__k", key).withColumn("__tus", tsMicros)
+      .withColumn("__tb", tieBreak)
+      .withColumn("bucket", expr(s"__tus div ${windowMicros}L"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .drop("__k", "__tus", "__tb")
+  }
+
+  /** Time-based train/eval split with an embargo gap — the leakage rule
+    * for TEMPORAL data (hash splits are the rule for i.i.d. corpora;
+    * [[leakageSafeSplits]] for near-duplicate corpora): train is
+    * everything strictly before the cutoff, eval everything at or after
+    * cutoff+embargo, and the embargo band between them is DROPPED so
+    * windowed features computed at train time cannot straddle into eval
+    * labels. The cutoff is derived integrally from the observed time
+    * range (min + range·permille/1000), so the assignment is a pure
+    * function of the corpus, portable across engines — no double
+    * quantile interpolation to disagree over.
+    * Plan: one one-row bounds aggregate broadcast into a map-only filter.
+    */
+  def temporalSplit(df: DataFrame, tsMicros: Column, trainPermille: Int,
+      embargoMicros: Long): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille in [0,1000], got $trainPermille")
+    require(embargoMicros >= 0, s"embargo must be >= 0")
+    val b = df.select(tsMicros.as("__tus"))
+      .agg(min("__tus").as("__t0"), max("__tus").as("__t1"))
+    df.withColumn("__tus", tsMicros)
+      .crossJoin(broadcast(b))
+      .withColumn("__cut",
+        col("__t0") + expr(s"((__t1 - __t0) * ${trainPermille}L) div 1000"))
+      .withColumn("split",
+        when(col("__tus") < col("__cut"), "train")
+          .when(col("__tus") >= col("__cut") + lit(embargoMicros), "eval"))
+      .where(col("split").isNotNull)
+      .drop("__tus", "__t0", "__t1", "__cut")
+  }
 }

@@ -961,6 +961,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(grouped == global)
   }
 
+  test("capPerKeyWindow keeps first n per (key,bucket) by strict order; partitioning-invariant") {
+    import graft.operators.Sampling
+    // key 1: five events in bucket 0 (two tie at tus=5 → eid orders them),
+    // one in bucket 1; key 2: one event
+    val df = Seq((1L, 5L, 1L), (1L, 5L, 2L), (1L, 3L, 3L), (1L, 7L, 4L),
+      (1L, 9L, 5L), (1L, 15L, 6L), (2L, 1L, 7L)).toDF("k", "tus", "eid")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerKeyWindow(d, $"k", $"tus", $"eid", windowMicros = 10L, n = 2)
+        .select("k", "eid", "bucket", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+    val out = run(df)
+    // bucket 0 of key 1 keeps tus=3 (rn1) then the tus=5/eid=1 tie-winner (rn2)
+    assert(out == Seq((1L, 1L, 0L, 2), (1L, 3L, 0L, 1), (1L, 6L, 1L, 1), (2L, 7L, 0L, 1)))
+    assert(run(df.repartition(7)) == out)
+  }
+
+  test("temporalSplit: time-prefix train, embargo band dropped, eval after") {
+    import graft.operators.Sampling
+    // tus 0..1000 → cut = 700; embargo 100 drops [700, 800)
+    val df = spark.range(1001).select($"id", $"id".as("tus"))
+    val out = Sampling.temporalSplit(df, $"tus", trainPermille = 700,
+      embargoMicros = 100L).select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 901)                       // 100 embargo rows dropped
+    assert(out(699L) == "train" && !out.contains(700L))
+    assert(!out.contains(799L) && out(800L) == "eval" && out(1000L) == "eval")
+    // permille 0 → everything from t0+embargo on is eval, nothing train
+    val all = Sampling.temporalSplit(df, $"tus", 0, 0L)
+      .groupBy("split").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("eval" -> 1001L))
+  }
+
   test("stratified sample and per-group cap are deterministic and bounded") {
     import graft.operators.Sampling
     val df = spark.range(3000)
