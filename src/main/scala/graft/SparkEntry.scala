@@ -1894,6 +1894,35 @@ object SparkEntry {
           col("bucket"), col("rn"))
     }),
 
+    "q_stream_rate_cap" -> ((s, dir) => {
+      // STREAMING rate cap over the same feed: admission ranks must equal
+      // the batch window's row_number (q_rate_cap's oracle SQL verbatim).
+      // Sentinel-drain pattern as in the other stream entries (same
+      // single-batch assumption, documented at q_stream_sessionize).
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+      val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("t_us"))
+      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val inDir = work("q_stream_rate_cap_in")
+      base.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"), lit("view").as("event_type"),
+          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
+          lit((maxMs + 86400000L) * 1000L).as("t_us")))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        .withWatermark("ts", "0 seconds")
+      val res = streaming.StreamingOps.rateCapStream(stream, "user_id", "ts",
+        "t_us", "event_id", windowMicros = 21600000000L, n = 3)
+      val qname = s"graft_stream_rate_cap_${System.nanoTime()}"
+      res.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.table(qname).where(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("bucket"), col("rn"))
+    }),
+
     "q_temporal_split" -> ((s, dir) => {
       // 70% time-prefix train, 1-day embargo band dropped, rest eval
       val ev = events(s, dir)
@@ -3470,6 +3499,17 @@ object SparkEntry {
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
 
     "q_rate_cap" ->
+      """SELECT event_id, user_id, event_type, bucket, rn FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 21600000000 AS bucket,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 21600000000
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    // streaming rate cap must agree with the batch window — same oracle
+    "q_stream_rate_cap" ->
       """SELECT event_id, user_id, event_type, bucket, rn FROM (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 21600000000 AS bucket,

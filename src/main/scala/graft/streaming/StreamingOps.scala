@@ -206,6 +206,80 @@ object StreamingOps {
       }(stateEnc, Encoders.row(outSchema))
   }
 
+  /** Per-key state for [[rateCapStream]]: events not yet finalized by the
+    * watermark as (tusMicros, tieBreak, payload VALUES, tsMs), plus the
+    * admission count of every still-open (or not-yet-GC'd) time bucket.
+    * Public for kryo.
+    */
+  final case class RateBuf(pending: List[(Long, Long, Seq[Any], Long)],
+                           counts: Map[Long, Int])
+
+  /** STREAMING per-key event-rate cap: admit at most `n` events per
+    * (key, event-time bucket) in strict (tsMicros, tieBreak) order — the
+    * streaming counterpart of [[graft.operators.Sampling.capPerKeyWindow]]
+    * with the batch operator as its oracle. Output = the input columns
+    * plus `bucket` and `rn` (the admission rank), append rows for admitted
+    * events only.
+    *
+    * Exactness under the watermark contract: events buffer until ripe
+    * (event-time ms ≤ watermark) and fold in ascending (tus, tie) order —
+    * by the contract everything earlier has already arrived, so the
+    * admission ranks equal the batch window's row_number. Late data folds
+    * on arrival (best-effort, may admit extra if its bucket's count was
+    * already GC'd — the standard tradeoff, same as the other stateful
+    * entries here).
+    *
+    * State per key: the watermark-bounded pending buffer plus one int per
+    * OPEN bucket — closed buckets (end ≤ watermark) are dropped every
+    * batch, so a key's state tracks its active horizon, not its history.
+    */
+  def rateCapStream(events: DataFrame, keyCol: String, tsCol: String,
+      tsMicrosCol: String, tieCol: String, windowMicros: Long, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(windowMicros > 0 && n > 0, "need windowMicros>0, n>0")
+    val pStruct = struct(events.columns.map(col): _*)
+    val env = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(tsMicrosCol).as("__us"), col(tieCol).as("__tb"), pStruct.as("__p"))
+    val envSchema = env.schema
+    val outSchema = StructType(events.schema.fields ++
+      Seq(StructField("bucket", LongType), StructField("rn", IntegerType)))
+
+    implicit val stateEnc: Encoder[RateBuf] = Encoders.kryo[RateBuf]
+    env.as(Encoders.row(envSchema))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[RateBuf, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Row], state: GroupState[RateBuf]) =>
+          val st = state.getOption.getOrElse(RateBuf(Nil, Map.empty))
+          val inc = it.toList.map { r =>
+            (r.getLong(2), r.getLong(3), r.getStruct(4).toSeq,
+              r.getAs[java.sql.Timestamp](1).getTime)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = (st.pending ++ inc).partition(_._4 <= wm)
+          var counts = st.counts
+          val out = ripe.sortBy(e => (e._1, e._2)).flatMap { case (us, _, p, _) =>
+            // same truncating division as the batch operator's `div`
+            val b = us / windowMicros
+            val c = counts.getOrElse(b, 0) + 1
+            counts = counts.updated(b, c)
+            // Seq(b, c) would numerically WIDEN c to Long (Scala unifies
+            // Long+Int), breaking the INT rn field — keep the types flat
+            if (c <= n) Some(Row.fromSeq(p ++ Seq[Any](b, c))) else None
+          }
+          // GC buckets fully behind the watermark: only late data could
+          // still land there, and late data is best-effort by contract
+          counts = counts.filter { case (b, _) => ((b + 1) * windowMicros) / 1000L > wm }
+          if (pending.isEmpty && counts.isEmpty) state.remove()
+          else {
+            state.update(RateBuf(pending, counts))
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          }
+          out.iterator
+      }(stateEnc, Encoders.row(outSchema))
+  }
+
   /** Streaming exact dedup: emit the first row seen per key, suppress every
     * later occurrence — state persists across microbatches, so a key seen
     * in batch 1 stays suppressed in batch 1000. The canonical use is
