@@ -1129,6 +1129,51 @@ object SparkEntry {
         .select(col("grp"), col("n"), col("sum_val").as("sum_bal"))
     }),
 
+    "q_stream_incremental_agg" -> ((s, dir) => {
+      // STREAMING IVM: the same versioned-DML scenario as
+      // q_incremental_agg, but the base snapshot (as synthetic `added`
+      // rows) and the CDC diff are streamed through a Complete-mode
+      // maintained aggregate — the final state must equal the batch
+      // recompute (same oracle SQL). Two-batch feed: the parquet dir gets
+      // base rows and diff rows as separate files, consumed with
+      // maxFilesPerTrigger=1 so maintenance provably folds ACROSS
+      // microbatches rather than in one big fold.
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.catalog.colf_cat",
+        classOf[sources.colf.ColfCatalog].getName)
+      val tbl = work("q_stream_incr_tbl")
+      rmDir(tbl)
+      t(s, dir, "customer")
+        .select(col("c_custkey").cast("int").as("c_custkey"), col("c_acctbal"))
+        .write.format("colf").option("manifest", "true")
+        .option("maxRowsPerFile", "400").mode("append").save(tbl)   // v1
+      s.conf.set("spark.colf.dml.mode", "merge-on-read")
+      try {
+        s.sql(s"DELETE FROM colf_cat.`$tbl` WHERE c_custkey % 10 = 3")
+        s.sql(s"UPDATE colf_cat.`$tbl` SET c_acctbal = c_acctbal * 2 " +
+          s"WHERE c_custkey % 10 = 4")
+      } finally s.conf.unset("spark.colf.dml.mode")
+      val feedDir = work("q_stream_incr_feed")
+      rmDir(feedDir)
+      s.read.format("colf").option("versionAsOf", 1).load(tbl)
+        .select(col("c_custkey"), col("c_acctbal"), lit("added").as("change"))
+        .coalesce(1).write.mode("overwrite").parquet(feedDir)
+      sources.colf.ColfMaintenance.diffVersions(s, tbl, from = 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("change"))
+        .coalesce(1).write.mode("append").parquet(feedDir)
+      val stream = s.readStream.schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      val res = streaming.StreamingOps.maintainSumCountStream(stream,
+        col("change"), col("c_custkey") % 10, col("c_acctbal"))
+      val qname = s"graft_stream_incr_${System.nanoTime()}"
+      res.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.table(qname).where(col("n") > 0)
+        .select(col("grp"), col("n"),
+          col("s").cast("decimal(26,2)").cast("double").as("sum_bal"))
+    }),
+
     "q_colf_version_diff" -> ((s, dir) => {
       // Snapshot diff: v1 = even ids, v2 = OVERWRITE with div-3 ids.
       // diffVersions(1) must tag exactly the odd div-3 rows `added` and
@@ -3325,6 +3370,14 @@ object SparkEntry {
     // Maintained aggregate == recompute of the final table state (after
     // the %10=3 delete and the %10=4 doubling), from the source parquet.
     "q_incremental_agg" ->
+      """SELECT CAST(c_custkey % 10 AS INTEGER) AS grp, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
+        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |GROUP BY 1""".stripMargin,
+
+    // streaming maintenance must converge to the same recompute
+    "q_stream_incremental_agg" ->
       """SELECT CAST(c_custkey % 10 AS INTEGER) AS grp, count(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
         |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal

@@ -206,6 +206,35 @@ object StreamingOps {
       }(stateEnc, Encoders.row(outSchema))
   }
 
+  /** STREAMING incremental view maintenance: the signed CDC row feed
+    * (`added`/`removed` tags — the colf change-feed surface) folded into
+    * a continuously-maintained per-key (count, exact-decimal sum), the
+    * streaming counterpart of [[graft.operators.Incremental.maintainSumCount]].
+    * Run in Complete/Update output mode; no watermark — maintenance state
+    * is one row per LIVE group, the irreducible floor any materialized
+    * view pays, independent of stream length. An UPDATE arrives as
+    * remove+add and cancels in the count while adjusting the sum, exactly
+    * like the batch form; a group whose count reaches zero is the
+    * caller's `n > 0` filter (Complete mode re-emits every group, so the
+    * dead group visibly drops out of the filtered result).
+    *
+    * Exactness: the sum state is DECIMAL(24,2) (Spark's sum-of-(14,2)
+    * type) — partial aggregation order across microbatches cannot perturb
+    * it, so the maintained result is bit-equal to a batch recompute of
+    * the final state (spec-pinned; the harness query shares
+    * `q_incremental_agg`'s recompute oracle).
+    */
+  def maintainSumCountStream(feed: DataFrame, changeTag: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    feed.select(key.as("grp"),
+        when(changeTag === "added", lit(1L)).otherwise(lit(-1L)).as("sgn"),
+        value.cast("decimal(14,2)").as("v"))
+      .groupBy("grp")
+      .agg(sum(col("sgn")).as("n"),
+        sum(when(col("sgn") === 1L, col("v")).otherwise(-col("v"))).as("s"))
+  }
+
   /** Per-key state for [[rateCapStream]]: events not yet finalized by the
     * watermark as (tusMicros, tieBreak, payload VALUES, tsMs), plus the
     * admission count of every still-open (or not-yet-GC'd) time bucket.
