@@ -1928,6 +1928,16 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_drift" -> ((s, dir) => {
+      // distribution drift between the view-value and purchase-value
+      // slices: 16-bin integral histogram compare + exact-numerator TVD
+      val ev = events(s, dir)
+      operators.Profile.histogramDrift(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        col("value"), nBins = 16)
+    }),
+
     "q_rate_cap" -> ((s, dir) => {
       // ingest throttle: at most 3 events per user per 6-hour bucket
       val ev = events(s, dir)
@@ -3550,6 +3560,30 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    // integral binning (exact cents, ceil-div width) and an integer TVD
+    // numerator — the one double division is the final expression
+    "q_drift" ->
+      """WITH b AS (SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        |           FROM events WHERE event_type = 'view'),
+        |cu AS (SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        |       FROM events WHERE event_type = 'purchase'),
+        |bounds AS (SELECT min(c) AS lo,
+        |    CASE WHEN max(c) = min(c) THEN 1
+        |         ELSE ((max(c) - min(c)) + 16) // 16 END AS w
+        |  FROM (SELECT c FROM b UNION ALL SELECT c FROM cu)),
+        |bb AS (SELECT (c - lo) // w AS bin, count(*) AS n_base
+        |       FROM b, bounds GROUP BY 1),
+        |cc AS (SELECT (c - lo) // w AS bin, count(*) AS n_cur
+        |       FROM cu, bounds GROUP BY 1),
+        |j AS (SELECT COALESCE(bb.bin, cc.bin) AS bin,
+        |        COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        |      FROM bb FULL OUTER JOIN cc ON bb.bin = cc.bin),
+        |tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+        |num AS (SELECT SUM(ABS(n_base * tc - n_cur * tb)) AS num FROM j, tot)
+        |SELECT j.bin, lo + j.bin * w AS lo_cents, j.n_base, j.n_cur,
+        |  CAST(num AS DOUBLE) / (2.0 * CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)) AS tvd
+        |FROM j, tot, num, bounds""".stripMargin,
 
     "q_rate_cap" ->
       """SELECT event_id, user_id, event_type, bucket, rn FROM (

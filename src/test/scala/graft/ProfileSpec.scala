@@ -56,4 +56,36 @@ class ProfileSpec extends AnyFunSuite {
       Profile.profile(df, approxDistinct = true, approxRsd = 1.5)
     }
   }
+
+  test("histogramDrift: tvd 0 on identical, 1 on disjoint, exact on a hand case") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def vals(xs: Double*) = xs.toDF("v")
+    def tvd(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+            bins: Int = 4) =
+      Profile.histogramDrift(a, b, col("v"), bins).select("tvd").head().getDouble(0)
+    val x = vals(1.00, 2.00, 3.00, 4.00)
+    assert(tvd(x, x) == 0.0)
+    // fully separated ranges: every bin is one-sided
+    assert(tvd(vals(1.00, 1.50), vals(100.00, 101.00)) == 1.0)
+    // hand case, 2 bins over cents 100..400 (w = ceil(301/2) = 151):
+    // bin0 = [100, 251): base {1.00, 2.00}, cur {1.00}; bin1: base {4.00},
+    // cur {4.00}. p_base = (2/3, 1/3), p_cur = (1/2, 1/2) → tvd = 1/6.
+    val t = tvd(vals(1.00, 2.00, 4.00), vals(1.00, 4.00), bins = 2)
+    assert(math.abs(t - 1.0 / 6.0) < 1e-15, s"got $t")
+    // per-bin counts surface correctly
+    val rows = Profile.histogramDrift(vals(1.00, 2.00, 4.00), vals(1.00, 4.00),
+        col("v"), 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 2L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("histogramDrift: single-point distributions collapse to one bin, tvd 0") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val one = Seq(5.00, 5.00).toDF("v")
+    val out = Profile.histogramDrift(one, one, col("v"), 8).collect()
+    assert(out.length == 1 && out.head.getDouble(4) == 0.0)
+  }
 }
