@@ -222,6 +222,40 @@ object DataContract {
             "batch and streaming sessionize diverge on this knife-edge")
     }
 
+    // -- data-level probe 4: no 2-dp half-way ties in the money-ish
+    // doubles the oracle queries cast through DECIMAL(14,2). Spark's
+    // double→decimal cast rounds the SHORTEST decimal representation
+    // HALF_UP while DuckDB rounds the exact binary value half-even — a
+    // value whose shortest repr has exactly three fractional digits
+    // ending in '5' (1.005, 12.125, …) is the one shape on which the two
+    // engines legitimately produce different decimal sums (the round-10
+    // k-means finding, generalized). Shortest-repr is exactly what
+    // `CAST(double AS STRING)` prints, so the probe is a regex count.
+    val tieCols = Seq(
+      "events"   -> Seq("value"),
+      "customer" -> Seq("c_acctbal"),
+      "orders"   -> Seq("o_totalprice"),
+      "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    for ((table, cols) <- tieCols; df <- loaded.get(table)) {
+      val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
+        (df.schema(c).dataType == DoubleType || df.schema(c).dataType == FloatType))
+      if (present.nonEmpty) {
+        val aggs = present.map { c =>
+          sum(when(col(c).cast(StringType)
+            .rlike("^-?[0-9]+\\.[0-9]{2}5$"), 1L).otherwise(0L)).as(c)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        present.zipWithIndex.foreach { case (c, i) =>
+          val ties = if (row.isNullAt(i)) 0L else row.getLong(i)
+          if (ties > 0)
+            drifts += Drift(table, s"decimal2_tie:$c",
+              s"$ties rows of $c are exact scale-2 half-way ties - " +
+                "Spark (HALF_UP on shortest repr) and DuckDB (half-even on " +
+                "binary) cast them to different DECIMAL(14,2) values")
+        }
+      }
+    }
+
     drifts.result()
   }
 }

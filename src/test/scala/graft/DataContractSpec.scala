@@ -118,6 +118,26 @@ class DataContractSpec extends AnyFunSuite {
       s"expected exact_gap_tie, got: $drifts")
   }
 
+  test("a scale-2 half-way tie value is flagged (the decimal cast knife-edge)") {
+    // 1.005's binary double is 1.00499999…, but its SHORTEST repr is
+    // "1.005" — Spark's decimal cast (HALF_UP on the shortest repr) gives
+    // 1.01 while DuckDB (half-even on the binary value) gives 1.00. One
+    // such row must produce a named drift; the clean copy has none.
+    val dir = cleanDir("dectie", Map("events" -> { df =>
+      df.unionByName(df.sparkSession.range(1).select(
+        lit(999998L).as("event_id"),
+        df.select(col("ts")).limit(1).collect()(0) match { case r =>
+          lit(r.get(0)).cast(df.schema("ts").dataType).as("ts") },
+        lit(7L).as("user_id"),
+        lit("view0").as("event_type"),
+        lit(1.005).as("value"),
+        lit("{}").as("props")))
+    }))
+    val drifts = DataContract.check(spark, dir)
+    assert(drifts.exists(d => d.table == "events" && d.check == "decimal2_tie:value"),
+      s"expected decimal2_tie:value, got: $drifts")
+  }
+
   test("an unreadable table is reported per-table, not as a crash") {
     val dir = cleanDir("missingtable")
     val target = new java.io.File(s"$dir/documents.parquet")
