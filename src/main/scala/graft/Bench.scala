@@ -30,6 +30,7 @@ object Bench {
     "q_funnel", "q_retention", "q_anomaly", "q_bm25", "q_kmeans",
     "q_pagerank", "q_skyline", "q_corr", "q_incremental_agg", "q_moving_avg",
     "q_transitions", "q_basket_lift", "q_attribution",
+    "q_pit_join", "q_drift",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

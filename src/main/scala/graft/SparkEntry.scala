@@ -1928,6 +1928,11 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_skew_report" -> ((s, dir) =>
+      // pre-join diagnostic over the lineitem part key: exact integer
+      // stats, rank-selected percentiles, one double share at the end
+      operators.Profile.joinKeySkew(t(s, dir, "lineitem"), col("l_partkey"))),
+
     "q_drift" -> ((s, dir) => {
       // distribution drift between the view-value and purchase-value
       // slices: 16-bin integral histogram compare + exact-numerator TVD
@@ -3560,6 +3565,26 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    // rank-selected percentiles (percentile_disc semantics — no
+    // interpolation arithmetic to be non-portable); exact integers
+    // everywhere except the final share division
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c),
+        |t AS (SELECT count(*) AS n_keys, SUM(cnt) AS n_rows,
+        |        MAX(cnt) AS max_cnt FROM c)
+        |SELECT n_keys, n_rows, max_cnt,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n_keys) AS INTEGER) THEN cnt END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n_keys) AS INTEGER) THEN cnt END) AS p99,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.999 * n_keys) AS INTEGER) THEN cnt END) AS p999,
+        |  CAST(max_cnt AS DOUBLE) / n_rows AS max_share,
+        |  CASE WHEN MAX(CASE WHEN rn = CAST(ceil(0.99 * n_keys) AS INTEGER) THEN cnt END) > 0
+        |    THEN (max_cnt + MAX(CASE WHEN rn = CAST(ceil(0.99 * n_keys) AS INTEGER) THEN cnt END) - 1)
+        |      // MAX(CASE WHEN rn = CAST(ceil(0.99 * n_keys) AS INTEGER) THEN cnt END)
+        |    ELSE 1 END AS suggested_salt
+        |FROM r, t
+        |GROUP BY n_keys, n_rows, max_cnt""".stripMargin,
 
     // integral binning (exact cents, ceil-div width) and an integer TVD
     // numerator — the one double division is the final expression

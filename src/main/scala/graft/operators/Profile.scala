@@ -72,6 +72,47 @@ object Profile {
     * n_base, n_cur, tvd) — tvd repeated per row (it is a property of the
     * pair, kept on every row so the report is one flat table).
     */
+  /** Join-key skew report — the pre-join diagnostic that decides whether
+    * a shuffle join needs salting (and how much) BEFORE the 10-hour job
+    * hits one monster partition: distinct key count, row count, max and
+    * rank-based p50/p99/p999 of the per-key row counts, the heaviest
+    * key's share of all rows, and a suggested salt factor
+    * (ceil(max / p99), 1 when skew is benign — spread the worst key over
+    * enough salts that its shards look like a p99 key).
+    *
+    * Determinism: every statistic is an exact integer except the share
+    * (one double division at the end); percentiles are RANK-SELECTED
+    * (the ceil(q·n)-th smallest count — `percentile_disc` semantics),
+    * not interpolated, because interpolation arithmetic is the kind of
+    * float expression engines disagree on and a skew decision never
+    * needs sub-integer resolution.
+    *
+    * Plan: one keyed count, one window rank over the (small) per-key
+    * count table, one-row output. The count table is |distinct keys|
+    * rows — if THAT doesn't fit a partition, the join was never going to
+    * work unsalted anyway, which is exactly what the report says.
+    */
+  def joinKeySkew(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(key.as("k")).groupBy("k").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt"), col("k"))
+    val ranked = counts.withColumn("rn", row_number().over(w))
+    def rankSel(q: Double, name: String) =
+      max(when(col("rn") === ceil(lit(q) * col("n_keys")).cast("int"),
+        col("cnt"))).as(name)
+    ranked
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"), max("cnt").as("max_cnt"))))
+      .agg(max("n_keys").as("n_keys"), max("n_rows").as("n_rows"),
+        max("max_cnt").as("max_cnt"),
+        rankSel(0.5, "p50"), rankSel(0.99, "p99"), rankSel(0.999, "p999"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50"), col("p99"), col("p999"),
+        (col("max_cnt").cast("double") / col("n_rows")).as("max_share"),
+        expr("CASE WHEN p99 > 0 THEN CAST((max_cnt + p99 - 1) div p99 AS BIGINT) " +
+          "ELSE CAST(1 AS BIGINT) END").as("suggested_salt"))
+  }
+
   def histogramDrift(base: DataFrame, cur: DataFrame, value: org.apache.spark.sql.Column,
       nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")

@@ -81,6 +81,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 2L, 1L), (1L, 1L, 1L)))
   }
 
+  test("joinKeySkew: exact stats, rank-selected percentiles, salt from max/p99") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one 100-row monster key + 99 singletons: p50/p99 are 1, p999 is the
+    // monster, salt = ceil(100/1)
+    val df = (Seq.fill(100)("hot") ++ (1 to 99).map(i => s"k$i")).toDF("k")
+    val r = Profile.joinKeySkew(df, col("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 199L, 100L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((1L, 1L, 100L)))
+    assert(r.getDouble(6) == 100.0 / 199.0)
+    assert(r.getLong(7) == 100L)
+    // benign distribution: salt collapses to 1
+    val even = (1 to 50).flatMap(i => Seq.fill(4)(s"k$i")).toDF("k")
+    val e = Profile.joinKeySkew(even, col("k")).head()
+    assert(e.getLong(4) == 4L && e.getLong(7) == 1L)
+  }
+
   test("histogramDrift: single-point distributions collapse to one bin, tvd 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
