@@ -48,4 +48,25 @@ object SkewJoin {
         probeKey === buildKey && salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** [[saltedInnerJoin]] with the factor DERIVED from the probe side's
+    * measured distribution — ceil(max/p99) from
+    * [[Profile.joinKeySkew]], capped at `maxFactor` (build-side
+    * replication is the real cost; past ~64 salts the shuffle blowup
+    * outweighs any flattening). The sibling of the corpus-derived ANN
+    * auto-planners (`AutoPlanes`/`AutoCoarseBits`): the user states the
+    * intent ("join these, key may be hot"), the data picks the knob.
+    * A benign distribution derives factor 1 = a plain join with zero
+    * replication. One extra bounded pass over the probe keys (a keyed
+    * count + a window over the count table) buys the decision; results
+    * are identical to the explicit-factor form by construction.
+    */
+  def autoSaltedInnerJoin(probe: DataFrame, build: DataFrame,
+      probeKey: Column, buildKey: Column, maxFactor: Int = 64): DataFrame = {
+    require(maxFactor >= 1, s"maxFactor must be >= 1, got $maxFactor")
+    val row = Profile.joinKeySkew(probe, probeKey).head()
+    val suggested = if (row.isNullAt(7)) 1L else row.getLong(7)
+    val factor = math.min(math.max(suggested, 1L), maxFactor.toLong).toInt
+    saltedInnerJoin(probe, build, probeKey, buildKey, factor)
+  }
 }

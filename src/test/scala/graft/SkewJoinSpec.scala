@@ -50,4 +50,28 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("autoSaltedInnerJoin derives the factor from the data and stays correct") {
+    // skewed probe: one 500-row key + 99 singletons → joinKeySkew suggests
+    // ceil(500/1) = 500, capped at maxFactor
+    val probe = ((0 until 500).map(i => (1L, s"p$i")) ++
+      (2 to 100).map(i => (i.toLong, s"u$i"))).toDF("k", "payload")
+    val build = (0L until 200L).map(i => (i, s"b$i")).toDF("bk", "battr")
+    val plain = probe.join(build, $"k" === $"bk")
+    val auto = SkewJoin.autoSaltedInnerJoin(probe, build, $"k", $"bk", maxFactor = 8)
+    assert(auto.count() == plain.count())
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
+    // the report suggests the uncapped 500; the cap bounds what the join
+    // actually pays (equivalently: auto == explicit factor-8 salted join)
+    assert(graft.operators.Profile.joinKeySkew(probe, $"k").head().getLong(7) == 500L)
+    val explicit = SkewJoin.saltedInnerJoin(probe, build, $"k", $"bk", 8)
+    assert(auto.exceptAll(explicit).isEmpty && explicit.exceptAll(auto).isEmpty)
+    // benign distribution → suggestion (and thus factor) 1: plain join,
+    // zero replication
+    val even = (1L to 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    assert(graft.operators.Profile.joinKeySkew(even, $"k").head().getLong(7) == 1L)
+    val benign = SkewJoin.autoSaltedInnerJoin(even, build, $"k", $"bk", maxFactor = 8)
+    val benignPlain = even.join(build, $"k" === $"bk")
+    assert(benign.exceptAll(benignPlain).isEmpty && benignPlain.exceptAll(benign).isEmpty)
+  }
 }
