@@ -1928,6 +1928,13 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_kanon" -> ((s, dir) =>
+      // re-identification surface: (source, n_chars) combos carried by
+      // fewer than 2 documents — the length quasi-identifier is what
+      // makes short corpora re-identifiable even with PII redacted
+      operators.Expectations.kAnonymityViolations(t(s, dir, "documents"),
+        Seq(col("source"), col("n_chars")), k = 2L)),
+
     "q_skew_report" -> ((s, dir) =>
       // pre-join diagnostic over the lineitem part key: exact integer
       // stats, rank-selected percentiles, one double share at the end
@@ -3565,6 +3572,10 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT source, n_chars, count(*) AS n FROM documents
+        |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
 
     // rank-selected percentiles (percentile_disc semantics — no
     // interpolation arithmetic to be non-portable); exact integers

@@ -48,4 +48,22 @@ object Expectations {
     parts.reduce(_.union(_))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** k-anonymity report over a quasi-identifier set: every combination of
+    * quasi-id values carried by FEWER than k rows, with its count — the
+    * re-identification surface a release gate must clear (a combo seen
+    * once pins a row to one individual even with direct identifiers
+    * redacted; pairs with `TextAnalysis`' PII redaction, which handles
+    * the direct identifiers).
+    *
+    * Plan: one keyed count over the quasi-id tuple + a filter — the
+    * minimal shuffle the constraint needs; the report is at most
+    * |violating combos| rows, which a passing release makes empty.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[Column], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiIds: _*).agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
 }

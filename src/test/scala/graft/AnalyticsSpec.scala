@@ -154,6 +154,17 @@ class AnalyticsSpec extends AnyFunSuite {
 
   // ---- skyline --------------------------------------------------------
 
+  test("kAnonymityViolations reports exactly the sub-k quasi-id combos") {
+    import graft.operators.Expectations
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "book"), ("zh", "web"), ("zh", "web")).toDF("lang", "src")
+    val out = Expectations.kAnonymityViolations(df, Seq(col("lang"), col("src")), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // (en,web)=3 passes at k=3; (en,book)=1 and (zh,web)=2 violate
+    assert(out == Set(("en", "book", 1L), ("zh", "web", 2L)))
+    assert(Expectations.kAnonymityViolations(df, Seq(col("lang")), 2L).count() == 0)
+  }
+
   test("skyline2D keeps exactly the non-dominated per-group frontier") {
     val pts = Seq(
       ("g", 1.0, 9.0), ("g", 5.0, 5.0), ("g", 9.0, 1.0), // frontier
