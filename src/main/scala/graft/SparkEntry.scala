@@ -1928,6 +1928,13 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_trend" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Analytics.trendSpearman(ev, col("event_type"),
+        unix_micros(col("ts")), col("value"))
+        .withColumnRenamed("grp", "event_type")
+    }),
+
     "q_kanon" -> ((s, dir) =>
       // re-identification surface: (source, n_chars) combos carried by
       // fewer than 2 documents — the length quasi-identifier is what
@@ -3576,6 +3583,26 @@ object SparkEntry {
     "q_kanon" ->
       """SELECT source, n_chars, count(*) AS n FROM documents
         |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
+
+    // integer rank moments; sqrt is IEEE-correctly-rounded (unlike ln),
+    // so the one double expression is bit-portable
+    "q_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(14,2))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT grp,
+        |    row_number() OVER (PARTITION BY grp ORDER BY day) AS rx,
+        |    row_number() OVER (PARTITION BY grp ORDER BY s, day) AS ry
+        |  FROM daily),
+        |m AS (SELECT grp, count(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+        |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT grp AS event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        |FROM m""".stripMargin,
 
     // rank-selected percentiles (percentile_disc semantics — no
     // interpolation arithmetic to be non-portable); exact integers

@@ -429,6 +429,49 @@ object Analytics {
       .select(col("path"), col("n"), col("rk"))
   }
 
+  /** Per-group monotone-trend score: Spearman rank correlation between
+    * the daily total and the day's position in the series — +1 for a
+    * strictly rising metric, −1 for falling, ~0 for no trend. The
+    * monitoring question ("is this metric drifting up?") answered
+    * without any least-squares float math: ranks are INTEGERS (ties
+    * broken by day — a documented total order, the same policy as every
+    * other ordering here), so all correlation moments are exact integer
+    * sums and the single double division is the final expression.
+    * Tie policy consequence: a run of EQUAL daily totals ranks in day
+    * order and therefore counts toward a positive trend (a fully
+    * constant series scores +1, where average-rank Spearman is 0/0);
+    * on exact-decimal daily sums real ties are rare, and the
+    * alternative — average ranks — reintroduces the fractional float
+    * arithmetic this operator exists to avoid.
+    *
+    * Plan: one grouped daily reduction, two group-partitioned windows
+    * (day index, value rank), one grouped moment aggregate.
+    */
+  def trendSpearman(events: DataFrame, group: Column, tsMicros: Column,
+                    value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(group.as("grp"), tsMicros.as("tus"),
+        value.cast("decimal(14,2)").as("v"))
+      .select(col("grp"), expr(s"tus div $DayMicros").as("day"), col("v"))
+      .groupBy("grp", "day").agg(sum("v").as("s"))
+    val wDay = Window.partitionBy("grp").orderBy("day")
+    val wVal = Window.partitionBy("grp").orderBy(col("s"), col("day"))
+    val ranked = daily
+      .withColumn("rx", row_number().over(wDay))
+      .withColumn("ry", row_number().over(wVal))
+    val m = ranked.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    m.select(col("grp"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("rho"))
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the
     * group mean by more than `z` population standard deviations, with the
     * z-score itself. Group moments come from exact decimal sums (order-

@@ -154,6 +154,25 @@ class AnalyticsSpec extends AnyFunSuite {
 
   // ---- skyline --------------------------------------------------------
 
+  test("trendSpearman: +1 rising, -1 falling, exact value on a hand case") {
+    import graft.operators.Analytics
+    val day = 86400000000L
+    def series(g: String, vals: Double*) =
+      vals.zipWithIndex.map { case (v, i) => (g, i * day, v) }
+    val events = (series("up", 1.0, 2.0, 3.0, 4.0) ++
+      series("down", 9.0, 7.0, 5.0, 3.0) ++
+      series("mix", 1.0, 3.0, 2.0, 4.0)).toDF("grp", "tus", "v")
+    val out = Analytics.trendSpearman(events, col("grp"), col("tus"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    // ±1 up to the sqrt(a)*sqrt(a) != a ulp (the expression is shared
+    // verbatim with the oracle, so cross-engine it is bit-identical; it
+    // is just not exactly the real number 1)
+    assert(math.abs(out("up") - 1.0) < 1e-14)
+    assert(math.abs(out("down") + 1.0) < 1e-14)
+    // mix ranks: rx (1,2,3,4), ry (1,3,2,4) → rho = 1 - 6*2/(4*15) = 0.8
+    assert(math.abs(out("mix") - 0.8) < 1e-14)
+  }
+
   test("kAnonymityViolations reports exactly the sub-k quasi-id combos") {
     import graft.operators.Expectations
     val df = Seq(("en", "web"), ("en", "web"), ("en", "web"),
