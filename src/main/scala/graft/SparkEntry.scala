@@ -1928,6 +1928,23 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_components" -> ((s, dir) => {
+      // connected components over the SPARSE co-purchase graph (parts
+      // together in >= 3 baskets) — real multi-hop chains, so the oracle
+      // (recursive min-reachability CTE) genuinely exercises label
+      // convergence, which the exact-dup cluster queries' star-shaped
+      // components never do. Same large-star/small-star machinery as the
+      // dedup cluster paths (driver fast path at this edge count).
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")).distinct()
+      val edges = b.as("a").join(b.as("b"), "bk")
+        .where(col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("id_a"), col("b.it").as("id_b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3).select("id_a", "id_b")
+      operators.Dedup.connectedComponents(edges)
+    }),
+
     "q_trend" -> ((s, dir) => {
       val ev = events(s, dir)
       operators.Analytics.trendSpearman(ev, col("event_type"),
@@ -3583,6 +3600,20 @@ object SparkEntry {
     "q_kanon" ->
       """SELECT source, n_chars, count(*) AS n FROM documents
         |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
+
+    // recursive min-reachability to fixpoint == the engine's
+    // large-star/small-star labels (component = min reachable id)
+    "q_components" ->
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |p AS (SELECT a.it AS ia, b2.it AS ib FROM b a
+        |      JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        |      GROUP BY a.it, b2.it HAVING count(*) >= 3),
+        |e AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+        |reach(s, d) AS (SELECT s, d FROM e
+        |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS id, least(s, min(d)) AS component
+        |FROM reach GROUP BY s""".stripMargin,
 
     // integer rank moments; sqrt is IEEE-correctly-rounded (unlike ln),
     // so the one double expression is bit-portable
