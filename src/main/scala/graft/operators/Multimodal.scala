@@ -156,6 +156,87 @@ object Multimodal {
   final case class VideoMeta(doc_id: Long, n_bytes: Int, brand: String,
       timescale: Long, duration_secs: Double, width: Double, height: Double)
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      frame: Array[Byte])
+
+  /** Video frame-sampling PLUMBING: one output row per sampled frame at
+    * `fps`, timestamps derived from the real mvhd duration (the box
+    * parser above), `frame` bytes STUBBED as null — this container ships
+    * no video codec, so the decode step is the documented stub while
+    * everything Spark-side (schema, per-partition iterator shape, row
+    * explosion bounded by duration×fps, poison-row behavior) is real. A
+    * production build drops a codec into `decodeFrame` below and nothing
+    * else changes.
+    *
+    * Undecodable payloads contribute ZERO frames (not a poison row —
+    * a frame table indexes decoded content only; the metadata sweep is
+    * where corruption gets counted). `maxFramesPerDoc` bounds the
+    * explosion a lying duration field could cause — a 10-hour "video" in
+    * a 2 KB payload must not emit 36k rows.
+    */
+  def sampleFramesStub(media: DataFrame, fps: Double = 1.0,
+      maxFramesPerDoc: Int = 64): Dataset[FrameRow] = {
+    require(fps > 0 && maxFramesPerDoc > 0, "need fps>0, maxFramesPerDoc>0")
+    val spark = media.sparkSession
+    import spark.implicits._
+    // real impl: val codec = NativeCodec.open(); codec.seekAndDecode(...)
+    def decodeFrame(bytes: Array[Byte], tsMs: Long): Array[Byte] = null
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val meta = videoMeta(r)
+        if (meta.timescale < 0 || meta.duration_secs <= 0) Iterator.empty
+        else {
+          val n = math.min(math.floor(meta.duration_secs * fps).toLong + 1,
+            maxFramesPerDoc.toLong).toInt
+          (0 until n).iterator.map { i =>
+            val tsMs = math.round(i * 1000.0 / fps)
+            FrameRow(r.doc_id, i, tsMs, decodeFrame(r.media, tsMs))
+          }
+        }
+      }
+    }
+  }
+
+  final case class FeatureRow(doc_id: Long, feature: Array[Float])
+
+  /** Deterministic media feature extraction: an L1-normalized 16-bin
+    * byte histogram per payload — the stand-in for a real embedding
+    * model with the identical Spark shape (binary in, fixed-width float
+    * vector out, per-partition iterator so a real model would batch and
+    * amortize its init). The fake is DETERMINISTIC and independently
+    * computable, so specs can pin exact values; the output feeds the
+    * [[graft.operators.Similarity]] surface unchanged (any fixed-width
+    * float vector does).
+    *
+    * Empty/null payloads yield the zero vector (not dropped: a feature
+    * table usually must stay 1:1 with its media table for downstream
+    * joins).
+    */
+  def byteHistogramFeatures(media: DataFrame, bins: Int = 16): Dataset[FeatureRow] = {
+    require(bins > 0 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val per = 256 / bins
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val counts = new Array[Int](bins)
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        var i = 0
+        while (i < bytes.length) {
+          counts((bytes(i) & 0xff) / per) += 1
+          i += 1
+        }
+        val total = bytes.length
+        val v = new Array[Float](bins)
+        if (total > 0) {
+          var b = 0
+          while (b < bins) { v(b) = counts(b).toFloat / total; b += 1 }
+        }
+        FeatureRow(r.doc_id, v)
+      }
+    }
+  }
+
   /** REAL video metadata decode: an MP4/QuickTime (ISO BMFF) box parser
     * in pure JVM — no codec, no new deps. Walks the top-level box
     * structure (u32 size + fourcc, 64-bit `largesize` honored), reads

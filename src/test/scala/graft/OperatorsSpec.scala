@@ -706,6 +706,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(3).timescale == -1L && metas(3).n_bytes == 0)
   }
 
+  test("sampleFramesStub: frame grid from real mvhd duration; poison docs contribute zero frames") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val mvhd = {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(be32(0)); p.write(be32(0)); p.write(be32(0))
+      p.write(be32(600)); p.write(be32(1800))  // 3.0 s
+      p.write(new Array[Byte](80))
+      p.toByteArray
+    }
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", box("mvhd", mvhd))
+    val df = Seq((1L, mp4, "video/mp4"),
+      (2L, "junk".getBytes("UTF-8"), "text/plain"),
+      (3L, null.asInstanceOf[Array[Byte]], "video/mp4"))
+      .toDF("doc_id", "media", "media_type")
+    // 2 fps over 3.0 s → frames at 0, 500, ..., 3000 ms = 7 frames
+    val frames = Multimodal.sampleFramesStub(df, fps = 2.0).collect()
+    assert(frames.forall(_.doc_id == 1L), "poison docs must contribute zero frames")
+    assert(frames.length == 7)
+    assert(frames.map(_.frame_ts_ms).sorted.toSeq ==
+      Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L, 3000L))
+    assert(frames.forall(_.frame == null), "decode is the documented stub")
+    // the lying-duration bound: same video capped at 4 frames
+    assert(Multimodal.sampleFramesStub(df, fps = 2.0, maxFramesPerDoc = 4)
+      .collect().length == 4)
+  }
+
+  test("byteHistogramFeatures: exact normalized histogram, zero vector for empty") {
+    val bytes = Array[Byte](0, 0, 0, 16, 16, -1, -1, -1) // bins 0(x3), 1(x2), 15(x3)
+    val df = Seq((1L, bytes, "application/octet-stream"),
+      (2L, Array.emptyByteArray, "application/octet-stream"),
+      (3L, null.asInstanceOf[Array[Byte]], "application/octet-stream"))
+      .toDF("doc_id", "media", "media_type")
+    val out = Multimodal.byteHistogramFeatures(df, bins = 16).collect()
+      .map(f => f.doc_id -> f.feature).toMap
+    assert(out(1L).toSeq == Seq.tabulate(16)(i =>
+      if (i == 0) 3f / 8 else if (i == 1) 2f / 8 else if (i == 15) 3f / 8 else 0f))
+    assert(out(2L).toSeq == Seq.fill(16)(0f) && out(3L).toSeq == Seq.fill(16)(0f))
+    // features feed the similarity surface: fixed width, finite values
+    assert(out.values.forall(v => v.length == 16 && v.forall(x => !x.isNaN)))
+  }
+
   test("ngramContamination flags partial leaks verbatim hashing misses") {
     import graft.operators.Dedup
     val corpus = Seq(
