@@ -1315,6 +1315,21 @@ object SparkEntry {
       Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
         .select("doc_id", "lang", "source")),
 
+    "q_dedup_report" -> ((s, dir) => {
+      // curation impact report: per source, how many docs (and how much
+      // text) exact text-dedup removes — the number a data owner actually
+      // reviews before signing off a dedup pass. Composes exactKeepFirst
+      // (min-id winner per text) with one grouped count.
+      val docs = t(s, dir, "documents")
+      val kept = Dedup.exactKeepFirst(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"), lit(1).as("keep"))
+      docs.join(kept, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep").isNull, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("keep").isNull, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+    }),
+
     "q_span_dedup" -> ((s, dir) => {
       // Exact substring (duplicate n-gram span) removal, Lee et al. 2021:
       // a 10-token boilerplate tail planted on every 4th doc generates
@@ -2576,6 +2591,16 @@ object SparkEntry {
 
     "q_dedup_keep_first" ->
       "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source",
+
+    "q_dedup_report" ->
+      """WITH k AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+        |FROM documents JOIN k USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_normalized" ->
       """SELECT norm, count(*) AS n, min(doc_id) AS first_id FROM (
