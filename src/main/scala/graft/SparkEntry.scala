@@ -1943,6 +1943,10 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_phrase_search" -> ((s, dir) =>
+      operators.Retrieval.phraseSearch(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Seq("table", "hash"))),
+
     "q_components" -> ((s, dir) => {
       // connected components over the SPARSE co-purchase graph (parts
       // together in >= 3 baskets) — real multi-hop chains, so the oracle
@@ -3625,6 +3629,19 @@ object SparkEntry {
     "q_kanon" ->
       """SELECT source, n_chars, count(*) AS n FROM documents
         |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
+
+    // positional adjacency join; DuckDB subscripts are 1-based vs
+    // posexplode's 0-based, hence the -1
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id, count(*) AS n_matches,
+        |  CAST(min(a.pos) - 1 AS INTEGER) AS first_pos
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'table' AND b.w = 'hash'
+        |GROUP BY 1""".stripMargin,
 
     // recursive min-reachability to fixpoint == the engine's
     // large-star/small-star labels (component = min reachable id)

@@ -87,4 +87,34 @@ object Retrieval {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("tok_a"), col("tok_b")).limit(limit)
   }
+
+  /** Exact phrase search over a POSITIONAL postings view: documents
+    * containing `phrase` as consecutive whitespace tokens, with the
+    * match count and the first match's token offset (0-based). The
+    * retrieval capability a term-level inverted index cannot answer —
+    * "spark sql" must not match "sql … spark".
+    *
+    * Plan: the postings view is filtered to each phrase term FIRST (the
+    * per-term posting list — selective), then each adjacency step is one
+    * (doc, pos)-keyed equi-join anchored at the first term's position.
+    * Work ∝ Σ posting-list sizes of the phrase's terms, never the corpus;
+    * k-term phrases cost k−1 bounded joins (static k — the joins
+    * flatten into one codegen'd pipeline, not an iterative plan).
+    */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val pos = docs.where(text.isNotNull)
+      .select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "term")))
+    var cur = pos.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    for (i <- 1 until phrase.length) {
+      cur = cur.as("a")
+        .join(pos.where(col("term") === phrase(i)).as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + i)
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+    }
+    cur.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+  }
 }

@@ -281,6 +281,25 @@ class AnalyticsSpec extends AnyFunSuite {
 
   // ---- pmi ------------------------------------------------------------
 
+  test("phraseSearch matches consecutive tokens only; overlaps count; 3-term phrases chain") {
+    val docs = Seq(
+      (1L, "spark sql engine"),        // match at 0
+      (2L, "sql spark engine"),        // out of order: no match
+      (3L, "a spark sql and spark sql b"), // two matches, first at 1
+      (4L, "spark a sql"),             // gap: no match
+      (5L, "a a a"))                   // overlap corpus for "a a"
+      .toDF("doc_id", "text")
+    def run(phrase: String*) =
+      Retrieval.phraseSearch(docs, col("doc_id"), col("text"), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run("spark", "sql") == Set((1L, 1L, 0), (3L, 2L, 1)))
+    // overlapping occurrences each count
+    assert(run("a", "a") == Set((5L, 2L, 0)))
+    // 3-term phrase anchors at the first term
+    assert(run("spark", "sql", "engine") == Set((1L, 1L, 0)))
+    assert(run("nope", "sql").isEmpty)
+  }
+
   test("pmi lift separates attracting from repelling pairs") {
     // a,b always together (4 docs); c alone in 4 other docs; filler 'z'
     // everywhere keeps all tokens in the top-N vocabulary.
