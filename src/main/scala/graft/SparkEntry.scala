@@ -1943,6 +1943,13 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_winsorize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Profile.winsorize(ev, col("event_id"), col("event_type"),
+        col("value"), pLow = 0.05, pHigh = 0.95)
+        .withColumnRenamed("grp", "event_type")
+    }),
+
     "q_phrase_search" -> ((s, dir) =>
       operators.Retrieval.phraseSearch(t(s, dir, "documents"),
         col("doc_id"), col("text"), Seq("table", "hash"))),
@@ -3629,6 +3636,25 @@ object SparkEntry {
     "q_kanon" ->
       """SELECT source, n_chars, count(*) AS n FROM documents
         |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
+
+    // percentile_disc-style rank-selected bounds over the distinct-value
+    // count table; the clip itself is order-free comparisons
+    "q_winsorize" ->
+      """WITH base AS (SELECT event_id AS row_id, event_type, value AS v
+        |              FROM events),
+        |c AS (SELECT event_type, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |b AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS lo,
+        |    MIN(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS hi
+        |  FROM cum GROUP BY 1)
+        |SELECT row_id, base.event_type, v, lo, hi,
+        |  LEAST(GREATEST(v, lo), hi) AS v_clipped
+        |FROM base JOIN b ON base.event_type = b.event_type""".stripMargin,
 
     // positional adjacency join; DuckDB subscripts are 1-based vs
     // posexplode's 0-based, hence the -1

@@ -113,6 +113,40 @@ object Profile {
           "ELSE CAST(1 AS BIGINT) END").as("suggested_salt"))
   }
 
+  /** Per-group winsorization: clip each row's value to the group's
+    * [pLow, pHigh] rank-selected bounds — the outlier-taming step before
+    * means/regressions that a single fat-finger row would otherwise own.
+    * Bounds use percentile_disc semantics (smallest value whose
+    * cumulative row count reaches ceil(q·n)) — rank SELECTION, no
+    * interpolation float math, same portability argument as
+    * [[joinKeySkew]].
+    *
+    * Scale shape: the quantile machinery runs over the per-(group,
+    * DISTINCT value) count table, not the rows — the cumulative window
+    * walks |distinct values| entries per group (bounded for 2-dp metrics)
+    * while the row table is touched map-only (one broadcast-joined clip).
+    * Output: input id/group/value + the group bounds + `v_clipped`.
+    */
+  def winsorize(df: DataFrame, id: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
+      s"need 0 <= pLow <= pHigh <= 1, got ($pLow, $pHigh)")
+    val base = df.select(id.as("row_id"), group.as("grp"), value.as("v"))
+    val counts = base.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    val bounds = cum.groupBy("grp").agg(
+      min(when(col("cum") >= ceil(lit(pLow) * col("n")), col("v"))).as("lo"),
+      min(when(col("cum") >= ceil(lit(pHigh) * col("n")), col("v"))).as("hi"))
+    base.join(broadcast(bounds), "grp")
+      .select(col("row_id"), col("grp"), col("v"), col("lo"), col("hi"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("v_clipped"))
+  }
+
   def histogramDrift(base: DataFrame, cur: DataFrame, value: org.apache.spark.sql.Column,
       nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")

@@ -98,6 +98,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getLong(4) == 4L && e.getLong(7) == 1L)
   }
 
+  test("winsorize clips to rank-selected group bounds; interior rows untouched") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // group g: values 1..10 → at (0.2, 0.8): lo = ceil(0.2*10)=2nd smallest
+    // = 2.0, hi = ceil(0.8*10)=8th = 8.0
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "v")
+    val out = Profile.winsorize(df, col("id"), col("grp"), col("v"), 0.2, 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((2.0, 8.0, 2.0)))   // clipped up
+    assert(out(10L) == ((2.0, 8.0, 8.0)))  // clipped down
+    assert(out(5L) == ((2.0, 8.0, 5.0)))   // interior untouched
+    // duplicate-heavy values: bounds respect row counts, not distinct ranks
+    val dup = (Seq.fill(8)(1.0) ++ Seq(5.0, 9.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    val b = Profile.winsorize(dup, col("id"), col("grp"), col("v"), 0.0, 0.8)
+      .select("lo", "hi").head()
+    assert(b.getDouble(0) == 1.0 && b.getDouble(1) == 1.0) // cum(1.0)=8 >= ceil(.8*10)
+  }
+
   test("histogramDrift: single-point distributions collapse to one bin, tvd 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
