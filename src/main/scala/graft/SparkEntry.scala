@@ -2040,6 +2040,40 @@ object SparkEntry {
           col("bucket"), col("rn"))
     }),
 
+    "q_stream_scd2" -> ((s, dir) => {
+      // STREAMING SCD2 maintenance over the same change log as q_scd2:
+      // closed intervals emit in-stream, the drain sentinel advances the
+      // watermark past the close horizon so every open version flushes as
+      // current — the drained output must equal the batch scd2 verbatim
+      // (same oracle SQL). Sentinel-drain single-batch assumption as the
+      // other stream entries.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+      val base = ev.select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"))
+      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val inDir = work("q_stream_scd2_in")
+      base.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit("view").as("event_type"), lit(0.0).as("value"),
+          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
+          lit((maxMs + 86400000L) * 1000L).as("t_us"),
+          lit(-1L).as("event_id")))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+        .withWatermark("ts", "0 seconds")
+      val res = streaming.StreamingOps.scd2Stream(stream, "user_id", "ts",
+        "t_us", "event_id", Seq("event_type", "value"),
+        closeHorizonMicros = 3600000000L)
+      val qname = s"graft_stream_scd2_${System.nanoTime()}"
+      res.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      s.table(qname).where(col("k") >= 0)
+        .select(col("k").as("user_id"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"), col("event_type"), col("value"))
+    }),
+
     "q_temporal_split" -> ((s, dir) => {
       // 70% time-prefix train, 1-day embargo band dropped, rest eval
       val ev = events(s, dir)
@@ -3594,6 +3628,16 @@ object SparkEntry {
         |       JOIN ic cb ON p.item_b = cb.it, nb""".stripMargin,
 
     "q_scd2" ->
+      """SELECT user_id, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) IS NULL AS is_current,
+        |  event_type, value
+        |FROM events""".stripMargin,
+
+    // drained streaming SCD2 must equal the batch build — same oracle
+    "q_stream_scd2" ->
       """SELECT user_id, epoch_us(ts) AS valid_from_us,
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,

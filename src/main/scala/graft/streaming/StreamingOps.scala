@@ -235,6 +235,89 @@ object StreamingOps {
         sum(when(col("sgn") === 1L, col("v")).otherwise(-col("v"))).as("s"))
   }
 
+  /** Per-key state for [[scd2Stream]]: changes not yet finalized by the
+    * watermark as (tus, tieBreak, attr VALUES, tsMs), plus the key's
+    * current OPEN version. Public for kryo.
+    */
+  final case class Scd2Buf(pending: List[(Long, Long, Seq[Any], Long)],
+                           open: Option[(Long, Seq[Any])])
+
+  /** STREAMING SCD Type-2 maintenance: the change stream folds into
+    * validity intervals per key — every superseded version emits
+    * immediately as a CLOSED interval row [valid_from, valid_to), and a
+    * key idle for `closeHorizonMicros` of event time flushes its open
+    * version with NULL valid_to / is_current = true (the event-time
+    * timeout; in a drained run that is exactly the batch
+    * [[graft.operators.Analytics.scd2]] output, which is the oracle).
+    *
+    * Ripeness and ordering follow the house watermark contract: changes
+    * buffer until the watermark passes them and fold in strict
+    * (tus, tie) order, so interval chaining equals the batch window. A
+    * change arriving after its key was flushed re-opens it best-effort
+    * (the flushed current row stays in the sink — the same late-data
+    * tradeoff every stateful entry here documents; widen the horizon to
+    * shrink it). State per key: the watermark-bounded pending buffer plus
+    * ONE open version — the same floor a compacted changelog keeps.
+    */
+  def scd2Stream(changes: DataFrame, keyCol: String, tsCol: String,
+      tsMicrosCol: String, tieCol: String, attrCols: Seq[String],
+      closeHorizonMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    require(attrCols.nonEmpty, "scd2Stream needs at least one attribute column")
+    require(closeHorizonMicros >= 0, "closeHorizonMicros must be >= 0")
+    val aStruct = struct(attrCols.map(col): _*)
+    val env = changes.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(tsMicrosCol).as("__us"), col(tieCol).as("__tb"), aStruct.as("__a"))
+    val envSchema = env.schema
+    val outSchema = StructType(
+      Seq(StructField("k", LongType),
+        StructField("valid_from_us", LongType),
+        StructField("valid_to_us", LongType, nullable = true),
+        StructField("is_current", BooleanType)) ++
+        attrCols.map(c => changes.schema(c).copy(nullable = true)))
+
+    implicit val stateEnc: Encoder[Scd2Buf] = Encoders.kryo[Scd2Buf]
+    env.as(Encoders.row(envSchema))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Scd2Buf, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[Row], state: GroupState[Scd2Buf]) =>
+          val st = state.getOption.getOrElse(Scd2Buf(Nil, None))
+          val inc = it.toList.map { r =>
+            (r.getLong(2), r.getLong(3), r.getStruct(4).toSeq,
+              r.getAs[java.sql.Timestamp](1).getTime)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = (st.pending ++ inc).partition(_._4 <= wm)
+          var open = st.open
+          val out = scala.collection.mutable.ArrayBuffer[Row]()
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (tus, _, attrs, _) =>
+            open.foreach { case (fromUs, prevAttrs) =>
+              out += Row.fromSeq(Seq(k, fromUs, tus, false) ++ prevAttrs)
+            }
+            open = Some((tus, attrs))
+          }
+          // flush: the key has been idle past the close horizon — its open
+          // version becomes the current row (this IS the timeout path; a
+          // data invocation just re-arms below)
+          val idle = open.exists { case (fromUs, _) =>
+            pending.isEmpty && wm * 1000L >= fromUs + closeHorizonMicros }
+          if (idle) {
+            open.foreach { case (fromUs, attrs) =>
+              out += Row.fromSeq(Seq(k, fromUs, null, true) ++ attrs)
+            }
+            open = None
+          }
+          if (pending.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update(Scd2Buf(pending, open))
+            state.setTimeoutTimestamp(wm + 1)
+          }
+          out.iterator
+      }(stateEnc, Encoders.row(outSchema))
+  }
+
   /** Per-key state for [[rateCapStream]]: events not yet finalized by the
     * watermark as (tusMicros, tieBreak, payload VALUES, tsMs), plus the
     * admission count of every still-open (or not-yet-GC'd) time bucket.
