@@ -1978,6 +1978,18 @@ object SparkEntry {
         .withColumnRenamed("grp", "event_type")
     }),
 
+    "q_fk_orphans" -> ((s, dir) =>
+      // referential integrity across the TPC-H spine: all three
+      // relationships hold in the shipped data, so the report's value is
+      // the exact child-row counts + literal-zero orphans + pass flags
+      operators.Expectations.fkOrphans(Seq(
+        ("lineitem.orderkey->orders", t(s, dir, "lineitem"), col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey")),
+        ("orders.custkey->customer", t(s, dir, "orders"), col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")),
+        ("lineitem.partkey->part", t(s, dir, "lineitem"), col("l_partkey"),
+          t(s, dir, "part"), col("p_partkey"))))),
+
     "q_kanon" -> ((s, dir) =>
       // re-identification surface: (source, n_chars) combos carried by
       // fewer than 2 documents — the length quasi-identifier is what
@@ -3680,6 +3692,28 @@ object SparkEntry {
     "q_kanon" ->
       """SELECT source, n_chars, count(*) AS n FROM documents
         |GROUP BY 1, 2 HAVING count(*) < 2""".stripMargin,
+
+    "q_fk_orphans" ->
+      """SELECT 'lineitem.orderkey->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS n_child_rows,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0 AS pass
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders r LEFT JOIN customer c
+        |     ON r.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+        |  (SELECT count(*) FROM orders r LEFT JOIN customer c
+        |     ON r.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) = 0""".stripMargin,
 
     // percentile_disc-style rank-selected bounds over the distinct-value
     // count table; the clip itself is order-free comparisons

@@ -49,6 +49,31 @@ object Expectations {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** Referential-integrity report: for each declared foreign-key
+    * relationship, how many child rows point at a parent key that does
+    * not exist — the orphan count a lakehouse without enforced
+    * constraints must measure instead of assume. One row per
+    * relationship: (relation, n_child_rows, n_orphans, pass).
+    *
+    * Plan per relationship: a LEFT ANTI join of the child's key column
+    * against the parent's DISTINCT keys, counted — the minimal shuffle
+    * the question needs; the parent side collapses to its key set first
+    * (partial-aggregated), so the join carries |distinct parent keys|,
+    * not the parent table.
+    */
+  def fkOrphans(relations: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame = {
+    require(relations.nonEmpty, "no FK relationships declared")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val total = child.agg(count(lit(1)).as("n_child_rows"))
+      val orphans = child.select(childKey.as("__fk"))
+        .join(parent.select(parentKey.as("__fk")).distinct(), Seq("__fk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child_rows"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("pass"))
+    }.reduce(_.union(_))
+  }
+
   /** k-anonymity report over a quasi-identifier set: every combination of
     * quasi-id values carried by FEWER than k rows, with its count — the
     * re-identification surface a release gate must clear (a combo seen

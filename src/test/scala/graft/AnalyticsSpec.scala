@@ -184,6 +184,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Expectations.kAnonymityViolations(df, Seq(col("lang")), 2L).count() == 0)
   }
 
+  test("fkOrphans counts child rows pointing at absent parents") {
+    import graft.operators.Expectations
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 9L), (13L, 8L)).toDF("id", "fk")
+    val out = Expectations.fkOrphans(Seq(
+        ("child->parent", child, col("fk"), parent, col("pk"))))
+      .head()
+    assert((out.getString(0), out.getLong(1), out.getLong(2), out.getBoolean(3)) ==
+      (("child->parent", 4L, 2L, false)))
+    // clean relationship passes
+    val clean = Expectations.fkOrphans(Seq(
+        ("c", child.where(col("fk") === 1L), col("fk"), parent, col("pk")))).head()
+    assert(clean.getLong(2) == 0L && clean.getBoolean(3))
+  }
+
   test("skyline2D keeps exactly the non-dominated per-group frontier") {
     val pts = Seq(
       ("g", 1.0, 9.0), ("g", 5.0, 5.0), ("g", 9.0, 1.0), // frontier
