@@ -252,12 +252,21 @@ object StreamingOps {
     *
     * Ripeness and ordering follow the house watermark contract: changes
     * buffer until the watermark passes them and fold in strict
-    * (tus, tie) order, so interval chaining equals the batch window. A
-    * change arriving after its key was flushed re-opens it best-effort
-    * (the flushed current row stays in the sink — the same late-data
-    * tradeoff every stateful entry here documents; widen the horizon to
-    * shrink it). State per key: the watermark-bounded pending buffer plus
-    * ONE open version — the same floor a compacted changelog keeps.
+    * (tus, tie) order, so interval chaining equals the batch window.
+    *
+    * The horizon is a REAL semantic parameter, not just a late-data
+    * knob: a key whose IN-ORDER inactivity gap exceeds it gets flushed
+    * mid-stream, and the next change then opens a fresh chain — the
+    * flushed current row stays in the sink as a point-in-time currency
+    * snapshot rather than being retro-closed (append sinks cannot
+    * retract). Exact batch parity therefore requires the horizon to
+    * exceed the maximum in-order gap per key (the drained harness run
+    * satisfies this by construction); below that, the output is the
+    * still-well-defined "currency snapshot at each flush" semantic.
+    * Late data after a flush re-opens best-effort, same tradeoff as the
+    * other stateful entries. State per key: the watermark-bounded
+    * pending buffer plus ONE open version — the same floor a compacted
+    * changelog keeps.
     */
   def scd2Stream(changes: DataFrame, keyCol: String, tsCol: String,
       tsMicrosCol: String, tieCol: String, attrCols: Seq[String],

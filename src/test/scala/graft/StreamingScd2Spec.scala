@@ -91,6 +91,20 @@ class StreamingScd2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("in-order gap past the horizon flushes a currency snapshot, then reopens") {
+    // horizon 100ms: A@10ms flushes as current once the watermark drifts
+    // past 110ms with nothing pending; B@3000ms then opens a FRESH chain.
+    // The flushed row stays (append sinks cannot retract) — the
+    // documented snapshot semantic, pinned so it stays deliberate.
+    val got = run(Seq(
+      Seq((1L, "A", 10L)),
+      Seq((9L, "w", 1000L)), Seq((9L, "w", 2000L)),   // advance wm, fire timeout
+      Seq((1L, "B", 3000L))), horizonUs = 100L * 1000L)
+    val key1 = got.filter(_._1 == 1L)
+    assert(key1 == Set((1L, 10000L, -1L, true, "A"), (1L, 3000000L, -1L, true, "B")),
+      s"expected the A snapshot + fresh B chain, got $key1")
+  }
+
   test("cross-batch chaining matches batch (changes split across batches)") {
     val all = Seq((1L, "A", 10L), (1L, "B", 500L), (1L, "C", 900L))
     val got = run(Seq(all.take(1), all.slice(1, 2), all.drop(2)),
