@@ -19,7 +19,7 @@ import graft.operators.Analytics
 object AnalyticsProps extends Properties("AnalyticsW3") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    PropsConfig.soundness(p, 10)
 
   private lazy val spark = SparkTest.session
 

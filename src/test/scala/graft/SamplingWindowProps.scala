@@ -15,7 +15,7 @@ import graft.operators.Sampling
 object SamplingWindowProps extends Properties("SamplingWindow") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    PropsConfig.soundness(p, 10)
 
   private lazy val spark = SparkTest.session
 

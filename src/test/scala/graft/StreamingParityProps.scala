@@ -25,7 +25,7 @@ object StreamingParityProps extends Properties("StreamingParity") {
 
   // each case runs a real streaming query — few, adversarial cases
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(5)
+    PropsConfig.soundness(p, 5)
 
   private lazy val spark = SparkTest.session
 
