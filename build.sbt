@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // tests run FORKED, so -D flags given to sbt's own JVM never reach
+  // them — forward the fuzzer knobs explicitly or `sbt
+  // -Dgraft.scalacheck.iters.mult=3 test` silently runs at base
+  // iterations while claiming a deep sweep
+  Seq("graft.scalacheck.seed", "graft.scalacheck.iters.mult")
+    .flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))
