@@ -19,7 +19,7 @@ object FuzzyJoinProps extends Properties("FuzzyJoin") {
   // Spark jobs per case are the cost: fewer, nastier cases beat many
   // trivial ones.
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(12)
+    PropsConfig.soundness(p, 12)
 
   private lazy val spark = SparkTest.session
 

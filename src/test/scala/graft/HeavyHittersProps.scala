@@ -15,7 +15,7 @@ import graft.functions.{MgBuf, MisraGries}
 object HeavyHittersProps extends Properties("MisraGries") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    PropsConfig.soundness(p, 200)
 
   /** Small alphabets force collisions and decrement churn. */
   private val genStream: Gen[List[String]] = for {
