@@ -51,7 +51,23 @@ object StreamingParityProps extends Properties("StreamingParity") {
       .sortBy(e => (e.ms, e.eid))
     val perBatch = math.max(1, evs.size / cuts)
     val rnd = new scala.util.Random(shuffleSeed)
-    evs.grouped(perBatch).map(b => rnd.shuffle(b)).toList
+    // cut only at STRICT time boundaries: a 0-delay watermark advances to
+    // batch i's max event time, and Spark's late filter drops eventTime
+    // <= watermark — an equal-ms group straddling a cut would have its
+    // later half dropped as late, which is a property of the generator,
+    // not of the operators under test (first seen as a real falsifying
+    // case: ms=84 split across batches 1 and 2)
+    val byMs = evs.groupBy(_.ms).toList.sortBy(_._1).map(_._2)
+    val batches = scala.collection.mutable.ListBuffer[List[Ev]]()
+    var cur = List.empty[Ev]
+    byMs.foreach { g =>
+      if (cur.size >= perBatch && batches.size < cuts - 1) {
+        batches += cur; cur = List.empty
+      }
+      cur = cur ++ g
+    }
+    if (cur.nonEmpty) batches += cur
+    batches.toList.map(b => rnd.shuffle(b))
   }
 
   private def runStream(batches: List[List[Ev]])(
@@ -105,6 +121,29 @@ object StreamingParityProps extends Properties("StreamingParity") {
         if (depth > 0) Some((k, depth): Any) else None
       }.toSet
       got == expected
+    }
+
+  property("scd2Stream (drained) == batch scd2 on random multi-batch logs") =
+    forAllNoShrink(genBatches) { batches =>
+      import spark.implicits._
+      // horizon far beyond any generated gap → exact batch parity
+      val got = runStream(batches) { df =>
+        StreamingOps.scd2Stream(df, "k", "t", "us", "eid", Seq("et"),
+          closeHorizonMicros = 3600L * 1000000L)
+      } { qname =>
+        spark.table(qname).where(col("k") >= 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+            r.getString(4)): Any).toSet
+      }
+      val all = batches.flatten
+      val ref = graft.operators.Analytics.scd2(
+          all.map(e => (e.k, e.et, e.ms * 1000L, e.eid)).toDF("k", "et", "tus", "eid"),
+          col("k"), col("tus"), col("eid"), Seq("et" -> col("et")))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+          r.getString(4)): Any).toSet
+      got == ref
     }
 
   property("rateCapStream == capPerKeyWindow on random multi-batch logs") =
