@@ -77,6 +77,57 @@ object SparkEntry {
     row.getLong(0)
   }
 
+  /** (min, max) of an event-time column as longs — one bounded aggregate;
+    * same descriptive empty-input failure as [[maxEventTime]]. The span
+    * (max − min) sizes the multi-batch-safe watermark delay below.
+    */
+  private[graft] def eventTimeSpan(df: DataFrame, c: Column, table: String): (Long, Long) = {
+    val row = df.agg(min(c), max(c)).head()
+    if (row.isNullAt(0) || row.isNullAt(1))
+      throw new IllegalStateException(
+        s"$table is empty (or its event time is all-null) - cannot derive " +
+          "the streaming drain sentinel")
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Extra read options for the streaming entries' file sources — empty in
+    * production; SentinelMultiBatchSpec sets `maxFilesPerTrigger=1` here to
+    * prove the drain-sentinel pattern survives multi-batch processing
+    * (VERDICT r10 #8). Package-private test knob, reset by the spec.
+    */
+  private[graft] var streamReadOptions: Map[String, String] = Map.empty
+
+  /** Multi-batch-safe drain-sentinel write (VERDICT r10 #8): `data` is
+    * written first, then the one-row `sentinel` frame is APPENDED and every
+    * sentinel part-file's mtime is bumped strictly above all data files' —
+    * Spark's file stream source processes files oldest-first (default
+    * `latestFirst=false`), so the sentinel lands in the LAST micro-batch
+    * even under `maxFilesPerTrigger=1`. Paired with a watermark delay that
+    * covers the full data span (see the sentinel entries), NO interleaving
+    * of the data files can drop a row: until the sentinel is processed the
+    * watermark stays ≤ the earliest event time, so every row buffers; the
+    * sentinel then advances it exactly as far as the old single-batch
+    * pattern did, and the drain emits everything. This replaces the
+    * single-batch ASSUMPTION the r9/r10 entries documented with an
+    * arrival-order GUARANTEE.
+    */
+  private[graft] def writeDataThenSentinel(data: DataFrame, sentinel: DataFrame,
+      dir: String): Unit = {
+    rmDir(dir)
+    data.write.mode("overwrite").parquet(dir)
+    def parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val dataNames = parts.map(_.getName).toSet
+    val dataMaxM = (0L +: parts.map(_.lastModified)).max
+    sentinel.write.mode("append").parquet(dir)
+    parts.filterNot(f => dataNames(f.getName)).foreach { f =>
+      // one minute past the newest data file — far above fs mtime granularity
+      if (!f.setLastModified(dataMaxM + 60000L))
+        throw new IllegalStateException(
+          s"cannot order sentinel file ${f.getName} after the data files")
+    }
+  }
+
   /** The events table with `ts` normalized to a session-tz TIMESTAMP at
     * micro precision, whatever physical flavor the file carries (see
     * [[tsMicros]]) — downstream event-time queries see one canonical type.
@@ -152,6 +203,24 @@ object SparkEntry {
   }
 
   // --------------------------------------------------------------- queries
+
+  /** Queries that are PERMANENTLY rows-only — can't be oracled, by design,
+    * not by omission (VERDICT r10 #5). Every one surfaces xxhash64-derived
+    * signatures (Spark's 64-bit xxHash with Spark's seed and struct/array
+    * serialization) that DuckDB has no equivalent for, so no ANSI SQL can
+    * reproduce the values. Each is instead pinned by a deterministic spec:
+    * OperatorsSpec/DedupGroupSpec (minhash/simhash signature stability + known-duplicate
+    * recall), Fingerprint in TextAnalysisSpec (rolling-hash determinism),
+    * and the incremental-dedup convergence specs. Everything NOT in this
+    * set must have an `oracleSql` entry — asserted by OracleCoverageSpec.
+    */
+  val permanentRowsOnly: Set[String] = Set(
+    "q_fingerprint",        // xxhash64 rolling document fingerprints
+    "q_dedup_minhash",      // minhash signatures = min over xxhash64(shingle, seed_i)
+    "q_dedup_simhash",      // simhash bit-vote over xxhash64(token) bits
+    "q_dedup_clusters_lsh", // cluster ids derived from minhash band hashes
+    "q_dedup_incremental",  // state keyed by minhash band signatures
+  )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation / join / window / sort (Catalyst built-ins over the
@@ -367,23 +436,28 @@ object SparkEntry {
       // disagree only on a pair EXACTLY g apart (none exist in any shipped
       // testdata at micro precision; the tie shape is checked out-of-band,
       // and DataContract.check counts exactly-g pairs at Verify startup).
-      // SINGLE-BATCH ASSUMPTION: sentinel and real events share one input
-      // directory, which is safe only because the file source reads all
-      // files in one micro-batch under default settings (no
-      // maxFilesPerTrigger is ever set here). If the sentinel file landed
-      // in an EARLIER batch, the watermark would jump past every real
-      // event and silently drop them — do not add per-trigger file limits
-      // to this read without splitting the sentinel into a second stream.
+      // MULTI-BATCH SAFE since r11 (was a single-batch assumption): the
+      // watermark delay covers the full event-time span, so until the
+      // sentinel file — ordered LAST by writeDataThenSentinel's mtime bump
+      // — is processed, the watermark stays ≤ the earliest event and no
+      // interleaving of data files can drop a row; the sentinel sits the
+      // same delay PAST the old (+2 days) drain point, so the final
+      // watermark (and the drained output) is unchanged. Pinned under
+      // maxFilesPerTrigger=1 by SentinelMultiBatchSpec.
       import org.apache.spark.sql.streaming.Trigger
       val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts"), col("value"))
       val inDir = work("q_stream_sessionize_in")
-      val maxUs = maxEventTime(ev, unix_micros(col("ts")), "events")
-      ev.unionByName(s.range(1).select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxUs + 2L * 86400L * 1000000L)).as("ts"), lit(0.0).as("value")))
-        .write.mode("overwrite").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      val (minUs, maxUs) = eventTimeSpan(ev, unix_micros(col("ts")), "events")
+      val delayUs = maxUs - minUs + 1000000L
+      writeDataThenSentinel(ev,
+        s.range(1).select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 2L * 86400L * 1000000L + delayUs)).as("ts"),
+          lit(0.0).as("value")),
+        inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .options(streamReadOptions).parquet(inDir)
       val agg = stream
-        .withWatermark("ts", "0 seconds")
+        .withWatermark("ts", s"$delayUs microseconds")
         .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
         .agg(count(lit(1)).as("n_events"),
           min(unix_micros(col("ts"))).as("start_us"),
@@ -537,21 +611,27 @@ object SparkEntry {
       // hard-coded "far future" is exactly the environment-drift trap the
       // ts-flavor breakage was — a regenerated dataset past the literal
       // would silently stop finalizing rows. One-row bounded aggregate.
-      // Same single-batch assumption as q_stream_sessionize: sentinels
-      // ride in the same directories as the real rows, safe only while no
-      // per-trigger file limit can split them into separate micro-batches.
-      val maxMs = maxEventTime(evs, unix_millis(col("t_ts")), "events")
-      val sentinel = timestamp_millis(lit(maxMs + 86400000L))
+      // Multi-batch safe since r11 (see q_stream_sessionize): both sides'
+      // watermark delays cover the full event span, both sentinels are
+      // mtime-ordered last in their directories, and both sit the delay
+      // past the old drain point — final watermark unchanged.
+      val (minMs, maxMs) = eventTimeSpan(evs, unix_millis(col("t_ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentinel = timestamp_millis(lit(maxMs + 86400000L + delayMs))
       val lIn = work("q_stream_asof_l")
       val rIn = work("q_stream_asof_r")
-      evs.unionByName(s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-        sentinel.as("t_ts"))).write.mode("overwrite").parquet(lIn)
-      pur.unionByName(s.range(1).select(lit(-1L).as("user_id"), sentinel.as("p_ts"),
-        lit(-1L).as("purchase_id"))).write.mode("overwrite").parquet(rIn)
-      val lS = s.readStream.schema(s.read.parquet(lIn).schema).parquet(lIn)
-        .withWatermark("t_ts", "0 seconds")
-      val rS = s.readStream.schema(s.read.parquet(rIn).schema).parquet(rIn)
-        .withWatermark("p_ts", "0 seconds")
+      writeDataThenSentinel(evs,
+        s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          sentinel.as("t_ts")), lIn)
+      writeDataThenSentinel(pur,
+        s.range(1).select(lit(-1L).as("user_id"), sentinel.as("p_ts"),
+          lit(-1L).as("purchase_id")), rIn)
+      val lS = s.readStream.schema(s.read.parquet(lIn).schema)
+        .options(streamReadOptions).parquet(lIn)
+        .withWatermark("t_ts", s"$delayMs milliseconds")
+      val rS = s.readStream.schema(s.read.parquet(rIn).schema)
+        .options(streamReadOptions).parquet(rIn)
+        .withWatermark("p_ts", s"$delayMs milliseconds")
       val joined = streaming.StreamingOps.asOfJoinStream(lS, rS, Seq("user_id"), "t_ts", "p_ts")
       val qname = s"graft_stream_asof_${System.nanoTime()}"
       val query = joined.writeStream.format("memory").queryName(qname)
@@ -1808,8 +1888,8 @@ object SparkEntry {
     "q_stream_funnel" -> ((s, dir) => {
       // STREAMING ordered funnel (StreamingOps.funnelStream): per-user
       // deepest in-order step via watermark-bounded state, drained with
-      // the sentinel pattern (derived time, same single-batch assumption
-      // as the other stream entries), then step counts aggregated from
+      // the sentinel pattern (derived time; multi-batch safe since r11 —
+      // see q_stream_sessionize), then step counts aggregated from
       // the per-user depths. The oracle is the BATCH funnel SQL —
       // streaming and batch must agree. Micros ride alongside the
       // watermarked ts so strict-after comparisons keep full precision.
@@ -1818,16 +1898,19 @@ object SparkEntry {
       val steps = Seq("signup", "click", "purchase")
       val base = ev.select(col("user_id"), col("event_type"), col("ts"),
         unix_micros(col("ts")).as("t_us"))
-      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val (minMs, maxMs) = eventTimeSpan(base, unix_millis(col("ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentMs = maxMs + 86400000L + delayMs
       val inDir = work("q_stream_funnel_in")
-      base.where(col("event_type").isin(steps: _*))
-        .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+      writeDataThenSentinel(base.where(col("event_type").isin(steps: _*)),
+        s.range(1).select(lit(-1L).as("user_id"),
           lit(steps.head).as("event_type"),
-          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
-          lit((maxMs + 86400000L) * 1000L).as("t_us")))
-        .write.mode("overwrite").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
-        .withWatermark("ts", "0 seconds")
+          timestamp_millis(lit(sentMs)).as("ts"),
+          lit(sentMs * 1000L).as("t_us")),
+        inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .options(streamReadOptions).parquet(inDir)
+        .withWatermark("ts", s"$delayMs milliseconds")
       val res = streaming.StreamingOps.funnelStream(stream,
         "user_id", "event_type", "ts", "t_us", steps)
       val qname = s"graft_stream_funnel_${System.nanoTime()}"
@@ -2026,21 +2109,25 @@ object SparkEntry {
     "q_stream_rate_cap" -> ((s, dir) => {
       // STREAMING rate cap over the same feed: admission ranks must equal
       // the batch window's row_number (q_rate_cap's oracle SQL verbatim).
-      // Sentinel-drain pattern as in the other stream entries (same
-      // single-batch assumption, documented at q_stream_sessionize).
+      // Sentinel-drain pattern as in the other stream entries (multi-batch
+      // safe since r11, documented at q_stream_sessionize).
       import org.apache.spark.sql.streaming.Trigger
       val ev = events(s, dir)
       val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), unix_micros(col("ts")).as("t_us"))
-      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val (minMs, maxMs) = eventTimeSpan(base, unix_millis(col("ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentMs = maxMs + 86400000L + delayMs
       val inDir = work("q_stream_rate_cap_in")
-      base.unionByName(s.range(1).select(lit(-1L).as("event_id"),
+      writeDataThenSentinel(base,
+        s.range(1).select(lit(-1L).as("event_id"),
           lit(-1L).as("user_id"), lit("view").as("event_type"),
-          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
-          lit((maxMs + 86400000L) * 1000L).as("t_us")))
-        .write.mode("overwrite").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
-        .withWatermark("ts", "0 seconds")
+          timestamp_millis(lit(sentMs)).as("ts"),
+          lit(sentMs * 1000L).as("t_us")),
+        inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .options(streamReadOptions).parquet(inDir)
+        .withWatermark("ts", s"$delayMs milliseconds")
       val res = streaming.StreamingOps.rateCapStream(stream, "user_id", "ts",
         "t_us", "event_id", windowMicros = 21600000000L, n = 3)
       val qname = s"graft_stream_rate_cap_${System.nanoTime()}"
@@ -2057,23 +2144,27 @@ object SparkEntry {
       // closed intervals emit in-stream, the drain sentinel advances the
       // watermark past the close horizon so every open version flushes as
       // current — the drained output must equal the batch scd2 verbatim
-      // (same oracle SQL). Sentinel-drain single-batch assumption as the
-      // other stream entries.
+      // (same oracle SQL). Sentinel-drain pattern, multi-batch safe since
+      // r11 (documented at q_stream_sessionize).
       import org.apache.spark.sql.streaming.Trigger
       val ev = events(s, dir)
       val base = ev.select(col("user_id"), col("event_type"), col("value"),
         col("ts"), unix_micros(col("ts")).as("t_us"),
         col("event_id"))
-      val maxMs = maxEventTime(base, unix_millis(col("ts")), "events")
+      val (minMs, maxMs) = eventTimeSpan(base, unix_millis(col("ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentMs = maxMs + 86400000L + delayMs
       val inDir = work("q_stream_scd2_in")
-      base.unionByName(s.range(1).select(lit(-1L).as("user_id"),
+      writeDataThenSentinel(base,
+        s.range(1).select(lit(-1L).as("user_id"),
           lit("view").as("event_type"), lit(0.0).as("value"),
-          timestamp_millis(lit(maxMs + 86400000L)).as("ts"),
-          lit((maxMs + 86400000L) * 1000L).as("t_us"),
-          lit(-1L).as("event_id")))
-        .write.mode("overwrite").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
-        .withWatermark("ts", "0 seconds")
+          timestamp_millis(lit(sentMs)).as("ts"),
+          lit(sentMs * 1000L).as("t_us"),
+          lit(-1L).as("event_id")),
+        inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .options(streamReadOptions).parquet(inDir)
+        .withWatermark("ts", s"$delayMs milliseconds")
       val res = streaming.StreamingOps.scd2Stream(stream, "user_id", "ts",
         "t_us", "event_id", Seq("event_type", "value"),
         closeHorizonMicros = 3600000000L)
@@ -3533,7 +3624,7 @@ object SparkEntry {
         |    count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day,
-        |  SUM(n) OVER w AS n7,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n7,
         |  CAST(SUM(s) OVER w AS DOUBLE) AS sum7,
         |  CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w AS avg7
         |FROM d
@@ -3664,7 +3755,8 @@ object SparkEntry {
         |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
         |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000000 AS dur_s
         |  FROM events)
-        |SELECT user_id, count(*) AS n_intervals, SUM(dur_s) AS dur_total_s,
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(SUM(dur_s) AS BIGINT) AS dur_total_s,
         |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE) AS vdur,
         |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE)
         |    / CAST(SUM(dur_s) AS DOUBLE) AS twap
@@ -3787,7 +3879,7 @@ object SparkEntry {
     "q_skew_report" ->
       """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c),
-        |t AS (SELECT count(*) AS n_keys, SUM(cnt) AS n_rows,
+        |t AS (SELECT count(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
         |        MAX(cnt) AS max_cnt FROM c)
         |SELECT n_keys, n_rows, max_cnt,
         |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n_keys) AS INTEGER) THEN cnt END) AS p50,

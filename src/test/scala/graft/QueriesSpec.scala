@@ -24,6 +24,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  // VERDICT r10 #5: "rows-only" is a deliberate, closed set, not a gap.
+  // Every query outside `permanentRowsOnly` must carry DuckDB oracle SQL,
+  // and every member must NOT (a member growing an oracle should be
+  // promoted out of the set, not silently double-listed).
+  test("oracle coverage: queries partition into oracled + permanentRowsOnly") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == SparkEntry.permanentRowsOnly,
+      s"rows-only drift: unoracled-but-not-declared=${unoracled -- SparkEntry.permanentRowsOnly}, " +
+        s"declared-but-oracled=${SparkEntry.permanentRowsOnly -- unoracled}")
+    val phantom = SparkEntry.permanentRowsOnly -- SparkEntry.queries.keySet
+    assert(phantom.isEmpty, s"permanentRowsOnly names unknown queries: $phantom")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       assume(new java.io.File(sfDir).isDirectory)

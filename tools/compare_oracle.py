@@ -3,7 +3,16 @@
 DuckDB against the sf parquet tables, load the corresponding Spark result
 parquet from Verify's outDir, sort columns by name + rows, and compare.
 
+The driver's hash is type-sensitive, so this gate must be at least as
+strict: in addition to cell values it (a) fails when the pandas dtype
+*kind* differs between the oracle and Spark frames (int vs float, object
+vs numeric, ...) and (b) lints every oracle SQL's projected types via
+`DESCRIBE`, failing on any HUGEINT/UHUGEINT column (DuckDB's SUM(BIGINT)
+widening — Spark has no int128, so the driver hash can never match) and
+on any DECIMAL column whose Spark counterpart is not also decimal.
+
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
+       compare_oracle.py --lint-only <sfDir> <verifyOutDir>   # types only
 """
 import json, math, sys
 import duckdb
@@ -12,6 +21,7 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # tz-aware → naive UTC so Spark/DuckDB timestamps compare equal
@@ -19,6 +29,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(df[c].dtype, pd.DatetimeTZDtype):
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
 
 def cells_equal(a, b):
     if a is None and b is None:
@@ -36,12 +47,76 @@ def cells_equal(a, b):
         pass
     return a == b
 
+
+def dtype_mismatches(oracle: pd.DataFrame, mine: pd.DataFrame):
+    """Columns whose pandas dtype *kind* differs (int vs float vs object
+    vs bool ...). This is the class the driver's type-sensitive hash
+    catches and loose value comparison does not. Same-kind width diffs
+    (int32 vs int64) are reported as warnings, not failures."""
+    hard, soft = [], []
+    for c in oracle.columns:
+        od, md = oracle[c].dtype, mine[c].dtype
+        if od.kind != md.kind:
+            hard.append(f"col {c}: oracle dtype {od} vs spark dtype {md}")
+        elif str(od) != str(md):
+            soft.append(f"col {c}: oracle dtype {od} vs spark dtype {md}")
+    return hard, soft
+
+
+def lint_oracle_types(con, oracles, out_dir):
+    """DESCRIBE each oracle SQL (no execution) and flag projected types
+    the driver hash can never reconcile with Spark output:
+      - HUGEINT/UHUGEINT: DuckDB's SUM(BIGINT) widening → pandas float64
+        while Spark emits int64. Always a bug; cast to BIGINT in the SQL.
+      - DECIMAL: only a bug when the Spark parquet column is not decimal
+        (DuckDB decimal → float64/object, Spark long/double hashes differ).
+    Returns a list of (query, finding) pairs."""
+    import os
+    findings = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:
+            findings.append((name, f"DESCRIBE failed: {e}"))
+            continue
+        spark_dtypes = {}
+        try:
+            spark_dtypes = dict(
+                pd.read_parquet(f"{out_dir}/{name}").dtypes.astype(str))
+        except Exception:
+            pass  # lint still covers the unconditional HUGEINT class
+        for col, typ, *_ in cols:
+            t = typ.upper()
+            if "HUGEINT" in t:
+                findings.append(
+                    (name, f"col {col}: oracle projects {typ} "
+                           f"(DuckDB int128 → pandas float64; Spark has no "
+                           f"int128) — wrap in CAST(... AS BIGINT)"))
+            elif t.startswith("DECIMAL"):
+                sd = spark_dtypes.get(col, "")
+                if sd and sd != "object":
+                    findings.append(
+                        (name, f"col {col}: oracle projects {typ} but Spark "
+                               f"emits {sd} — cast one side to match"))
+    return findings
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lint_only = "--lint-only" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    lint = lint_oracle_types(con, oracles, out_dir)
+    for name, why in lint:
+        print(f"LINT {name}: {why}")
+    if lint_only:
+        print(f"\nlint: {len(lint)} findings over {len(oracles)} oracle SQLs")
+        sys.exit(1 if lint else 0)
+
     failures = []
     for name, sql in sorted(oracles.items()):
         try:
@@ -59,6 +134,12 @@ def main():
             continue
         if len(oracle) != len(mine):
             failures.append((name, f"row count differs: oracle={len(oracle)} mine={len(mine)}"))
+            continue
+        hard, soft = dtype_mismatches(oracle, mine)
+        for w in soft:
+            print(f"WARN {name}: {w} (same kind — driver hash may still match)")
+        if hard:
+            failures.append((name, f"dtype kind mismatch: {'; '.join(hard)}"))
             continue
         diff_cells = 0
         first = None
@@ -81,8 +162,10 @@ def main():
             print(f"ROWS {d} ({n} rows){' <-- EMPTY' if n == 0 else ''}")
     for name, why in failures:
         print(f"FAIL {name}: {why}")
-    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle queries match")
-    sys.exit(1 if failures else 0)
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} oracle queries match; "
+          f"{len(lint)} lint findings")
+    sys.exit(1 if failures or lint else 0)
+
 
 if __name__ == "__main__":
     main()
