@@ -66,6 +66,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to a
+    // subset (isolation measurements, single-query regressions hunts). The
+    // driver never sets it — the full headline always ships.
+    val headline: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) => val want = s.split(',').map(_.trim).toSet
+        Headline.filter(want)
+      case None => Headline
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -126,7 +134,7 @@ object Bench {
     if (!new java.io.File(warmDir).isDirectory)
       System.err.println(s"[bench] warmup dir $warmDir missing — first-query JIT cost " +
         "will land in the measured numbers (set SPARK_GRAFT_WARM_DIR)")
-    Headline.foreach { n =>
+    headline.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
@@ -136,20 +144,21 @@ object Bench {
     // tiny-sf warmup JITs the pipelines but not the data-scale-dependent
     // paths (AQE replans, page-cache fill) — at sf1 the first timed query
     // used to eat ~26s of exactly that (VERDICT r9 #3).
-    Headline.headOption.foreach { n =>
+    headline.headOption.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] corpus warmup $n failed: ${e.getMessage}")
       }
     }
 
-    val results = Headline.map(n => n -> run(n))
+    val results = headline.map(n => n -> run(n))
 
     // ANN quality trend: recall@10 of each approximate strategy against the
     // exact brute-force top-k over the same corpus and a 64-query probe set
     // — the rows-only similarity queries carry a quantitative quality
     // number the driver can trend round-over-round, not just a runtime.
-    val annRecall: String = try {
+    val annRecall: String = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) ""
+    else try {
       import org.apache.spark.sql.functions.col
       import graft.operators.Similarity
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -214,30 +223,44 @@ object Bench {
     // min map as fallback for pre-median rounds) and carry any >1.5×
     // entries IN the artifact — the judge's round-over-round comparison
     // becomes a driver-visible field instead of a manual diff. Purely
-    // advisory: parse failures are logged and produce an empty list.
+    // advisory — but never SILENTLY empty (VERDICT r10 #3): when the
+    // driver artifact's truncated tail yields no parseable map (the r9
+    // artifact: tail cut mid-map, "parsed": null), fall back to the
+    // COMPLETE BENCH_full_latest.json this bench writes itself, and if
+    // that too yields nothing, say "no_comparable_artifact" loudly
+    // instead of an indistinguishable-from-healthy [].
     val regressions: String = try {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"))
-      val prior = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        .lastOption
-      prior match {
-        case None => "[]"
-        case Some(f) =>
+      val candidates: Seq[java.io.File] =
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.toSeq ++
+        Some(new java.io.File(dir, "BENCH_full_latest.json")).filter(_.isFile)
+      val parsed: Option[(String, Map[String, Double])] =
+        candidates.iterator.map { f =>
           val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          val prevMap = parsePriorQueryTimes(raw, sfDir)
+          f.getName -> parsePriorQueryTimes(raw, sfDir)
+        }.find(_._2.nonEmpty)
+      parsed match {
+        case None =>
+          System.err.println(s"[bench] regression tripwire: no comparable " +
+            s"prior artifact (tried ${candidates.map(_.getName).mkString(", ")})")
+          "\"no_comparable_artifact\""
+        case Some((src, prevMap)) =>
           val regs = meds.flatMap { case (n, med) =>
             prevMap.get(n) match {
               case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>
                 Some(s"""{"q":"$n","median":$med,"prev":$prev,"ratio":${
-                  math.round(med / prev * 100) / 100.0},"vs":"${f.getName}"}""")
+                  math.round(med / prev * 100) / 100.0},"vs":"$src"}""")
               case _ => None
             }
           }
           regs.mkString("[", ",", "]")
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] regression diff failed: ${e.getMessage}"); "[]"
+      System.err.println(s"[bench] regression diff failed: ${e.getMessage}")
+      "\"no_comparable_artifact\""
     }
 
     val total = mins.map(_._2).filter(_ >= 0).sum
