@@ -240,18 +240,32 @@ object DataContract {
       val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
         (df.schema(c).dataType == DoubleType || df.schema(c).dataType == FloatType))
       if (present.nonEmpty) {
-        val aggs = present.map { c =>
-          sum(when(col(c).cast(StringType)
-            .rlike("^-?[0-9]+\\.[0-9]{2}5$"), 1L).otherwise(0L)).as(c)
+        // The regex reads CAST(double AS STRING), which Spark prints in
+        // scientific notation for |v| >= 1e7 (e.g. 1.2345678125E7) — such
+        // values ESCAPE the tie regex (ADVICE r10). All shipped money
+        // columns stay well below 1e7; the companion big_value probe
+        // below turns that assumption into a drift instead of a silent
+        // false negative.
+        val aggs = present.flatMap { c =>
+          Seq(
+            sum(when(col(c).cast(StringType)
+              .rlike("^-?[0-9]+\\.[0-9]{2}5$"), 1L).otherwise(0L)).as(c),
+            sum(when(abs(col(c)) >= 1e7, 1L).otherwise(0L)).as(c + "__big"))
         }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         present.zipWithIndex.foreach { case (c, i) =>
-          val ties = if (row.isNullAt(i)) 0L else row.getLong(i)
+          val ties = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+          val big = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
           if (ties > 0)
             drifts += Drift(table, s"decimal2_tie:$c",
               s"$ties rows of $c are exact scale-2 half-way ties - " +
                 "Spark (HALF_UP on shortest repr) and DuckDB (half-even on " +
                 "binary) cast them to different DECIMAL(14,2) values")
+          if (big > 0)
+            drifts += Drift(table, s"decimal2_tie_range:$c",
+              s"$big rows of $c have |value| >= 1e7 - Spark prints these in " +
+                "scientific notation, so the half-way-tie probe cannot see " +
+                "them; its verdict for this column is incomplete")
         }
       }
     }

@@ -275,6 +275,12 @@ object StreamingOps {
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     require(attrCols.nonEmpty, "scd2Stream needs at least one attribute column")
     require(closeHorizonMicros >= 0, "closeHorizonMicros must be >= 0")
+    // The grouping below is getLong(0) and the output `k` field is LONG —
+    // fail at build time with a named column, not at runtime with a
+    // ClassCastException inside the state function (ADVICE r10).
+    require(changes.schema(keyCol).dataType == LongType,
+      s"scd2Stream requires a LONG key column; '$keyCol' is " +
+        changes.schema(keyCol).dataType.simpleString)
     val aStruct = struct(attrCols.map(col): _*)
     val env = changes.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
       col(tsMicrosCol).as("__us"), col(tieCol).as("__tb"), aStruct.as("__a"))
@@ -359,6 +365,10 @@ object StreamingOps {
     import org.apache.spark.sql.functions.{col, struct}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     require(windowMicros > 0 && n > 0, "need windowMicros>0, n>0")
+    // Same Long-key contract as scd2Stream: groupByKey(_.getLong(0)).
+    require(events.schema(keyCol).dataType == LongType,
+      s"rateCapStream requires a LONG key column; '$keyCol' is " +
+        events.schema(keyCol).dataType.simpleString)
     val pStruct = struct(events.columns.map(col): _*)
     val env = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
       col(tsMicrosCol).as("__us"), col(tieCol).as("__tb"), pStruct.as("__p"))
@@ -395,7 +405,12 @@ object StreamingOps {
           if (pending.isEmpty && counts.isEmpty) state.remove()
           else {
             state.update(RateBuf(pending, counts))
-            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+            // Arm whenever ANY state is kept (ADVICE r10): a key whose
+            // buffer drained but still holds bucket counts must get one
+            // more invocation after the watermark passes, so the bucket
+            // GC above runs and the empty state is removed — otherwise
+            // one-shot keys would pin their counts for the query's life.
+            state.setTimeoutTimestamp(wm + 1)
           }
           out.iterator
       }(stateEnc, Encoders.row(outSchema))
