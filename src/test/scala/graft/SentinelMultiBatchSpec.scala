@@ -35,8 +35,11 @@ class SentinelMultiBatchSpec extends AnyFunSuite {
   // flatMapGroupsWithState with event-time timeouts; funnel = ordered
   // per-key fold — together they cover every stateful shape the sentinel
   // pattern drains.)
+  // q_stream_asof adds the TWO-source case: the global watermark is the
+  // min across both inputs' sentinels, each mtime-ordered last in its own
+  // directory.
   for (q <- Seq("q_stream_sessionize", "q_stream_funnel", "q_stream_rate_cap",
-                "q_stream_scd2")) {
+                "q_stream_scd2", "q_stream_asof")) {
     test(s"$q: maxFilesPerTrigger=1 output equals the single-batch output") {
       assume(ready)
       val single = runWith(q, Map.empty)
