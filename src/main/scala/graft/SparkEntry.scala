@@ -3918,7 +3918,7 @@ object SparkEntry {
         |FROM j, tot, num, bounds""".stripMargin,
 
     "q_rate_cap" ->
-      """SELECT event_id, user_id, event_type, bucket, rn FROM (
+      """SELECT event_id, user_id, event_type, bucket, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 21600000000 AS bucket,
         |    row_number() OVER (
@@ -3929,7 +3929,7 @@ object SparkEntry {
 
     // streaming rate cap must agree with the batch window — same oracle
     "q_stream_rate_cap" ->
-      """SELECT event_id, user_id, event_type, bucket, rn FROM (
+      """SELECT event_id, user_id, event_type, bucket, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 21600000000 AS bucket,
         |    row_number() OVER (
@@ -3974,7 +3974,7 @@ object SparkEntry {
         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         |      FROM d WHERE rn <= 5 GROUP BY 1),
         |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1)
-        |SELECT path, n, rk FROM (
+        |SELECT path, n, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT path, n, rank() OVER (ORDER BY n DESC, path) AS rk FROM c)
         |WHERE rk <= 10""".stripMargin,
 
