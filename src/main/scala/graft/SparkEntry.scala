@@ -1530,6 +1530,16 @@ object SparkEntry {
         col("doc_id"), col("source"),
         Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0)),
 
+    "q_temperature_mix" -> ((s, dir) =>
+      // T=0.5 temperature rebalancing toward a row budget: small sources
+      // keep a larger share than their natural proportion (rate ∝
+      // 1/sqrt(count)); selection is the standard md5 bucket with the
+      // per-source threshold DERIVED from the counts inside the plan —
+      // the oracle replays the exact sqrt/floor/divide chain.
+      operators.Sampling.temperatureMixSqrt(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), targetRows = 200)),
+
     "q_split_safe" -> ((s, dir) => {
       // Leakage-safe splitting: exact-duplicate texts MUST share a split
       // (a per-document split leaks paraphrase/dup content into eval).
@@ -1634,6 +1644,15 @@ object SparkEntry {
 
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)),
+
+    "q_lm_score" -> ((s, dir) =>
+      // CCNet-style unigram surprisal filter. The oracle checks the
+      // integer-exact quantized column; the real-valued xent_bits is
+      // log2-based (not correctly-rounded IEEE → not cross-engine
+      // hashable) and is spec-pinned instead, so the harness projection
+      // drops it here.
+      TextAnalysis.lmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("bits_q"))),
 
     // Vocabulary building: corpus-wide token frequencies, top-k. The
     // explode shuffles (token, partial-count) pairs thanks to map-side
@@ -2031,6 +2050,18 @@ object SparkEntry {
       operators.Profile.winsorize(ev, col("event_id"), col("event_type"),
         col("value"), pLow = 0.05, pHigh = 0.95)
         .withColumnRenamed("grp", "event_type")
+    }),
+
+    "q_mad_outliers" -> ((s, dir) => {
+      // robust per-type outlier report: |v - median| > 3 * MAD, both
+      // medians rank-selected (percentile_disc) — the 50%-breakdown
+      // complement of the z-score report (q_anomaly)
+      val ev = events(s, dir)
+      operators.Profile.madOutliers(ev, col("event_id"), col("event_type"),
+        col("value"), k = 3.0)
+        .withColumnRenamed("row_id", "event_id")
+        .withColumnRenamed("grp", "event_type")
+        .withColumnRenamed("v", "value")
     }),
 
     "q_phrase_search" -> ((s, dir) =>
@@ -3164,6 +3195,26 @@ object SparkEntry {
          |  FROM documents)""".stripMargin
     },
 
+    // The per-source keep threshold is DERIVED from the counts with the
+    // exact chain the engine runs: floor(sqrt(c)*1e6) micros (floor, not
+    // round — no tie semantics), exact integer total, two fixed-order
+    // double divisions, floor(rate*2^32) hex. 'g' sorts above every hex
+    // digit = keep-all.
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |w AS (SELECT source, c,
+        |    CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        |r AS (SELECT source,
+        |    CASE WHEN ((200 * w) / tw) / c >= 1.0 THEN 'g'
+        |      ELSE lpad(lower(to_hex(CAST(floor((((200 * w) / tw) / c)
+        |        * 4294967296.0) AS BIGINT))), 8, '0') END AS thr
+        |  FROM w, t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr""".stripMargin,
+
     "q_stratified_sample" -> {
       val t25 = operators.Sampling.thresholdHex(0.25)
       val t100 = operators.Sampling.thresholdHex(1.0)
@@ -3296,6 +3347,25 @@ object SparkEntry {
          |    $scores
          |  FROM documents)""".stripMargin
     },
+
+    // Quantized unigram surprisal: floorlog2 via length(bin(x))-1 on
+    // exact integers — no floating log anywhere, so the column is
+    // engine-portable bit-for-bit. The real-valued xent_bits column is
+    // spec-pinned instead (log2 is not correctly-rounded IEEE) and the
+    // harness projection drops it.
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+        |s AS (SELECT token,
+        |    CAST((length(bin(n_total)) - 1) - (length(bin(c)) - 1) AS BIGINT) AS q
+        |  FROM c, t)
+        |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(s.q) AS DOUBLE) / count(*) AS bits_q
+        |FROM toks JOIN s ON toks.token = s.token
+        |GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->
       """SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
@@ -3697,7 +3767,7 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+        |    NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0) AS corr
         |FROM m""".stripMargin,
 
     // ---- sequence / basket / dimension-history analytics. Integer
@@ -3825,6 +3895,37 @@ object SparkEntry {
         |SELECT row_id, base.event_type, v, lo, hi,
         |  LEAST(GREATEST(v, lo), hi) AS v_clipped
         |FROM base JOIN b ON base.event_type = b.event_type""".stripMargin,
+
+    // Both medians are rank selections over the (group, DISTINCT value)
+    // count table; abs(v - med) and 3*mad are correctly-rounded IEEE with
+    // the same expression shape the engine uses — no interpolation, no
+    // round().
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT event_id, event_type, value AS v FROM events),
+        |c AS (SELECT event_type, v, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |m AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med
+        |  FROM cum GROUP BY 1),
+        |d AS (SELECT b.event_id, b.event_type, b.v, m.med,
+        |    ABS(b.v - m.med) AS dev
+        |  FROM base b JOIN m ON b.event_type = m.event_type),
+        |dc AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |dcum AS (SELECT event_type, dev,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM dc),
+        |md AS (SELECT event_type,
+        |    MIN(CASE WHEN cum >= ceil(0.5 * n) THEN dev END) AS mad
+        |  FROM dcum GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.v AS value, d.med, md.mad, d.dev
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |WHERE d.dev > 3.0 * md.mad""".stripMargin,
 
     // positional adjacency join; DuckDB subscripts are 1-based vs
     // posexplode's 0-based, hence the -1

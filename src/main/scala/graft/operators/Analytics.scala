@@ -167,8 +167,10 @@ object Analytics {
     * exact DECIMAL(14,2)-view moments (see [[zscoreOutliers]] for why
     * this scale: tie-free casts, decimal→double conversions stay far
     * below 2^53). The final ratio is fixed-order IEEE math; a
-    * zero-variance group yields the IEEE quotient (NaN/±Inf) rather than
-    * an arbitrary sentinel.
+    * zero-variance group yields NULL corr — ANSI Spark throws on an
+    * exact-zero divisor even for doubles (see [[twoProportionZTest]]),
+    * so the quotient is guarded, and engines disagree on what 0/0
+    * "should" be anyway.
     */
   def pearson(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
     // Moments accumulate as integer-CENT longs, not decimals (VERDICT r10
@@ -198,10 +200,15 @@ object Analytics {
       scale2(col("sxc")).as("sx"), scale2(col("syc")).as("sy"),
       scale4(col("sxxc")).as("sxx"), scale4(col("syyc")).as("syy"),
       scale4(col("sxyc")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    // den is NaN (not 0.0) when double rounding pushes a true-zero
+    // variance slightly negative under the sqrt — NaN passes the guard
+    // and the quotient is NaN, which is fine; only the exact-0.0 divisor
+    // ANSI would reject is filtered to NULL.
     withMoments.select(col("grp"), col("n"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-          sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      when(den =!= lit(0.0), num / den).as("corr"))
   }
 
   /** First-order Markov transition matrix over per-key ordered event

@@ -147,6 +147,51 @@ object Profile {
         least(greatest(col("v"), col("lo")), col("hi")).as("v_clipped"))
   }
 
+  /** Per-group MAD (median-absolute-deviation) outlier report — the
+    * ROBUST complement of [[graft.operators.Analytics.zscoreOutliers]]:
+    * mean/stddev move with the very outliers they are meant to flag,
+    * while the median and the MAD are 50%-breakdown estimators, so one
+    * fat-finger row can never mask itself. Flags rows with
+    * |v − median| > k · MAD.
+    *
+    * Portability (oracle-exact): both medians are percentile_disc-style
+    * rank SELECTIONS over the per-(group, distinct value) count table —
+    * the smallest value whose cumulative count reaches ceil(0.5·n); the
+    * only arithmetic is abs(v − med) and the k·MAD compare, correctly
+    * rounded IEEE with a fixed expression shape on both engines.
+    *
+    * Scale shape (same argument as [[winsorize]]): the quantile machinery
+    * walks |distinct values| entries per group, not rows; the row table
+    * is touched by two broadcast-joined map passes. A group where MORE
+    * than half the rows share one value has MAD = 0 — every deviating
+    * row flags, the documented (and standard) MAD behavior.
+    *
+    * Output: (row_id, grp, v, med, mad, dev) for flagged rows only.
+    */
+  def madOutliers(df: DataFrame, id: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    def lowerMedian(rows: DataFrame, v: String, out: String): DataFrame = {
+      val counts = rows.groupBy("grp", v).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("grp").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+        .groupBy("grp")
+        .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col(v))).as(out))
+    }
+    val base = df.select(id.as("row_id"), group.as("grp"), value.as("v"))
+    val med = lowerMedian(base, "v", "med")
+    val dev = base.join(broadcast(med), "grp")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("grp"), col("dev").as("v")), "v", "mad")
+    dev.join(broadcast(mad), "grp")
+      .where(col("dev") > lit(k) * col("mad"))
+      .select(col("row_id"), col("grp"), col("v"), col("med"), col("mad"), col("dev"))
+  }
+
   def histogramDrift(base: DataFrame, cur: DataFrame, value: org.apache.spark.sql.Column,
       nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")

@@ -139,6 +139,54 @@ object Sampling {
       explode(when(nCopies > 0, sequence(lit(0), nCopies - 1))))
   }
 
+  /** Temperature-rebalanced source sampling — the multilingual/multi-domain
+    * rebalancing step of modern pretraining mixes: target share of source
+    * s ∝ count_s^T, so T=1 keeps natural proportions and T→0 flattens
+    * toward uniform; small sources are upweighted RELATIVE to large ones.
+    * This is the T = 0.5 (square-root) instance — the common published
+    * choice — kept exact so an external engine reproduces the selection:
+    *
+    *  - w_s = floor(sqrt(count_s)·10⁶): sqrt and the one multiply are
+    *    correctly-rounded IEEE (identical on any conforming engine),
+    *    floor is exact — no round(), whose half-way tie semantics differ
+    *    between engines;
+    *  - W = Σ w_s is an exact integer sum (order-free);
+    *  - keep rate_s = min(1, ((targetRows·w_s) / W) / count_s): two
+    *    divisions in a FIXED order, each correctly rounded, inputs exact
+    *    integers < 2⁵³;
+    *  - membership = the same md5 bucket threshold every sampler here
+    *    uses, with the 8-hex threshold floor(rate·2³²) computed inside
+    *    the plan.
+    *
+    * Scale shape: one count aggregate on the source key, a broadcast of
+    * the |sources|-row rate table, then a map-only filter — no second
+    * shuffle, no RNG state. Sources with rate ≥ 1 keep every row (this
+    * operator downsamples the mix toward the target; pair with
+    * [[weightedMix]] when small sources must be UPsampled past 1 epoch).
+    * Output: input rows + (rate_hex) dropped, i.e. (id, source) columns
+    * as given plus nothing synthetic — callers see a filtered df.
+    */
+  def temperatureMixSqrt(df: DataFrame, id: Column, stratum: Column,
+      targetRows: Long, salt: String = "graft"): DataFrame = {
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val counts = df.groupBy(stratum.as("__src")).agg(count(lit(1)).as("__c"))
+      .withColumn("__w", floor(sqrt(col("__c").cast("double")) * 1e6).cast("long"))
+    // NOT "__W": Spark's resolver is case-insensitive by default, so a
+    // name differing from "__w" only by case is ambiguous after the join.
+    val tot = counts.agg(sum("__w").as("__wsum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(((lit(targetRows) * col("__w")) / col("__wsum")) / col("__c"), lit(1.0)))
+      .withColumn("__thr",
+        when(col("__rate") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(floor(col("__rate") * lit(4294967296.0))
+            .cast("long"))), 8, "0")))
+      .select(col("__src"), col("__thr"))
+    df.join(broadcast(rates), stratum === col("__src"))
+      .where(hexKey(id, salt) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Leakage-safe train/eval splits: near-duplicate documents must land
     * in the SAME split, or the eval set silently contains paraphrases of
     * training rows and measures memorization instead of generalization —

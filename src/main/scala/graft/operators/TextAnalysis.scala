@@ -148,6 +148,57 @@ object TextAnalysis {
         col("score"), col("rank").cast("int").as("rank"))
   }
 
+  /** Unigram LM surprisal scoring — the perplexity-filter stage of
+    * pretraining pipelines (CCNet-style): score each document by the
+    * mean per-token information content under a unigram model fit on
+    * the corpus itself. Template-heavy common-token documents score
+    * low; rare-token-dense documents (gibberish, OCR noise, off-corpus
+    * content) score high, so a threshold on the score is the standard
+    * cheap quality filter before heavier model-based scoring.
+    *
+    * Two score columns, by portability class:
+    *
+    *  - `bits_q` — QUANTIZED mean surprisal: per token,
+    *    floorlog2(N) − floorlog2(c) computed as `length(bin(x)) − 1`
+    *    on exact integers (c = corpus count of the token, N = corpus
+    *    token total). No floating log anywhere, so any engine
+    *    reproduces it bit-for-bit — this is the oracle-checked column.
+    *    Resolution is whole bits; monotone in the true surprisal at
+    *    power-of-two boundaries.
+    *  - `xent_bits` — the REAL-VALUED unigram cross-entropy,
+    *    mean(log2 N − log2 c). `log2` is not correctly rounded in
+    *    IEEE, so its last ulp differs across engines and the column is
+    *    spec-pinned (fixture + partitioning invariance), not oracled.
+    *    Per-token terms snap to a 1e-12 grid and sum as exact decimals
+    *    (the [[graft.operators.Graph]] grid-sum idiom), so WITHIN the
+    *    engine the value is partitioning-invariant.
+    *
+    * Scale shape: explode → one vocabulary-keyed count (map-side
+    * combine), a one-row broadcast total, a token-keyed join of
+    * occurrences to the |vocab| surprisal table (AQE broadcasts it
+    * when small), one doc-keyed aggregate. Bounded by |vocab| and the
+    * token stream — the same shape as [[tfIdfTopTerms]], no all-pairs,
+    * no driver state. Null texts are excluded (no tokens, no score).
+    */
+  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.where(text.isNotNull)
+      .select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n_total"))
+    val surp = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        ((length(bin(col("n_total"))) - 1) - (length(bin(col("c"))) - 1))
+          .cast("long").as("qbits"),
+        round((log2(col("n_total")) - log2(col("c"))) * lit(1.0e12))
+          .cast("decimal(28,0)").as("nb"))
+    toks.join(surp, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("qbits").as("sq"), sum("nb").as("snb"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sq").cast("double") / col("n_tokens")).as("bits_q"),
+        ((col("snb").cast("double") / lit(1.0e12)) / col("n_tokens")).as("xent_bits"))
+  }
+
   /** Exact corpus heavy hitters — every token whose true count exceeds
     * n/(capacity+1) — via the classic two-pass sketch-then-count plan:
     *

@@ -120,6 +120,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mixed.count() == again.count())
   }
 
+  test("lmScore: exact quantized surprisal, xent values, null text dropped, invariant") {
+    // corpus counts: a:2 b:2 c:1, N=5. floorlog2: fl(5)=2, fl(2)=1,
+    // fl(1)=0 -> qbits a=1 b=1 c=2.
+    // doc1 (a a b): n=3 sq=3 -> bits_q=1.0; doc2 (b c): n=2 sq=3 -> 1.5.
+    val df = Seq((1L, Some("a a b")), (2L, Some("b c")), (3L, None))
+      .toDF("id", "text")
+    val out = TextAnalysis.lmScore(df, $"id", $"text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), s"null-text doc must be dropped: ${out.keySet}")
+    assert(out(1L)._1 == 3L && out(1L)._2 == 1.0)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1.5)
+    // real-valued cross-entropy (engine-only column): mean(log2 N - log2 c)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    assert(math.abs(out(1L)._3 - (lg2(5) - lg2(2))) < 1e-9)
+    assert(math.abs(out(2L)._3 - ((lg2(5) - lg2(2)) + (lg2(5) - lg2(1))) / 2) < 1e-9)
+    // grid-summed xent is partitioning-INVARIANT (raw bits), not just close
+    val rep = TextAnalysis.lmScore(df.repartition(7), $"id", $"text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))).toMap
+    assert(rep == out.map { case (k, (n, b, x)) => k -> ((n,
+      java.lang.Double.doubleToRawLongBits(b),
+      java.lang.Double.doubleToRawLongBits(x))) })
+  }
+
+  test("temperatureMixSqrt: sqrt shares, small source upweighted, clamp keeps all") {
+    // 900 A + 100 B, target 500: w_A = 30e6, w_B = 10e6, W = 40e6;
+    // rate_A = 500*30e6/40e6/900 = 0.41666..., rate_B = 1.25 -> clamp 1.
+    val df = ((0L until 900L).map(i => (i, "A")) ++
+      (1000L until 1100L).map(i => (i, "B"))).toDF("id", "src")
+    val out = Sampling.temperatureMixSqrt(df, $"id", $"src", targetRows = 500)
+    val perSrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("B") == 100, s"clamped source must keep all rows, got ${perSrc("B")}")
+    // md5 uniformity tolerance around 0.4167*900 = 375
+    assert(perSrc("A") >= 315 && perSrc("A") <= 435, s"got ${perSrc("A")}")
+    // membership is a pure function of (id, salt): partitioning-invariant
+    val again = Sampling.temperatureMixSqrt(df.repartition(13), $"id", $"src",
+      targetRows = 500)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // output carries exactly the input columns
+    assert(out.columns.toSeq == Seq("id", "src"))
+    // temperature actually rebalances: B's share of the sample far exceeds
+    // its 10% natural share
+    val bShare = perSrc("B").toDouble / (perSrc("A") + perSrc("B"))
+    assert(bShare > 0.18, s"B share $bShare not upweighted")
+  }
+
   test("chunkTokens: stride/overlap coverage, short docs, nulls") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens

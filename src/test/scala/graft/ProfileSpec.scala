@@ -117,6 +117,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(b.getDouble(0) == 1.0 && b.getDouble(1) == 1.0) // cum(1.0)=8 >= ceil(.8*10)
   }
 
+  test("madOutliers flags beyond k*MAD with rank-selected medians; MAD=0 flags every deviator") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // g1: 10,12,14,16,18,1000 → lower median (3rd of 6) = 14;
+    // devs {4,2,0,2,4,986} → sorted {0,2,2,4,4,986}, MAD = 3rd = 2;
+    // threshold 3*2 = 6 → only the 1000 row (dev 986) flags.
+    // g2: over half the rows identical → MAD = 0 → every deviator flags.
+    val rows = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 12.0), (3L, "g1", 14.0),
+      (4L, "g1", 16.0), (5L, "g1", 18.0), (6L, "g1", 1000.0),
+      (11L, "g2", 5.0), (12L, "g2", 5.0), (13L, "g2", 5.0),
+      (14L, "g2", 5.0), (15L, "g2", 5.5)).toDF("id", "grp", "v")
+    val out = Profile.madOutliers(rows, col("id"), col("grp"), col("v"), k = 3.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(6L, 15L), s"flagged ${out.keySet}")
+    assert(out(6L) == ((14.0, 2.0, 986.0)))
+    assert(out(15L) == ((5.0, 0.0, 0.5)))
+    // partitioning invariance: medians are selections over counts, not
+    // row order
+    val rep = Profile.madOutliers(rows.repartition(7), col("id"), col("grp"),
+      col("v"), k = 3.0).collect().map(_.getLong(0)).toSet
+    assert(rep == Set(6L, 15L))
+  }
+
   test("histogramDrift: single-point distributions collapse to one bin, tvd 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
