@@ -666,6 +666,18 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
         col("c_custkey"), col("c_name"), maxDist = 1)),
 
+    "q_fuzzy_join_fastss" -> ((s, dir) =>
+      // Same pairs as q_fuzzy_join via deletion-neighborhood (FastSS)
+      // blocking — the scale path for THIS corpus shape: every c_name is
+      // exactly 18 chars, so the length-band join above degenerates to
+      // one all-pairs bucket (quadratic in the table), while the variant
+      // equi-join's buckets are deletion co-neighborhoods (output-sized).
+      // The oracle recomputes the pairs with DuckDB's levenshtein over
+      // the explicit length-filtered pair join — an INDEPENDENT
+      // formulation, so blocking incompleteness cannot cancel out.
+      operators.FuzzyJoin.selfJoinDeletions(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"), maxDist = 1)),
+
     "q_vec_dot_sql" -> ((s, dir) => {
       // The custom codegen DotProduct expression exposed to SQL users via
       // GraftFunctions/GraftExtensions (SparkSessionExtensions hook).
@@ -2523,6 +2535,15 @@ object SparkEntry {
         | AND b.o_totalprice <= a.o_totalprice + 30000""".stripMargin,
 
     "q_fuzzy_join" ->
+      """SELECT id_a, id_b, dist FROM (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |) WHERE dist <= 1""".stripMargin,
+
+    "q_fuzzy_join_fastss" ->
       """SELECT id_a, id_b, dist FROM (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist

@@ -59,6 +59,72 @@ object FuzzyJoin {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Distinct deletion variants of `t` with at most `k` characters
+    * removed: level j is built from level j−1 by deleting one position,
+    * deduplicated per level ("aa" minus either char is the same "a").
+    * Levels cannot collide across each other for one row (a level-j
+    * variant has length len−j), so no final distinct is needed.
+    */
+  private def deletionVariants(base: DataFrame, k: Int): DataFrame = {
+    val del = "transform(sequence(1, length(v)), " +
+      "i -> concat(substring(v, 1, i - 1), substring(v, i + 1, length(v))))"
+    var level = base.select(col("id"), col("t"), col("xb"), col("t").as("v"))
+    var all = level
+    for (_ <- 1 to k) {
+      level = level
+        .where(length(col("v")) > 0)
+        .select(col("id"), col("t"), col("xb"), explode(expr(del)).as("v"))
+        .distinct()
+      all = all.unionByName(level)
+    }
+    all
+  }
+
+  /** Self-join via deletion-neighborhood (FastSS-style) blocking — the
+    * COMPLETE alternative to [[selfJoin]]'s length bands for the corpus
+    * shape that defeats them: short KEYS of one clustered length
+    * (`customer.c_name` is uniformly 18 chars, so every row lands in one
+    * length bucket and the band join degenerates to all-pairs).
+    *
+    * Completeness (pigeonhole on the alignment): if lev(a,b) = d ≤ k,
+    * an optimal alignment has s substitutions, i insertions and dd
+    * deletions with s+i+dd = d; deleting a's substituted + a-only
+    * characters (s+dd ≤ k) and b's substituted + b-only characters
+    * (s+i ≤ k) leaves the SAME string, so a and b share a variant in
+    * their ≤k-deletion neighborhoods and the equi-join on the variant
+    * string finds the pair. False candidates (e.g. "ab"/"ba" share both
+    * "a" and "b" at k=1 but sit at distance 2) die at the bounded
+    * levenshtein; multi-variant collisions are deduplicated BEFORE the
+    * DP so each pair pays it once.
+    *
+    * Scale shape: each row fans out to Σ_{j≤k} C(len, j) variant rows —
+    * ×(len+1) at k=1 — then ONE hash equi-join on the variant string
+    * whose bucket sizes are neighborhood co-members, not length-class
+    * sizes. Candidates ≈ true matches + bounded collision noise, so the
+    * join cost tracks OUTPUT size where the band join tracks the square
+    * of the largest length class. The fan-out is the price: intended for
+    * short join KEYS (names, codes, titles), hence the k ≤ 2 bound —
+    * past that the C(len, k) blowup outgrows the win. Same output
+    * contract as [[selfJoin]] (id_a < id_b, bounded dist), equality
+    * pinned on random corpora by FuzzyJoinProps.
+    */
+  def selfJoinDeletions(df: DataFrame, id: Column, text: Column, maxDist: Int,
+      extraBlock: Option[Column] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"deletion blocking fans out C(len, k) variants per row; k must be in [0, 2], got $maxDist")
+    val base = df.where(text.isNotNull)
+      .select(id.as("id"), text.as("t"), extraBlock.getOrElse(lit(0)).as("xb"))
+    val vars = deletionVariants(base, maxDist)
+    val a = vars.toDF("id_a", "t_a", "xb", "v")
+    val b = vars.toDF("id_b", "t_b", "xb", "v")
+    a.join(b, Seq("xb", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "t_a", "id_b", "t_b").distinct()
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Two-sided variant: every (left, right) pair within `maxDist`.
     * The LEFT side is the replicated probe — pass the smaller table
     * there when sizes differ. Output (left_id, right_id, dist).

@@ -59,4 +59,23 @@ object FuzzyJoinProps extends Properties("FuzzyJoin") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       got.toSet == expected && got.length == got.toSet.size
     }
+
+  // The deletion-neighborhood blocking claims the SAME output contract;
+  // small alphabets are adversarial here too (dense multi-variant
+  // collisions like "ab"/"ba", empty strings whose neighborhood is {""},
+  // distance-1 chains). k capped at 2 = the operator's supported range.
+  property("selfJoinDeletions == naive all-pairs DP filter, no duplicate pairs") =
+    forAllNoShrink(genCase) { case (words, d) =>
+      val maxDist = math.min(d, 2)
+      val sp = spark
+      import sp.implicits._
+      val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val expected = (for {
+        (ia, wa) <- rows; (ib, wb) <- rows if ia < ib
+        dd = levRef(wa, wb) if dd <= maxDist
+      } yield (ia, ib, dd)).toSet
+      val got = FuzzyJoin.selfJoinDeletions(rows.toDF("id", "t"), col("id"), col("t"), maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      got.toSet == expected && got.length == got.toSet.size
+    }
 }

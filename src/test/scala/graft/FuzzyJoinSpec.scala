@@ -93,6 +93,41 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(res.exists(_._1 == 100L) && !res.exists(_._1 == 101L))
   }
 
+  test("selfJoinDeletions equals selfJoin on the mixed corpus and a one-length-class corpus") {
+    for (d <- Seq(0, 1, 2)) {
+      val del = FuzzyJoin.selfJoinDeletions(corpus(), col("id"), col("t"), d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(del.toSet == naivePairs(d), s"maxDist=$d")
+      assert(del.length == del.toSet.size, s"duplicate pair at maxDist=$d")
+    }
+    // the corpus shape length bands cannot block: every key the same
+    // length (one band = all rows). Deletion neighborhoods still bucket it.
+    val sameLen = (0L until 50L).map(i => (i, f"key-$i%03d")).toDF("id", "t")
+    val expected = (for {
+      a <- 0L until 50L; b <- 0L until 50L if a < b
+      d = levenshteinRef(f"key-$a%03d", f"key-$b%03d") if d <= 1
+    } yield (a, b, d)).toSet
+    val res = FuzzyJoin.selfJoinDeletions(sameLen, col("id"), col("t"), 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res == expected && expected.nonEmpty)
+  }
+
+  test("selfJoinDeletions: equi-join plan, extraBlock composes, k bound enforced") {
+    val q = FuzzyJoin.selfJoinDeletions(corpus(), col("id"), col("t"), 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected an equi-join plan, got:\n$plan")
+    val df = Seq((1L, "spark", "en"), (2L, "spork", "en"), (3L, "sparc", "de"))
+      .toDF("id", "t", "lang")
+    val res = FuzzyJoin.selfJoinDeletions(df, col("id"), col("t"), 1,
+        extraBlock = Some(col("lang"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.selfJoinDeletions(corpus(), col("id"), col("t"), 3)
+    }
+  }
+
   test("extraBlock sharpens blocking: matches only within equal block values") {
     val df = Seq((1L, "spark", "en"), (2L, "spork", "en"), (3L, "sparc", "de"))
       .toDF("id", "t", "lang")
