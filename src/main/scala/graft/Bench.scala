@@ -31,7 +31,7 @@ object Bench {
     "q_pagerank", "q_skyline", "q_corr", "q_incremental_agg", "q_moving_avg",
     "q_transitions", "q_basket_lift", "q_attribution",
     "q_pit_join", "q_drift",
-    "q_lm_score", "q_temperature_mix", "q_mad_outliers",
+    "q_lm_score", "q_temperature_mix", "q_mad_outliers", "q_fuzzy_join_fastss",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -2303,33 +2303,41 @@ object SparkEntry {
     s"len(list_filter(string_split(lower(text), ' '), t -> t IN $set))"
   }
 
+  // Idiom note — `CAST(CAST(SUM(<decimal>) AS VARCHAR) AS DOUBLE)`:
+  // DuckDB's direct DECIMAL→DOUBLE cast double-rounds (int128 → double,
+  // then ÷10^scale), so once a sum carries ≥17 significant digits it can
+  // land 1 ulp off the correctly-rounded value; its VARCHAR→DOUBLE parse
+  // IS correctly rounded, matching Spark's Decimal.toDouble
+  // (BigDecimal.doubleValue). Found at sf1 where q1_agg's sum_charge
+  // (Σ ≈ 5.2e10 at 6 dp) split the two paths on 2 of 6 groups; the
+  // string hop is a no-op at smaller magnitudes.
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)) * CAST(1.0 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)) * CAST(1.0 + l_tax AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         | count(*) AS count_order,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
     "q_join_large" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_filter_pushdown" ->
       """SELECT l_returnflag, count(*) AS n,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity >= 45 AND l_discount >= 0.05
         |GROUP BY l_returnflag""".stripMargin,
 
@@ -2383,15 +2391,15 @@ object SparkEntry {
 
     "q_custom_udaf" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
-        |   - (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*))
-        |     * (CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)) AS var_bal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) / count(*)
+        |   - (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) / count(*))
+        |     * (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) / count(*)) AS var_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_cube" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
 
@@ -2430,13 +2438,13 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         | event_type, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_s, event_type""".stripMargin,
 
     "q_sessionize" ->
       """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, ts, value,
         |    SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2455,7 +2463,7 @@ object SparkEntry {
     "q_stream_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
         | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, ts, value,
         |    SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2471,7 +2479,7 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         | event_type, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_s, event_type""".stripMargin,
 
     "q_json_extract" ->
@@ -2481,14 +2489,14 @@ object SparkEntry {
 
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
     // Bucketing changes the plan, never the result: same oracle join.
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
@@ -2497,7 +2505,7 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
         |FULL OUTER JOIN (
         |  SELECT o_custkey, count(*) AS n_big,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_big
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_big
         |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) o
         |ON c.c_custkey = o.o_custkey""".stripMargin,
 
@@ -2573,12 +2581,12 @@ object SparkEntry {
 
     "q_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
-        | CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        | CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
     "q_colf_runtime_prune" ->
       """SELECT CAST(l_orderkey AS INTEGER) AS l_orderkey, count(*) AS n,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderkey < 3000
         |GROUP BY l_orderkey""".stripMargin,
@@ -2600,26 +2608,26 @@ object SparkEntry {
 
     "q_colf_filter" ->
       """SELECT o_orderpriority, count(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey < 1500
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_colf_partitioned" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_colf_compact" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
         | CAST(min(c_custkey) AS INTEGER) AS min_ck,
         | CAST(max(c_custkey) AS INTEGER) AS max_ck
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_colf_overwrite" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
         | min(ck) AS min_ck, max(ck) AS max_ck
         |FROM (
         |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey AS INTEGER) AS ck
@@ -2631,7 +2639,7 @@ object SparkEntry {
 
     "q_colf_merge_sql" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
         | min(ck) AS min_ck, max(ck) AS max_ck
         |FROM (
         |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey AS INTEGER) AS ck
@@ -2647,7 +2655,7 @@ object SparkEntry {
 
     "q_colf_merge" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal,
         | min(ck) AS min_ck, max(ck) AS max_ck
         |FROM (
         |  SELECT c_mktsegment, c_acctbal, CAST(c_custkey AS INTEGER) AS ck
@@ -2663,7 +2671,7 @@ object SparkEntry {
 
     "q_colf_delete" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment NOT IN ('MACHINERY', 'FURNITURE')
         |GROUP BY c_mktsegment""".stripMargin,
 
@@ -2716,7 +2724,7 @@ object SparkEntry {
 
     "q_colf_spj" ->
       """SELECT a.c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(a.c_acctbal + b.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        | CAST(CAST(SUM(CAST(a.c_acctbal + b.c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer a
         |JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) b
         |  ON a.c_mktsegment = b.c_mktsegment
@@ -2745,15 +2753,15 @@ object SparkEntry {
 
     "q_colf_stream_source" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_csv_write_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_colf_agg" ->
       """SELECT l_returnflag, count(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_csv_scan" ->
@@ -2931,7 +2939,7 @@ object SparkEntry {
          |), cents AS (
          |  SELECT bucket, list(mn ORDER BY pos) AS centroid FROM (
          |    SELECT cs.bucket, p.pos,
-         |      CAST(SUM(CAST(cs.e[p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+         |      CAST(CAST(SUM(CAST(cs.e[p.pos] AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS mn
          |    FROM cs, UNNEST(range(1, 65)) p(pos)
          |    GROUP BY cs.bucket, p.pos
          |  ) GROUP BY bucket
@@ -2994,7 +3002,7 @@ object SparkEntry {
          |), cb AS (
          |  SELECT s, code, list(mn ORDER BY pos) AS centroid FROM (
          |    SELECT cl.s, cl.code, p.pos,
-         |      CAST(SUM(CAST(cl.e[cl.s * $sub + p.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mn
+         |      CAST(CAST(SUM(CAST(cl.e[cl.s * $sub + p.pos] AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS mn
          |    FROM cl, UNNEST(range(1, ${sub + 1})) p(pos)
          |    GROUP BY cl.s, cl.code, p.pos
          |  ) GROUP BY s, code
@@ -3384,7 +3392,7 @@ object SparkEntry {
         |    CAST((length(bin(n_total)) - 1) - (length(bin(c)) - 1) AS BIGINT) AS q
         |  FROM c, t)
         |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(s.q) AS DOUBLE) / count(*) AS bits_q
+        |  CAST(CAST(SUM(s.q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q
         |FROM toks JOIN s ON toks.token = s.token
         |GROUP BY 1""".stripMargin,
 
@@ -3528,7 +3536,7 @@ object SparkEntry {
 
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY bucket""".stripMargin,
 
     "q_percentile" ->
@@ -3580,7 +3588,7 @@ object SparkEntry {
 
     "q_embed_stats" ->
       """SELECT label AS grp, count(*) AS n,
-        | CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
+        | CAST(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sum_norm
         |FROM embeddings GROUP BY label""".stripMargin,
 
     // Zipped unnest: multiple unnest() calls in one SELECT advance in
@@ -3668,8 +3676,8 @@ object SparkEntry {
     "q_anomaly" ->
       """WITH st AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS q
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS q
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value,
         |  (e.value - s / n) / sqrt(q / n - (s / n) * (s / n)) AS z
@@ -3681,16 +3689,16 @@ object SparkEntry {
     // the %10=3 delete and the %10=4 doubling), from the source parquet.
     "q_incremental_agg" ->
       """SELECT CAST(c_custkey % 10 AS INTEGER) AS grp, count(*) AS n,
-        |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
-        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
+        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 10 <> 3
         |GROUP BY 1""".stripMargin,
 
     // streaming maintenance must converge to the same recompute
     "q_stream_incremental_agg" ->
       """SELECT CAST(c_custkey % 10 AS INTEGER) AS grp, count(*) AS n,
-        |  CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
-        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(SUM(CAST(CASE WHEN c_custkey % 10 = 4 THEN c_acctbal * 2
+        |                     ELSE c_acctbal END AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey % 10 <> 3
         |GROUP BY 1""".stripMargin,
 
@@ -3716,8 +3724,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day,
         |  CAST(SUM(n) OVER w AS BIGINT) AS n7,
-        |  CAST(SUM(s) OVER w AS DOUBLE) AS sum7,
-        |  CAST(SUM(s) OVER w AS DOUBLE) / SUM(n) OVER w AS avg7
+        |  CAST(CAST(SUM(s) OVER w AS VARCHAR) AS DOUBLE) AS sum7,
+        |  CAST(CAST(SUM(s) OVER w AS VARCHAR) AS DOUBLE) / SUM(n) OVER w AS avg7
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -3780,11 +3788,11 @@ object SparkEntry {
     "q_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  (n * sxy - sx * sy) /
@@ -3848,9 +3856,9 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, count(*) AS n_intervals,
         |  CAST(SUM(dur_s) AS BIGINT) AS dur_total_s,
-        |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE) AS vdur,
-        |  CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS DOUBLE)
-        |    / CAST(SUM(dur_s) AS DOUBLE) AS twap
+        |  CAST(CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS vdur,
+        |  CAST(CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(dur_s) AS VARCHAR) AS DOUBLE) AS twap
         |FROM d WHERE dur_s IS NOT NULL GROUP BY 1""".stripMargin,
 
     // Division-free scaled CUSUM: cusum(d) = Σ_{day≤d} (n_g·s_day − s_g·n_day),
@@ -3865,11 +3873,11 @@ object SparkEntry {
         |          CAST(SUM(s_d) AS DECIMAL(18,2)) AS s_g
         |        FROM daily GROUP BY 1)
         |SELECT d.grp AS event_type, d.day, d.n_d,
-        |  CAST(SUM(d.s_d * CAST(t.n_g AS DECIMAL(12,0))
+        |  CAST(CAST(SUM(d.s_d * CAST(t.n_g AS DECIMAL(12,0))
         |           - t.s_g * CAST(d.n_d AS DECIMAL(12,0)))
         |    OVER (PARTITION BY d.grp ORDER BY d.day
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) AS cusum_scaled
+        | AS VARCHAR) AS DOUBLE) AS cusum_scaled
         |FROM daily d JOIN tot t ON d.grp = t.grp""".stripMargin,
 
     "q_kanon" ->
@@ -4123,7 +4131,7 @@ object SparkEntry {
       val d = 0.85
       def iterCtes(cN: String, pOld: String, pNew: String) =
         s"""$cN AS (SELECT e.dst AS node,
-           |  CAST(SUM(CAST(round((p.pr / dg.deg) * 1000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+           |  CAST(CAST(SUM(CAST(round((p.pr / dg.deg) * 1000000000000.0) AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE)
            |    / 1000000000000.0 AS m
            |  FROM e JOIN deg dg ON e.src = dg.src JOIN $pOld p ON e.src = p.node
            |  GROUP BY 1),
@@ -4211,7 +4219,7 @@ object SparkEntry {
            |    FROM dv, $cents)) WHERE rn = 1)"""
       def updateCtes(mName: String, aName: String, oldC: String, newC: String) =
         s"""$mName AS (SELECT cl, p.pos,
-           |  (CAST(SUM(CAST(round(e[p.pos] * 1000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+           |  (CAST(CAST(SUM(CAST(round(e[p.pos] * 1000000000000.0) AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE)
            |    / count(*)) / 1000000000000.0 AS mn
            |  FROM $aName, UNNEST(range(1, 65)) p(pos) GROUP BY cl, p.pos),
            |$newC AS (SELECT cl, list(v ORDER BY pos) AS c FROM (

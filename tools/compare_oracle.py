@@ -98,6 +98,31 @@ def lint_oracle_types(con, oracles, out_dir):
                     findings.append(
                         (name, f"col {col}: oracle projects {typ} but Spark "
                                f"emits {sd} — cast one side to match"))
+        # Raw DECIMAL-sum → DOUBLE cast: DuckDB's direct cast double-rounds
+        # (int128 → double, then ÷10^scale), so at >=17 significant digits
+        # it can sit 1 ulp off Spark's correctly-rounded Decimal.toDouble —
+        # caught live at sf1 on q1_agg.sum_charge. Required idiom:
+        # CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE) (string parse is
+        # correctly rounded). Textual check: every "CAST(SUM(" whose
+        # matching close is " AS DOUBLE)" must be wrapped by "CAST(CAST(".
+        i = 0
+        while True:
+            j = sql.find("CAST(SUM(", i)
+            if j < 0:
+                break
+            k, depth = j + len("CAST("), 1
+            while depth > 0 and k < len(sql):
+                depth += {"(": 1, ")": -1}.get(sql[k], 0)
+                k += 1
+            inner = sql[j + len("CAST("):k - 1].rstrip()
+            if inner.endswith("AS DOUBLE") and \
+                    sql[max(0, j - 5):j] != "CAST(":
+                findings.append(
+                    (name, "raw CAST(SUM(...) AS DOUBLE) — DuckDB's direct "
+                           "decimal→double cast double-rounds at >=17 sig "
+                           "digits; hop through VARCHAR: "
+                           "CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)"))
+            i = k
     return findings
 
 
