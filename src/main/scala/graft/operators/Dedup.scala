@@ -404,7 +404,7 @@ object Dedup {
     val r = v.toDF("id_b", "v_b", "nrm_b")
     l.join(r, col("id_a") < col("id_b"))
       .withColumn("cos",
-        Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        Similarity.cosineFromNorms(Similarity.dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -463,11 +463,11 @@ object Dedup {
       .join(side.toDF("id_a", "v_a", "nrm_a"), "id_a")
       .join(side.toDF("id_b", "v_b", "nrm_b"), "id_b")
       .withColumn("cos",
-        Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        Similarity.cosineFromNorms(Similarity.dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
     val selfCos = reps.select(col("__fp"),
-      (Similarity.dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("cos"))
+      Similarity.cosineFromNorms(Similarity.dot(col("v"), col("v")), col("nrm"), col("nrm")).as("cos"))
       .where(col("cos") >= threshold)
     expandGroupPairs(repPairs, reps, members, "cos", selfCos)
   }

@@ -132,7 +132,23 @@ object Similarity {
 
   def norm(vec: Column): Column = sqrt(dot(vec, vec))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine from a precomputed dot and per-side norms — NULL when either
+    * norm is exactly 0: cosine is undefined for the zero vector, and ANSI
+    * Spark throws on an exact-0.0 double divisor rather than producing an
+    * IEEE quotient (the same class [[graft.operators.Analytics.pearson]]
+    * guards; real pipelines DO ship all-zero embeddings from failed
+    * encoders). NULL scores fall out of every consumer: threshold
+    * compares reject them and `topKPerQuery` filters them before the
+    * aggregator. For non-zero norms the quotient expression is unchanged,
+    * so scores stay bit-identical to the unguarded form.
+    */
+  def cosineFromNorms(d: Column, na: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den =!= lit(0.0), d / den)
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(dot(a, b), norm(a), norm(b))
 
   /** Shared final stage of all three strategies: per-query top-k of a
     * scored candidate set (`query_id`, `nbr_id`, `cos`), as a bounded
@@ -174,7 +190,7 @@ object Similarity {
       .withColumn("q_nrm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
+      .withColumn("cos", cosineFromNorms(dot(col("q_vec"), col("nbr_vec")), col("q_nrm"), col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
 
@@ -299,7 +315,7 @@ object Similarity {
       // a corpus row can match a query through several probed buckets
       // and/or several tables — candidates are scored once
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
+      .withColumn("cos", cosineFromNorms(dot(col("q_vec"), col("nbr_vec")), col("q_nrm"), col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
 
@@ -391,13 +407,13 @@ object Similarity {
     // set per query is the (tiny, constant) centroid table.
     val wProbe = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("bucket"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cscore", dot(col("q_vec"), col("centroid")) / (col("q_nrm") * norm(col("centroid"))))
+      .withColumn("cscore", cosineFromNorms(dot(col("q_vec"), col("centroid")), col("q_nrm"), norm(col("centroid"))))
       .withColumn("prank", row_number().over(wProbe))
       .where(col("prank") <= probeN)
       .select("query_id", "q_vec", "q_nrm", "bucket")
     val scored = c.join(probes, "bucket")
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")))
+      .withColumn("cos", cosineFromNorms(dot(col("q_vec"), col("nbr_vec")), col("q_nrm"), col("nbr_nrm")))
     topKPerQuery(scored, k)
   }
 
@@ -565,14 +581,14 @@ object Similarity {
           (c, s) => element_at(element_at(col("lut"), s), c)),
         lit(0.0d), (acc, x) => acc + x))
       .select(col("query_id"), col("nbr_id"),
-        (col("adc") / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
+        cosineFromNorms(col("adc"), col("q_nrm"), col("nbr_nrm")).as("cos"))
     val cands = topKPerQuery(scored, k * refine).select("query_id", "nbr_id")
     // exact refine of the small candidate set
     val exact = broadcast(cands)
       .join(index.codes.select(col("nbr_id"), col("nbr_vec"), col("nbr_nrm")), "nbr_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("nbr_id"),
-        (dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm"))).as("cos"))
+        cosineFromNorms(dot(col("q_vec"), col("nbr_vec")), col("q_nrm"), col("nbr_nrm")).as("cos"))
     topKPerQuery(exact, k)
   }
 

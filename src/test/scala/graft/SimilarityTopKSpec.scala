@@ -80,6 +80,38 @@ class SimilarityTopKSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("zero-norm vectors: no ANSI divide-by-zero, excluded from results, others bit-unchanged") {
+    // ANSI Spark throws on an exact-0.0 double divisor (the pearson class),
+    // and all-zero embeddings are a real pipeline artifact (failed
+    // encoders). cosineFromNorms yields NULL there; consumers filter it.
+    import graft.operators.Dedup
+    val vecs = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)),          // the zero vector
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 0f, 0f))           // a second zero vector
+    ).toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, k = 3).collect()
+    assert(!bf.map(_.getLong(0)).contains(1L) && !bf.map(_.getLong(1)).contains(1L),
+      "zero vector must appear neither as query nor neighbor")
+    assert(bf.nonEmpty)
+    // dedup: exact path and the planes=0 LSH degenerate form still agree,
+    // zero vectors absent (even the identical zero PAIR has no cosine)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.cosineNearDups(emb, col("vec_id"), col("embedding"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((2L, 3L)), s"got $exact")
+    val lsh = Dedup.cosineNearDupsLSH(emb, col("vec_id"), col("embedding"), 0.5,
+      bands = 1, planesPerBand = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    // IVF and PQ paths survive a zero query/corpus vector too
+    val ivf = Similarity.ivfTopK(vecs, vecs, k = 2)
+    assert(ivf.collect().nonEmpty)
+    val pq = Similarity.pqTopK(vecs, vecs, k = 2, m = 4, bits = 2)
+    assert(pq.collect().map(_.getLong(0)).distinct.forall(_ != 1L))
+  }
+
   test("top-k plan: partial aggregation, no window, no sort of the scored set") {
     val df = (0L until 40L).map(i => (i, Array.fill(4)((i % 7).toFloat + 1f))).toDF("id", "vec")
     val r = Similarity.bruteForceTopK(df, df.where($"id" < 3), k = 5)
