@@ -3680,7 +3680,8 @@ object SparkEntry {
         |    CAST(CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS q
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value,
-        |  (e.value - s / n) / sqrt(q / n - (s / n) * (s / n)) AS z
+        |  (e.value - s / n)
+        |    / NULLIF(sqrt(q / n - (s / n) * (s / n)), 0.0) AS z
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE (e.value - s / n) * (e.value - s / n)
         |      > 4.0 * (q / n - (s / n) * (s / n))""".stripMargin,
@@ -3858,7 +3859,7 @@ object SparkEntry {
         |  CAST(SUM(dur_s) AS BIGINT) AS dur_total_s,
         |  CAST(CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS vdur,
         |  CAST(CAST(SUM(v * CAST(dur_s AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(SUM(dur_s) AS VARCHAR) AS DOUBLE) AS twap
+        |    / NULLIF(CAST(CAST(SUM(dur_s) AS VARCHAR) AS DOUBLE), 0.0) AS twap
         |FROM d WHERE dur_s IS NOT NULL GROUP BY 1""".stripMargin,
 
     // Division-free scaled CUSUM: cusum(d) = Σ_{day≤d} (n_g·s_day − s_g·n_day),

@@ -321,8 +321,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_intervals"),
         sum("dur_s").as("dur_total_s"),
         sum(col("v") * col("dur_s").cast("decimal(12,0)")).cast("double").as("vdur"))
+      // a key whose gaps are ALL sub-second floors every dur_s to 0, so
+      // dur_total_s = 0 exactly and ANSI would throw on the division —
+      // entirely plausible in real event data. NULL twap there (the
+      // oracle mirrors with NULLIF); non-degenerate keys bit-unchanged.
       .select(col("k"), col("n_intervals"), col("dur_total_s"), col("vdur"),
-        (col("vdur") / col("dur_total_s").cast("double")).as("twap"))
+        when(col("dur_total_s") =!= 0L,
+          col("vdur") / col("dur_total_s").cast("double")).as("twap"))
   }
 
   /** Per-group CUSUM drift series over the daily totals: the running sum
@@ -535,7 +540,11 @@ object Analytics {
     val vr = col("q") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))
     base.join(broadcast(stats), "grp")
       .where((col("v") - mean) * (col("v") - mean) > lit(z * z) * vr)
+      // vr can round to exactly 0.0 for a near-constant group while some
+      // row still passes the flag inequality — ANSI throws on the 0.0
+      // divisor (the pearson class), so the z score is guarded to NULL
+      // there; flagged rows with positive vr are bit-unchanged.
       .select(col("event_id"), col("grp"), col("v"),
-        ((col("v") - mean) / sqrt(vr)).as("z"))
+        when(vr =!= lit(0.0), (col("v") - mean) / sqrt(vr)).as("z"))
   }
 }

@@ -99,13 +99,16 @@ object AnalyticsProps extends Properties("AnalyticsW3") {
       else {
         val durTot = ints.map(_._2).sum
         val vdur = ints.map { case (v, d) => v * BigDecimal(d) }.sum.toDouble
-        Some((u, ints.size.toLong, durTot, bits(vdur), bits(vdur / durTot.toDouble)))
+        // all-sub-second keys floor durTot to 0: the operator guards the
+        // ANSI 0.0-divisor throw with NULL twap; mirror it here
+        val twap = if (durTot == 0L) Long.MinValue else bits(vdur / durTot.toDouble)
+        Some((u, ints.size.toLong, durTot, bits(vdur), twap))
       }
     }.toSet
     val got = Analytics.timeWeightedAvg(toDF(evs), col("u"), col("tus"),
         col("eid"), col("v")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), bits(r.getDouble(3)),
-        bits(r.getDouble(4)))).toSet
+        if (r.isNullAt(4)) Long.MinValue else bits(r.getDouble(4)))).toSet
     got == expected
   }
 

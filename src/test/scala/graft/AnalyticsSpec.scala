@@ -439,6 +439,18 @@ class AnalyticsSpec extends AnyFunSuite {
       (20L, -1L, true, "z")))
   }
 
+  test("timeWeightedAvg: all-sub-second key gets NULL twap, not an ANSI throw") {
+    // every gap < 1s floors dur_s to 0 -> dur_total_s = 0 exactly; the
+    // unguarded division crashed under ANSI (the pearson class)
+    val events = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 400000L, 2L, 20.0), (1L, 900000L, 3L, 30.0),
+      (2L, 0L, 4L, 5.0), (2L, 2000000L, 5L, 7.0)).toDF("u", "tus", "eid", "v")
+    val r = Analytics.timeWeightedAvg(events, col("u"), col("tus"), col("eid"), col("v"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) == 0L && r(1L).isNullAt(4), "degenerate key -> NULL twap")
+    assert(r(2L).getDouble(4) == 5.0, "normal key unchanged")
+  }
+
   test("timeWeightedAvg weights by whole-second holding durations; last obs drops") {
     // u1: v=10 held 2s, v=20 held 1s, v=99 last (no duration) →
     // twap = (10*2 + 20*1) / 3
