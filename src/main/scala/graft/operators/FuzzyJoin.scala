@@ -125,6 +125,35 @@ object FuzzyJoin {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Two-sided deletion-blocked variant of [[selfJoinDeletions]]: every
+    * (left, right) pair within `maxDist`, via the same ≤k-deletion
+    * neighborhood equi-join (see [[selfJoinDeletions]] for the
+    * completeness argument — it is side-agnostic). Unlike the length-band
+    * [[join]] there is no replicated "probe" side to choose: both sides
+    * fan out ×Σ C(len, j) and meet on the variant string, so argument
+    * order does not matter. Output (left_id, right_id, dist), each pair
+    * once.
+    */
+  def joinDeletions(left: DataFrame, leftId: Column, leftText: Column,
+      right: DataFrame, rightId: Column, rightText: Column, maxDist: Int,
+      leftBlock: Option[Column] = None, rightBlock: Option[Column] = None): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"deletion blocking fans out C(len, k) variants per row; k must be in [0, 2], got $maxDist")
+    val l = deletionVariants(left.where(leftText.isNotNull)
+        .select(leftId.as("id"), leftText.as("t"),
+          leftBlock.getOrElse(lit(0)).as("xb")), maxDist)
+      .toDF("left_id", "t_a", "xb", "v")
+    val r = deletionVariants(right.where(rightText.isNotNull)
+        .select(rightId.as("id"), rightText.as("t"),
+          rightBlock.getOrElse(lit(0)).as("xb")), maxDist)
+      .toDF("right_id", "t_b", "xb", "v")
+    l.join(r, Seq("xb", "v"))
+      .select("left_id", "t_a", "right_id", "t_b").distinct()
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select("left_id", "right_id", "dist")
+  }
+
   /** Two-sided variant: every (left, right) pair within `maxDist`.
     * The LEFT side is the replicated probe — pass the smaller table
     * there when sizes differ. Output (left_id, right_id, dist).

@@ -91,6 +91,12 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(res == expected)
     assert(res.exists(_._1 == 100L) && !res.exists(_._1 == 101L))
+    // the deletion-blocked bipartite form claims the same contract
+    val del = FuzzyJoin.joinDeletions(left, col("lid"), col("lt"),
+        corpus(), col("id"), col("t"), maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(del.toSet == expected)
+    assert(del.length == del.toSet.size, "duplicate pair emitted")
   }
 
   test("selfJoinDeletions equals selfJoin on the mixed corpus and a one-length-class corpus") {
