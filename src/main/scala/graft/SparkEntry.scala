@@ -1666,6 +1666,11 @@ object SparkEntry {
       TextAnalysis.lmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("bits_q"))),
 
+    "q_lm_score_bigram" -> ((s, dir) =>
+      // Conditional (order-sensitive) surprisal: catches common-words-in-
+      // improbable-order documents the unigram filter scores as normal.
+      TextAnalysis.lmScoreBigram(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     // Vocabulary building: corpus-wide token frequencies, top-k. The
     // explode shuffles (token, partial-count) pairs thanks to map-side
     // combine, not raw tokens.
@@ -3395,6 +3400,35 @@ object SparkEntry {
         |  CAST(CAST(SUM(s.q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q
         |FROM toks JOIN s ON toks.token = s.token
         |GROUP BY 1""".stripMargin,
+
+    // Same floorlog2 portability contract as q_lm_score, applied to the
+    // bigram-conditional model: c(prev,w) / head marginal, first token
+    // under the unigram model. generate_series(2,1) is EMPTY in DuckDB
+    // (single-token docs score their first token only).
+    "q_lm_score_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(ts) AS token FROM d),
+        |cu AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cu),
+        |bg AS (SELECT doc_id, ts[i - 1] AS prev, ts[i] AS w
+        |       FROM d, LATERAL unnest(generate_series(2, len(ts))) AS u(i)),
+        |cb AS (SELECT prev, w, count(*) AS cbg FROM bg GROUP BY 1, 2),
+        |ch AS (SELECT prev, CAST(SUM(cbg) AS BIGINT) AS chead FROM cb GROUP BY 1),
+        |uq AS (SELECT token,
+        |    CAST((length(bin(n_total)) - 1) - (length(bin(c)) - 1) AS BIGINT) AS q
+        |  FROM cu, t),
+        |bq AS (SELECT cb.prev, cb.w,
+        |    CAST((length(bin(chead)) - 1) - (length(bin(cbg)) - 1) AS BIGINT) AS q
+        |  FROM cb JOIN ch ON cb.prev = ch.prev),
+        |scored AS (
+        |  SELECT d.doc_id, uq.q FROM d JOIN uq ON ts[1] = uq.token
+        |  UNION ALL
+        |  SELECT bg.doc_id, bq.q FROM bg JOIN bq ON bg.prev = bq.prev AND bg.w = bq.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q_bigram
+        |FROM scored GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->
       """SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (

@@ -125,6 +125,54 @@ object FuzzyJoin {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Corpus-derived blocking decision for [[selfJoinAuto]] — the same
+    * measure-then-plan pattern as `Similarity.AutoPlanes`/`AutoDim`: one
+    * column-pruned aggregate over `length(text)` (reads one int per row)
+    * decides, instead of a remembered constant about the corpus shape.
+    *
+    * Deletion blocking wins when the band join's dominant cost term —
+    * the square of the largest length-band population — outgrows the
+    * deletion fan-out's linear cost. Decision rule, deliberately simple
+    * and stated so it can be audited: pick deletions iff the largest
+    * band holds a CONSTANT fraction of the corpus (> 1/2 here: the band
+    * join is then Θ(n²) in that band alone) AND keys are short enough
+    * for the C(len, k) fan-out to be the cheap side (maxLen ≤ 64) AND
+    * k ≤ 2 (the deletion path's supported range). Everything else keeps
+    * the band join, whose worst case is exactly the concentration this
+    * rule detects.
+    */
+  private[graft] def preferDeletionBlocking(df: DataFrame, text: Column,
+      maxDist: Int): Boolean = {
+    if (maxDist > 2) false
+    else {
+      val w = maxDist + 1
+      val row = df.where(text.isNotNull)
+        .select(floor(length(text).cast("long") / w).as("b"), length(text).as("len"))
+        .groupBy("b").agg(count(lit(1)).as("n"), max("len").as("ml"))
+        .agg(coalesce(sum("n"), lit(0L)).as("total"),
+          coalesce(max("n"), lit(0L)).as("maxBand"),
+          coalesce(max("ml"), lit(0)).as("maxLen"))
+        .head()
+      val (total, maxBand, maxLen) = (row.getLong(0), row.getLong(1), row.getInt(2))
+      total > 0 && maxLen <= 64 && maxBand * 2 > total
+    }
+  }
+
+  /** Self-join with the blocking strategy CHOSEN FROM THE CORPUS
+    * ([[preferDeletionBlocking]]): length bands for spread length
+    * distributions, deletion neighborhoods when one length class
+    * dominates (the shape that degenerates bands to a quadratic bucket —
+    * the shipped customer names are ALL 18 chars). Both strategies have
+    * the identical output contract, so the choice is invisible in
+    * results and only the plan/cost changes; the one extra pass is a
+    * one-int-per-row aggregate at plan time.
+    */
+  def selfJoinAuto(df: DataFrame, id: Column, text: Column, maxDist: Int,
+      extraBlock: Option[Column] = None): DataFrame =
+    if (preferDeletionBlocking(df, text, maxDist))
+      selfJoinDeletions(df, id, text, maxDist, extraBlock)
+    else selfJoin(df, id, text, maxDist, extraBlock)
+
   /** Two-sided deletion-blocked variant of [[selfJoinDeletions]]: every
     * (left, right) pair within `maxDist`, via the same ≤k-deletion
     * neighborhood equi-join (see [[selfJoinDeletions]] for the

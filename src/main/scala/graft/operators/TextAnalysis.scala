@@ -199,6 +199,55 @@ object TextAnalysis {
         ((col("snb").cast("double") / lit(1.0e12)) / col("n_tokens")).as("xent_bits"))
   }
 
+  /** Bigram-conditional LM surprisal — the next step up from [[lmScore]]'s
+    * unigram model and a materially sharper quality signal: a document of
+    * common words in IMPROBABLE ORDER (shuffled text, boilerplate soup)
+    * scores low under a unigram model but high here, because each token
+    * is scored against its predecessor: surprisal(w | prev) built from
+    * c(prev, w) and c_head(prev) = Σ_w c(prev, w); the first token falls
+    * back to the unigram model. Same portability split as [[lmScore]]:
+    * this variant ships ONLY the quantized column (floorlog2 via
+    * `length(bin(x)) − 1` on exact counts — no floating log, so the
+    * oracle replays it bit-for-bit); the real-valued refinement is the
+    * identical one-line change lmScore documents.
+    *
+    * Scale shape: bigram generation is MAP-ONLY (an index-zip inside the
+    * row — no positional self-join), then one |bigram-vocab| count, one
+    * head marginal from that same table (no second pass over tokens),
+    * and bigram-keyed joins back — the tf-idf family shape, bounded by
+    * the token stream and bigram vocabulary. Output: (doc_id, n_tokens,
+    * bits_q_bigram) where n_tokens counts scored positions (= token
+    * count: 1 first + n−1 bigrams).
+    */
+  def lmScoreBigram(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.where(text.isNotNull)
+      .select(id.as("doc_id"), tokens(text).as("ts"))
+    // sequence(2, 1) would be DESCENDING in Spark, not empty — guard the
+    // single-token doc explicitly
+    val bg = base.select(col("doc_id"), explode(expr(
+        "transform(CASE WHEN size(ts) >= 2 THEN sequence(2, size(ts)) ELSE array() END, " +
+          "i -> struct(element_at(ts, i - 1) AS prev, element_at(ts, i) AS w))")).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+    val cbg = bg.groupBy("prev", "w").agg(count(lit(1)).as("cbg"))
+    val chead = cbg.groupBy("prev").agg(sum("cbg").as("chead"))
+    val toks = base.select(col("doc_id"), explode(col("ts")).as("token"))
+    val cuni = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = cuni.agg(sum("c").as("n_total"))
+    def fl(c: Column): Column = length(bin(c)) - 1
+    val uniQ = cuni.crossJoin(broadcast(total))
+      .select(col("token"), (fl(col("n_total")) - fl(col("c"))).cast("long").as("q"))
+    val bgQ = cbg.join(chead, "prev")
+      .select(col("prev"), col("w"), (fl(col("chead")) - fl(col("cbg"))).cast("long").as("q"))
+    val firstScored = base.select(col("doc_id"), element_at(col("ts"), 1).as("token"))
+      .join(uniQ, "token").select(col("doc_id"), col("q"))
+    val bgScored = bg.join(bgQ, Seq("prev", "w")).select(col("doc_id"), col("q"))
+    firstScored.unionByName(bgScored)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("q").as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sq").cast("double") / col("n_tokens")).as("bits_q_bigram"))
+  }
+
   /** Exact corpus heavy hitters — every token whose true count exceeds
     * n/(capacity+1) — via the classic two-pass sketch-then-count plan:
     *

@@ -134,6 +134,26 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("selfJoinAuto: corpus-derived strategy choice, output identical either way") {
+    // one dominant length class -> deletions; spread lengths -> bands
+    val sameLen = (0L until 30L).map(i => (i, f"key-$i%03d")).toDF("id", "t")
+    assert(FuzzyJoin.preferDeletionBlocking(sameLen, col("t"), 1))
+    assert(!FuzzyJoin.preferDeletionBlocking(corpus(), col("t"), 1),
+      "mixed-length corpus keeps the band join")
+    // long keys and k > 2 refuse the deletion path regardless of shape
+    val longKeys = (0L until 10L).map(i => (i, "x" * 100 + i)).toDF("id", "t")
+    assert(!FuzzyJoin.preferDeletionBlocking(longKeys, col("t"), 1))
+    assert(!FuzzyJoin.preferDeletionBlocking(sameLen, col("t"), 3))
+    // empty corpus: no preference, and the auto join returns empty not a crash
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(!FuzzyJoin.preferDeletionBlocking(empty, col("t"), 1))
+    assert(FuzzyJoin.selfJoinAuto(empty, col("id"), col("t"), 1).count() == 0)
+    // and on both corpus shapes the auto result equals the naive filter
+    val auto = FuzzyJoin.selfJoinAuto(corpus(), col("id"), col("t"), 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == naivePairs(1))
+  }
+
   test("extraBlock sharpens blocking: matches only within equal block values") {
     val df = Seq((1L, "spark", "en"), (2L, "spork", "en"), (3L, "sparc", "de"))
       .toDF("id", "t", "lang")

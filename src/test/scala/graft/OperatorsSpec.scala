@@ -146,6 +146,35 @@ class OperatorsSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(x))) })
   }
 
+  test("lmScoreBigram: conditional surprisal exact, single-token doc, order sensitivity") {
+    // corpus: doc1 "a a b", doc2 "b c", doc3 "a" (single token), doc4 null.
+    // unigram: a:3 b:2 c:1, N=6 -> fl(6)=2; fl(3)=1, fl(2)=1, fl(1)=0.
+    // bigrams: (a,a):1 (a,b):1 (b,c):1; heads: a->2, b->1.
+    // doc1: first a: 2-1=1; (a,a): fl(2)-fl(1)=1; (a,b): 1 -> n=3 sq=3 -> 1.0
+    // doc2: first b: 2-1=1; (b,c): fl(1)-fl(1)=0 -> n=2 sq=1 -> 0.5
+    // doc3: first a only -> n=1 sq=1 -> 1.0
+    val df = Seq((1L, Some("a a b")), (2L, Some("b c")), (3L, Some("a")),
+      (4L, None)).toDF("id", "text")
+    val out = TextAnalysis.lmScoreBigram(df, $"id", $"text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((3L, 1.0)), 2L -> ((2L, 0.5)), 3L -> ((1L, 1.0))))
+    // order sensitivity: same token multiset, different order, different score
+    val ord = Seq((1L, "x x y y"), (2L, "x y x y")).toDF("id", "text")
+    val s = TextAnalysis.lmScoreBigram(ord, $"id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // bigrams: (x,x):1 (x,y):3 (y,x):1 (y,y):1; heads x->4, y->2
+    // doc1: first x: fl(8)-fl(4)=1; (x,x): fl(4)-fl(1)=2; (x,y): fl(4)-fl(3)=1;
+    //       (y,y): fl(2)-fl(1)=1 -> 5/4
+    // doc2: first x: 1; (x,y): 1; (y,x): fl(2)-fl(1)=1; (x,y): 1 -> 4/4
+    assert(s(1L) == 1.25 && s(2L) == 1.0)
+    // partitioning invariance, raw bits
+    val rep = TextAnalysis.lmScoreBigram(df.repartition(7), $"id", $"text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2))))).toMap
+    assert(rep == out.map { case (k, (n, b)) =>
+      k -> ((n, java.lang.Double.doubleToRawLongBits(b))) })
+  }
+
   test("temperatureMixSqrt: sqrt shares, small source upweighted, clamp keeps all") {
     // 900 A + 100 B, target 500: w_A = 30e6, w_B = 10e6, W = 40e6;
     // rate_A = 500*30e6/40e6/900 = 0.41666..., rate_B = 1.25 -> clamp 1.
