@@ -32,7 +32,7 @@ object Bench {
     "q_transitions", "q_basket_lift", "q_attribution",
     "q_pit_join", "q_drift",
     "q_lm_score", "q_temperature_mix", "q_mad_outliers", "q_fuzzy_join_fastss",
-    "q_lm_score_bigram",
+    "q_lm_score_bigram", "q_dsir_select", "q_nfc_normalize",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -56,7 +56,20 @@ object GraftFunctions {
         lift1("doc_fingerprint")(TextAnalysis.fingerprint)),
       (FunctionIdentifier("normalize_dedup"),
         new ExpressionInfo(TextAnalysis.getClass.getName, "normalize_dedup"),
-        lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)))
+        lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)),
+      // unicode_normalize(s[, form]): form must be a string LITERAL — the
+      // expression embeds the form ordinal in generated code, so it is a
+      // plan-time constant by construction, not a per-row argument.
+      (FunctionIdentifier("unicode_normalize"),
+        new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName,
+          "unicode_normalize"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1 || children.length == 2,
+            s"unicode_normalize(str[, form]) takes 1 or 2 arguments, got ${children.length}")
+          val form = children.lift(1)
+            .map(litString("unicode_normalize", _, 2)).getOrElse("NFC")
+          graft.functions.UnicodeNormalize(children.head, form)
+        }))
   }
 
   // ------------------------------------------- table-valued functions

@@ -643,6 +643,58 @@ object SparkEntry {
           col("purchase_id"))
     }),
 
+    "q_stream_interval_join" -> ((s, dir) => {
+      // Spark's NATIVE watermarked stream-stream join
+      // (StreamingSymmetricHashJoinExec) — the one streaming join the
+      // as-of entry's custom stateful operator does NOT exercise: each
+      // event inner-joins every purchase by the same user within the
+      // following hour, both sides file streams with event-time
+      // watermarks, drained with AvailableNow. Inner-join matches emit
+      // the moment both sides have arrived — the watermark only GATES
+      // STATE EVICTION — so no drain sentinel is needed for
+      // completeness; the delay must only keep state alive across
+      // micro-batches, and covering the full event span does exactly
+      // that under any file interleaving (maxFilesPerTrigger included).
+      // At production scale the same delay would be the business bound
+      // (here 1 hour + slack) instead of the data span, and state decays
+      // continuously. The oracle is the BATCH SQL join verbatim —
+      // streaming and batch must produce the identical pair set.
+      import org.apache.spark.sql.streaming.Trigger
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw.select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_millis(t_us div 1000)").as("t_ts"))
+      val purRaw = t(s, dir, "events")
+      val pur = purRaw.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          tsMicros(purRaw).as("p_us"))
+        .select(col("p_user"), col("purchase_id"),
+          expr("timestamp_millis(p_us div 1000)").as("p_ts"))
+      val (minMs, maxMs) = eventTimeSpan(evs, unix_millis(col("t_ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val lIn = work("q_stream_ij_l")
+      val rIn = work("q_stream_ij_r")
+      evs.write.mode("overwrite").parquet(lIn)
+      pur.write.mode("overwrite").parquet(rIn)
+      val lS = s.readStream.schema(s.read.parquet(lIn).schema)
+        .options(streamReadOptions).parquet(lIn)
+        .withWatermark("t_ts", s"$delayMs milliseconds")
+      val rS = s.readStream.schema(s.read.parquet(rIn).schema)
+        .options(streamReadOptions).parquet(rIn)
+        .withWatermark("p_ts", s"$delayMs milliseconds")
+      val joined = lS.join(rS,
+        lS("user_id") === rS("p_user") &&
+          rS("p_ts") >= lS("t_ts") &&
+          rS("p_ts") <= lS("t_ts") + expr("INTERVAL 1 HOUR"))
+      val qname = s"graft_stream_ij_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname).select(col("event_id"), col("user_id"),
+        unix_millis(col("t_ts")).as("t_ms"), unix_millis(col("p_ts")).as("p_ms"),
+        col("purchase_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // Point-in-interval join via bucketized equi-join (RangeJoin): each
       // customer balance finds the overlapping nation-derived bands. The
@@ -1671,6 +1723,36 @@ object SparkEntry {
       // improbable-order documents the unigram filter scores as normal.
       TextAnalysis.lmScoreBigram(t(s, dir, "documents"), col("doc_id"), col("text"))),
 
+    "q_dsir_select" -> ((s, dir) => {
+      // DSIR data selection: the 100 documents whose hashed-unigram
+      // features look most like the English subset (the "target") relative
+      // to the whole corpus. Quantized integer log-ratios throughout, so
+      // the oracle replays every weight exactly.
+      val docs = t(s, dir, "documents")
+      TextAnalysis.importanceSelect(docs, docs.where(col("lang") === "en"),
+        col("doc_id"), col("text"), k = 100, buckets = 4096)
+    }),
+
+    "q_nfc_normalize" -> ((s, dir) => {
+      // The custom codegen'd UnicodeNormalize expression over a column
+      // that mixes corpus text with a DECOMPOSED suffix ("e" + combining
+      // acute U+0301) — NFC composes it to U+00E9, so n_nfc = n_raw − 1
+      // on every row and the normalized string itself is hash-compared
+      // against DuckDB's nfc_normalize. Exercised through the SQL
+      // registry (unicode_normalize) to cover both activation paths.
+      GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_nfc")
+      // 'e' + COMBINING ACUTE ACCENT as an ESCAPE, not a raw combining
+      // char in source (which any editor or tool normalizing the file to
+      // NFC would silently compose, making the query a no-op)
+      val dec = " cafe\u0301"
+      s.sql(s"""SELECT doc_id,
+               |  unicode_normalize(concat(substring(text, 1, 24), '$dec')) AS nfc,
+               |  length(concat(substring(text, 1, 24), '$dec')) AS n_raw,
+               |  length(unicode_normalize(concat(substring(text, 1, 24), '$dec'))) AS n_nfc
+               |FROM graft_docs_nfc""".stripMargin)
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top-k. The
     // explode shuffles (token, partial-count) pairs thanks to map-side
     // combine, not raw tokens.
@@ -2529,6 +2611,18 @@ object SparkEntry {
         |  SELECT user_id, epoch_ms(ts) AS p_ms, min(event_id) AS purchase_id
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_ms(ts)) r
         |ON l.user_id = r.user_id AND l.t_ms >= r.p_ms""".stripMargin,
+
+    // The BATCH form of the streaming symmetric-hash join — streaming and
+    // batch must produce the identical pair set. Same millisecond
+    // truncation as q_stream_asof; the +3600000 is the INTERVAL 1 HOUR.
+    "q_stream_interval_join" ->
+      """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events) l
+        |JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
+        |        epoch_ms(ts) AS p_ms
+        |      FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.p_user
+        |  AND r.p_ms BETWEEN l.t_ms AND l.t_ms + 3600000""".stripMargin,
 
     "q_range_join" ->
       """SELECT c_custkey, c_acctbal, n_nationkey, lo, hi
@@ -3429,6 +3523,49 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q_bigram
         |FROM scored GROUP BY 1""".stripMargin,
+
+    // DSIR: same md5-bucket idiom as q_quality_classifier, same floorlog2
+    // quantization as q_lm_score; score = w_q / n_tokens is one double
+    // division on identical operands.
+    "q_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |rt AS (SELECT doc_id, unnest(ts) AS t FROM d),
+        |tt AS (SELECT unnest(string_split(text, ' ')) AS t
+        |       FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+        |cr AS (SELECT CAST(('0x' || substr(md5('dsir-' || t), 1, 8)) AS BIGINT) % 4096 AS b,
+        |         count(*) AS c_raw FROM rt GROUP BY 1),
+        |ct AS (SELECT CAST(('0x' || substr(md5('dsir-' || t), 1, 8)) AS BIGINT) % 4096 AS b,
+        |         count(*) AS c_target FROM tt GROUP BY 1),
+        |w AS (SELECT cr.b,
+        |        CAST((length(bin(coalesce(ct.c_target, 0) + 1)) - 1)
+        |           - (length(bin(cr.c_raw + 1)) - 1) AS BIGINT) AS q
+        |      FROM cr LEFT JOIN ct ON cr.b = ct.b),
+        |scored AS (
+        |  SELECT rt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(q) AS BIGINT) AS w_q
+        |  FROM rt JOIN w
+        |    ON CAST(('0x' || substr(md5('dsir-' || rt.t), 1, 8)) AS BIGINT) % 4096 = w.b
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, w_q, CAST(w_q AS DOUBLE) / n_tokens AS score,
+        |    row_number() OVER (
+        |      ORDER BY CAST(w_q AS DOUBLE) / n_tokens DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, w_q, score, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // DuckDB's nfc_normalize against the engine's codegen'd
+    // UnicodeNormalize; chr(769) is the combining acute the Spark side
+    // appends as a decomposed literal.
+    "q_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(substr(text, 1, 24) || ' cafe' || chr(769)) AS nfc,
+        |  CAST(length(substr(text, 1, 24) || ' cafe' || chr(769)) AS INTEGER) AS n_raw,
+        |  CAST(length(nfc_normalize(substr(text, 1, 24) || ' cafe' || chr(769)))
+        |    AS INTEGER) AS n_nfc
+        |FROM documents""".stripMargin,
 
     "q_tfidf" ->
       """SELECT doc_id, token, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (

@@ -248,6 +248,88 @@ object TextAnalysis {
         (col("sq").cast("double") / col("n_tokens")).as("bits_q_bigram"))
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-corpus document by how much more likely its hashed
+    * n-gram features are under a TARGET corpus (the high-quality or
+    * in-domain set you want more of) than under the raw corpus itself,
+    * then keep the top-scoring documents. This is the principled
+    * replacement for hand-written quality heuristics when a trusted
+    * target sample exists — the standard curation step between dedup and
+    * tokenization in modern pretraining pipelines.
+    *
+    * Features are hashed unigrams (the hashing trick — no vocabulary, no
+    * OOV): bucket(t) = md5-head("dsir-" ‖ t) mod `buckets`. Both corpus
+    * distributions are fit as bucket counts with +1 Laplace smoothing, so
+    * buckets absent from the target still score (small), never NULL/−∞.
+    *
+    * The per-token log-ratio is QUANTIZED to whole bits the [[lmScore]]
+    * way — q(b) = floorlog2(c_target(b)+1) − floorlog2(c_raw(b)+1) via
+    * `length(bin(x)) − 1` on exact integers, no floating log — so any
+    * engine reproduces every weight bit-for-bit and the oracle checks
+    * values, not approximations. The per-corpus normalizers (N_target,
+    * N_raw) shift every token's weight by the same constant and therefore
+    * never change the RANKING the selection step consumes; omitting them
+    * keeps the whole computation in exact integers. `w_q` is the summed
+    * quantized log-ratio; `score` = w_q / n_tokens (one final double
+    * division on identical operands — correctly rounded everywhere).
+    *
+    * Scale shape: two explode→bucket-count aggregates (map-side combine;
+    * state = `buckets` rows each), a broadcast of the ≤`buckets`-row
+    * weight table onto the raw token stream, one doc-keyed aggregate.
+    * Bounded by the token stream and `buckets` — no all-pairs, no driver
+    * state, the [[tfIdfTopTerms]] family shape. Null raw text is
+    * excluded (no features, no score).
+    *
+    * Output: (doc_id, n_tokens, w_q, score).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def bucket(t: Column): Column =
+      conv(substring(md5(concat(lit("dsir-"), t).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    def bucketCounts(df: DataFrame, name: String): DataFrame =
+      df.where(text.isNotNull)
+        .select(explode(tokens(text)).as("t"))
+        .groupBy(bucket(col("t")).as("b")).agg(count(lit(1)).as(name))
+    val fl: Column => Column = c => length(bin(c)) - 1
+    val weights = bucketCounts(raw, "c_raw")
+      .join(bucketCounts(target, "c_target"), Seq("b"), "left")
+      .select(col("b"),
+        (fl(coalesce(col("c_target"), lit(0L)) + 1L) - fl(col("c_raw") + 1L))
+          .cast("long").as("q"))
+    raw.where(text.isNotNull)
+      .select(id.as("doc_id"), explode(tokens(text)).as("t"))
+      .join(broadcast(weights), bucket(col("t")) === col("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("q").as("w_q"))
+      .select(col("doc_id"), col("n_tokens"), col("w_q"),
+        (col("w_q").cast("double") / col("n_tokens")).as("score"))
+  }
+
+  /** The selection step over [[importanceWeights]]: the `k` raw documents
+    * whose hashed features look most target-like, ranked by (score desc,
+    * doc_id) — a deterministic total order, so membership is exactly
+    * reproducible. DSIR as published samples with Gumbel noise ∝ the
+    * weights; top-k is the deterministic variant production pipelines
+    * favor (same estimator, zero RNG state to ship). The global sort is
+    * over one row per DOCUMENT SCORE, not per token — at 100 TB that is
+    * the cheap side by orders of magnitude, and Spark's sort-limit
+    * pushes the limit into each partition before the single-stage merge.
+    */
+  def importanceSelect(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, k: Int, buckets: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val scored = importanceWeights(raw, target, id, text, buckets)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    // rank numbers only the k survivors (single tiny partition), not the
+    // corpus — the WindowExec warning-free shape
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
   /** Exact corpus heavy hitters — every token whose true count exceeds
     * n/(capacity+1) — via the classic two-pass sketch-then-count plan:
     *

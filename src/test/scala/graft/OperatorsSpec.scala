@@ -175,6 +175,37 @@ class OperatorsSpec extends AnyFunSuite {
       k -> ((n, java.lang.Double.doubleToRawLongBits(b))) })
   }
 
+  test("importanceWeights/importanceSelect: DSIR fixture, ranking, tie-break, invariance") {
+    // buckets: 'good' -> 1680, 'bad' -> 1854, 'meh' -> 2040 at B=4096 (no
+    // collisions — md5 is fixed, so this holds forever or fails loudly).
+    // raw: d1 "good good", d2 "bad bad", d3 "good bad", d4 null.
+    // target: "good good good" -> c_t(good)=3, c_t(bad)=0; c_r(good)=3, c_r(bad)=3.
+    // q(good) = fl(4) - fl(4) = 0; q(bad) = fl(1) - fl(4) = -2.
+    // d1: (0+0)/2 = 0.0; d2: (-2-2)/2 = -2.0; d3: (0-2)/2 = -1.0.
+    val raw = Seq((1L, Some("good good")), (2L, Some("bad bad")),
+      (3L, Some("good bad")), (4L, None)).toDF("id", "text")
+    val target = Seq(Tuple1("good good good")).toDF("text")
+    val w = TextAnalysis.importanceWeights(raw, target, $"id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(w == Map(1L -> ((2L, 0L, 0.0)), 2L -> ((2L, -4L, -2.0)),
+      3L -> ((2L, -2L, -1.0))))
+    // selection: k=2 keeps the two most target-like, ranked
+    val sel = TextAnalysis.importanceSelect(raw, target, $"id", $"text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(sel == Set((1L, 1), (3L, 2)))
+    // tie-break: equal scores order by doc_id (d1 and d5 both all-'good')
+    val rawTie = Seq((5L, "good good"), (1L, "good")).toDF("id", "text")
+    val tie = TextAnalysis.importanceSelect(rawTie, target, $"id", $"text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(tie == Set((1L, 1), (5L, 2)))
+    // partitioning invariance, raw score bits
+    val rep = TextAnalysis.importanceWeights(raw.repartition(7), target, $"id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))).toMap
+    assert(rep == w.map { case (k, (_, _, s)) =>
+      k -> java.lang.Double.doubleToRawLongBits(s) })
+  }
+
   test("temperatureMixSqrt: sqrt shares, small source upweighted, clamp keeps all") {
     // 900 A + 100 B, target 500: w_A = 30e6, w_B = 10e6, W = 40e6;
     // rate_A = 500*30e6/40e6/900 = 0.41666..., rate_B = 1.25 -> clamp 1.

@@ -38,8 +38,11 @@ class SentinelMultiBatchSpec extends AnyFunSuite {
   // q_stream_asof adds the TWO-source case: the global watermark is the
   // min across both inputs' sentinels, each mtime-ordered last in its own
   // directory.
+  // q_stream_interval_join has NO sentinel by design (inner-join matches
+  // emit on arrival; the watermark only gates state eviction) — including
+  // it here proves that claim under file-per-trigger processing too.
   for (q <- Seq("q_stream_sessionize", "q_stream_funnel", "q_stream_rate_cap",
-                "q_stream_scd2", "q_stream_asof")) {
+                "q_stream_scd2", "q_stream_asof", "q_stream_interval_join")) {
     test(s"$q: maxFilesPerTrigger=1 output equals the single-batch output") {
       assume(ready)
       val single = runWith(q, Map.empty)
