@@ -57,6 +57,14 @@ object GraftFunctions {
       (FunctionIdentifier("normalize_dedup"),
         new ExpressionInfo(TextAnalysis.getClass.getName, "normalize_dedup"),
         lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)),
+      (FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+          "jaro_winkler"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"jaro_winkler takes 2 arguments, got ${children.length}")
+          graft.functions.JaroWinkler(children.head, children(1))
+        }),
       // unicode_normalize(s[, form]): form must be a string LITERAL — the
       // expression embeds the form ordinal in generated code, so it is a
       // plan-time constant by construction, not a per-row argument.

@@ -695,6 +695,61 @@ object SparkEntry {
         col("purchase_id"))
     }),
 
+    "q_stream_interval_join_left" -> ((s, dir) => {
+      // The LEFT OUTER variant of the native stream-stream join — the
+      // case that DOES need the drain sentinel: an unmatched left row can
+      // only emit (with nulls) once the watermark proves no matching
+      // right row can still arrive, i.e. passes t_ts + 1 hour. The
+      // sentinels (one per side, same derived time, mtime-ordered last)
+      // push the final watermark one day past the newest event, and the
+      // no-data-batch mechanism flushes the outer state before
+      // AvailableNow terminates — the same machinery every sentinel
+      // entry relies on, exercised here through Spark's symmetric hash
+      // join state instead of an aggregation. Oracle: the batch LEFT
+      // JOIN verbatim.
+      import org.apache.spark.sql.streaming.Trigger
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw.select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_millis(t_us div 1000)").as("t_ts"))
+      val purRaw = t(s, dir, "events")
+      val pur = purRaw.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          tsMicros(purRaw).as("p_us"))
+        .select(col("p_user"), col("purchase_id"),
+          expr("timestamp_millis(p_us div 1000)").as("p_ts"))
+      val (minMs, maxMs) = eventTimeSpan(evs, unix_millis(col("t_ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentinel = timestamp_millis(lit(maxMs + 86400000L + delayMs))
+      val lIn = work("q_stream_ijl_l")
+      val rIn = work("q_stream_ijl_r")
+      writeDataThenSentinel(evs,
+        s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          sentinel.as("t_ts")), lIn)
+      writeDataThenSentinel(pur,
+        s.range(1).select(lit(-1L).as("p_user"), lit(-1L).as("purchase_id"),
+          sentinel.as("p_ts")), rIn)
+      val lS = s.readStream.schema(s.read.parquet(lIn).schema)
+        .options(streamReadOptions).parquet(lIn)
+        .withWatermark("t_ts", s"$delayMs milliseconds")
+      val rS = s.readStream.schema(s.read.parquet(rIn).schema)
+        .options(streamReadOptions).parquet(rIn)
+        .withWatermark("p_ts", s"$delayMs milliseconds")
+      val joined = lS.join(rS,
+        lS("user_id") === rS("p_user") &&
+          rS("p_ts") >= lS("t_ts") &&
+          rS("p_ts") <= lS("t_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      val qname = s"graft_stream_ijl_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname).where(col("event_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("t_ts")).as("t_ms"), unix_millis(col("p_ts")).as("p_ms"),
+          col("purchase_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // Point-in-interval join via bucketized equi-join (RangeJoin): each
       // customer balance finds the overlapping nation-derived bands. The
@@ -717,6 +772,26 @@ object SparkEntry {
       // pairs with DuckDB's levenshtein over an explicit pair join.
       operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
         col("c_custkey"), col("c_name"), maxDist = 1)),
+
+    "q_jw_similarity" -> ((s, dir) => {
+      // The codegen'd JaroWinkler expression over three pair shapes per
+      // row: adjacent-key names (high similarity, prefix boost + the
+      // digit-transposition path), the name against its reversal (low
+      // similarity, no boost — exercises the jaro<=0.7 branch), and the
+      // name against its market segment (unrelated strings, different
+      // lengths). Map-only after one keyed self-join; the oracle is
+      // DuckDB's native jaro_winkler_similarity, to which the kernel is
+      // bit-identical (270k-random-pair sweep, raw-bit compare).
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val next = c.select((col("c_custkey") - 1).as("k2"), col("c_name").as("name_b"))
+      val jw = graft.functions.JaroWinklerFunctions.jaroWinkler _
+      c.join(next, col("c_custkey") === col("k2"))
+        .select(col("c_custkey"), col("c_name").as("name_a"), col("name_b"),
+          jw(col("c_name"), col("name_b")).as("jw_next"),
+          jw(col("c_name"), reverse(col("c_name"))).as("jw_rev"),
+          jw(col("c_name"), col("c_mktsegment")).as("jw_seg"))
+    }),
 
     "q_fuzzy_join_fastss" -> ((s, dir) =>
       // Same pairs as q_fuzzy_join via deletion-neighborhood (FastSS)
@@ -1723,6 +1798,12 @@ object SparkEntry {
       // improbable-order documents the unigram filter scores as normal.
       TextAnalysis.lmScoreBigram(t(s, dir, "documents"), col("doc_id"), col("text"))),
 
+    "q_bpe_token_count" -> ((s, dir) =>
+      // Whitespace vs BPE-ish pre-tokenizer counts + chars/token — the
+      // packing cost model. Map-only regex pass; the pattern is
+      // Java/RE2-portable so the oracle checks exact counts.
+      TextAnalysis.bpeTokenCount(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     "q_dsir_select" -> ((s, dir) => {
       // DSIR data selection: the 100 documents whose hashed-unigram
       // features look most like the English subset (the "target") relative
@@ -2619,6 +2700,15 @@ object SparkEntry {
       """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events) l
         |JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
+        |        epoch_ms(ts) AS p_ms
+        |      FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.p_user
+        |  AND r.p_ms BETWEEN l.t_ms AND l.t_ms + 3600000""".stripMargin,
+
+    "q_stream_interval_join_left" ->
+      """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events) l
+        |LEFT JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
         |        epoch_ms(ts) AS p_ms
         |      FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.p_user
@@ -3524,6 +3614,20 @@ object SparkEntry {
         |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q_bigram
         |FROM scored GROUP BY 1""".stripMargin,
 
+    // Same pattern string, DuckDB's RE2 vs Spark's Java regex — the
+    // pattern is restricted to the identically-implemented subset (see
+    // TextAnalysis.BpeTokenPattern).
+    "q_bpe_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${operators.TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS DOUBLE) / greatest(
+         |    len(regexp_extract_all(text,
+         |      '${operators.TextAnalysis.BpeTokenPattern.replace("'", "''")}')), 1) AS chars_per_token
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
     // DSIR: same md5-bucket idiom as q_quality_classifier, same floorlog2
     // quantization as q_lm_score; score = w_q / n_tokens is one double
     // division on identical operands.
@@ -3555,6 +3659,17 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, n_tokens, w_q, score, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // DuckDB's NATIVE jaro_winkler_similarity against the engine's
+    // codegen'd JaroWinkler kernel (bit-identical by construction — the
+    // kernel was pinned to DuckDB's exact byte-level/integer-transposition
+    // semantics; see JaroWinklerKernel's scaladoc).
+    "q_jw_similarity" ->
+      """SELECT a.c_custkey, a.c_name AS name_a, b.c_name AS name_b,
+        |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw_next,
+        |  jaro_winkler_similarity(a.c_name, reverse(a.c_name)) AS jw_rev,
+        |  jaro_winkler_similarity(a.c_name, a.c_mktsegment) AS jw_seg
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin,
 
     // DuckDB's nfc_normalize against the engine's codegen'd
     // UnicodeNormalize; chr(769) is the combining acute the Spark side

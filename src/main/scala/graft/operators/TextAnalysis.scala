@@ -248,6 +248,43 @@ object TextAnalysis {
         (col("sq").cast("double") / col("n_tokens")).as("bits_q_bigram"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs BOTH
+    * regex engines the pipeline spans implement identically: Java
+    * (Spark's regexp machinery) and RE2 (DuckDB, Go tooling). The real
+    * GPT-2 pattern's `\s+(?!\S)` lookahead does not exist in RE2, and
+    * `\p{L}`/`\p{N}` unicode classes differ at the edges, so this uses
+    * explicit ASCII classes and no lookaround: contraction suffixes,
+    * space-prefixed letter runs, space-prefixed digit runs,
+    * space-prefixed punctuation runs, space runs. Alternation is
+    * leftmost-first in both engines.
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+  /** Token counting under a BPE-ish pre-tokenizer — the cost model for
+    * context-window packing and per-token pricing, where whitespace
+    * counts undercount (punctuation, contractions, and digit runs
+    * tokenize separately). Reports both counts side by side plus
+    * chars-per-token, the standard compression diagnostic (English web
+    * text sits near 4–5 chars/token under byte-BPE vocabularies; far
+    * lower values flag punctuation soup, far higher flag unsegmented
+    * text). Map-only — one regex pass per row, no shuffle; the pattern
+    * ([[BpeTokenPattern]]) is engine-portable by construction, so the
+    * oracle checks exact counts.
+    *
+    * Output: (doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+    * chars_per_token). Null text is excluded.
+    */
+  def bpeTokenCount(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        length(text).as("n_chars"),
+        size(tokens(text)).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)))
+
   /** DSIR-style data selection via importance resampling (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every raw-corpus document by how much more likely its hashed

@@ -175,6 +175,23 @@ class OperatorsSpec extends AnyFunSuite {
       k -> ((n, java.lang.Double.doubleToRawLongBits(b))) })
   }
 
+  test("bpeTokenCount: contraction/digit/punct splits, ws-vs-bpe divergence") {
+    // "don't stop, it's 2024!" under the pattern:
+    //   don|'t| stop|,| it|'s| 2024|! = 8 bpe tokens, 4 ws tokens
+    // "aaa bbb" = [aaa| bbb] 2 bpe, 2 ws
+    val df = Seq((1L, Some("don't stop, it's 2024!")), (2L, Some("aaa bbb")),
+      (3L, None)).toDF("id", "text")
+    val out = TextAnalysis.bpeTokenCount(df, $"id", $"text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(1L -> ((22, 4L, 8L, 22.0 / 8)), 2L -> ((7, 2L, 2L, 3.5))))
+    // empty text: one ws token (split of "" is [""]), zero bpe matches,
+    // guarded ratio
+    val empty = TextAnalysis.bpeTokenCount(
+      Seq((1L, "")).toDF("id", "text"), $"id", $"text").collect()(0)
+    assert(empty.getLong(2) == 1L && empty.getLong(3) == 0L && empty.getDouble(4) == 0.0)
+  }
+
   test("importanceWeights/importanceSelect: DSIR fixture, ranking, tie-break, invariance") {
     // buckets: 'good' -> 1680, 'bad' -> 1854, 'meh' -> 2040 at B=4096 (no
     // collisions — md5 is fixed, so this holds forever or fails loudly).

@@ -41,8 +41,12 @@ class SentinelMultiBatchSpec extends AnyFunSuite {
   // q_stream_interval_join has NO sentinel by design (inner-join matches
   // emit on arrival; the watermark only gates state eviction) — including
   // it here proves that claim under file-per-trigger processing too.
+  // q_stream_interval_join_left adds the OUTER case: unmatched lefts emit
+  // nulls only after the watermark passes their join window — the shape
+  // most sensitive to per-file watermark progression.
   for (q <- Seq("q_stream_sessionize", "q_stream_funnel", "q_stream_rate_cap",
-                "q_stream_scd2", "q_stream_asof", "q_stream_interval_join")) {
+                "q_stream_scd2", "q_stream_asof", "q_stream_interval_join",
+                "q_stream_interval_join_left")) {
     test(s"$q: maxFilesPerTrigger=1 output equals the single-batch output") {
       assume(ready)
       val single = runWith(q, Map.empty)
