@@ -396,6 +396,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
 
+    "q_ohlc_bars" -> ((s, dir) =>
+      // Tick-stream downsampling: hourly OHLC bars per event type, open
+      // and close tie-broken by event_id — one grouped aggregate, no
+      // window, no sort (min_by/max_by over the (ts, event_id) struct).
+      operators.Analytics.ohlcBars(events(s, dir),
+        keys = Seq(col("event_type")),
+        bar = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"),
+        ts = col("ts"), tieBreak = col("event_id"), value = col("value"))),
+
+    "q_global_order" -> ((s, dir) =>
+      // Deterministic training-shuffle order: exact global rank of
+      // md5(salt||id) via the distributed prefix sum — the
+      // single-partition-window-free total order.
+      operators.Sampling.globalShuffleOrder(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("pos"))),
+
     "q_sessionize" -> ((s, dir) =>
       operators.Sessionize.sessions(events(s, dir),
         col("user_id"), col("event_id"), col("ts"), col("value"), gapSeconds = 28800)),
@@ -1798,6 +1815,30 @@ object SparkEntry {
       // improbable-order documents the unigram filter scores as normal.
       TextAnalysis.lmScoreBigram(t(s, dir, "documents"), col("doc_id"), col("text"))),
 
+    "q_dedup_unicode" -> ((s, dir) => {
+      // Canonical-equivalence dedup — the pipeline UnicodeNormalize
+      // exists for: the same document arriving NFC-composed and
+      // NFD-decomposed must dedupe to ONE digest key. Each document is
+      // unioned with a decomposed-suffix twin of itself; keying on
+      // md5(NFC(text)) collapses every twin pair (keying on the raw
+      // bytes would not — q_dedup_exact's digest splits them). Shape is
+      // exact dedup: map-only normalize+digest, one keyed aggregate.
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val composedSfx = " caf\u00e9"
+      val decomposedSfx = " cafe\u0301"
+      val base = docs.select(col("doc_id"),
+        concat(col("text"), lit(composedSfx)).as("text"))
+      val twin = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(decomposedSfx)).as("text"))
+      base.unionByName(twin)
+        .select(col("doc_id"),
+          md5(graft.functions.StringNormalizeFunctions
+            .unicodeNormalize(col("text")).cast("binary")).as("k"))
+        .groupBy("k")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
     "q_bpe_token_count" -> ((s, dir) =>
       // Whitespace vs BPE-ish pre-tokenizer counts + chars/token — the
       // packing cost model. Map-only regex pass; the pattern is
@@ -2654,6 +2695,35 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+
+    // open/close via rank-1 conditional aggregation — an independent
+    // formulation of the engine's min_by/max_by-over-struct picks.
+    "q_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+        |    ts, event_id, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, bar, CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // row_number over the same md5-scatter key the engine ranks with the
+    // distributed prefix sum.
+    "q_global_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5('shuffle-v1' || CAST(doc_id AS VARCHAR))
+        |      || '|' || CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
@@ -3613,6 +3683,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / count(*) AS bits_q_bigram
         |FROM scored GROUP BY 1""".stripMargin,
+
+    // chr(233) is the composed suffix's é, chr(769) the combining acute
+    // of the decomposed twin; DuckDB's nfc_normalize + md5 must produce
+    // the identical collapsed key set.
+    "q_dedup_unicode" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |base AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM docs),
+        |twin AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         text || ' cafe' || chr(769) AS text FROM docs),
+        |all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM twin)
+        |SELECT md5(nfc_normalize(text)) AS k,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM all_docs GROUP BY 1""".stripMargin,
 
     // Same pattern string, DuckDB's RE2 vs Spark's Java regex — the
     // pattern is restricted to the identically-implemented subset (see

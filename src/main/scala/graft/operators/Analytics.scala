@@ -26,6 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Time-series resampling to OHLC bars (open/high/low/close), the
+    * standard downsampling step for tick/event streams before charting
+    * or feature extraction. One grouped aggregate — `min_by`/`max_by`
+    * over the (ts, tieBreak) struct pick open and close in the same
+    * pass as the min/max extremes, so there is no window, no sort, and
+    * no second scan; with (ts, tieBreak) unique the result is a pure
+    * function of the data (ties in ts resolve by tieBreak, never by
+    * arrival order). Scale shape: map-side partial aggregation then one
+    * |keys × bars|-row shuffle.
+    *
+    * Output: keys ++ (bar, n, open, high, low, close).
+    */
+  def ohlcBars(df: DataFrame, keys: Seq[Column], bar: Column, ts: Column,
+      tieBreak: Column, value: Column): DataFrame =
+    df.groupBy((keys :+ bar.as("bar")): _*)
+      .agg(count(lit(1)).as("n"),
+        min_by(value, struct(ts, tieBreak)).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, struct(ts, tieBreak)).as("close"))
+
   private val DayMicros = 86400000000L
   private val WeekMicros = 604800000000L
 

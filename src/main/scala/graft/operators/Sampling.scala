@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Deterministic global training order — the "shuffle" step a data
+    * loader consumes, computed WITHOUT randomness state and WITHOUT a
+    * single-partition window: each row's order key is
+    * md5(salt ‖ id) ‖ '|' ‖ id (the md5 scatters, the id suffix makes the
+    * key total even under md5 collisions), and its position is the exact
+    * global rank of that key via [[Packing.globalCumsum]] — one range
+    * exchange, per-range subtotals (≤ partitions longs on the driver),
+    * per-range window. A naive `row_number().over(Window.orderBy(key))`
+    * computes the same thing on ONE task; this is the shape that still
+    * works when the corpus is 10¹¹ rows.
+    *
+    * The position is a pure function of (id, salt): reshuffling for a new
+    * epoch is a salt change, resuming mid-epoch is a `pos >= checkpoint`
+    * filter, and any md5-capable engine reproduces the exact order.
+    * Output: the input columns plus `pos` (0-based, a permutation of
+    * 0..n−1).
+    */
+  def globalShuffleOrder(df: DataFrame, id: Column,
+      salt: String = "shuffle-v1"): DataFrame = {
+    val key = concat(
+      md5(concat(lit(salt), id.cast("string")).cast("binary")),
+      lit("|"), id.cast("string"))
+    Packing.globalCumsum(df.withColumn("__shufkey", key),
+        col("__shufkey"), lit(1L))
+      .withColumn("pos", col("cum") - 1L)
+      .drop("cum", "__shufkey")
+  }
+
   private def hexKey(id: Column, salt: String): Column =
     substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8)
 

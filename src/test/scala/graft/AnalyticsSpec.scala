@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Clustering, Retrieval}
+import graft.operators.{Analytics, Clustering, Retrieval, Sampling}
 
 /** Pins the semantics of the event-analytics, retrieval, and clustering
   * operators on hand-built inputs where the expected answer is computable
@@ -18,6 +18,56 @@ class AnalyticsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val us = 1000000L
+
+  test("ohlcBars: open/close by (ts, tie) order, extremes, multiple keys") {
+    // key A, bar X: (t=1,id=1,v=5) (t=1,id=2,v=9) (t=3,id=1,v=2) ->
+    //   open=5 (t tie broken by id), high=9, low=2, close=2
+    // key A, bar Y: single row. key B, bar X: two rows, close by later ts.
+    val df = Seq(
+      ("A", "X", 1L, 1L, 5.0), ("A", "X", 1L, 2L, 9.0), ("A", "X", 3L, 1L, 2.0),
+      ("A", "Y", 7L, 1L, 4.0),
+      ("B", "X", 2L, 9L, -1.0), ("B", "X", 5L, 1L, 8.0)
+    ).toDF("k", "bar", "t", "id", "v")
+    val out = Analytics.ohlcBars(df, Seq($"k"), $"bar", $"t", $"id", $"v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out == Map(
+      ("A", "X") -> ((3L, 5.0, 9.0, 2.0, 2.0)),
+      ("A", "Y") -> ((1L, 4.0, 4.0, 4.0, 4.0)),
+      ("B", "X") -> ((2L, -1.0, 8.0, -1.0, 8.0))))
+    // partitioning invariance (no arrival-order dependence)
+    val rep = Analytics.ohlcBars(df.repartition(7), Seq($"k"), $"bar", $"t", $"id", $"v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(rep == out)
+  }
+
+  test("globalShuffleOrder: exact permutation, md5-rank reference, salt reshuffles") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 400L).map(i => Tuple1(i * 7 % 1000)).toDF("id")
+    val out = Sampling.globalShuffleOrder(df, $"id")
+    val positions = out.select("pos").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (0L until 400L))
+    // equals the naive single-partition window form exactly
+    val key = concat(md5(concat(lit("shuffle-v1"), $"id".cast("string")).cast("binary")),
+      lit("|"), $"id".cast("string"))
+    val ref = df.withColumn("pos_ref",
+        row_number().over(Window.orderBy(key)).cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // partitioning invariance
+    val rep = Sampling.globalShuffleOrder(df.repartition(13), $"id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+    // a different salt is a different epoch order (not the identity map)
+    val salted = Sampling.globalShuffleOrder(df, $"id", salt = "epoch-2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted != got)
+    assert(salted.values.toSeq.sorted == (0L until 400L))
+  }
 
   // ---- funnel ---------------------------------------------------------
 
