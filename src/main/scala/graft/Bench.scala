@@ -34,7 +34,7 @@ object Bench {
     "q_lm_score", "q_temperature_mix", "q_mad_outliers", "q_fuzzy_join_fastss",
     "q_lm_score_bigram", "q_dsir_select", "q_nfc_normalize",
     "q_jw_similarity", "q_bpe_token_count", "q_dedup_unicode",
-    "q_ohlc_bars", "q_global_order",
+    "q_ohlc_bars", "q_global_order", "q_asof_tolerance",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -603,6 +603,23 @@ object SparkEntry {
       operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us", "left")
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // As-of with max staleness (pandas merge_asof tolerance): the match
+      // is kept only when the purchase is within 2 hours before the
+      // event — a stale enrichment is worse than none. Identical plan to
+      // q_asof_join plus one map-side bound on the matched struct.
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw
+        .select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+      val purRaw = t(s, dir, "events")
+      val purchases = purRaw
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), tsMicros(purRaw).as("p_us"), col("event_id").as("pe"))
+        .groupBy("user_id", "p_us").agg(min("pe").as("purchase_id"))
+      operators.AsOfJoin.asOfJoin(evs, purchases, Seq("user_id"), "t_us", "p_us",
+        "left", tolerance = Some(7.2e9 /* 2 h in µs */))
+    }),
+
     "q_stream_asof" -> ((s, dir) => {
       // STREAMING point-in-time join (StreamingOps.asOfJoinStream): the
       // same enrichment as q_asof_join, run as two file streams →
@@ -2749,6 +2766,20 @@ object SparkEntry {
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.t_us, r.p_us, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events) l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_us(ts) AS p_us, min(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)) r
+        |ON l.user_id = r.user_id AND l.t_us >= r.p_us""".stripMargin,
+
+    // Tolerance nulls the asof match beyond the 2-hour bound; "latest
+    // within [t - tol, t]" equals "asof match, bounded" — any in-window
+    // right row would itself be the asof match.
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.t_us,
+        |  CASE WHEN l.t_us - r.p_us <= 7200000000 THEN r.p_us END AS p_us,
+        |  CASE WHEN l.t_us - r.p_us <= 7200000000
+        |    THEN r.purchase_id END AS purchase_id
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events) l
         |ASOF LEFT JOIN (
         |  SELECT user_id, epoch_us(ts) AS p_us, min(event_id) AS purchase_id

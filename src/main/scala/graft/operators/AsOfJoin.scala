@@ -54,15 +54,27 @@ object AsOfJoin {
     *                 per-bucket carry-in of the latest earlier right row.
     *                 Width is in the time column's numeric scale (epoch
     *                 seconds for timestamps).
+    * @param tolerance optional max staleness (same numeric scale as the
+    *                 time columns): a match older than
+    *                 leftTime − tolerance is treated as NO match — nulled
+    *                 under "left", dropped under "inner". This is exactly
+    *                 "latest right within [t − tol, t]": any right row
+    *                 inside that window would itself be the as-of match,
+    *                 so filtering the match is equivalent to bounding the
+    *                 search — no second pass needed (pandas merge_asof
+    *                 tolerance semantics, inclusive bound).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, joinType: String = "inner",
-      timeBucketWidth: Option[Double] = None): DataFrame = {
+      timeBucketWidth: Option[Double] = None,
+      tolerance: Option[Double] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asOfJoin supports inner|left, got $joinType")
     require(keys.nonEmpty, "asOfJoin needs at least one key column")
     require(timeBucketWidth.forall(_ > 0),
       s"timeBucketWidth must be positive, got $timeBucketWidth")
+    require(tolerance.forall(_ >= 0),
+      s"tolerance must be non-negative, got $tolerance")
 
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val rightCarried = rightTime +: rightPayload
@@ -130,7 +142,19 @@ object AsOfJoin {
           .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     }
 
-    val leftOnly = matched.where(col("__side") === 1)
+    // Tolerance: null the match when it is older than leftTime − tol.
+    // Applied to __m BEFORE the inner-join filter so both join types see
+    // the same no-match semantics. The double cast matches the
+    // timeBucketWidth scale convention (epoch seconds for timestamps).
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) => matched.withColumn("__m",
+        when(col("__m").isNotNull &&
+          col("__t").cast("double") - col(s"__m.$rightTime").cast("double") <= tol,
+          col("__m")))
+    }
+
+    val leftOnly = bounded.where(col("__side") === 1)
     val kept = if (joinType == "inner") leftOnly.where(col("__m").isNotNull) else leftOnly
     kept.select(
       left.columns.map(c => col(s"__l.$c").as(c)) ++

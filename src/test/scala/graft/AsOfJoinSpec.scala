@@ -43,6 +43,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.map(_.getString(2)).toSeq == Seq("a", "b", "c"))
   }
 
+  test("tolerance bounds staleness: inclusive, nulls under left, drops under inner") {
+    // tol=1: (1,5) match@4 age 1 KEPT (inclusive); (1,9) match@9 age 0
+    // kept; (1,100) match@9 age 91 nulled; unmatched rows unchanged
+    val l = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left",
+      tolerance = Some(1.0)).orderBy("k", "t").collect()
+    assert(l.toSeq == Seq(
+      Row(1L, 5L, "a", 4L, "x"),
+      Row(1L, 9L, "b", 9L, "y"),
+      Row(1L, 100L, "c", null, null),
+      Row(2L, 3L, "d", null, null),
+      Row(3L, 7L, "e", null, null)))
+    val i = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "inner",
+      tolerance = Some(1.0)).orderBy("k", "t").collect()
+    assert(i.map(_.getString(2)).toSeq == Seq("a", "b"))
+    // tol=0: only exact-time matches survive
+    val z = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "inner",
+      tolerance = Some(0.0)).collect()
+    assert(z.map(_.getString(2)).toSeq == Seq("b"))
+    // composes with the hot-key bucket pre-split: identical output
+    val bucketed = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left",
+      timeBucketWidth = Some(10.0), tolerance = Some(1.0))
+      .orderBy("k", "t").collect()
+    assert(bucketed.toSeq == l.toSeq)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left",
+        tolerance = Some(-1.0))
+    }
+  }
+
   test("plan is a single keyed window — no nested-loop or cartesian join") {
     val q = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "rt", "left")
     val plan = q.queryExecution.executedPlan.toString

@@ -129,11 +129,23 @@ def lint_oracle_types(con, oracles, out_dir):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     lint_only = "--lint-only" in sys.argv
+    # --only=q_a,q_b: restrict the compare (and lint) to named queries —
+    # for targeted cross-scale runs where executing every oracle SQL at a
+    # big SF is infeasible (e.g. the all-pairs formulations at sf1).
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
     sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = only - set(oracles)
+        if missing:
+            print(f"--only names without oracle SQL: {sorted(missing)}")
+        oracles = {k: v for k, v in oracles.items() if k in only}
 
     lint = lint_oracle_types(con, oracles, out_dir)
     for name, why in lint:
@@ -182,7 +194,8 @@ def main():
     # rows-only queries (no oracle): just report row counts
     import os
     for d in sorted(os.listdir(out_dir)):
-        if d not in oracles and os.path.isdir(f"{out_dir}/{d}"):
+        if d not in oracles and os.path.isdir(f"{out_dir}/{d}") \
+                and (only is None or d in only):
             n = len(pd.read_parquet(f"{out_dir}/{d}"))
             print(f"ROWS {d} ({n} rows){' <-- EMPTY' if n == 0 else ''}")
     for name, why in failures:
