@@ -57,6 +57,14 @@ object GraftFunctions {
       (FunctionIdentifier("normalize_dedup"),
         new ExpressionInfo(TextAnalysis.getClass.getName, "normalize_dedup"),
         lift1("normalize_dedup")(TextAnalysis.normalizeForDedup)),
+      (FunctionIdentifier("vec_dot_int"),
+        new ExpressionInfo(classOf[graft.functions.DotProductInt].getName,
+          "vec_dot_int"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"vec_dot_int takes 2 arguments, got ${children.length}")
+          graft.functions.DotProductInt(children.head, children(1))
+        }),
       (FunctionIdentifier("jaro_winkler"),
         new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
           "jaro_winkler"),

@@ -396,6 +396,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
 
+    "q_hopping_window" -> ((s, dir) =>
+      // Sliding (hopping) windows: 1-hour windows every 15 minutes, so
+      // each event lands in exactly 4 overlapping windows — Spark's
+      // native window(ts, size, slide) explode. The oracle reconstructs
+      // the same window set from the 15-minute bucket minus k·15min,
+      // k = 0..3 (each such start covers the event because the event sits
+      // within 45 minutes of its bucket start).
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_s"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     "q_ohlc_bars" -> ((s, dir) =>
       // Tick-stream downsampling: hourly OHLC bars per event type, open
       // and close tie-broken by event_id — one grouped aggregate, no
@@ -2101,6 +2116,24 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), posexplode(col("q")))
         .select(col("vec_id"), (col("pos") + 1).as("idx"), col("scale"), col("col").as("qv"))),
 
+    "q_sim_int8_rescore" -> ((s, dir) => {
+      // The quantized similarity path end to end: int8 codes from
+      // quantizeInt8, EXACT integer dot products via the codegen'd
+      // DotProductInt (a long — any integer-capable engine reproduces
+      // it), one dequantizing division per pair. This is the memory-4×
+      // rescoring stage ANN systems run between the index probe and the
+      // exact float refine.
+      val q = Similarity.quantizeInt8(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+      val b = q.select((col("vec_id") - 1).as("vid2"),
+        col("scale").as("scale_b"), col("q").as("q_b"))
+      q.join(b, col("vec_id") === col("vid2"))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecDotInt(col("q"), col("q_b")).as("dot_q"),
+          (graft.functions.VectorFunctions.vecDotInt(col("q"), col("q_b"))
+            .cast("double") / (col("scale") * col("scale_b"))).as("approx_dot"))
+    }),
+
     // JL dimensionality reduction 64 -> 8; the deterministic ±1 matrix is
     // reproduced literally in the oracle SQL, so projections are
     // bit-exact. Exploded like the other embedding queries.
@@ -2712,6 +2745,18 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+
+    // Window starts reconstructed as 15-min-bucket − k·15min, k=0..3;
+    // every such start covers the event (it sits within 45 min of its
+    // bucket start), which is exactly Spark's window(ts, 1h, 15m) set.
+    "q_hopping_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+        |    - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS win_s,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_value
+        |FROM events, LATERAL unnest(generate_series(0, 3)) AS g(k)
+        |GROUP BY 1, 2""".stripMargin,
 
     // open/close via rank-1 conditional aggregation — an independent
     // formulation of the engine's min_by/max_by-over-struct picks.
@@ -4006,6 +4051,28 @@ object SparkEntry {
         |  unnest(list_transform(e, x -> x / sqrt(list_dot_product(e, e)))) AS u
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |WHERE sqrt(list_dot_product(e, e)) > 0""".stripMargin,
+
+    // Quantization replayed null-preservingly (no WHERE mx > 0 — a zero
+    // vector's null q must survive the join and null the dot), exact
+    // integer dot via index-zip list_sum, one dequantizing division in
+    // the engine's operand order.
+    "q_sim_int8_rescore" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx > 0 THEN 127.0 / mx END AS scale,
+        |    CASE WHEN mx > 0 THEN list_transform(e,
+        |      x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) END AS q
+        |  FROM (SELECT vec_id, e,
+        |          list_max(list_transform(e, x -> abs(x))) AS mx
+        |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |              FROM embeddings)))
+        |SELECT a.vec_id,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+        |    i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS dot_q,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+        |    i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS DOUBLE)
+        |    / (a.scale * b.scale) AS approx_dot
+        |FROM qz a JOIN qz b ON b.vec_id = a.vec_id + 1""".stripMargin,
 
     "q_embed_quantize" ->
       """SELECT vec_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -88,9 +88,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two array<int> columns — the scoring
+  * kernel of the QUANTIZED similarity path: int8 codes from
+  * [[graft.operators.Similarity.quantizeInt8]] stay integers through the
+  * multiply-accumulate (a long sum — 127²·dim is nowhere near overflow),
+  * and the single dequantizing division happens once per PAIR, not per
+  * component. Same null contract as [[DotProduct]]: null input, null
+  * element, or length mismatch → null. Returns long, so the result is
+  * EXACT and any integer-capable engine reproduces it — the double path's
+  * summation-order caveats don't exist here.
+  */
+case class DotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_int requires two array<int> arguments, got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "vec_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) $a.getInt($i) * $b.getInt($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd EXACT integer dot product of two array<int> columns. */
+  def vecDotInt(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProductInt(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -1298,6 +1298,32 @@ class OperatorsSpec extends AnyFunSuite {
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions())
   }
 
+  test("codegen DotProductInt: exact long dot, null/raggedness contract, SQL registry") {
+    val df = Seq(
+      (1L, Array(127, -127, 50), Array(127, 127, 2)),
+      (2L, Array(1, 2, 3), Array(4, 5, 6))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", graft.functions.VectorFunctions.vecDotInt($"a", $"b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 127*127 - 127*127 + 100 = 100; 4 + 10 + 18 = 32
+    assert(out == Map(1L -> 100L, 2L -> 32L))
+    // int32-overflowing components accumulate exactly in the long
+    val big = Seq((Array(2000000000, 2000000000), Array(2, 2))).toDF("a", "b")
+    assert(big.select(graft.functions.VectorFunctions.vecDotInt($"a", $"b"))
+      .collect()(0).getLong(0) == 8000000000L)
+    // null array, null element, ragged lengths -> null
+    val n = Seq(
+      (Some(Array(1, 2)), None: Option[Array[Int]]),
+      (Some(Array(1, 2)), Some(Array(1, 2, 3)))
+    ).toDF("a", "b")
+    assert(n.select(graft.functions.VectorFunctions.vecDotInt($"a", $"b"))
+      .collect().forall(_.isNullAt(0)))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vdi_sql")
+    assert(spark.sql("SELECT vec_dot_int(a, b) FROM vdi_sql WHERE id = 2")
+      .collect()(0).getLong(0) == 32L)
+  }
+
   test("codegen DotProduct is bit-identical to the sequential fold") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 200).map(i =>
