@@ -396,6 +396,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
 
+    "q_triangles" -> ((s, dir) => {
+      // Exact triangle count on the supplier co-occurrence graph
+      // (high-quantity lineitems sharing an order), via degree-ordered
+      // orientation — O(m^1.5) wedges instead of a celebrity-node
+      // quadratic blowup. The quantity filter keeps the graph
+      // non-complete (the unfiltered co-occurrence graph is K_100 at
+      // sf0.01, where every count is a binomial identity).
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+      val edges = li.join(b, "l_orderkey")
+        .where(col("l_suppkey") < col("s2"))
+      operators.Graph.triangleCount(edges, col("l_suppkey"), col("s2"))
+    }),
+
     "q_hopping_window" -> ((s, dir) =>
       // Sliding (hopping) windows: 1-hour windows every 15 minutes, so
       // each event lands in exactly 4 overlapping windows — Spark's
@@ -794,6 +809,65 @@ object SparkEntry {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
       s.table(qname).where(col("event_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("t_ts")).as("t_ms"), unix_millis(col("p_ts")).as("p_ms"),
+          col("purchase_id"))
+    }),
+
+    "q_stream_interval_join_full" -> ((s, dir) => {
+      // FULL OUTER completes the stream-stream join-mode matrix: BOTH
+      // sides' unmatched rows emit null-padded once the watermark clears
+      // their window (a purchase outside every event's hour emits with a
+      // null left). The two sentinels match EACH OTHER (same derived
+      // time), so neither emits unmatched; real unmatched rows carry a
+      // null on the opposite side, which the >= 0 filters must not drop —
+      // hence the coalesce-to-0 guards. Oracle: the batch FULL JOIN.
+      import org.apache.spark.sql.streaming.Trigger
+      // LEFT side = NON-purchase events: a purchase trivially matches
+      // itself as a left event (p ∈ [t, t+1h] at t = p), so with all
+      // events on the left no right row is ever unmatched and the full
+      // join degenerates to the left join. Excluding purchases makes
+      // both outer paths fire (1,843 unmatched rights at sf0.01).
+      val evRaw = t(s, dir, "events")
+      val evs = evRaw.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), tsMicros(evRaw).as("t_us"))
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_millis(t_us div 1000)").as("t_ts"))
+      val purRaw = t(s, dir, "events")
+      val pur = purRaw.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          tsMicros(purRaw).as("p_us"))
+        .select(col("p_user"), col("purchase_id"),
+          expr("timestamp_millis(p_us div 1000)").as("p_ts"))
+      val (minMs, maxMs) = eventTimeSpan(evs, unix_millis(col("t_ts")), "events")
+      val delayMs = maxMs - minMs + 1000L
+      val sentinel = timestamp_millis(lit(maxMs + 86400000L + delayMs))
+      val lIn = work("q_stream_ijf_l")
+      val rIn = work("q_stream_ijf_r")
+      writeDataThenSentinel(evs,
+        s.range(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          sentinel.as("t_ts")), lIn)
+      writeDataThenSentinel(pur,
+        s.range(1).select(lit(-1L).as("p_user"), lit(-1L).as("purchase_id"),
+          sentinel.as("p_ts")), rIn)
+      val lS = s.readStream.schema(s.read.parquet(lIn).schema)
+        .options(streamReadOptions).parquet(lIn)
+        .withWatermark("t_ts", s"$delayMs milliseconds")
+      val rS = s.readStream.schema(s.read.parquet(rIn).schema)
+        .options(streamReadOptions).parquet(rIn)
+        .withWatermark("p_ts", s"$delayMs milliseconds")
+      val joined = lS.join(rS,
+        lS("user_id") === rS("p_user") &&
+          rS("p_ts") >= lS("t_ts") &&
+          rS("p_ts") <= lS("t_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      val qname = s"graft_stream_ijf_${System.nanoTime()}"
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qname)
+        .where(coalesce(col("event_id"), lit(0L)) >= 0 &&
+          coalesce(col("purchase_id"), lit(0L)) >= 0)
         .select(col("event_id"), col("user_id"),
           unix_millis(col("t_ts")).as("t_ms"), unix_millis(col("p_ts")).as("p_ms"),
           col("purchase_id"))
@@ -2746,6 +2820,25 @@ object SparkEntry {
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
 
+    // An UNORIENTED cubic join over canonical u<v edges — an independent
+    // formulation: each triangle a<b<c counted once as (a,b)+(a,c)+(b,c),
+    // no degree ordering anywhere, so an orientation bug cannot cancel.
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 45),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT n FROM (
+        |  SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        |  GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs p1
+        |     JOIN pairs p2 ON p2.u = p1.u AND p2.v > p1.v
+        |     JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v) AS n_triangles""".stripMargin,
+
     // Window starts reconstructed as 15-min-bucket − k·15min, k=0..3;
     // every such start covers the event (it sits within 45 min of its
     // bucket start), which is exactly Spark's window(ts, 1h, 15m) set.
@@ -2855,6 +2948,16 @@ object SparkEntry {
       """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events) l
         |LEFT JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
+        |        epoch_ms(ts) AS p_ms
+        |      FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.p_user
+        |  AND r.p_ms BETWEEN l.t_ms AND l.t_ms + 3600000""".stripMargin,
+
+    "q_stream_interval_join_full" ->
+      """SELECT l.event_id, l.user_id, l.t_ms, r.p_ms, r.purchase_id
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events
+        |      WHERE event_type <> 'purchase') l
+        |FULL JOIN (SELECT user_id AS p_user, event_id AS purchase_id,
         |        epoch_ms(ts) AS p_ms
         |      FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.p_user

@@ -23,6 +23,62 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Exact triangle count via DEGREE-ORDERED edge orientation — the
+    * standard trick that makes triangle counting feasible at scale:
+    * orienting every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one bounds each node's OUT-degree by O(√m), so the
+    * wedge self-join materializes Σ outdeg(v)² = O(m^1.5) candidate
+    * 2-paths instead of the Σ deg(v)² a naive neighbor join produces
+    * (which a single celebrity node turns quadratic). Each triangle
+    * {a,b,c} survives exactly once: as the wedge at its lowest-ordered
+    * corner, closed by the oriented (mid, high) edge.
+    *
+    * Pipeline: canonicalize (least, greatest) + distinct (multigraph and
+    * direction collapse; self-loops dropped) → one degree aggregate →
+    * two broadcast-joinable degree attachments → wedge self-join keyed on
+    * the shared source → semi-join against the oriented edge set. All
+    * joins are equi-joins; nothing is driver-side.
+    *
+    * Output: one row (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    // (degree, id) lexicographic orientation; carry the head's degree so
+    // wedge pairs can be ordered without another join
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val e1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val e2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    // wedge (b, c) ordered by the same (degree, id) relation the
+    // orientation used, so the closing edge is exactly (x -> y). The
+    // wedge KEEPS its source s: distinct triangles (s, b, c) and
+    // (s', b, c) share the closing edge, so an (x, y)-only semi-join
+    // would collapse them — the inner join counts each wedge row once
+    // (oriented edges are unique, so the join cannot fan out).
+    val wedges = e1.join(e2, "s")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("s"), col("b").as("x"), col("c").as("y"))
+    val tri = wedges.join(oriented.select(col("s").as("x"), col("t").as("y")),
+        Seq("x", "y"))
+    canon.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
     * Nodes are everything appearing as src or dst; rank starts uniform
     * 1/N. Dangling nodes (no out-edges) leak their mass — the simplified

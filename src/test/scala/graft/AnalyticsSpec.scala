@@ -282,6 +282,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.isNullAt(4))
   }
 
+  test("triangleCount: known graphs, orientation-invariance, celebrity node") {
+    def tc(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = operators.Graph.triangleCount(
+        edges.toDF("s", "d"), col("s"), col("d")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: C(4,3) = 4 triangles; C5 cycle: none; two triangles sharing an
+    // edge: exactly 2 (the shared closing edge must not collapse them —
+    // the regression the wedge-source carry exists for)
+    assert(tc(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) == ((4L, 6L, 4L)))
+    assert(tc(Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,1L))) == ((5L, 5L, 0L)))
+    assert(tc(Seq((1L,2L),(1L,3L),(2L,3L),(4L,2L),(4L,3L))) == ((4L, 5L, 2L)))
+    // direction, duplicates, and self-loops collapse before counting
+    assert(tc(Seq((2L,1L),(1L,2L),(3L,1L),(2L,3L),(1L,1L))) == ((3L, 3L, 1L)))
+    // celebrity hub: star + one rim edge = 1 triangle, any hub degree
+    val star = (2L to 40L).map(i => (1L, i)) ++ Seq((2L, 3L))
+    assert(tc(star) == ((40L, 40L, 1L)))
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank gives the hub of a star more mass than its leaves") {

@@ -46,7 +46,7 @@ class SentinelMultiBatchSpec extends AnyFunSuite {
   // most sensitive to per-file watermark progression.
   for (q <- Seq("q_stream_sessionize", "q_stream_funnel", "q_stream_rate_cap",
                 "q_stream_scd2", "q_stream_asof", "q_stream_interval_join",
-                "q_stream_interval_join_left")) {
+                "q_stream_interval_join_left", "q_stream_interval_join_full")) {
     test(s"$q: maxFilesPerTrigger=1 output equals the single-batch output") {
       assume(ready)
       val single = runWith(q, Map.empty)
