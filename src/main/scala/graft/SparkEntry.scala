@@ -411,6 +411,20 @@ object SparkEntry {
       operators.Graph.triangleCount(edges, col("l_suppkey"), col("s2"))
     }),
 
+    "q_kcore" -> ((s, dir) => {
+      // k-core (k=22) of the same co-occurrence graph — the iterative
+      // peeling fixpoint (4 rounds at sf0.01): stripping a sub-k node
+      // can drop its neighbors below k, so one filter pass is NOT the
+      // answer (k=22 peels 11 nodes at sf0.01; a single pass stops at
+      // 5). Each round is one degree aggregate + one semi-join.
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+      val edges = li.join(b, "l_orderkey")
+        .where(col("l_suppkey") < col("s2"))
+      operators.Graph.kCore(edges, col("l_suppkey"), col("s2"), k = 22)
+    }),
+
     "q_hopping_window" -> ((s, dir) =>
       // Sliding (hopping) windows: 1-hour windows every 15 minutes, so
       // each event lands in exactly 4 overlapping windows — Spark's
@@ -2819,6 +2833,32 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+
+    // Peeling unrolled 12 rounds (the fixpoint takes 4 at sf0.01, 3 at
+    // sf1; extra rounds are no-ops, too FEW would loudly hash-mismatch),
+    // generated as a CTE chain — the pagerank-oracle iteration-replay
+    // idiom applied to a data-dependent round count with safety margin.
+    "q_kcore" -> {
+      val rounds = (1 to 12).map { i =>
+        s""",
+           |d${i - 1} AS MATERIALIZED (
+           |  SELECT n FROM (SELECT u AS n FROM e${i - 1}
+           |                 UNION ALL SELECT v AS n FROM e${i - 1})
+           |  GROUP BY 1 HAVING count(*) >= 22),
+           |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           |        WHERE u IN (SELECT n FROM d${i - 1})
+           |          AND v IN (SELECT n FROM d${i - 1}))""".stripMargin
+      }.mkString
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+         |            WHERE l_quantity >= 45),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)$rounds
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT u AS n FROM e12 UNION ALL SELECT v AS n FROM e12)
+         |GROUP BY 1 HAVING count(*) >= 22""".stripMargin
+    },
 
     // An UNORIENTED cubic join over canonical u<v edges — an independent
     // formulation: each triangle a<b<c counted once as (a,b)+(a,c)+(b,c),

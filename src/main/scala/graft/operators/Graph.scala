@@ -79,6 +79,65 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** k-core decomposition for a FIXED k: the maximal subgraph in which
+    * every node has degree ≥ k — the standard graph-cleaning step
+    * (strip low-engagement fringe before community/influence analysis)
+    * and a genuinely ITERATIVE fixpoint: peeling a node can drop its
+    * neighbors below k, so rounds repeat until stable.
+    *
+    * Each round = one degree aggregate over the surviving edge set + one
+    * semi-join filter — O(|E|) shuffled bytes with map-side combine,
+    * nothing driver-side except the survivor count (one scalar per
+    * round, which also detects the fixpoint). Round count is bounded by
+    * the graph's degeneracy ordering length, in practice a handful; the
+    * surviving edge set is cached per round and the previous round's
+    * cache released, so lineage stays one round deep (the same
+    * discipline as [[pagerank]]'s iteration).
+    *
+    * Output: (node, degree) for every node of the k-core, with degree
+    * counted INSIDE the core (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.storage.StorageLevel
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+    var cur = canon.persist(StorageLevel.MEMORY_AND_DISK)
+    var curEdges = cur.count()
+    var round = 0
+    var done = curEdges == 0
+    while (!done) {
+      require(round < maxRounds,
+        s"kCore did not converge in $maxRounds rounds - raise maxRounds")
+      val keep = degrees(cur).where(col("d") >= k).select("n")
+      val next = cur
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextEdges = next.count()
+      if (nextEdges == curEdges) {
+        next.unpersist()
+        done = true
+      } else {
+        cur.unpersist()
+        cur = next
+        curEdges = nextEdges
+        done = nextEdges == 0
+      }
+      round += 1
+    }
+    val result = degrees(cur).where(col("d") >= k)
+      .select(col("n").as("node"), col("d").as("degree"))
+    result
+  }
+
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
     * Nodes are everything appearing as src or dst; rank starts uniform
     * 1/N. Dangling nodes (no out-edges) leak their mass — the simplified

@@ -301,6 +301,65 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tc(star) == ((40L, 40L, 1L)))
   }
 
+  test("kCore: cascade peeling (one pass is not the fixpoint), empty core, clique core") {
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      operators.Graph.kCore(edges.toDF("s", "d"), col("s"), col("d"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle {1,2,3} + a pendant chain 3-4-5: 2-core = the triangle,
+    // but peeling 5 (deg 1) drops 4 to deg 1 — a single filter pass
+    // keeps 4, only the fixpoint removes it
+    val chain = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L))
+    assert(core(chain, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the clique degree: empty core (and kCore terminates)
+    assert(core(chain, 3) == Map.empty)
+    // K5: the 4-core is the whole clique with degree 4
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(core(k5, 4) == (1L to 5L).map(_ -> 4L).toMap)
+    // direction/duplicate/self-loop collapse, like triangleCount
+    assert(core(Seq((2L,1L),(1L,2L),(3L,1L),(2L,3L),(1L,1L)), 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("triangleCount and kCore agree with brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(6)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def connected(a: Long, b: Long) = adj((a min b, a max b))
+        val bruteTri = (for {
+          a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if connected(a, b) && connected(a, c) && connected(b, c)
+        } yield 1).size.toLong
+        val r = operators.Graph.triangleCount(
+          edges.toDF("s", "d"), col("s"), col("d")).collect()(0)
+        assert(r.getLong(2) == bruteTri, s"trial $trial: triangles")
+        // brute-force k-core by iterated peeling on the driver
+        val k = 3
+        var cur = adj
+        var stable = false
+        while (!stable) {
+          val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (x, xs) => x -> xs.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          val next = cur.filter(e => keep(e._1) && keep(e._2))
+          stable = next == cur
+          cur = next
+        }
+        val expDeg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+          .filter(_._2 >= k)
+        val got = operators.Graph.kCore(edges.toDF("s", "d"), col("s"), col("d"), k)
+          .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+        assert(got == expDeg, s"trial $trial: k-core")
+      }
+    }
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank gives the hub of a star more mass than its leaves") {
