@@ -411,6 +411,30 @@ object SparkEntry {
       operators.Graph.triangleCount(edges, col("l_suppkey"), col("s2"))
     }),
 
+    "q_clustering_coef" -> ((s, dir) => {
+      // Per-node triangle counts + local clustering coefficient on the
+      // co-occurrence graph; degree-1 nodes get NULL (0/0), never 0.0.
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+      val edges = li.join(b, "l_orderkey")
+        .where(col("l_suppkey") < col("s2"))
+      operators.Graph.clusteringCoefficient(edges, col("l_suppkey"), col("s2"))
+    }),
+
+    "q_bfs" -> ((s, dir) => {
+      // BFS hop distances from supplier 1 over the co-occurrence graph —
+      // iterative frontier expansion, terminating when the frontier
+      // empties (the graph's eccentricity), not at a guessed depth.
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+      val edges = li.join(b, "l_orderkey")
+        .where(col("l_suppkey") < col("s2"))
+      operators.Graph.bfsDistances(edges, col("l_suppkey"), col("s2"),
+        s.range(1, 2).toDF(), col("id"))
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // k-core (k=22) of the same co-occurrence graph — the iterative
       // peeling fixpoint (4 rounds at sf0.01): stripping a sub-k node
@@ -2833,6 +2857,55 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events""".stripMargin,
+
+    // Per-node triangle credit via the same unoriented cubic join as
+    // q_triangles, each triangle unioned to its three corners. Operands
+    // of the coefficient are small exact integers, so the one division
+    // is correctly rounded identically in both engines.
+    "q_clustering_coef" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 45),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        |  GROUP BY 1),
+        |tris AS MATERIALIZED (
+        |  SELECT p1.u AS a, p1.v AS b, p2.v AS c FROM pairs p1
+        |  JOIN pairs p2 ON p2.u = p1.u AND p2.v > p1.v
+        |  JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v),
+        |pt AS (SELECT n, count(*) AS t FROM (
+        |  SELECT a AS n FROM tris UNION ALL SELECT b AS n FROM tris
+        |  UNION ALL SELECT c AS n FROM tris) GROUP BY 1)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(pt.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    2.0 * coalesce(pt.t, 0) / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+        |  END AS coeff
+        |FROM deg LEFT JOIN pt ON deg.n = pt.n""".stripMargin,
+
+    // BFS as a recursive CTE: UNION-dedup on (node, dist) pairs bounds
+    // the walk, min(dist) is the BFS distance; dist < 10 caps recursion
+    // far past the graph's eccentricity (2-3 on this dense graph) — the
+    // kcore margin convention.
+    "q_bfs" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 45),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.v AS node, w.dist + 1 AS dist
+        |  FROM walk w JOIN sym e ON e.u = w.node WHERE w.dist < 10)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
 
     // Peeling unrolled 12 rounds (the fixpoint takes 4 at sf0.01, 3 at
     // sf1; extra rounds are no-ops, too FEW would loudly hash-mismatch),

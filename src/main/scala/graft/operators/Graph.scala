@@ -79,6 +79,55 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node triangle counts and local clustering coefficient — the
+    * per-node refinement of [[triangleCount]]: every triangle found by
+    * the oriented wedge join is credited to ALL THREE corners (the wedge
+    * row carries them: source s, endpoints x and y), then
+    * coeff = 2·t / (d·(d−1)) with the degree from the same aggregate the
+    * orientation used. Degree-1 nodes have no possible triangle — their
+    * coefficient is NULL (0/0), never a fake 0.0. Same O(m^1.5) wedge
+    * bound as the global count; the corner explode adds 3 rows per
+    * triangle, output-sized.
+    *
+    * Output: (node, degree, n_triangles, coeff).
+    */
+  def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val e1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val e2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val triangles = e1.join(e2, "s")
+      .where(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("s"), col("b").as("x"), col("c").as("y"))
+      .join(oriented.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+    val perNode = triangles
+      .select(explode(array(col("s"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    // guard: d(d−1) is EXACTLY 0.0 for degree-1 nodes — under ANSI that
+    // division throws, it does not produce Infinity/NaN (the r11
+    // divide-by-zero audit class); NULL is the documented value
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d").cast("double") * (col("d") - 1))).as("coeff"))
+  }
+
   /** k-core decomposition for a FIXED k: the maximal subgraph in which
     * every node has degree ≥ k — the standard graph-cleaning step
     * (strip low-engagement fringe before community/influence analysis)
@@ -136,6 +185,64 @@ object Graph {
     val result = degrees(cur).where(col("d") >= k)
       .select(col("n").as("node"), col("d").as("degree"))
     result
+  }
+
+  /** Unweighted BFS hop distances from a source node set, undirected —
+    * the reachability/radius primitive (influence spheres, contamination
+    * blast radius over link graphs). Classic iterative frontier
+    * expansion: round r joins the CURRENT frontier (nodes first reached
+    * at distance r) against the symmetrized edge list, anti-joins the
+    * already-settled set, and the survivors are the r+1 frontier —
+    * every round is one equi-join + one anti-join over output-sized
+    * frontiers, terminating at the graph's eccentricity (frontier
+    * empty), never at a guessed round count. Settled/frontier caches are
+    * one round deep, like [[kCore]]'s.
+    *
+    * Output: (node, dist) for every REACHED node (sources at 0);
+    * unreachable nodes emit no row.
+    */
+  def bfsDistances(edges: DataFrame, src: Column, dst: Column,
+      sources: DataFrame, sourceCol: Column, maxHops: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val sym = canon
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var settled = sources.select(sourceCol.as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = settled
+    var dist = 0L
+    var done = frontier.isEmpty
+    while (!done) {
+      require(dist < maxHops,
+        s"bfsDistances exceeded $maxHops hops - raise maxHops")
+      dist += 1
+      val next = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("v").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(dist))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) {
+        next.unpersist()
+        done = true
+      } else {
+        val grown = settled.unionByName(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        grown.count()
+        settled.unpersist()
+        if (frontier ne settled) frontier.unpersist()
+        settled = grown
+        frontier = next
+      }
+    }
+    if (frontier ne settled) frontier.unpersist()
+    sym.unpersist()
+    settled
   }
 
   /** PageRank after `iters` power iterations over the DISTINCT edge set.

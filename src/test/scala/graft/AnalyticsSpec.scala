@@ -360,6 +360,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusteringCoefficient: per-node credit, degree-1 NULL, exact coeffs") {
+    // two triangles sharing edge (2,3), pendant 5 hanging off 4:
+    //   1: d=2 t=1 coeff=1.0; 2,3: d=3 t=2 coeff=2/3;
+    //   4: d=3 t=1 coeff=1/3; 5: d=1 t=0 coeff=NULL
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(4L,2L),(4L,3L),(4L,5L)).toDF("s","d")
+    val out = operators.Graph.clusteringCoefficient(edges, col("s"), col("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, java.lang.Double.valueOf(1.0))),
+      2L -> ((3L, 2L, java.lang.Double.valueOf(2.0 / 3))),
+      3L -> ((3L, 2L, java.lang.Double.valueOf(2.0 / 3))),
+      4L -> ((3L, 1L, java.lang.Double.valueOf(1.0 / 3))),
+      5L -> ((1L, 0L, null))))
+    // per-node sums are 3x the global count
+    val total = operators.Graph.triangleCount(edges, col("s"), col("d"))
+      .collect()(0).getLong(2)
+    assert(out.values.map(_._2).sum == 3 * total)
+  }
+
+  test("bfsDistances: hop layers, unreachable absent, multi-source min, isolated source") {
+    // path 1-2-3-4, triangle 10-11-12 (disconnected from the path)
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(11L,12L),(10L,12L)).toDF("s","d")
+    def bfs(srcs: Seq[Long]): Map[Long, Long] =
+      operators.Graph.bfsDistances(edges, col("s"), col("d"),
+        srcs.toDF("n"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs(Seq(1L)) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source: every node takes the NEAREST source's distance
+    assert(bfs(Seq(1L, 4L)) == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+    // source in the other component reaches only its component
+    assert(bfs(Seq(10L)) == Map(10L -> 0L, 11L -> 1L, 12L -> 1L))
+    // a source absent from the graph still reports itself at 0
+    assert(bfs(Seq(99L)) == Map(99L -> 0L))
+  }
+
   // ---- pagerank -------------------------------------------------------
 
   test("pagerank gives the hub of a star more mass than its leaves") {
