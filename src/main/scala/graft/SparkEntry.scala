@@ -2176,6 +2176,34 @@ object SparkEntry {
           count(lit(1)).as("n_dups"))
     }),
 
+    "q_curation_pipeline_v2" -> ((s, dir) => {
+      // The r11 curation path end to end: NFC-normalize → exact dedup on
+      // the canonical digest (keep-first, representative text carried by
+      // min_by) → DSIR-select the 200 most target-like survivors → BPE
+      // token counts for the packing cost model. Stage shapes: map-only
+      // normalize+digest, one dedup aggregate, the DSIR count/broadcast/
+      // agg shape, one top-k sort, map-only regex — no all-pairs, no
+      // driver state.
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val deduped = docs
+        .groupBy(md5(graft.functions.StringNormalizeFunctions
+          .unicodeNormalize(col("text")).cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("text"), col("doc_id")).as("text"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .drop("k")
+      val selected = TextAnalysis.importanceSelect(deduped,
+        deduped.where(col("lang") === "en"), col("doc_id"), col("text"),
+        k = 200, buckets = 4096)
+      selected
+        .join(deduped.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("rank"), col("score"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.BpeTokenPattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"))
+    }),
+
     // ---- training-data pipeline: similarity search
     "q_sim_bruteforce" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -4006,6 +4034,45 @@ object SparkEntry {
          |    len(regexp_extract_all(text,
          |      '${operators.TextAnalysis.BpeTokenPattern.replace("'", "''")}')), 1) AS chars_per_token
          |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // The composed pipeline replayed stage for stage: arg_min mirrors
+    // min_by, the DSIR CTEs are fit on the DEDUPED corpus (not raw —
+    // the counts differ whenever dedup removes anything).
+    "q_curation_pipeline_v2" -> {
+      val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL),
+         |ded AS MATERIALIZED (
+         |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+         |         arg_min(lang, doc_id) AS lang
+         |  FROM docs GROUP BY md5(nfc_normalize(text))),
+         |rt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM ded),
+         |tt AS (SELECT unnest(string_split(text, ' ')) AS t
+         |       FROM ded WHERE lang = 'en'),
+         |cr AS (SELECT CAST(('0x' || substr(md5('dsir-' || t), 1, 8)) AS BIGINT) % 4096 AS b,
+         |         count(*) AS c_raw FROM rt GROUP BY 1),
+         |ct AS (SELECT CAST(('0x' || substr(md5('dsir-' || t), 1, 8)) AS BIGINT) % 4096 AS b,
+         |         count(*) AS c_target FROM tt GROUP BY 1),
+         |w AS (SELECT cr.b,
+         |        CAST((length(bin(coalesce(ct.c_target, 0) + 1)) - 1)
+         |           - (length(bin(cr.c_raw + 1)) - 1) AS BIGINT) AS q
+         |      FROM cr LEFT JOIN ct ON cr.b = ct.b),
+         |scored AS (
+         |  SELECT rt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(q) AS BIGINT) AS w_q
+         |  FROM rt JOIN w
+         |    ON CAST(('0x' || substr(md5('dsir-' || rt.t), 1, 8)) AS BIGINT) % 4096 = w.b
+         |  GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id, CAST(w_q AS DOUBLE) / n_tokens AS score,
+         |    row_number() OVER (
+         |      ORDER BY CAST(w_q AS DOUBLE) / n_tokens DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT r.doc_id, CAST(r.rank AS INTEGER) AS rank, r.score,
+         |  CAST(len(regexp_extract_all(d.text, '$pat')) AS BIGINT) AS n_bpe_tokens
+         |FROM ranked r JOIN ded d ON r.doc_id = d.doc_id
+         |WHERE r.rank <= 200""".stripMargin
+    },
 
     // DSIR: same md5-bucket idiom as q_quality_classifier, same floorlog2
     // quantization as q_lm_score; score = w_q / n_tokens is one double
