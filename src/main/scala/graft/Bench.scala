@@ -36,7 +36,7 @@ object Bench {
     "q_jw_similarity", "q_bpe_token_count", "q_dedup_unicode",
     "q_ohlc_bars", "q_global_order", "q_asof_tolerance",
     "q_hopping_window", "q_sim_int8_rescore", "q_triangles", "q_kcore",
-    "q_clustering_coef", "q_bfs", "q_curation_pipeline_v2",
+    "q_clustering_coef", "q_bfs", "q_curation_pipeline_v2", "q_rfm", "q_backtest_snaive",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

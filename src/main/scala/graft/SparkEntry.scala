@@ -464,6 +464,73 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_s"),
           col("event_type"), col("n"), col("sum_value"))),
 
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation — the standard user-feature rollup: per user,
+      // recency (days since last purchase, anchored at the corpus max so
+      // the result is a pure function of the data), frequency, monetary;
+      // quintile scores via explicit integer rank arithmetic
+      // (1 + (rank−1)·5 div n) rather than ntile, whose tie placement is
+      // engine-defined — rank ties broken by user_id make every score
+      // exactly portable. The rank windows run over ONE ROW PER USER
+      // (post-aggregate), the cheap side by orders of magnitude.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val pur = ev.where(col("event_type") === "purchase")
+      val anchor = pur.agg(max(unix_micros(col("ts"))).as("mx"))
+      val base = pur.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,6)")).as("mon_d"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr("(mx - last_us) div 86400000000").as("recency_days"),
+          col("frequency"), col("mon_d"))
+      val nU = Window.partitionBy()
+      // floor((rank−1)·5 / n) as a DOUBLE floor on both engines: the
+      // operands are small exact integers, the one division is correctly
+      // rounded identically, and floor has no tie semantics — Spark's
+      // long `/` is double division anyway, so this states it explicitly
+      def score(order: Column): Column =
+        (lit(1) + floor((row_number().over(Window.orderBy(order, col("user_id")))
+          .cast("double") - 1.0) * 5.0 / count(lit(1)).over(nU))).cast("int")
+      base
+        .withColumn("r_score", score(col("recency_days").desc))
+        .withColumn("f_score", score(col("frequency")))
+        .withColumn("m_score", score(col("mon_d")))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("mon_d").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+            .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_light")
+            .otherwise("mid").as("segment"))
+    }),
+
+    "q_backtest_snaive" -> ((s, dir) => {
+      // Seasonal-naive forecast backtest: predict each hour's event count
+      // per type with the SAME HOUR YESTERDAY (n(t−24h)), score with
+      // MAE / mean-error bias. Gap-safe: the forecast joins on the exact
+      // t−24h bucket (a lag window over sorted hours would silently skip
+      // across gaps). All counts integer-exact; the two final divisions
+      // are fixed-order on identical operands.
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val fc = hourly.select(
+        (col("h") + expr("INTERVAL 24 HOURS")).as("h"),
+        col("event_type"), col("n").as("n_pred"))
+      hourly.join(fc, Seq("h", "event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_points"),
+          sum(abs(col("n") - col("n_pred"))).as("abs_err"),
+          sum(col("n") - col("n_pred")).as("err"))
+        .select(col("event_type"), col("n_points"),
+          col("abs_err").cast("long").as("abs_err"),
+          (col("abs_err").cast("double") / col("n_points")).as("mae"),
+          (col("err").cast("double") / col("n_points")).as("bias"))
+    }),
+
     "q_ohlc_bars" -> ((s, dir) =>
       // Tick-stream downsampling: hourly OHLC bars per event type, open
       // and close tie-broken by event_id — one grouped aggregate, no
@@ -2991,6 +3058,57 @@ object SparkEntry {
         |    AS sum_value
         |FROM events, LATERAL unnest(generate_series(0, 3)) AS g(k)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Quintiles replayed with the same floor((rank−1)·5/n) double
+    // arithmetic; the monetary double goes through the VARCHAR hop
+    // (DuckDB's direct DECIMAL→DOUBLE cast double-rounds — the q1_agg
+    // class).
+    "q_rfm" ->
+      """WITH pur AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |base AS (
+        |  SELECT user_id,
+        |    ((SELECT max(t_us) FROM pur) - max(t_us)) // 86400000000 AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS mon_d
+        |  FROM pur GROUP BY 1),
+        |scored AS (
+        |  SELECT user_id, recency_days, frequency, mon_d,
+        |    CAST(1 + floor((CAST(row_number() OVER (
+        |      ORDER BY recency_days DESC, user_id) AS DOUBLE) - 1.0) * 5.0
+        |      / (SELECT count(*) FROM base)) AS INTEGER) AS r_score,
+        |    CAST(1 + floor((CAST(row_number() OVER (
+        |      ORDER BY frequency, user_id) AS DOUBLE) - 1.0) * 5.0
+        |      / (SELECT count(*) FROM base)) AS INTEGER) AS f_score,
+        |    CAST(1 + floor((CAST(row_number() OVER (
+        |      ORDER BY mon_d, user_id) AS DOUBLE) - 1.0) * 5.0
+        |      / (SELECT count(*) FROM base)) AS INTEGER) AS m_score
+        |  FROM base)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(CAST(mon_d AS VARCHAR) AS DOUBLE) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_light'
+        |    ELSE 'mid' END AS segment
+        |FROM scored""".stripMargin,
+
+    // Forecast = same hour yesterday, joined on the exact t−24h bucket.
+    "q_backtest_snaive" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS abs_err,
+        |  CAST(CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS DOUBLE) / count(*) AS mae,
+        |  CAST(CAST(SUM(a.n - f.n) AS BIGINT) AS DOUBLE) / count(*) AS bias
+        |FROM hourly a JOIN hourly f
+        |  ON a.event_type = f.event_type
+        |  AND f.h = a.h - INTERVAL 24 HOURS
+        |GROUP BY 1""".stripMargin,
 
     // open/close via rank-1 conditional aggregation — an independent
     // formulation of the engine's min_by/max_by-over-struct picks.
