@@ -65,6 +65,14 @@ object GraftFunctions {
             s"vec_dot_int takes 2 arguments, got ${children.length}")
           graft.functions.DotProductInt(children.head, children(1))
         }),
+      (FunctionIdentifier("damerau_levenshtein"),
+        new ExpressionInfo(classOf[graft.functions.DamerauLevenshtein].getName,
+          "damerau_levenshtein"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"damerau_levenshtein takes 2 arguments, got ${children.length}")
+          graft.functions.DamerauLevenshtein(children.head, children(1))
+        }),
       (FunctionIdentifier("jaro_winkler"),
         new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
           "jaro_winkler"),

@@ -1001,6 +1001,31 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
         col("c_custkey"), col("c_name"), maxDist = 1)),
 
+    "q_string_distances" -> ((s, dir) => {
+      // The engine's full string-distance family side by side on the same
+      // pairs: Damerau-Levenshtein (typo-class: transposition = 1) vs
+      // Spark's builtin Levenshtein vs Jaro-Winkler, over adjacent names
+      // and a transposed variant (swap chars 10/11 — DL counts 1 where
+      // Levenshtein says 2). Map-only after one keyed self-join.
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val next = c.select((col("c_custkey") - 1).as("k2"), col("c_name").as("name_b"))
+      // swap the LAST two digits — the leading digits are zeros, so a
+      // swap there exchanges identical characters and discriminates
+      // nothing ("...01" -> "...10" gives DL 1, Levenshtein 2)
+      val swapped = concat(substring(col("c_name"), 1, 16),
+        substring(col("c_name"), 18, 1), substring(col("c_name"), 17, 1))
+      c.join(next, col("c_custkey") === col("k2"))
+        .select(col("c_custkey"),
+          graft.functions.DamerauLevenshteinFunctions
+            .damerauLevenshtein(col("c_name"), col("name_b")).as("dl_next"),
+          levenshtein(col("c_name"), col("name_b")).as("lev_next"),
+          graft.functions.DamerauLevenshteinFunctions
+            .damerauLevenshtein(col("c_name"), swapped).as("dl_swap"),
+          levenshtein(col("c_name"), swapped).as("lev_swap"),
+          graft.functions.JaroWinklerFunctions
+            .jaroWinkler(col("c_name"), swapped).as("jw_swap"))
+    }),
+
     "q_jw_similarity" -> ((s, dir) => {
       // The codegen'd JaroWinkler expression over three pair shapes per
       // row: adjacent-key names (high similarity, prefix boost + the
@@ -4223,6 +4248,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, n_tokens, w_q, score, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // All three distances recomputed natively by DuckDB over the same
+    // pair construction (substr indices are 1-based in both engines).
+    "q_string_distances" ->
+      """SELECT a.c_custkey,
+        |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS INTEGER) AS dl_next,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev_next,
+        |  CAST(damerau_levenshtein(a.c_name,
+        |    substr(a.c_name, 1, 16) || substr(a.c_name, 18, 1)
+        |      || substr(a.c_name, 17, 1)) AS INTEGER) AS dl_swap,
+        |  CAST(levenshtein(a.c_name,
+        |    substr(a.c_name, 1, 16) || substr(a.c_name, 18, 1)
+        |      || substr(a.c_name, 17, 1)) AS INTEGER) AS lev_swap,
+        |  jaro_winkler_similarity(a.c_name,
+        |    substr(a.c_name, 1, 16) || substr(a.c_name, 18, 1)
+        |      || substr(a.c_name, 17, 1)) AS jw_swap
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin,
 
     // DuckDB's NATIVE jaro_winkler_similarity against the engine's
     // codegen'd JaroWinkler kernel (bit-identical by construction — the
