@@ -1001,6 +1001,36 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
         col("c_custkey"), col("c_name"), maxDist = 1)),
 
+    "q_entity_resolution" -> ((s, dir) => {
+      // Entity resolution composed from the round's machinery, with the
+      // STANDARD scale discipline: resolve DISTINCT surface forms, never
+      // rows — the part corpus is 64 distinct names repeated up to
+      // thousands of times, and running candidate generation on raw rows
+      // is exactly the exact-dup flood the Dedup operators guard
+      // against (a first attempt here did, and went quadratic at sf1).
+      // exact-group first (one aggregate) → deletion-neighborhood
+      // candidates over the distinct names (complete at distance 1) →
+      // connected components over the tiny match graph → labels
+      // broadcast back onto rows; sizes counted over PARTS. Component
+      // label = min p_partkey of the cluster (group minima of minima).
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val names = parts.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("rep_id"))
+      val pairs = operators.FuzzyJoin.selfJoinDeletions(
+        names, col("rep_id"), col("p_name"), maxDist = 1)
+      val comp = operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      // singleton names (no near-dup neighbor) keep their own rep label
+      val labels = names
+        .join(comp.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+        .select(col("p_name"),
+          coalesce(col("component"), col("rep_id")).as("component"))
+      val labeled = parts.join(broadcast(labels), "p_name")
+      val sizes = labeled.groupBy("component").agg(count(lit(1)).as("n_members"))
+      labeled.join(sizes, "component")
+        .select(col("p_partkey"), col("component"), col("n_members"))
+    }),
+
     "q_string_distances" -> ((s, dir) => {
       // The engine's full string-distance family side by side on the same
       // pairs: Damerau-Levenshtein (typo-class: transposition = 1) vs
@@ -4248,6 +4278,34 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, n_tokens, w_q, score, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // Distinct names resolved with an independent levenshtein pair join
+    // (blocking incompleteness cannot cancel) + recursive-CTE closure,
+    // labels joined back to rows — |distinct names|² stays trivial at
+    // every scale, which is the point of the group-first design.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |nm AS MATERIALIZED (
+        |  SELECT p_name, min(p_partkey) AS rep_id FROM part GROUP BY 1),
+        |p AS MATERIALIZED (
+        |  SELECT a.rep_id AS ia, b.rep_id AS ib FROM nm a JOIN nm b
+        |  ON a.rep_id < b.rep_id
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        |    AND levenshtein(a.p_name, b.p_name) <= 1),
+        |e AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+        |reach(s, d) AS (SELECT s, d FROM e
+        |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+        |comp AS (SELECT s AS id, least(s, min(d)) AS component
+        |         FROM reach GROUP BY s),
+        |labels AS (
+        |  SELECT nm.p_name, coalesce(c.component, nm.rep_id) AS component
+        |  FROM nm LEFT JOIN comp c ON nm.rep_id = c.id),
+        |labeled AS (
+        |  SELECT pt.p_partkey, l.component
+        |  FROM part pt JOIN labels l ON pt.p_name = l.p_name)
+        |SELECT a.p_partkey, a.component, CAST(n.n AS BIGINT) AS n_members
+        |FROM labeled a JOIN (SELECT component, count(*) AS n FROM labeled
+        |                     GROUP BY 1) n ON a.component = n.component""".stripMargin,
 
     // All three distances recomputed natively by DuckDB over the same
     // pair construction (substr indices are 1-based in both engines).
