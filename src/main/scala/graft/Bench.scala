@@ -37,7 +37,7 @@ object Bench {
     "q_ohlc_bars", "q_global_order", "q_asof_tolerance",
     "q_hopping_window", "q_sim_int8_rescore", "q_triangles", "q_kcore",
     "q_clustering_coef", "q_bfs", "q_curation_pipeline_v2", "q_rfm", "q_backtest_snaive",
-    "q_string_distances", "q_entity_resolution",
+    "q_string_distances", "q_entity_resolution", "q_langid_eval",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -1001,6 +1001,20 @@ object SparkEntry {
       operators.FuzzyJoin.selfJoin(t(s, dir, "customer"),
         col("c_custkey"), col("c_name"), maxDist = 1)),
 
+    "q_langid_eval" -> ((s, dir) => {
+      // Classifier evaluation against gold labels — the confusion matrix
+      // + per-gold-class recall for the langId heuristic, the measurement
+      // step a pipeline needs before trusting any filter built on the
+      // prediction. One scan, one |classes|²-row aggregate.
+      val pred = t(s, dir, "documents").select(col("lang").as("lang_gold"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val m = pred.groupBy("lang_gold", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = pred.groupBy("lang_gold").agg(count(lit(1)).as("n_gold"))
+      m.join(tot, "lang_gold")
+        .select(col("lang_gold"), col("lang_pred"), col("n"), col("n_gold"),
+          (col("n").cast("double") / col("n_gold")).as("frac"))
+    }),
+
     "q_entity_resolution" -> ((s, dir) => {
       // Entity resolution composed from the round's machinery, with the
       // STANDARD scale discipline: resolve DISTINCT surface forms, never
@@ -4104,6 +4118,28 @@ object SparkEntry {
         |  (CAST(num AS DOUBLE) / 4294967296.0) / CAST(greatest(len(ts), 1) AS DOUBLE) AS score,
         |  (CAST(num AS DOUBLE) / 4294967296.0) / CAST(greatest(len(ts), 1) AS DOUBLE) > 0.0 AS keep
         |FROM summed""".stripMargin,
+
+    // The q_lang_id prediction CASE, grouped against the gold column.
+    "q_langid_eval" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString("\n    ")
+      s"""WITH pred AS (
+         |  SELECT lang AS lang_gold,
+         |    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |      $cases
+         |    END AS lang_pred
+         |  FROM (SELECT lang, text, $scores FROM documents)),
+         |m AS (SELECT lang_gold, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |      FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang_gold, CAST(count(*) AS BIGINT) AS n_gold
+         |        FROM pred GROUP BY 1)
+         |SELECT m.lang_gold, m.lang_pred, m.n, tot.n_gold,
+         |  CAST(m.n AS DOUBLE) / tot.n_gold AS frac
+         |FROM m JOIN tot ON m.lang_gold = tot.lang_gold""".stripMargin
+    },
 
     // Same formulas as q_quality_score / q_lang_id, reached through the
     // SQL function registry on the Spark side.
