@@ -38,6 +38,8 @@ object Bench {
     "q_hopping_window", "q_sim_int8_rescore", "q_triangles", "q_kcore",
     "q_clustering_coef", "q_bfs", "q_curation_pipeline_v2", "q_rfm", "q_backtest_snaive",
     "q_string_distances", "q_entity_resolution", "q_langid_eval",
+    "q_ewma", "q_survival_km", "q_chisq_indep", "q_ks_test", "q_item_cf",
+    "q_golden_record", "q_benford",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -2826,7 +2826,146 @@ object SparkEntry {
       operators.Clustering.kmeansAssign(t(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), k = 4, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("d2"))),
+
+    // ---- round-11 late wave: statistical process + recommender surface
+
+    "q_ewma" -> ((s, dir) => {
+      // EWMA smoothing of the daily per-type event volume — the standard
+      // trend line a monitoring pipeline draws over raw counts. The
+      // recurrence folds per type over the calendar-bounded daily series
+      // (Analytics.ewma); the oracle replays the identical multiply-add
+      // chain with a recursive CTE.
+      val ev = events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      operators.Analytics.ewma(daily, col("event_type"), col("day"),
+          col("n"), alpha = 0.25)
+        .select(col("k").as("event_type"), col("ord").as("day"),
+          col("x").cast("long").as("n"), col("ewma"))
+    }),
+
+    "q_survival_km" -> ((s, dir) => {
+      // Kaplan–Meier user-lifetime curves per acquisition cohort (the
+      // user's FIRST event type): duration = days between a user's first
+      // and last event; a user still active in the final 14 days of the
+      // log is right-censored. Product-limit fold — pure (÷,−,×), no
+      // exp/ln — so survival is bit-portable across engines.
+      val ev = events(s, dir)
+      val us = unix_micros(col("ts"))
+      val ue = ev.groupBy(col("user_id")).agg(
+        min(us).as("first_us"), max(us).as("last_us"),
+        min_by(col("event_type"), struct(us, col("event_id"))).as("cohort"))
+      val m = ev.agg(max(us).as("m_us"))
+      val subj = ue.crossJoin(broadcast(m)).select(
+        col("cohort"),
+        expr("(last_us - first_us) div 86400000000").as("dur"),
+        (col("last_us") < col("m_us") - lit(1209600000000L)).as("obs"))
+      operators.Analytics.kaplanMeier(subj, col("cohort"), col("dur"),
+        col("obs"))
+    }),
+
+    "q_chisq_indep" -> ((s, dir) => {
+      // Chi-square independence report for event_type × weekday: observed
+      // count, expected count under independence, and the per-cell χ²
+      // contribution — the drill-down table behind the test statistic
+      // (per-cell rows, so no cross-cell float sum anywhere). Weekday is
+      // integral epoch-day arithmetic ((day+4) mod 7; 1970-01-01 was a
+      // Thursday), tz-free by construction.
+      val ev = events(s, dir)
+      val o = ev
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = o.groupBy("dow").agg(sum("o").as("ct"))
+      val n = o.agg(sum("o").as("n"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      o.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("o"), e.as("e"),
+          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("contrib"))
+    }),
+
+    "q_ks_test" -> ((s, dir) =>
+      // Two-sample Kolmogorov–Smirnov D between the finished-order and
+      // open-order price distributions. CDFs are exact integer running
+      // counts over the pooled values via the range-partitioned
+      // distributed prefix sum (no global single-partition window).
+      operators.Analytics.ksTest2(
+        t(s, dir, "orders").where(col("o_orderstatus").isin("F", "O")),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
+
+    "q_item_cf" -> ((s, dir) =>
+      // Item-based collaborative filtering: top-5 co-occurrence-cosine
+      // neighbors of every part, baskets = orders. Candidate pairs come
+      // from the basket-keyed self-join (work ∝ Σ|basket|², never
+      // catalog²), the same scale shape as q_basket_lift.
+      operators.Analytics.itemNeighbors(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), k = 5, minPairs = 2)),
+
+    "q_golden_record" -> ((s, dir) => {
+      // Survivorship / golden-record consolidation of each customer's
+      // order history under per-attribute rules: modal status (ties →
+      // lexical min), latest priority by (date, orderkey), exact decimal
+      // lifetime spend, first/last order day, order count — the master-
+      // data "best view" merge. One aggregate + one mode window.
+      import org.apache.spark.sql.expressions.Window
+      val raw = t(s, dir, "orders")
+      val o = raw.withColumn("__d_us", tsMicros(raw, "o_orderdate"))
+        .withColumn("__day", expr("__d_us div 86400000000"))
+      val sc = o.groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      val wMode = Window.partitionBy("o_custkey")
+        .orderBy(col("cnt").desc, col("o_orderstatus"))
+      val mode = sc.withColumn("rn", row_number().over(wMode))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderstatus").as("status_mode"))
+      val agg = o.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        max_by(col("o_orderpriority"), struct(col("__d_us"), col("o_orderkey")))
+          .as("latest_priority"),
+        min(col("__day")).as("first_day"),
+        max(col("__day")).as("last_day"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("spend_dec"))
+      agg.join(mode, "o_custkey")
+        .select(col("o_custkey"), col("status_mode"), col("latest_priority"),
+          col("n_orders"), col("first_day"), col("last_day"),
+          col("spend_dec").cast("double").as("total_spend"))
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: observed digit counts
+      // and fractions against the Benford expectation. The log10
+      // constants are computed ONCE in JVM code and embedded as shortest-
+      // round-trip literals on both sides — no row-dependent
+      // transcendental anywhere, so the report is bit-portable. Digits
+      // come from exact cent integers (the q_drift idiom), never from
+      // printing a double.
+      val o = t(s, dir, "orders")
+      val cents = (col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+      val counts = o.where(cents > 0)
+        .groupBy(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("total"))
+      val expDf = s.createDataFrame(BenfordExpected).toDF("digit", "expected")
+      val frac = col("n").cast("double") / col("total").cast("double")
+      counts.crossJoin(broadcast(tot)).join(broadcast(expDf), "digit")
+        .select(col("digit"), col("n"), frac.as("frac"), col("expected"),
+          (frac - col("expected")).as("dev"))
+    }),
   )
+
+  /** Benford's-law expected first-digit fractions, log10(1 + 1/d). JVM-
+    * computed once; `Double.toString` is shortest-round-trip, so the same
+    * values embed as exact literals in the oracle SQL (q_benford).
+    */
+  private[graft] val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
 
   // ---------------------------------------------------------------- oracle
 
@@ -5246,6 +5385,185 @@ object SparkEntry {
          |${updateCtes("m1", "a1", "c1", "c2")},
          |${assignCte("a2", "c2")}
          |SELECT id AS vec_id, cl AS cluster, d2 FROM a2""".stripMargin
+    },
+
+    // EWMA replayed as a recursive CTE: the base case is the series head
+    // (e₁ = x₁), each step multiplies in the SAME operand order as the
+    // engine's fold (α·x + (1−α)·prev) — exact-binary α, so the chain is
+    // bit-identical.
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i,
+        |    CAST(0.25 AS DOUBLE) * CAST(x.n AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * r.ewma
+        |  FROM idx x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT event_type, day, n, ewma FROM r""".stripMargin,
+
+    // Kaplan–Meier: life table via windows, product-limit survival via a
+    // recursive CTE multiplying in ascending-duration order — the same
+    // (÷,−,×) chain as the engine's fold.
+    "q_survival_km" ->
+      """WITH RECURSIVE ue AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |fe AS (SELECT user_id, event_type AS cohort FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |m AS (SELECT max(epoch_us(ts)) AS m_us FROM events),
+        |subj AS (SELECT fe.cohort,
+        |    (ue.last_us - ue.first_us) // 86400000000 AS dur,
+        |    CASE WHEN ue.last_us < m.m_us - 1209600000000
+        |      THEN 1 ELSE 0 END AS ob
+        |  FROM ue JOIN fe USING (user_id), m),
+        |g AS (SELECT cohort, dur, CAST(SUM(ob) AS BIGINT) AS d,
+        |    CAST(count(*) - SUM(ob) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |idx AS (SELECT cohort, dur, d, c,
+        |    CAST(SUM(d + c) OVER (PARTITION BY cohort)
+        |      - COALESCE(SUM(d + c) OVER (PARTITION BY cohort ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY dur) AS i
+        |  FROM g),
+        |r AS (
+        |  SELECT cohort, dur, d, c, n, i,
+        |    CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS survival
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.cohort, x.dur, x.d, x.c, x.n, x.i,
+        |    r.survival *
+        |      (CAST(1 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))
+        |  FROM idx x JOIN r ON x.cohort = r.cohort AND x.i = r.i + 1)
+        |SELECT cohort, dur, n AS n_risk, d AS n_event, c AS n_cens, survival
+        |FROM r""".stripMargin,
+
+    // Per-cell χ² contributions; expected = (rt·ct)/n with the same
+    // cast-then-multiply-then-divide order as the engine.
+    "q_chisq_indep" ->
+      """WITH cell AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+        |       FROM cell GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+        |tn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell)
+        |SELECT cell.event_type, cell.dow, cell.o,
+        |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |  (CAST(cell.o AS DOUBLE)
+        |     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |  * (CAST(cell.o AS DOUBLE)
+        |     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS contrib
+        |FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), tn"""
+        .stripMargin,
+
+    // KS: exact integer running counts over pooled distinct values, one
+    // abs-of-difference per value, max + min-attaining-value reduction.
+    "q_ks_test" ->
+      """WITH v AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |bv AS (SELECT v, CAST(SUM(is1) AS BIGINT) AS k1,
+        |    CAST(count(*) - SUM(is1) AS BIGINT) AS k2
+        |  FROM v GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(SUM(k1) OVER (ORDER BY v) AS BIGINT) AS c1,
+        |    CAST(SUM(k2) OVER (ORDER BY v) AS BIGINT) AS c2
+        |  FROM bv),
+        |tot AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+        |    CAST(SUM(k2) AS BIGINT) AS n2 FROM bv),
+        |d AS (SELECT v, abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS diff
+        |  FROM cum, tot),
+        |ks AS (SELECT max(diff) AS ks FROM d)
+        |SELECT tot.n1, tot.n2, ks.ks, min(d.v) AS v_at
+        |FROM d, ks, tot WHERE d.diff = ks.ks GROUP BY 1, 2, 3""".stripMargin,
+
+    // Item-item cosine neighbors: same Σ|basket|² pair join, cosine =
+    // cooc / √(cnt·cnt) with the long multiply BEFORE the double cast.
+    "q_item_cf" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+        |p AS (SELECT a.it AS ia, bb.it AS ib, CAST(count(*) AS BIGINT) AS cooc
+        |  FROM b a JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bidir AS (SELECT ia AS item, ib AS nbr, cooc FROM p
+        |  UNION ALL SELECT ib AS item, ia AS nbr, cooc FROM p),
+        |sc AS (SELECT item, nbr, cooc,
+        |    CAST(cooc AS DOUBLE) / sqrt(CAST(ci.cnt * cn.cnt AS DOUBLE)) AS cos
+        |  FROM bidir JOIN cnt ci ON ci.it = bidir.item
+        |            JOIN cnt cn ON cn.it = bidir.nbr)
+        |SELECT item, nbr, cooc, cos, CAST("rank" AS INTEGER) AS "rank" FROM (
+        |  SELECT item, nbr, cooc, cos, row_number() OVER (
+        |      PARTITION BY item ORDER BY cos DESC, cooc DESC, nbr) AS "rank"
+        |  FROM sc) WHERE "rank" <= 5""".stripMargin,
+
+    // Golden record: modal status / latest priority / exact decimal spend
+    // (VARCHAR hop — DuckDB's direct DECIMAL→DOUBLE cast double-rounds).
+    "q_golden_record" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |    o_totalprice, o_orderkey, epoch_us(o_orderdate) AS d_us,
+        |    epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |sc AS (SELECT o_custkey, o_orderstatus, count(*) AS cnt
+        |       FROM o GROUP BY 1, 2),
+        |md AS (SELECT o_custkey, o_orderstatus AS status_mode FROM (
+        |    SELECT o_custkey, o_orderstatus, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY cnt DESC, o_orderstatus) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |lp AS (SELECT o_custkey, o_orderpriority AS latest_priority FROM (
+        |    SELECT o_custkey, o_orderpriority, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY d_us DESC, o_orderkey DESC) AS rn
+        |    FROM o) WHERE rn = 1),
+        |ag AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR)
+        |      AS DOUBLE) AS total_spend
+        |  FROM o GROUP BY 1)
+        |SELECT ag.o_custkey, md.status_mode, lp.latest_priority,
+        |  ag.n_orders, ag.first_day, ag.last_day, ag.total_spend
+        |FROM ag JOIN md USING (o_custkey) JOIN lp USING (o_custkey)"""
+        .stripMargin,
+
+    // Benford audit: digits from exact cent integers; the expected
+    // fractions are the SAME JVM-computed doubles the engine embeds,
+    // shipped through VARCHAR (string→double parse is correctly rounded
+    // in both engines; a bare decimal literal would type as DECIMAL).
+    "q_benford" -> {
+      val expRows = BenfordExpected
+        .map { case (d, e) => s"($d, CAST('$e' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH expct(digit, expected) AS (VALUES $expRows),
+         |cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+         |    AS BIGINT) AS c FROM orders),
+         |cc AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+         |    AS digit, CAST(count(*) AS BIGINT) AS n
+         |  FROM cents WHERE c > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cc)
+         |SELECT cc.digit, cc.n,
+         |  CAST(cc.n AS DOUBLE) / CAST(tot.total AS DOUBLE) AS frac,
+         |  e.expected,
+         |  CAST(cc.n AS DOUBLE) / CAST(tot.total AS DOUBLE) - e.expected
+         |    AS dev
+         |FROM cc JOIN expct e USING (digit), tot""".stripMargin
     },
 
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB

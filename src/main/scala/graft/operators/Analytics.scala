@@ -568,4 +568,173 @@ object Analytics {
       .select(col("event_id"), col("grp"), col("v"),
         when(vr =!= lit(0.0), (col("v") - mean) / sqrt(vr)).as("z"))
   }
+
+  /** Exponentially weighted moving average per key: e₁ = x₁,
+    * eᵢ = α·xᵢ + (1−α)·eᵢ₋₁ over ascending `ord`. The recurrence is a
+    * sequential fold Spark's window frames cannot express (the closed
+    * form needs (1−α)^(−i) factors that overflow past a few hundred
+    * steps), so each key's series is collected into ONE sorted array and
+    * folded with the codegen'd `aggregate` higher-order function — pure
+    * multiply-add in a fixed order, bit-reproducible across engines.
+    *
+    * Scale shape: the pre-aggregated series length is bounded by the
+    * CALENDAR (one point per key per ord bucket — days, hours), not by
+    * row volume, so per-key arrays stay small no matter how many raw
+    * events fed each point; the fold itself is one map-side pass after a
+    * single keyed shuffle. Callers must pass an already point-per-ord
+    * frame (e.g. a daily aggregate), as the query harness does.
+    *
+    * Output: (k, ord, x, ewma) — one row per input point.
+    */
+  def ewma(df: DataFrame, key: Column, ord: Column, x: Column,
+           alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    // Scala Double.toString is shortest-round-trip, so the SQL literal
+    // parses back to the exact same bits the oracle side embeds.
+    val a = alpha.toString
+    val b = (1.0 - alpha).toString
+    df.select(key.as("k"), ord.as("o"), x.cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("s"))
+      .withColumn("e", expr(
+        s"""aggregate(s, CAST(array() AS ARRAY<DOUBLE>), (acc, r) ->
+           |  array_append(acc, CASE WHEN size(acc) = 0 THEN r.x
+           |    ELSE CAST($a AS DOUBLE) * r.x
+           |         + CAST($b AS DOUBLE) * element_at(acc, -1) END))"""
+          .stripMargin))
+      .select(col("k"), posexplode(col("s")).as(Seq("i", "r")), col("e"))
+      .select(col("k"), col("r.o").as("ord"), col("r.x").as("x"),
+        element_at(col("e"), col("i") + 1).as("ewma"))
+  }
+
+  /** Kaplan–Meier survival estimator per cohort: subjects arrive as one
+    * row each with a duration and an observed/censored flag; the output
+    * is the classic life table — at-risk count, events, censorings, and
+    * the product-limit survival S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) — one row
+    * per (cohort, distinct duration).
+    *
+    * The running product is the same bounded-fold shape as [[ewma]]:
+    * the life table has one row per distinct duration (calendar-bounded,
+    * not volume-bounded), so collecting a cohort's table into an array
+    * and folding is safe at any subject count. Pure (÷, −, ×) in a fixed
+    * order — no exp/ln cumulation, so a dᵢ = nᵢ tail step lands on an
+    * exact 0.0 instead of a log singularity, and every step is
+    * bit-reproducible across engines.
+    *
+    * Plan: one (cohort, dur) aggregate → one cohort-partitioned window
+    * for at-risk counts → one cohort-keyed fold. Two keyed shuffles.
+    */
+  def kaplanMeier(subjects: DataFrame, cohort: Column, duration: Column,
+                  observed: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = subjects
+      .select(cohort.as("cohort"), duration.as("dur"),
+        observed.cast("boolean").as("obs"))
+      .groupBy(col("cohort"), col("dur"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val wAll = Window.partitionBy("cohort")
+    val wPrev = Window.partitionBy("cohort").orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = g.withColumn("n",
+      sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    atRisk
+      .groupBy(col("cohort"))
+      .agg(sort_array(collect_list(
+        struct(col("dur"), col("d"), col("c"), col("n")))).as("s"))
+      .withColumn("p", expr(
+        """aggregate(s, CAST(array() AS ARRAY<DOUBLE>), (acc, r) ->
+          |  array_append(acc,
+          |    CASE WHEN size(acc) = 0
+          |      THEN CAST(1 AS DOUBLE)
+          |           - CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)
+          |      ELSE element_at(acc, -1) *
+          |        (CAST(1 AS DOUBLE)
+          |         - CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)) END))"""
+          .stripMargin))
+      .select(col("cohort"), posexplode(col("s")).as(Seq("i", "r")), col("p"))
+      .select(col("cohort"), col("r.dur").as("dur"), col("r.n").as("n_risk"),
+        col("r.d").as("n_event"), col("r.c").as("n_cens"),
+        element_at(col("p"), col("i") + 1).as("survival"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max_v |F₁(v) − F₂(v)|
+    * over the pooled distinct values, plus the smallest value attaining
+    * it. The empirical CDFs are running INTEGER counts over the value
+    * order — cumulated with [[Packing.globalCumsum]]'s range-partitioned
+    * distributed prefix sum, so there is no single-partition global
+    * window anywhere; the only driver-side state is one offset per range
+    * partition. Per-row math is two divisions and a subtraction in a
+    * fixed order (bit-reproducible), and the final reduction is max/min
+    * (order-free).
+    *
+    * Output: ONE row (n1, n2, ks, v_at).
+    */
+  def ksTest2(df: DataFrame, value: Column, inFirst: Column): DataFrame = {
+    val byVal = df
+      .select(value.cast("double").as("v"),
+        when(inFirst, 1L).otherwise(0L).as("is1"))
+      .groupBy(col("v"))
+      .agg(sum(col("is1")).as("k1"), (count(lit(1)) - sum(col("is1"))).as("k2"))
+    val c1 = Packing.globalCumsum(byVal, col("v"), col("k1"))
+      .withColumnRenamed("cum", "c1")
+    val c2 = Packing.globalCumsum(byVal.select("v", "k2"), col("v"), col("k2"))
+      .withColumnRenamed("cum", "c2")
+    val tot = byVal.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    val diffs = c1.select("v", "c1").join(c2.select("v", "c2"), "v")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(
+        col("c1").cast("double") / col("n1").cast("double") -
+          col("c2").cast("double") / col("n2").cast("double")))
+    val ks = diffs.agg(max(col("diff")).as("ks"))
+    diffs.crossJoin(broadcast(ks))
+      .where(col("diff") === col("ks"))
+      .groupBy(col("n1"), col("n2"), col("ks"))
+      .agg(min(col("v")).as("v_at"))
+      .select(col("n1"), col("n2"), col("ks"), col("v_at"))
+  }
+
+  /** Item-item collaborative filtering: the top-k nearest neighbors of
+    * every item under co-occurrence cosine, sim(i,j) =
+    * |baskets(i) ∩ baskets(j)| / √(|baskets(i)|·|baskets(j)|) — the
+    * classic item-based recommender precompute (Sarwar et al., WWW '01).
+    *
+    * Same scale discipline as [[cooccurrence]]: candidate pairs come
+    * from a basket-keyed self-join, so work is Σ|basket|², never
+    * |catalog|² — at 100 TB the bound is the largest basket, which a
+    * per-basket cap upstream controls. Counts stay integral until the
+    * one cosine division; √ is IEEE-correctly-rounded, so the score is
+    * engine-portable. Ranking ties break on (cooc desc, neighbor asc)
+    * for a total order.
+    *
+    * Output: (item, neighbor, cooc, cos, rank ≤ k), both directions of
+    * each pair.
+    */
+  def itemNeighbors(df: DataFrame, basket: Column, item: Column,
+                    k: Int, minPairs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(basket.as("bk"), item.as("it")).distinct()
+    val itemCnt = b.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    val pairs = b.as("a").join(b.as("b"), "bk")
+      .where(col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("ia"), col("b.it").as("ib"))
+      .agg(count(lit(1)).as("cooc"))
+      .where(col("cooc") >= minPairs)
+    val both = pairs.select(col("ia").as("item"), col("ib").as("nbr"), col("cooc"))
+      .unionAll(pairs.select(col("ib").as("item"), col("ia").as("nbr"), col("cooc")))
+    val scored = both
+      .join(broadcast(itemCnt.withColumnRenamed("it", "item")
+        .withColumnRenamed("cnt", "cnt_i")), "item")
+      .join(broadcast(itemCnt.withColumnRenamed("it", "nbr")
+        .withColumnRenamed("cnt", "cnt_n")), "nbr")
+      .withColumn("cos", col("cooc").cast("double") /
+        sqrt((col("cnt_i") * col("cnt_n")).cast("double")))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cos").desc, col("cooc").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("item"), col("nbr"), col("cooc"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -698,6 +698,60 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((101L, "A"), (102L, "B"), (103L, "A")))
   }
 
+  test("ewma: recurrence, alpha=1 identity, single-point series, order by ord not arrival") {
+    // hand-fold, alpha=0.5: x = 4, 8, 6 -> e = 4, 6, 6
+    val df = Seq(("k", 3L, 6.0), ("k", 1L, 4.0), ("k", 2L, 8.0), ("j", 9L, 7.0))
+      .toDF("g", "o", "x")
+    val out = Analytics.ewma(df.repartition(5), col("g"), col("o"), col("x"), 0.5)
+      .orderBy("k", "ord").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq(("j", 9L, 7.0),
+      ("k", 1L, 4.0), ("k", 2L, 6.0), ("k", 3L, 6.0)))
+    // alpha = 1 reproduces the input exactly (no smoothing)
+    val id = Analytics.ewma(df, col("g"), col("o"), col("x"), 1.0)
+      .orderBy("k", "ord").collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(id.forall { case (x, e) => x == e })
+  }
+
+  test("kaplanMeier life table: at-risk decrements, censoring, exact-zero tail") {
+    // One cohort, 4 subjects: dur=1 event, dur=2 censored, dur=3 event ×2.
+    // t=1: n=4 d=1 -> S=0.75; t=2: n=3 c=1 -> S=0.75; t=3: n=2 d=2 -> S=0.0
+    // (d==n tail lands on exact 0.0 — the no-log-singularity contract).
+    val subj = Seq(("c", 1L, true), ("c", 2L, false), ("c", 3L, true),
+      ("c", 3L, true)).toDF("g", "dur", "obs")
+    val out = Analytics.kaplanMeier(subj.repartition(3), col("g"), col("dur"),
+        col("obs")).orderBy("dur").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 4L, 1L, 0L, 0.75), (2L, 3L, 0L, 1L, 0.75),
+      (3L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("ksTest2: exact D on a hand CDF; identical samples give D=0") {
+    // s1 = {1,2}, s2 = {2,3}: diffs at v=1: |1/2-0|=.5, v=2: |1-1/2|=.5,
+    // v=3: 0. D=0.5 attained first at v=1.
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "s")
+    val r = Analytics.ksTest2(df.repartition(4), col("v"), col("s")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((2L, 2L, 0.5, 1.0)))
+    val same = Analytics.ksTest2(
+      Seq((1.0, true), (1.0, false), (5.0, true), (5.0, false)).toDF("v", "s"),
+      col("v"), col("s")).collect()(0)
+    assert(same.getDouble(2) == 0.0)
+  }
+
+  test("itemNeighbors: cosine from co-occurrence, k cut, minPairs floor, symmetry") {
+    // baskets: {a,b} ×2, {a,c} ×1 -> cnt a=3,b=2,c=1; pair (a,b) cooc=2
+    // cos=2/sqrt(6); (a,c) cooc=1 < minPairs=2 dropped.
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "c"))
+      .toDF("bk", "it")
+    val out = Analytics.itemNeighbors(df.repartition(3), col("bk"), col("it"),
+        k = 5, minPairs = 2).orderBy("item").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val c = 2.0 / math.sqrt(6.0)
+    assert(out.toSeq == Seq(("a", "b", 2L, c, 1), ("b", "a", 2L, c, 1)))
+  }
+
   test("wave-3 operators are invariant to input partitioning") {
     val events = ev4(
       (1L, "a", 10L, 1L), (1L, "b", 10L, 2L), (1L, "a", 30L, 3L),
