@@ -40,6 +40,7 @@ object Bench {
     "q_string_distances", "q_entity_resolution", "q_langid_eval",
     "q_ewma", "q_survival_km", "q_chisq_indep", "q_ks_test", "q_item_cf",
     "q_golden_record", "q_benford",
+    "q_l_diversity", "q_holt", "q_sssp", "q_rrf_fusion",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -2958,6 +2958,76 @@ object SparkEntry {
         .select(col("digit"), col("n"), frac.as("frac"), col("expected"),
           (frac - col("expected")).as("dev"))
     }),
+
+    "q_l_diversity" -> ((s, dir) =>
+      // privacy release gate one step past q_kanon: (source, length-band)
+      // groups whose documents carry fewer than 3 distinct languages —
+      // large-but-homogeneous groups k-anonymity waves through while
+      // membership alone discloses the sensitive attribute.
+      operators.Expectations.lDiversityViolations(
+        t(s, dir, "documents"),
+        Seq(col("source"), expr("n_chars div 100").as("len_band")),
+        col("lang"), l = 3L)),
+
+    "q_holt" -> ((s, dir) => {
+      // Holt level+trend smoothing of the daily per-type event volume —
+      // the drift-aware upgrade of q_ewma's trend line, with the one-
+      // step-ahead `fitted` column a forecast backtest scores. Exact-
+      // binary alpha/beta keep the fold bit-portable; the oracle replays
+      // it as a recursive CTE.
+      val ev = events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      operators.Analytics.holtLinear(daily, col("event_type"), col("day"),
+          col("n"), alpha = 0.5, beta = 0.25)
+        .select(col("k").as("event_type"), col("ord").as("day"),
+          col("x").cast("long").as("n"), col("level"), col("trend"),
+          col("fitted"))
+    }),
+
+    "q_sssp" -> ((s, dir) => {
+      // Cheapest supplier-affinity paths within 3 hops from supplier 1:
+      // the co-occurrence graph of q_triangles with an integral affinity
+      // distance w = max(1, 50 − cooc) (strong co-shippers are close).
+      // Bounded Bellman–Ford — per round one edge join + one min agg —
+      // and the hop bound makes the answer exact BY DEFINITION, so the
+      // oracle unrolls the same 3 rounds.
+      val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+      val edges = li.join(b, "l_orderkey")
+        .where(col("l_suppkey") < col("s2"))
+        .groupBy(col("l_suppkey"), col("s2"))
+        .agg(count(lit(1)).as("cooc"))
+        .withColumn("w", greatest(lit(1L), lit(50L) - col("cooc")))
+      operators.Graph.ssspBounded(edges, col("l_suppkey"), col("s2"),
+        col("w"), s.range(1, 2).toDF(), col("id"), rounds = 3)
+    }),
+
+    "q_rrf_fusion" -> ((s, dir) => {
+      // Hybrid-search merge: BM25 top-20 for 'vector' fused with a
+      // document-length prior top-20 by reciprocal-rank fusion (c=60) —
+      // rank-space fusion, so the two systems' incommensurable scores
+      // never mix. Absent-side ranks surface as 0 (never in-band: real
+      // ranks are 1-based) to keep the report columns integral.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val rankA = operators.Retrieval.bm25(docs, col("doc_id"), col("text"),
+        terms = Seq("vector"), k = 20).select(col("doc_id"), col("rank"))
+      // distributed top-k FIRST (TakeOrderedAndProject), then the rank
+      // window runs over 20 rows — never a full-corpus global sort.
+      val rankB = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      operators.Retrieval.rrfFuse(rankA, rankB, c = 60, topK = 10)
+        .select(col("doc_id"), coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+          coalesce(col("rank_b"), lit(0L)).as("rank_b"), col("rrf"),
+          col("rank_fused").cast("int").as("rank_fused"))
+    }),
   )
 
   /** Benford's-law expected first-digit fractions, log10(1 + 1/d). JVM-
@@ -5564,6 +5634,119 @@ object SparkEntry {
          |  CAST(cc.n AS DOUBLE) / CAST(tot.total AS DOUBLE) - e.expected
          |    AS dev
          |FROM cc JOIN expct e USING (digit), tot""".stripMargin
+    },
+
+    // l-diversity: one count-distinct aggregate + HAVING, the exact
+    // report shape of the engine's groupBy.
+    "q_l_diversity" ->
+      """SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY 1, 2
+        |HAVING count(DISTINCT lang) < 3""".stripMargin,
+
+    // Holt: the q_ewma recursive-CTE idiom with a two-state recurrence;
+    // the level expression is repeated TEXTUALLY inside the trend update,
+    // exactly as the engine's fold spells it.
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS level,
+        |    CAST(0 AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS fitted
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.day, x.n, x.i,
+        |    CAST(0.5 AS DOUBLE) * CAST(x.n AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE) * (r.level + r.trend),
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(x.n AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE) * (r.level + r.trend)) - r.level)
+        |      + CAST(0.75 AS DOUBLE) * r.trend,
+        |    r.level + r.trend
+        |  FROM idx x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1)
+        |SELECT event_type, day, n, level, trend, fitted FROM r""".stripMargin,
+
+    // Bounded Bellman–Ford unrolled: three MATERIALIZED relax-then-min
+    // rounds over the symmetrized weighted co-occurrence edges — the hop
+    // bound makes the fixed unroll exact, not an approximation.
+    "q_sssp" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |            WHERE l_quantity >= 45),
+        |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+        |    CAST(count(*) AS BIGINT) AS cooc
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |ew AS (SELECT u, v,
+        |    GREATEST(CAST(1 AS BIGINT), 50 - cooc) AS w FROM e),
+        |sym AS MATERIALIZED (SELECT u, v, w FROM ew
+        |  UNION ALL SELECT v AS u, u AS v, w FROM ew),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |  FROM (SELECT node, dist FROM d0
+        |    UNION ALL SELECT s.v AS node, d.dist + s.w AS dist
+        |    FROM d0 d JOIN sym s ON d.node = s.u) GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |  FROM (SELECT node, dist FROM d1
+        |    UNION ALL SELECT s.v AS node, d.dist + s.w AS dist
+        |    FROM d1 d JOIN sym s ON d.node = s.u) GROUP BY 1),
+        |d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |  FROM (SELECT node, dist FROM d2
+        |    UNION ALL SELECT s.v AS node, d.dist + s.w AS dist
+        |    FROM d2 d JOIN sym s ON d.node = s.u) GROUP BY 1)
+        |SELECT node, dist FROM d3""".stripMargin,
+
+    // RRF: BM25 top-20 (the q_bm25 SQL restricted to one term) full-outer
+    // joined with the length-prior top-20; the fused score is the same
+    // fixed two-operand sum, absent ranks COALESCEd to 0 in the report.
+    "q_rrf_fusion" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf FROM toks
+         |  WHERE term = 'vector' GROUP BY doc_id, term, dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT count(*) AS nd,
+         |       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sdl
+         |       FROM documents),
+         |ra AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rank_a FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM (
+         |    SELECT tf.doc_id,
+         |      ((CAST(st.nd - dfreq.df AS DOUBLE) + 0.5) /
+         |        (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+         |        ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}) /
+         |          (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |            (CAST(tf.dl AS DOUBLE) /
+         |             (CAST(st.sdl AS DOUBLE) / st.nd))))) AS score
+         |    FROM tf, dfreq, st WHERE tf.term = dfreq.term))
+         |  WHERE rnk <= 20),
+         |rb AS (SELECT doc_id, CAST(rnk AS BIGINT) AS rank_b FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |      ORDER BY n_chars DESC, doc_id) AS rnk FROM documents)
+         |  WHERE rnk <= 20),
+         |f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         |    rank_a, rank_b,
+         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rank_a AS DOUBLE),
+         |             CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rank_b AS DOUBLE),
+         |               CAST(0 AS DOUBLE)) AS rrf
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, COALESCE(rank_a, CAST(0 AS BIGINT)) AS rank_a,
+         |  COALESCE(rank_b, CAST(0 AS BIGINT)) AS rank_b, rrf,
+         |  CAST(rank_fused AS INTEGER) AS rank_fused FROM (
+         |  SELECT doc_id, rank_a, rank_b, rrf,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank_fused
+         |  FROM f)
+         |WHERE rank_fused <= 10""".stripMargin
     },
 
     // Omitted (rows-only check): q_fingerprint (xxhash64 has no DuckDB

@@ -607,6 +607,53 @@ object Analytics {
         element_at(col("e"), col("i") + 1).as("ewma"))
   }
 
+  /** Holt double-exponential smoothing per key — the level+trend step up
+    * from [[ewma]] for series that drift: l₁ = x₁, b₁ = 0, then
+    * lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁) and bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁.
+    * Same bounded-fold shape as [[ewma]] (the series is calendar-bounded,
+    * one point per ord bucket), same portability contract: pass
+    * exact-binary α/β (0.5, 0.25, ...) and every step is one fixed-order
+    * multiply-add chain both engines reproduce bit-for-bit — lᵢ is
+    * spelled out twice inside the bᵢ update with the IDENTICAL expression
+    * text, so no intermediate rounding can diverge.
+    *
+    * Output: (k, ord, x, level, trend, fitted) — fitted is the one-step
+    * forecast lᵢ₋₁ + bᵢ₋₁ made BEFORE observing xᵢ (NULL at the head),
+    * the column a backtest scores.
+    */
+  def holtLinear(df: DataFrame, key: Column, ord: Column, x: Column,
+                 alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    val a = alpha.toString; val ia = (1.0 - alpha).toString
+    val bt = beta.toString; val ib = (1.0 - beta).toString
+    val lNew = s"""CAST($a AS DOUBLE) * r.x
+                  | + CAST($ia AS DOUBLE)
+                  |   * (element_at(acc, -1).l + element_at(acc, -1).b)"""
+      .stripMargin
+    df.select(key.as("k"), ord.as("o"), x.cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("s"))
+      .withColumn("st", expr(
+        s"""aggregate(s, CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>),
+           |  (acc, r) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0
+           |      THEN named_struct('l', r.x, 'b', CAST(0 AS DOUBLE))
+           |      ELSE named_struct(
+           |        'l', $lNew,
+           |        'b', CAST($bt AS DOUBLE)
+           |               * (($lNew) - element_at(acc, -1).l)
+           |             + CAST($ib AS DOUBLE) * element_at(acc, -1).b)
+           |    END))""".stripMargin))
+      .select(col("k"), posexplode(col("s")).as(Seq("i", "r")), col("st"))
+      .select(col("k"), col("r.o").as("ord"), col("r.x").as("x"),
+        element_at(col("st"), col("i") + 1).getField("l").as("level"),
+        element_at(col("st"), col("i") + 1).getField("b").as("trend"),
+        when(col("i") > 0,
+          element_at(col("st"), col("i")).getField("l") +
+            element_at(col("st"), col("i")).getField("b")).as("fitted"))
+  }
+
   /** Kaplan–Meier survival estimator per cohort: subjects arrive as one
     * row each with a duration and an observed/censored flag; the output
     * is the classic life table — at-risk count, events, censorings, and

@@ -91,4 +91,25 @@ object Expectations {
     df.groupBy(quasiIds: _*).agg(count(lit(1)).as("n"))
       .where(col("n") < k)
   }
+
+  /** l-diversity violations: quasi-identifier combos whose rows carry
+    * fewer than `l` DISTINCT values of the sensitive attribute. The
+    * attack k-anonymity misses — a group can be large (k-anonymous) yet
+    * homogeneous, so membership alone discloses the sensitive value
+    * (Machanavajjhala et al., ICDE '06). Reports (quasi-ids..., n,
+    * n_distinct) for each violating combo.
+    *
+    * Plan: one exact count-distinct aggregate over the quasi-id tuple +
+    * a filter. Exact (not approx_count_distinct): l is small and the
+    * report gates a privacy release — a sketch under-count would mint
+    * false violations and an over-count would HIDE real ones.
+    */
+  def lDiversityViolations(df: DataFrame, quasiIds: Seq[Column],
+                           sensitive: Column, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("n_distinct"))
+      .where(col("n_distinct") < l)
+  }
 }

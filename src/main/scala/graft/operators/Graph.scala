@@ -245,6 +245,53 @@ object Graph {
     settled
   }
 
+  /** Hop-bounded weighted shortest paths (Bellman–Ford, `rounds`
+    * relaxation rounds) from a source set over the undirected graph:
+    * returns (node, dist) where dist = the cheapest total weight over
+    * paths of AT MOST `rounds` edges — a well-defined answer whether or
+    * not the relaxation has converged (and even under negative weights,
+    * where an unbounded fixpoint would not terminate), which is what
+    * makes the fixed round count honest rather than a guessed depth.
+    * Weights must be integral: min() over longs has no float-tie
+    * ambiguity, so the result is engine-portable and a recursive oracle
+    * can replay every round.
+    *
+    * Scale shape: per round = one src-keyed join of the current distance
+    * table against the cached edge list + one node-keyed min — the same
+    * per-iteration cost class as [[pagerank]]. Parallel edges collapse
+    * to their MIN weight once, up front.
+    */
+  def ssspBounded(edges: DataFrame, src: Column, dst: Column, weight: Column,
+      sources: DataFrame, sourceCol: Column, rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"),
+        weight.cast("long").as("w"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+    val sym = canon
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var dist = sources.select(sourceCol.as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, dist("node") === sym("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      dist.unpersist()
+      dist = next
+    }
+    sym.unpersist()
+    dist
+  }
+
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
     * Nodes are everything appearing as src or dst; rank starts uniform
     * 1/N. Dangling nodes (no out-edges) leak their mass — the simplified

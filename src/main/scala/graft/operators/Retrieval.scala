@@ -117,4 +117,37 @@ object Retrieval {
     cur.groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
   }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR '09):
+    * score(d) = 1/(c + rankA(d)) + 1/(c + rankB(d)), missing-side terms
+    * contribute 0 — the standard way hybrid search merges a lexical
+    * (BM25) and a prior/semantic ranking without comparing their
+    * incommensurable scores. c = 60 is the paper's constant.
+    *
+    * Both inputs carry (doc_id, rank) with rank a 1-based total order.
+    * The fused score is a FIXED two-operand sum (A-side term first, each
+    * side an integral-denominator division) — never a groupBy float sum
+    * of variable order — so it is bit-portable; ties break (score desc,
+    * doc_id) for a total output order.
+    *
+    * Plan: one full-outer equi-join of two already-top-N tables + a
+    * single-partition window over ≤ |A| + |B| rows — bounded by the
+    * candidate lists, never the corpus.
+    */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame,
+              c: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= 0, s"c must be >= 0, got $c")
+    val a = rankA.select(col("doc_id"), col("rank").cast("long").as("rank_a"))
+    val b = rankB.select(col("doc_id"), col("rank").cast("long").as("rank_b"))
+    val term = (r: Column) => coalesce(
+      lit(1.0) / (lit(c.toLong) + r).cast("double"), lit(0.0))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", term(col("rank_a")) + term(col("rank_b")))
+      .withColumn("rank_fused", row_number().over(w))
+      .where(col("rank_fused") <= topK)
+      .select(col("doc_id"), col("rank_a"), col("rank_b"), col("rrf"),
+        col("rank_fused"))
+  }
 }

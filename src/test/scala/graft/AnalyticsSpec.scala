@@ -234,6 +234,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Expectations.kAnonymityViolations(df, Seq(col("lang")), 2L).count() == 0)
   }
 
+  test("lDiversityViolations: homogeneous-but-large groups flagged, diverse pass, null sensitive ignored") {
+    import graft.operators.Expectations
+    // (en,web): 3 rows, 1 distinct sens -> violates l=2 even though it is
+    // 3-anonymous. (en,book): 2 rows, 2 distinct -> passes. (zh,web): 2
+    // rows, sens (A, null) -> count(distinct)=1 (null ignored) -> violates.
+    val df = Seq(("en", "web", "A"), ("en", "web", "A"), ("en", "web", "A"),
+      ("en", "book", "A"), ("en", "book", "B"),
+      ("zh", "web", "A"), ("zh", "web", null))
+      .toDF("lang", "src", "sens")
+    val out = Expectations.lDiversityViolations(df.repartition(3),
+        Seq(col("lang"), col("src")), col("sens"), 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(("en", "web", 3L, 1L), ("zh", "web", 2L, 1L)))
+  }
+
+  test("holtLinear: recurrence by hand, zero-beta degenerates to ewma level, fitted lags one step") {
+    // alpha=0.5, beta=0.5; x = 2, 6, 10:
+    // l1=2 b1=0 | l2=.5*6+.5*2=4, b2=.5*(4-2)+.5*0=1, fit2=2
+    // l3=.5*10+.5*(4+1)=7.5, b3=.5*(7.5-4)+.5*1=2.25, fit3=5
+    val df = Seq(("k", 1L, 2.0), ("k", 2L, 6.0), ("k", 3L, 10.0)).toDF("g", "o", "x")
+    val out = Analytics.holtLinear(df.repartition(3), col("g"), col("o"), col("x"),
+        alpha = 0.5, beta = 0.5).orderBy("ord").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.toSeq == Seq((2.0, 0.0, None), (4.0, 1.0, Some(2.0)),
+      (7.5, 2.25, Some(5.0))))
+    // beta=0: trend stays 0, level follows the ewma recurrence exactly
+    val h0 = Analytics.holtLinear(df, col("g"), col("o"), col("x"), 0.25, 0.0)
+      .orderBy("ord").collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    val ew = Analytics.ewma(df, col("g"), col("o"), col("x"), 0.25)
+      .orderBy("ord").collect().map(_.getDouble(3))
+    assert(h0.map(_._2).forall(_ == 0.0) && h0.map(_._1).toSeq == ew.toSeq)
+  }
+
+  test("ssspBounded: hop bound vs convergence, weighted detour beats direct edge, parallel-edge min") {
+    // 1-2 w=10 direct; 1-3 w=1, 3-2 w=2 -> detour costs 3 but needs 2 hops.
+    // rounds=1 sees only the direct 10; rounds=2 finds 3.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (2L, 1L, 7L)) // parallel to 1-2 reversed: min(10,7)=7 canonical
+      .toDF("s", "d", "w")
+    def run(r: Int): Map[Long, Long] =
+      operators.Graph.ssspBounded(edges, col("s"), col("d"), col("w"),
+          Seq(1L).toDF("n"), col("n"), rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(0) == Map(1L -> 0L))
+    assert(run(1) == Map(1L -> 0L, 2L -> 7L, 3L -> 1L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+    assert(run(3) == run(2)) // converged
+  }
+
+  test("rrfFuse: fixed-order score, absent side contributes zero, tie-break and topK") {
+    import graft.operators.Retrieval
+    val a = Seq(("d1", 1), ("d2", 2)).toDF("doc_id", "rank")
+    val b = Seq(("d2", 1), ("d3", 2)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, c = 60, topK = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // d2 in both lists: 1/62 + 1/61; d1 only A: 1/61; d3 only B: 1/62
+    assert(out == Map("d2" -> (1.0 / 62 + 1.0 / 61), "d1" -> 1.0 / 61))
+    // topK=3 admits d3; fused ranks follow (score desc, doc_id)
+    val all = Retrieval.rrfFuse(a, b, c = 60, topK = 3).collect()
+      .map(r => (r.getString(0), r.getInt(4))).toSet
+    assert(all.map(_._1) == Set("d1", "d2", "d3"))
+  }
+
   test("fkOrphans counts child rows pointing at absent parents") {
     import graft.operators.Expectations
     val parent = Seq(1L, 2L, 3L).toDF("pk")
