@@ -471,9 +471,12 @@ object SparkEntry {
       // quintile scores via explicit integer rank arithmetic
       // (1 + (rank−1)·5 div n) rather than ntile, whose tie placement is
       // engine-defined — rank ties broken by user_id make every score
-      // exactly portable. The rank windows run over ONE ROW PER USER
-      // (post-aggregate), the cheap side by orders of magnitude.
-      import org.apache.spark.sql.expressions.Window
+      // exactly portable. The three global ranks are the distributed
+      // exact row number (Packing.globalRowNumber: range exchange +
+      // per-range offsets), NOT a single-partition Window sort — the
+      // user table is "one row per user", which at 100 TB is still
+      // billions of rows; RfmPlanSpec asserts the plan has no
+      // single-partition Sort/Window over it.
       val ev = events(s, dir)
       val pur = ev.where(col("event_type") === "purchase")
       val anchor = pur.agg(max(unix_micros(col("ts"))).as("mx"))
@@ -485,18 +488,23 @@ object SparkEntry {
         .select(col("user_id"),
           expr("(mx - last_us) div 86400000000").as("recency_days"),
           col("frequency"), col("mon_d"))
-      val nU = Window.partitionBy()
       // floor((rank−1)·5 / n) as a DOUBLE floor on both engines: the
       // operands are small exact integers, the one division is correctly
-      // rounded identically, and floor has no tie semantics — Spark's
-      // long `/` is double division anyway, so this states it explicitly
-      def score(order: Column): Column =
-        (lit(1) + floor((row_number().over(Window.orderBy(order, col("user_id")))
-          .cast("double") - 1.0) * 5.0 / count(lit(1)).over(nU))).cast("int")
-      base
-        .withColumn("r_score", score(col("recency_days").desc))
-        .withColumn("f_score", score(col("frequency")))
-        .withColumn("m_score", score(col("mon_d")))
+      // rounded identically, and floor has no tie semantics. n rides in
+      // as a broadcast one-row aggregate (the `anchor` idiom), rank as
+      // struct(key, user_id) — desc keys negate (recency_days is a
+      // non-negative long here).
+      val nTot = base.agg(count(lit(1)).as("n_users"))
+      def score(in: DataFrame, order: Column, out: String): DataFrame =
+        operators.Packing.globalRowNumber(in, struct(order, col("user_id")), "__rk")
+          .withColumn(out, (lit(1) + floor((col("__rk").cast("double") - 1.0)
+            * 5.0 / col("n_users"))).cast("int"))
+          .drop("__rk")
+      val s0 = base.crossJoin(broadcast(nTot))
+      val s1 = score(s0, -col("recency_days"), "r_score")
+      val s2 = score(s1, col("frequency"), "f_score")
+      val s3 = score(s2, col("mon_d"), "m_score")
+      s3
         .select(col("user_id"), col("recency_days"), col("frequency"),
           col("mon_d").cast("double").as("monetary"),
           col("r_score"), col("f_score"), col("m_score"),

@@ -72,3 +72,58 @@ class TopKByScore(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
+
+/** One counted label: count plus the label itself as the deterministic
+  * tie-break — the string-keyed sibling of [[Scored]]. Field order
+  * (n, label) fixes the udaf argument order.
+  */
+case class Counted(n: Long, label: String)
+
+case class TopLabelsBuf(items: List[Counted])
+
+/** Bounded top-k over (count DESC, label ASC) — the string-keyed sibling
+  * of [[TopKByScore]], for "k most common X" cuts (paths, tokens,
+  * categories). Replaces the `rank().over(Window.orderBy(n.desc, label))`
+  * global window, whose plan is a SINGLE-partition sort of the whole
+  * counts table: here each map task reduces its slice to ≤ k rows before
+  * the shuffle and the final merge sees ≤ k·numPartitions candidates, no
+  * sort anywhere. Comparisons are exact (long compare; label ties break
+  * lexicographically ascending on the raw String — the same order as
+  * Spark's UTF8String binary compare for the ASCII labels used here),
+  * so the kept set and its order match the window form row-for-row on a
+  * total order. Null labels must be filtered by the caller.
+  */
+class TopKByCount(k: Int) extends Aggregator[Counted, TopLabelsBuf, TopLabelsBuf] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  /** `a` strictly before `b` in (n desc, label asc) order. */
+  private def before(a: Counted, b: Counted): Boolean =
+    a.n > b.n || (a.n == b.n && a.label < b.label)
+
+  override def zero: TopLabelsBuf = TopLabelsBuf(Nil)
+
+  override def reduce(b: TopLabelsBuf, a: Counted): TopLabelsBuf =
+    if (b.items.lengthCompare(k) >= 0 && !before(a, b.items.last)) b
+    else {
+      val (pre, post) = b.items.span(s => before(s, a))
+      TopLabelsBuf((pre ::: a :: post).take(k))
+    }
+
+  override def merge(b1: TopLabelsBuf, b2: TopLabelsBuf): TopLabelsBuf = {
+    @annotation.tailrec
+    def go(x: List[Counted], y: List[Counted], n: Int, acc: List[Counted]): List[Counted] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil)           => acc.reverse
+        case (xs, Nil)            => acc.reverse ::: xs.take(n)
+        case (Nil, ys)            => acc.reverse ::: ys.take(n)
+        case (xh :: xt, yh :: yt) =>
+          if (before(xh, yh)) go(xt, y, n - 1, xh :: acc) else go(x, yt, n - 1, yh :: acc)
+      }
+    TopLabelsBuf(go(b1.items, b2.items, k, Nil))
+  }
+
+  override def finish(b: TopLabelsBuf): TopLabelsBuf = b
+  override def bufferEncoder: Encoder[TopLabelsBuf] = Encoders.product[TopLabelsBuf]
+  override def outputEncoder: Encoder[TopLabelsBuf] = Encoders.product[TopLabelsBuf]
+}

@@ -464,10 +464,13 @@ object Analytics {
     *
     * Plan: one key-partitioned window + one key-grouped collect (bounded
     * at maxLen elements per key) + one count shuffle on the path string;
-    * the final rank is a single-partition window over the distinct-path
-    * counts — safe because the path VOCABULARY (≤ |types|^maxLen,
-    * truncated by the count cut) is the small side, not the event volume;
-    * for huge vocabularies cut by count threshold first.
+    * the final top-k cut is the bounded [[graft.functions.TopKByCount]]
+    * aggregate — each map task of the counts table emits ≤ k candidates
+    * to a one-group final merge, so there is NO single-partition
+    * window/sort even when the path vocabulary (≤ |types|^maxLen) is
+    * itself large. Identical output to the rank()-window form: the
+    * (count desc, path asc) order is total, so ranks are unique and
+    * exactly k paths survive.
     */
   def topPaths(events: DataFrame, key: Column, eventType: Column,
                tsMicros: Column, tieBreak: Column,
@@ -482,9 +485,12 @@ object Analytics {
       .agg(array_join(transform(sort_array(collect_list(struct(col("rn"), col("et")))),
         s => s.getField("et")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
-    val wr = Window.orderBy(col("n").desc, col("path"))
-    paths.withColumn("rk", rank().over(wr)).where(col("rk") <= k)
-      .select(col("path"), col("n"), col("rk"))
+    val tk = udaf(new graft.functions.TopKByCount(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Counted])
+    paths.agg(tk(col("n"), col("path")).as("tk"))
+      .select(posexplode(col("tk.items")).as(Seq("pos", "s")))
+      .select(col("s.label").as("path"), col("s.n").as("n"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** Per-group monotone-trend score: Spearman rank correlation between
@@ -729,11 +735,15 @@ object Analytics {
     val c2 = Packing.globalCumsum(byVal.select("v", "k2"), col("v"), col("k2"))
       .withColumnRenamed("cum", "c2")
     val tot = byVal.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    // Degenerate-input guard (the pearson/twap/zscore audit class): an
+    // EMPTY sample has no CDF, so n1 = 0 or n2 = 0 nulls every diff and
+    // the operator returns zero rows — a clean "no test" instead of an
+    // ANSI divide-by-zero error surfacing from deep inside the plan.
     val diffs = c1.select("v", "c1").join(c2.select("v", "c2"), "v")
       .crossJoin(broadcast(tot))
-      .withColumn("diff", abs(
+      .withColumn("diff", when(col("n1") > 0 && col("n2") > 0, abs(
         col("c1").cast("double") / col("n1").cast("double") -
-          col("c2").cast("double") / col("n2").cast("double")))
+          col("c2").cast("double") / col("n2").cast("double"))))
     val ks = diffs.agg(max(col("diff")).as("ks"))
     diffs.crossJoin(broadcast(ks))
       .where(col("diff") === col("ks"))

@@ -182,8 +182,16 @@ object Graph {
       }
       round += 1
     }
+    // Materialize the (small) core before returning so the per-round
+    // edge cache can be RELEASED here — returning a plan over `cur`
+    // would pin the final round's cache blocks for the session lifetime
+    // (repeat invocations would accumulate them). localCheckpoint blocks
+    // are owned by the returned Dataset and reclaimed by the context
+    // cleaner once it is unreferenced, unlike CacheManager entries.
     val result = degrees(cur).where(col("d") >= k)
       .select(col("n").as("node"), col("d").as("degree"))
+      .localCheckpoint()
+    cur.unpersist()
     result
   }
 
@@ -242,7 +250,11 @@ object Graph {
     }
     if (frontier ne settled) frontier.unpersist()
     sym.unpersist()
-    settled
+    // Same cache-release discipline as [[kCore]]: hand back checkpoint
+    // blocks the cleaner can reclaim, not a live CacheManager entry.
+    val result = settled.localCheckpoint()
+    settled.unpersist()
+    result
   }
 
   /** Hop-bounded weighted shortest paths (Bellman–Ford, `rounds`

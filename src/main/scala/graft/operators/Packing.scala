@@ -54,6 +54,20 @@ object Packing {
       .drop("__pid", "__off", "__ord", "__v")
   }
 
+  /** Exact global 1-based row number in `orderCol` order, as column
+    * `out` — [[globalCumsum]] over a constant 1, i.e. the distributed
+    * replacement for `row_number().over(Window.orderBy(...))`, which
+    * plans a SINGLE-partition sort and cannot scale. `orderCol` must be
+    * a total order (compose a `struct(key, tieBreak)` when the primary
+    * key ties); the result is a pure function of the data, independent
+    * of partitioning.
+    */
+  def globalRowNumber(df: DataFrame, orderCol: Column, out: String = "rank",
+      numPartitions: Int = 0): DataFrame =
+    globalCumsum(df.withColumn("__one", lit(1L)), orderCol, col("__one"),
+        numPartitions)
+      .withColumnRenamed("cum", out).drop("__one")
+
   /** Pack the corpus token stream into `budget`-token examples: every doc
     * (in `id` order) occupies token range [cum − n, cum); example k owns
     * tokens [k·budget, (k+1)·budget). Output: one row per (doc, example)

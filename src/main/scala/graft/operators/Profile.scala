@@ -182,7 +182,13 @@ object Profile {
         .groupBy("grp")
         .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col(v))).as(out))
     }
-    val base = df.select(id.as("row_id"), group.as("grp"), value.as("v"))
+    // Null values are EXCLUDED up front (the lmScore/bpeTokenCount
+    // contract): a null can be neither a median candidate nor an outlier,
+    // and leaving nulls in the count table would make the windowed
+    // cumulative-median selection engine-dependent (Spark orders nulls
+    // first, DuckDB last).
+    val base = df.where(value.isNotNull)
+      .select(id.as("row_id"), group.as("grp"), value.as("v"))
     val med = lowerMedian(base, "v", "med")
     val dev = base.join(broadcast(med), "grp")
       .withColumn("dev", abs(col("v") - col("med")))

@@ -193,11 +193,20 @@ object Sampling {
     * [[weightedMix]] when small sources must be UPsampled past 1 epoch).
     * Output: input rows + (rate_hex) dropped, i.e. (id, source) columns
     * as given plus nothing synthetic — callers see a filtered df.
+    * Rows with a NULL stratum are excluded — both from the output and
+    * from the weight table (a null source would inflate W and depress
+    * every real source's keep rate without ever being keepable itself).
     */
   def temperatureMixSqrt(df: DataFrame, id: Column, stratum: Column,
       targetRows: Long, salt: String = "graft"): DataFrame = {
     require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
-    val counts = df.groupBy(stratum.as("__src")).agg(count(lit(1)).as("__c"))
+    // NULL-stratum rows are EXCLUDED from the mix entirely: they could
+    // never be kept anyway (the stratum === __src equi-join below never
+    // matches null), so counting them as a source would only inflate
+    // __wsum and silently depress every real source's keep rate below
+    // the target.
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.as("__src")).agg(count(lit(1)).as("__c"))
       .withColumn("__w", floor(sqrt(col("__c").cast("double")) * 1e6).cast("long"))
     // NOT "__W": Spark's resolver is case-insensitive by default, so a
     // name differing from "__w" only by case is ambiguous after the join.
