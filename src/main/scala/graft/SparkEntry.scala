@@ -4212,8 +4212,12 @@ object SparkEntry {
     // round — no tie semantics), exact integer total, two fixed-order
     // double divisions, floor(rate*2^32) hex. 'g' sorts above every hex
     // digit = keep-all.
+    // source IS NOT NULL mirrors the engine's documented null-stratum
+    // exclusion (Sampling.temperatureMixSqrt: a null source is never
+    // keepable and must not inflate the weight total).
     "q_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
         |w AS (SELECT source, c,
         |    CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
         |  FROM c),
@@ -5155,8 +5159,12 @@ object SparkEntry {
     // count table; abs(v - med) and 3*mad are correctly-rounded IEEE with
     // the same expression shape the engine uses — no interpolation, no
     // round().
+    // value IS NOT NULL mirrors the engine's documented null exclusion
+    // (Profile.madOutliers: nulls are neither median candidates nor
+    // outliers) so the contract is checked end-to-end, not latent.
     "q_mad_outliers" ->
-      """WITH base AS (SELECT event_id, event_type, value AS v FROM events),
+      """WITH base AS (SELECT event_id, event_type, value AS v FROM events
+        |  WHERE value IS NOT NULL),
         |c AS (SELECT event_type, v, count(*) AS cnt FROM base GROUP BY 1, 2),
         |cum AS (SELECT event_type, v,
         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v

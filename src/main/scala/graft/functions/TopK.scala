@@ -87,18 +87,38 @@ case class TopLabelsBuf(items: List[Counted])
   * global window, whose plan is a SINGLE-partition sort of the whole
   * counts table: here each map task reduces its slice to ≤ k rows before
   * the shuffle and the final merge sees ≤ k·numPartitions candidates, no
-  * sort anywhere. Comparisons are exact (long compare; label ties break
-  * lexicographically ascending on the raw String — the same order as
-  * Spark's UTF8String binary compare for the ASCII labels used here),
-  * so the kept set and its order match the window form row-for-row on a
-  * total order. Null labels must be filtered by the caller.
+  * sort anywhere. Comparisons are exact: long compare on the count, and
+  * label ties break on Unicode CODE POINTS ascending — which is exactly
+  * UTF8String's unsigned-UTF-8-byte order (code-point order and UTF-8
+  * byte order coincide by construction of UTF-8), NOT Java's `String`
+  * compare (UTF-16 code units, which misorder supplementary characters
+  * like emoji against U+E000..U+FFFF). The kept set and its order
+  * therefore match the window form row-for-row for ANY labels, not just
+  * ASCII (TopKByCountSpec pins the divergent case). Null labels must be
+  * filtered by the caller.
   */
 class TopKByCount(k: Int) extends Aggregator[Counted, TopLabelsBuf, TopLabelsBuf] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
+  /** Code-point lexicographic compare == UTF-8 unsigned-byte compare ==
+    * Spark's UTF8String binary order. Allocation-free (no getBytes).
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** `a` strictly before `b` in (n desc, label asc) order. */
   private def before(a: Counted, b: Counted): Boolean =
-    a.n > b.n || (a.n == b.n && a.label < b.label)
+    a.n > b.n || (a.n == b.n && cpCompare(a.label, b.label) < 0)
 
   override def zero: TopLabelsBuf = TopLabelsBuf(Nil)
 

@@ -162,8 +162,10 @@ object Analytics {
     * output row: (n_a, k_a, n_b, k_b, z). Degenerate inputs (an empty
     * arm, or 0%/100% pooled conversion — where the statistic is 0/0)
     * yield NULL z instead of a runtime error: ANSI Spark throws on ANY
-    * division by zero, doubles included, and engines disagree on what
-    * 0/0 "should" be, so the guard is both robustness and portability.
+    * division by zero, DOUBLES INCLUDED (empirically pinned by
+    * AnalyticsSpec's "engine pin" test — Divide is DivModLike for every
+    * numeric type), and engines disagree on what 0/0 "should" be, so
+    * the guard is both robustness and portability.
     */
   def twoProportionZTest(df: DataFrame, variant: Column, success: Column,
                          labelA: String, labelB: String): DataFrame = {
@@ -189,9 +191,9 @@ object Analytics {
     * this scale: tie-free casts, decimal→double conversions stay far
     * below 2^53). The final ratio is fixed-order IEEE math; a
     * zero-variance group yields NULL corr — ANSI Spark throws on an
-    * exact-zero divisor even for doubles (see [[twoProportionZTest]]),
-    * so the quotient is guarded, and engines disagree on what 0/0
-    * "should" be anyway.
+    * exact-zero divisor even for doubles (see [[twoProportionZTest]];
+    * pinned by AnalyticsSpec's "engine pin" test), so the quotient is
+    * guarded, and engines disagree on what 0/0 "should" be anyway.
     */
   def pearson(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
     // Moments accumulate as integer-CENT longs, not decimals (VERDICT r10
@@ -722,7 +724,10 @@ object Analytics {
     * fixed order (bit-reproducible), and the final reduction is max/min
     * (order-free).
     *
-    * Output: ONE row (n1, n2, ks, v_at).
+    * Output: ONE row (n1, n2, ks, v_at) — or ZERO rows when either
+    * sample is empty (n1 = 0 or n2 = 0): an empty sample has no
+    * empirical CDF, so the statistic is undefined and the operator
+    * returns "no test" rather than a divide-by-zero artifact.
     */
   def ksTest2(df: DataFrame, value: Column, inFirst: Column): DataFrame = {
     val byVal = df

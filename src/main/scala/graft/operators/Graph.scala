@@ -119,7 +119,8 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("t"))
     // guard: d(d−1) is EXACTLY 0.0 for degree-1 nodes — under ANSI that
     // division throws, it does not produce Infinity/NaN (the r11
-    // divide-by-zero audit class); NULL is the documented value
+    // divide-by-zero audit class; pinned by AnalyticsSpec's "engine
+    // pin" test); NULL is the documented value
     deg.join(perNode, Seq("n"), "left")
       .select(col("n").as("node"), col("d").as("degree"),
         coalesce(col("t"), lit(0L)).as("n_triangles"),
@@ -188,6 +189,9 @@ object Graph {
     // (repeat invocations would accumulate them). localCheckpoint blocks
     // are owned by the returned Dataset and reclaimed by the context
     // cleaner once it is unreferenced, unlike CacheManager entries.
+    // Cluster-mode caveat: localCheckpoint blocks do NOT survive executor
+    // loss (the truncated lineage cannot recompute them) — a long-lived
+    // consumer on a real cluster should use reliable checkpoint() instead.
     val result = degrees(cur).where(col("d") >= k)
       .select(col("n").as("node"), col("d").as("degree"))
       .localCheckpoint()
@@ -252,6 +256,8 @@ object Graph {
     sym.unpersist()
     // Same cache-release discipline as [[kCore]]: hand back checkpoint
     // blocks the cleaner can reclaim, not a live CacheManager entry.
+    // Same cluster-mode caveat too: localCheckpoint blocks don't survive
+    // executor loss; reliable checkpoint() is the cluster-HA variant.
     val result = settled.localCheckpoint()
     settled.unpersist()
     result

@@ -27,10 +27,19 @@ object Packing {
     * returned as column `cum` (inclusive: the sum up to AND including the
     * row). `orderCol` must be unique — it defines the corpus order, so
     * ties would make "the" prefix sum ambiguous.
+    *
+    * The ranged intermediate is reused twice (offsets pass + output
+    * pass) via an eager `localCheckpoint`, NOT `persist`: checkpoint
+    * blocks are owned by the returned Dataset and reclaimed by the
+    * context cleaner once it is unreferenced, where a CacheManager entry
+    * would leak for the session lifetime on every invocation (the
+    * Graph.kCore discipline). Caveat shared with kCore: localCheckpoint
+    * blocks don't survive executor loss — in cluster mode a lost
+    * executor makes downstream recomputation fail rather than recompute;
+    * reliable `checkpoint()` is the cluster-HA variant.
     */
   def globalCumsum(df: DataFrame, orderCol: Column, valueCol: Column,
       numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -38,7 +47,7 @@ object Packing {
       .withColumn("__ord", orderCol).withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(parts, col("__ord"))
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Bounded driver step: ONE row per range partition (≤ `parts` longs),
     // cumulated on the driver — the offsets table, not a data collect.
     val totals = ranged.groupBy("__pid").agg(sum(col("__v")).as("t"))

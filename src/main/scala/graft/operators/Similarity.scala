@@ -136,11 +136,12 @@ object Similarity {
     * norm is exactly 0: cosine is undefined for the zero vector, and ANSI
     * Spark throws on an exact-0.0 double divisor rather than producing an
     * IEEE quotient (the same class [[graft.operators.Analytics.pearson]]
-    * guards; real pipelines DO ship all-zero embeddings from failed
-    * encoders). NULL scores fall out of every consumer: threshold
-    * compares reject them and `topKPerQuery` filters them before the
-    * aggregator. For non-zero norms the quotient expression is unchanged,
-    * so scores stay bit-identical to the unguarded form.
+    * guards, empirically pinned by AnalyticsSpec's "engine pin" test;
+    * real pipelines DO ship all-zero embeddings from failed encoders).
+    * NULL scores fall out of every consumer: threshold compares reject
+    * them and `topKPerQuery` filters them before the aggregator. For
+    * non-zero norms the quotient expression is unchanged, so scores stay
+    * bit-identical to the unguarded form.
     */
   def cosineFromNorms(d: Column, na: Column, nb: Column): Column = {
     val den = na * nb

@@ -19,6 +19,33 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private val us = 1000000L
 
+  test("engine pin: ANSI Spark throws on DOUBLE division by exact 0.0") {
+    // The motivation every NULL-on-zero divide guard in this repo cites
+    // (pearson / twap / zscore / cosineFromNorms): under ANSI (the
+    // Spark 4 default, and this session's mode) division by an
+    // exact-0.0 divisor raises DIVIDE_BY_ZERO for DOUBLES TOO -- Spark's
+    // Divide is DivModLike for every numeric type, not just
+    // integral/decimal. Adjudicates ADVICE r12 #5, which claimed doubles
+    // yield IEEE Inf/NaN: empirically FALSE on this engine (both the
+    // constant-folded and the runtime evaluation path throw). The NULL
+    // guards are therefore BOTH robustness (no mid-job crash on
+    // degenerate groups) and portability (engines that do return
+    // Inf/NaN disagree with each other on compare/serialize).
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean)
+    val folded = intercept[Exception] {
+      spark.sql("SELECT CAST(1.0 AS DOUBLE) / CAST(0.0 AS DOUBLE)").collect()
+    }
+    assert(folded.getMessage.toUpperCase.contains("DIVIDE_BY_ZERO"), folded.getMessage)
+    // runtime path (non-literal divisor -- no constant folding possible)
+    val runtime = intercept[Exception] {
+      Seq((1.0, 0.0)).toDF("a", "b").select($"a" / $"b").collect()
+    }
+    assert(runtime.getMessage.toUpperCase.contains("DIVIDE_BY_ZERO"), runtime.getMessage)
+    // the integral form throws identically
+    val e = intercept[Exception] { spark.sql("SELECT 1 div 0").collect() }
+    assert(e.getMessage.toUpperCase.contains("DIVIDE_BY_ZERO"), e.getMessage)
+  }
+
   test("ohlcBars: open/close by (ts, tie) order, extremes, multiple keys") {
     // key A, bar X: (t=1,id=1,v=5) (t=1,id=2,v=9) (t=3,id=1,v=2) ->
     //   open=5 (t tie broken by id), high=9, low=2, close=2

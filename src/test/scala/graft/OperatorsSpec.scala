@@ -246,6 +246,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bShare > 0.18, s"B share $bShare not upweighted")
   }
 
+  test("temperatureMixSqrt: planted NULL strata neither keepable nor weight-inflating") {
+    // 400 A + 100 B + 500 NULL, target 300. Contract (Sampling.scala):
+    // null-stratum rows are excluded from the output AND the weight
+    // table. With the filter: W = 20e6 + 10e6, rate_B = 300*10/30/100
+    // = 1.0 -> clamp 'g' keeps ALL 100 B rows. If the filter were
+    // removed, the null stratum's w = floor(sqrt(500)*1e6) would
+    // inflate W to ~52.4e6 and depress rate_B to ~0.57 — so the
+    // exact-100 assertion FAILS without the filter (P[all 100 survive
+    // a 0.57 cut] ~ 0), not just survives it.
+    val df = ((0L until 400L).map(i => (i, Some("A"))) ++
+      (1000L until 1100L).map(i => (i, Some("B"))) ++
+      (2000L until 2500L).map(i => (i, None: Option[String]))).toDF("id", "src")
+    val out = Sampling.temperatureMixSqrt(df, $"id", $"src", targetRows = 300)
+    assert(out.where($"src".isNull).isEmpty, "null-stratum rows must never be kept")
+    val perSrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("B") == 100,
+      s"B must clamp to keep-all when nulls are excluded from W, got ${perSrc("B")}")
+    // rate_A = 0.5 exactly; md5 uniformity tolerance around 200
+    assert(perSrc("A") >= 150 && perSrc("A") <= 250, s"got ${perSrc("A")}")
+  }
+
   test("chunkTokens: stride/overlap coverage, short docs, nulls") {
     val df = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens

@@ -142,6 +142,29 @@ class ProfileSpec extends AnyFunSuite {
     assert(rep == Set(6L, 15L))
   }
 
+  test("madOutliers: planted NULL values are excluded from medians and never flagged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Same g1 as above PLUS three null-value rows. The documented
+    // contract (Profile.scala null filter): nulls can be neither median
+    // candidates nor outliers. If the isNotNull filter were removed, the
+    // nulls would enter the count table, Spark's nulls-first window
+    // order would shift every cumulative count, and the rank-selected
+    // median would move 14 → 12 — so this fixture FAILS without the
+    // filter, not just survives it.
+    val rows = Seq(
+      (1L, "g1", Some(10.0)), (2L, "g1", Some(12.0)), (3L, "g1", Some(14.0)),
+      (4L, "g1", Some(16.0)), (5L, "g1", Some(18.0)), (6L, "g1", Some(1000.0)),
+      (21L, "g1", None), (22L, "g1", None), (23L, "g1", None)
+    ).toDF("id", "grp", "v")
+    val out = Profile.madOutliers(rows, col("id"), col("grp"), col("v"), k = 3.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(6L), s"flagged ${out.keySet}")
+    assert(out(6L) == ((14.0, 2.0, 986.0)),
+      "medians must be computed over NON-NULL values only (med 14, mad 2)")
+  }
+
   test("histogramDrift: single-point distributions collapse to one bin, tvd 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

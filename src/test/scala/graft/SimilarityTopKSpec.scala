@@ -81,9 +81,10 @@ class SimilarityTopKSpec extends AnyFunSuite {
   }
 
   test("zero-norm vectors: no ANSI divide-by-zero, excluded from results, others bit-unchanged") {
-    // ANSI Spark throws on an exact-0.0 double divisor (the pearson class),
-    // and all-zero embeddings are a real pipeline artifact (failed
-    // encoders). cosineFromNorms yields NULL there; consumers filter it.
+    // ANSI Spark throws on an exact-0.0 double divisor (the pearson class;
+    // pinned by AnalyticsSpec's "engine pin" test), and all-zero embeddings
+    // are a real pipeline artifact (failed encoders). cosineFromNorms
+    // yields NULL there; consumers filter it.
     import graft.operators.Dedup
     val vecs = Seq(
       (1L, Array(0f, 0f, 0f, 0f)),          // the zero vector
