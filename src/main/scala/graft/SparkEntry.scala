@@ -1965,6 +1965,23 @@ object SparkEntry {
       Dedup.assignClusters(emb, col("vec_id"), pairs)
     }),
 
+    "q_dedup_image" -> ((s, dir) => {
+      // Perceptual-hash image dedup END TO END on planted PNGs: one
+      // deterministic synthetic image per document (base pattern =
+      // doc_id mod 10; each variant flips ≤3 controlled dHash bits;
+      // byte-level noise defeats exact-dup shortcuts), then real PNG
+      // decode → integer dHash → pigeonhole chunk blocking → connected
+      // components (Multimodal.dHash64 + Dedup.hammingClusters). Ground
+      // truth is closed-form — clusters ARE the pattern groups
+      // (MultimodalSpec pins the cross-pattern Hamming margin) — so the
+      // oracle replays it without decoding an image.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedImageTable(ids, patterns = 10)
+      val hashes = operators.Multimodal.imageHashes(media)
+      Dedup.hammingClusters(hashes, col("doc_id"), col("dhash"), maxHamming = 3)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     "q_weighted_mix" -> ((s, dir) =>
       // Corpus assembly: src0 upsampled 2.5x (2 full epochs + a
       // deterministic md5 half), src1 cut to a quarter, everything else
@@ -2132,6 +2149,16 @@ object SparkEntry {
       // packing cost model. Map-only regex pass; the pattern is
       // Java/RE2-portable so the oracle checks exact counts.
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      // REAL BPE encode (operators.Bpe): min-rank merge loop over the
+      // inlined valid merge table, per pre-token, code-point initial
+      // alphabet. The oracle replays the merges as a delimited
+      // replace-chain (sequential-replay equivalence — Bpe scaladoc).
+      operators.Bpe.validateMerges(operators.Bpe.DemoMerges)
+      operators.Bpe.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"),
+        operators.Bpe.DemoMerges)
+    }),
 
     "q_dsir_select" -> ((s, dir) => {
       // DSIR data selection: the 100 documents whose hashed-unigram
@@ -2915,6 +2942,28 @@ object SparkEntry {
       operators.Analytics.itemNeighbors(t(s, dir, "lineitem"),
         col("l_orderkey"), col("l_partkey"), k = 5, minPairs = 2)),
 
+    "q_stream_item_cf" -> ((s, dir) => {
+      // STREAMING item-CF: the same lineitem baskets as q_item_cf arrive
+      // as three basket-atomic microbatches (split by l_orderkey % 3 —
+      // baskets never straddle a file; maxFilesPerTrigger=1 so
+      // maintenance provably folds ACROSS batches); foreachBatch
+      // maintains pair/item counts incrementally, then neighbors come
+      // off the maintained state. Must equal the one-shot computation —
+      // shares q_item_cf's oracle.
+      val feedDir = work("q_stream_item_cf_feed")
+      val stateDir = work("q_stream_item_cf_state")
+      rmDir(feedDir); rmDir(stateDir)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      for (r <- 0 until 3)
+        li.where(col("l_orderkey") % 3 === r)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+      val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      streaming.StreamingOps.maintainItemCF(feed, "l_orderkey", "l_partkey", stateDir)
+        .awaitTermination()
+      streaming.StreamingOps.itemCFFromState(s, stateDir, k = 5, minPairs = 2)
+    }),
+
     "q_golden_record" -> ((s, dir) => {
       // Survivorship / golden-record consolidation of each customer's
       // order history under per-attribute rules: modal status (ties →
@@ -3063,6 +3112,28 @@ object SparkEntry {
   // (BigDecimal.doubleValue). Found at sf1 where q1_agg's sum_charge
   // (Σ ≈ 5.2e10 at 6 dp) split the two paths on 2 of 6 groups; the
   // string hop is a no-op at smaller magnitudes.
+  /** Shared by q_item_cf and q_stream_item_cf: the maintained streaming
+    * state is REQUIRED to equal the one-shot batch computation, so both
+    * verify against the identical recompute.
+    */
+  private val ItemCfOracleSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      |           FROM lineitem),
+      |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+      |p AS (SELECT a.it AS ia, bb.it AS ib, CAST(count(*) AS BIGINT) AS cooc
+      |  FROM b a JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |bidir AS (SELECT ia AS item, ib AS nbr, cooc FROM p
+      |  UNION ALL SELECT ib AS item, ia AS nbr, cooc FROM p),
+      |sc AS (SELECT item, nbr, cooc,
+      |    CAST(cooc AS DOUBLE) / sqrt(CAST(ci.cnt * cn.cnt AS DOUBLE)) AS cos
+      |  FROM bidir JOIN cnt ci ON ci.it = bidir.item
+      |            JOIN cnt cn ON cn.it = bidir.nbr)
+      |SELECT item, nbr, cooc, cos, CAST("rank" AS INTEGER) AS "rank" FROM (
+      |  SELECT item, nbr, cooc, cos, row_number() OVER (
+      |      PARTITION BY item ORDER BY cos DESC, cooc DESC, nbr) AS "rank"
+      |  FROM sc) WHERE "rank" <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4271,6 +4342,16 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
         |GROUP BY v.vec_id""".stripMargin,
 
+    // Ground truth is closed-form by construction of the planted images:
+    // within a pattern (doc_id mod 10) every variant pair sits at
+    // Hamming ≤ 3, across patterns far above the radius (MultimodalSpec
+    // pins the margin), so the near-dup components ARE the pattern
+    // groups and the cluster label is each group's min doc_id.
+    "q_dedup_image" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
+        |FROM documents""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
          | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -4464,6 +4545,28 @@ object SparkEntry {
          |    len(regexp_extract_all(text,
          |      '${operators.TextAnalysis.BpeTokenPattern.replace("'", "''")}')), 1) AS chars_per_token
          |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // True-BPE token counts replayed WITHOUT a BPE implementation: each
+    // pre-token is exploded to delimited code points
+    // (chr(1)·cp·chr(2)…), then the merge table applies as a chain of
+    // plain replace() calls in rank order — exact for a VALID table
+    // (operators.Bpe scaladoc proves the equivalence); the final token
+    // count is the number of chr(1) delimiters. (?s) so '.' wraps
+    // newlines inside non-alnum pre-tokens; chr(1)/chr(2) are stripped
+    // from the input on both engines, making the delimiting unambiguous.
+    "q_bpe_encode" -> {
+      val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+      val chain = operators.Bpe.DemoMerges.foldLeft(
+        "regexp_replace(pt, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')") {
+        case (acc, (a, b)) =>
+          s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
+      }
+      s"""SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    regexp_extract_all(replace(replace(text, chr(1), ''), chr(2), ''), '$pat'),
+         |    pt -> len(string_split($chain, chr(1))) - 1)), 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
 
     // The composed pipeline replayed stage for stage: arg_min mirrors
     // min_by, the DSIR CTEs are fit on the DEDUPED corpus (not raw —
@@ -5582,23 +5685,11 @@ object SparkEntry {
 
     // Item-item cosine neighbors: same Σ|basket|² pair join, cosine =
     // cooc / √(cnt·cnt) with the long multiply BEFORE the double cast.
-    "q_item_cf" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |           FROM lineitem),
-        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
-        |p AS (SELECT a.it AS ia, bb.it AS ib, CAST(count(*) AS BIGINT) AS cooc
-        |  FROM b a JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |bidir AS (SELECT ia AS item, ib AS nbr, cooc FROM p
-        |  UNION ALL SELECT ib AS item, ia AS nbr, cooc FROM p),
-        |sc AS (SELECT item, nbr, cooc,
-        |    CAST(cooc AS DOUBLE) / sqrt(CAST(ci.cnt * cn.cnt AS DOUBLE)) AS cos
-        |  FROM bidir JOIN cnt ci ON ci.it = bidir.item
-        |            JOIN cnt cn ON cn.it = bidir.nbr)
-        |SELECT item, nbr, cooc, cos, CAST("rank" AS INTEGER) AS "rank" FROM (
-        |  SELECT item, nbr, cooc, cos, row_number() OVER (
-        |      PARTITION BY item ORDER BY cos DESC, cooc DESC, nbr) AS "rank"
-        |  FROM sc) WHERE "rank" <= 5""".stripMargin,
+    "q_item_cf" -> ItemCfOracleSql,
+
+    // The maintained streaming state must equal the one-shot computation,
+    // so the oracle IS q_item_cf's (same data, same scoring, same ranks).
+    "q_stream_item_cf" -> ItemCfOracleSql,
 
     // Golden record: modal status / latest priority / exact decimal spend
     // (VARCHAR hop — DuckDB's direct DECIMAL→DOUBLE cast double-rounds).

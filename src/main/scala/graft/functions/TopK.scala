@@ -93,9 +93,14 @@ case class TopLabelsBuf(items: List[Counted])
   * byte order coincide by construction of UTF-8), NOT Java's `String`
   * compare (UTF-16 code units, which misorder supplementary characters
   * like emoji against U+E000..U+FFFF). The kept set and its order
-  * therefore match the window form row-for-row for ANY labels, not just
-  * ASCII (TopKByCountSpec pins the divergent case). Null labels must be
-  * filtered by the caller.
+  * therefore match the window form row-for-row for any WELL-FORMED
+  * (valid UTF-16) labels, not just ASCII (TopKByCountSpec pins the
+  * divergent case). Ill-formed UTF-16 — lone surrogates — is outside the
+  * guarantee: UTF8String.fromString encodes an unpaired surrogate as '?'
+  * (0x3F, below ASCII letters) while cpCompare compares the raw
+  * surrogate code point (0xD800+, above the BMP), so such labels can
+  * order differently from the window form. Null labels must be filtered
+  * by the caller.
   */
 class TopKByCount(k: Int) extends Aggregator[Counted, TopLabelsBuf, TopLabelsBuf] {
   require(k > 0, s"top-k needs k > 0, got $k")

@@ -386,6 +386,56 @@ object Dedup {
       reps.select(col("__fp"), lit(0).cast("int").as("hamming")))
   }
 
+  /** Near-dup clusters over PRECOMPUTED 64-bit signatures — the back end
+    * [[simhashNearDups]] applies to text and
+    * [[Multimodal.imageHashes]]/perceptual-hash dedup applies to images:
+    * (id, sig) in, (id, cluster) out, cluster = min id of the connected
+    * component of the Hamming-≤`maxHamming` graph.
+    *
+    * Same scale discipline as simhash: identical signatures collapse to
+    * one representative BEFORE the pigeonhole chunk join (exact dups
+    * would otherwise agree on every chunk — the quadratic flood), the
+    * chunk equi-join has full recall at the radius, verification is one
+    * `bit_count(xor)`, and components run the O(log n)
+    * large-star/small-star rounds. Null signatures (undecodable media)
+    * come out as their own singleton clusters.
+    */
+  def hammingClusters(sigs: DataFrame, id: Column, sig: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0, s"64 must divide into $nChunks equal chunks")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val all = sigs.select(id.cast("long").as("id"), sig.as("sig"))
+    val clean = all.where(col("sig").isNotNull)
+    // exact-duplicate guard: one representative per distinct signature
+    // rides the chunk join; members inherit the rep's cluster afterwards
+    val repOf = clean.groupBy("sig").agg(min(col("id")).as("rep"))
+    val chunkCols = (0 until nChunks).map { j =>
+      struct(lit(j).as("chunk"),
+        shiftrightunsigned(col("sig"), j * width).bitwiseAND(lit(mask)).as("ckey"))
+    }
+    val chunks = repOf.select(col("rep"), col("sig"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("rep"), col("sig"), col("c.chunk"), col("c.ckey"))
+    val l = chunks.toDF("id_a", "sig_a", "chunk", "ckey")
+    val r = chunks.toDF("id_b", "sig_b", "chunk", "ckey")
+    val repPairs = l.join(r, Seq("chunk", "ckey")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    // rep -> component (min id over the near-dup graph); reps without any
+    // near-dup edge keep themselves; members inherit via their rep; null
+    // signatures are singletons
+    val comp = connectedComponents(repPairs)
+      .toDF("rep", "component")
+    val withRep = clean.join(repOf, "sig").select(col("id"), col("rep"))
+    withRep.join(comp, Seq("rep"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("cluster"))
+      .unionByName(all.where(col("sig").isNull)
+        .select(col("id"), col("id").as("cluster")))
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding-cosine near-dup, EXACT baseline: every pair (id_a < id_b)

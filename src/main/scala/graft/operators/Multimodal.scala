@@ -333,6 +333,157 @@ object Multimodal {
     } catch { case _: Exception => bad }
   }
 
+  /** 64-bit perceptual dHash (difference hash) of an image payload: decode
+    * pixels, reduce to a 9×8 grid of EXACT integer cell luminance sums
+    * (cell (gx,gy) covers pixel block [gx·W/9,(gx+1)·W/9) ×
+    * [gy·H/8,(gy+1)·H/8); luminance = 299r+587g+114b — all integer, no
+    * float resampling, so the hash is bit-deterministic on every JVM),
+    * then bit gy·8+gx = 1 iff cell (gx,gy) is strictly brighter on
+    * average than its right neighbor (cross-multiplied sums — exact; the
+    * one place products could overflow long uses BigInt). Near-identical
+    * images — re-encodes, small pixel noise, minor retouch — agree on
+    * most gradient signs and land within a few bits; unrelated images
+    * differ on ~32.
+    *
+    * Poison rows (null, undecodable, smaller than the 9×8 grid) yield
+    * null, never failing the task.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](9, 8)
+    val areas = Array.ofDim[Long](9, 8)
+    var gx = 0
+    while (gx < 9) {
+      var gy = 0
+      while (gy < 8) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(gx)(gy) = s
+        areas(gx)(gy) = (x1 - x0).toLong * (y1 - y0)
+        gy += 1
+      }
+      gx += 1
+    }
+    var out = 0L
+    var gy = 0
+    while (gy < 8) {
+      var bx = 0
+      while (bx < 8) {
+        // avg(bx) > avg(bx+1) via cross-multiplication; BigInt because
+        // sum×area can pass Long.MaxValue on very large images
+        val gt = (BigInt(sums(bx)(gy)) * areas(bx + 1)(gy)) >
+          (BigInt(sums(bx + 1)(gy)) * areas(bx)(gy))
+        if (gt) out |= 1L << (gy * 8 + bx)
+        bx += 1
+      }
+      gy += 1
+    }
+    Some(out)
+  }
+
+  /** (doc_id, dhash) per media row — null dhash for poison payloads. The
+    * [[Dedup.hammingClusters]] front end for image near-dup at corpus
+    * scale: map-only decode+hash, then banded blocking on the 64-bit
+    * signature (never an all-pairs image comparison).
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.doc_id, dHash64(r.media)))
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Deterministic synthetic 72×64 grayscale test-pattern PNG for
+    * validating the decode→dHash→blocking pipeline end-to-end with an
+    * externally computable ground truth (SparkEntry's `q_dedup_image`):
+    *
+    *  - `pattern` fixes the 9×8 grid of base cell grays (pseudo-random in
+    *    {40..190}); every cell is an exact 8×8 pixel block, so cell
+    *    averages are exact and the dHash is a pure function of
+    *    (pattern, flips).
+    *  - `flips` ∈ [0,8) inverts the first `flips` gradient comparisons of
+    *    grid column 0 (cell (0,gy) → 0 or 255), flipping EXACTLY that
+    *    many dHash bits: two variants of one pattern sit at Hamming
+    *    |flips_a − flips_b|.
+    *  - `noiseSeed` perturbs one +1/−1 pixel pair per bottom-row cell —
+    *    byte-level uniqueness with cell sums (and therefore the hash)
+    *    unchanged, so exact-dup logic can't shortcut the perceptual path.
+    */
+  def syntheticPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
+    require(flips >= 0 && flips < 8, s"flips must be in [0,8), got $flips")
+    val w = 72; val h = 64
+    def baseGray(gx: Int, gy: Int): Int = {
+      // proper avalanche mix — a plain linear-mod-7 form makes patterns
+      // collide every 7 (131 ≡ 5 mod 7), destroying the cross-pattern
+      // Hamming margin the planted ground truth needs
+      var x = pattern * 73856093 ^ gx * 19349663 ^ gy * 83492791
+      x = (x ^ (x >>> 16)) * 0x45d9f3b
+      x = x ^ (x >>> 16)
+      40 + ((x & 0x7fffffff) % 7) * 25
+    }
+    def cellGray(gx: Int, gy: Int): Int =
+      if (gx == 0 && gy < flips) { if (baseGray(0, gy) > baseGray(1, gy)) 0 else 255 }
+      else baseGray(gx, gy)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x / 8; val gy = y / 8
+        var g = cellGray(gx, gy)
+        if (gy == 7) { // mean-preserving per-doc noise, bottom row only
+          val nx = (((noiseSeed + gx) % 8 + 8) % 8).toInt
+          if (x % 8 == nx && y % 8 == 0) g += 1
+          if (x % 8 == nx && y % 8 == 1) g -= 1
+        }
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A planted image-media table derived from a doc-id table: pattern =
+    * doc_id mod `patterns`, flips = (doc_id div patterns) mod 4, noise =
+    * doc_id — so ground-truth near-dup clusters are exactly the
+    * pattern groups (within a pattern, pairwise Hamming ≤ 3; across
+    * patterns, far — MultimodalSpec pins the margin).
+    */
+  def plantedImageTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val p = ((id % patterns + patterns) % patterns).toInt
+        val f = (((id / patterns) % 4 + 4) % 4).toInt
+        MediaRow(id, syntheticPatternPng(p, f, id), "image/png")
+      }
+    }.toDF("doc_id", "media", "media_type")
+  }
+
   private def imageMeta(r: MediaRow): MediaMeta = {
     // null media is a poison row like any other: degrade, don't NPE
     if (r.media == null) return MediaMeta(r.doc_id, 0, -1, -1, 0L)

@@ -23,44 +23,95 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Shared cleaner thread: releases a globalCumsum invocation's cache
+    * entry once the returned plan becomes unreachable (see
+    * [[globalCumsum]]'s lifecycle note).
+    */
+  private val cleaner = java.lang.ref.Cleaner.create()
+
   /** Exact global running total of `valueCol` in `orderCol` order,
     * returned as column `cum` (inclusive: the sum up to AND including the
-    * row). `orderCol` must be unique — it defines the corpus order, so
-    * ties would make "the" prefix sum ambiguous.
+    * row). `orderCol` must be unique and non-null — it defines the corpus
+    * order, so ties would make "the" prefix sum ambiguous.
     *
-    * The ranged intermediate is reused twice (offsets pass + output
-    * pass) via an eager `localCheckpoint`, NOT `persist`: checkpoint
-    * blocks are owned by the returned Dataset and reclaimed by the
-    * context cleaner once it is unreferenced, where a CacheManager entry
-    * would leak for the session lifetime on every invocation (the
-    * Graph.kCore discipline). Caveat shared with kCore: localCheckpoint
-    * blocks don't survive executor loss — in cluster mode a lost
-    * executor makes downstream recomputation fail rather than recompute;
-    * reliable `checkpoint()` is the cluster-HA variant.
+    * Shape: the naive window (`sum over Window.orderBy`) is a
+    * single-partition sort and cannot scale; the distributed form is
+    * bucket-by-order-range, per-bucket window, plus each bucket's prefix
+    * offset. One range exchange balances the buckets; ONE driver-side
+    * pass over it collects (Σ value, max order key) per range — ≤ `parts`
+    * rows, an offsets table, not data.
+    *
+    * Determinism (the r12→r14 history): the bucket id downstream used to
+    * be `spark_partition_id()`, which depends on `RangePartitioner`'s
+    * RANDOM sample (seeded from the RDD id) — so ANY recomputation of the
+    * ranged table silently reassigned boundary rows, and the intermediate
+    * had to be pinned at all costs (r12's `persist` leaked a
+    * session-lifetime CacheManager entry per invocation; r13's eager
+    * `localCheckpoint` paid a dedicated full-scan materialization job and
+    * still died on executor loss). r14 instead keys every downstream
+    * consumer on the DATA: the collected per-range `max(__ord)` values
+    * form an ascending boundary array (ranges are contiguous and ordered
+    * by pid), and [[graft.functions.RangeBucket]] re-derives each row's
+    * bucket by codegen'd binary search against that immutable array.
+    * `spark_partition_id` is consumed ONLY inside the one driver-collected
+    * pass; if the cache is lost and the exchange re-executes with
+    * different physical placement, the bucket — and therefore `cum` — is
+    * unchanged. Executor loss, speculative retries, and post-release
+    * derived plans all recompute correctly from lineage.
+    *
+    * Cache lifecycle: with correctness decoupled from physical placement,
+    * the persisted ranged table is a pure optimization (it feeds the
+    * offsets pass and the caller's output actions at columnar-cache
+    * speed). A [[java.lang.ref.Cleaner]] unpersists it once the returned
+    * plan is garbage-collected — no session-lifetime leak, and a derived
+    * plan that runs after release silently recomputes the right answer.
     */
   def globalCumsum(df: DataFrame, orderCol: Column, valueCol: Column,
       numPartitions: Int = 0): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // __pid is baked into the cached projection (a stored column, not a
+    // grouping over the nondeterministic-flagged spark_partition_id(),
+    // which would deoptimize the totals aggregate) and consumed ONLY by
+    // the driver-collected pass below — nothing downstream keys on it.
     val ranged = df
       .withColumn("__ord", orderCol).withColumn("__v", valueCol.cast("long"))
       .repartitionByRange(parts, col("__ord"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // Bounded driver step: ONE row per range partition (≤ `parts` longs),
-    // cumulated on the driver — the offsets table, not a data collect.
-    val totals = ranged.groupBy("__pid").agg(sum(col("__v")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ordType = ranged.schema("__ord").dataType
+    // Bounded driver step: ONE row per non-empty range partition
+    // (≤ `parts` rows), cumulated on the driver. Range partitions are
+    // contiguous ord intervals ordered by pid, so the per-partition max
+    // ords form the ascending boundary array and the dense index i is
+    // the bucket id.
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("t"), max(col("__ord")).as("mx"))
       .orderBy("__pid").collect()
     var acc = 0L
-    val offsets = totals.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    val offsets = totals.zipWithIndex.map { case (r, i) =>
+      val o = (i, acc); acc += r.getLong(1); o
     }.toSeq
-    val offsetDf = df.sparkSession.createDataFrame(offsets).toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy("__ord")
-    ranged.join(broadcast(offsetDf), "__pid")
+    val uppers = totals.map(_.get(2)).toSeq
+    val offsetDf = df.sparkSession.createDataFrame(offsets).toDF("__bkt", "__off")
+    val w = Window.partitionBy("__bkt").orderBy("__ord")
+    val out = ranged
+      .withColumn("__bkt", graft.functions.RangeBucket(col("__ord"), uppers, ordType))
+      .join(broadcast(offsetDf), "__bkt")
       .withColumn("cum", sum(col("__v")).over(w) + col("__off"))
-      .drop("__pid", "__off", "__ord", "__v")
+      .drop("__pid", "__bkt", "__off", "__ord", "__v")
+    // Register on `out`'s logical plan NODE, not `out`: callers derive new
+    // Datasets from `out` and drop it immediately, but every derived plan
+    // embeds this node as a subtree, keeping it — and therefore the cache —
+    // reachable for exactly as long as something could still read it.
+    // (CacheManager pins only the `ranged` subtree BELOW it; child
+    // pointers never keep parents alive.) The cleanup action must not
+    // capture the registered node — it captures `ranged`, whose unpersist
+    // is idempotent and non-blocking.
+    cleaner.register(org.apache.spark.sql.GraftSqlBridge.logicalPlanOf(out),
+      () => ranged.unpersist(false))
+    out
   }
 
   /** Exact global 1-based row number in `orderCol` order, as column
@@ -86,11 +137,21 @@ object Packing {
     * (they contribute no tokens).
     */
   def packTokenStream(df: DataFrame, id: Column, text: Column,
-      budget: Int, numPartitions: Int = 0): DataFrame = {
+      budget: Int, numPartitions: Int = 0): DataFrame =
+    packCounted(
+      df.where(text.isNotNull)
+        .select(id.as("id"), TextAnalysis.tokenCount(text).as("n_tokens")),
+      budget, numPartitions)
+
+  /** [[packTokenStream]] over a caller-supplied token-count table —
+    * (id, n_tokens), one row per doc — so the budget can be measured by
+    * ANY counter: whitespace tokens (the default above), real BPE merged
+    * tokens ([[Bpe.packTokenStream]]), or an external tokenizer's counts
+    * joined in as a table.
+    */
+  def packCounted(counts: DataFrame, budget: Int, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val docs = df.where(text.isNotNull)
-      .select(id.as("id"), TextAnalysis.tokenCount(text).as("n_tokens"))
-    val cum = globalCumsum(docs, col("id"), col("n_tokens"), numPartitions)
+    val cum = globalCumsum(counts, col("id"), col("n_tokens"), numPartitions)
     // `div`, not `/`: Spark's `/` is double division, and a 100-TB token
     // stream sits near 2^53 where double loses integer exactness.
     cum

@@ -570,21 +570,37 @@ object TextAnalysis {
     * sequence), mirroring the tokenizer ops above.
     */
   def chunkTokens(df: DataFrame, id: Column, text: Column,
-      maxTokens: Int, overlap: Int): DataFrame = {
+      maxTokens: Int, overlap: Int): DataFrame =
+    chunkTokenArrays(df.select(id.as("doc_id"), tokens(text).as("toks")),
+      maxTokens, overlap, sep = " ")
+
+  /** [[chunkTokens]] on REAL BPE merged tokens ([[Bpe]]): the chunk budget
+    * counts what a byte-pair tokenizer would emit, and `chunk_text`
+    * reassembles by plain concatenation — BPE tokens carry their own
+    * leading spaces, so the chunk text is exactly the original slice.
+    */
+  def chunkBpeTokens(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)], maxTokens: Int, overlap: Int): DataFrame =
+    chunkTokenArrays(Bpe.encodeTokens(df, id, text, merges), maxTokens, overlap, sep = "")
+
+  /** Core chunker over a prepared (doc_id, toks ARRAY<STRING>) table —
+    * the arithmetic/slice step shared by the whitespace and BPE fronts.
+    */
+  def chunkTokenArrays(prepared: DataFrame, maxTokens: Int, overlap: Int,
+      sep: String): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
-    val toks = tokens(text)
-    val n = size(toks)
+    val n = size(col("toks"))
     val nChunks = when(n <= maxTokens, lit(1))
       .otherwise(ceil((n - maxTokens).cast("double") / stride).cast("int") + 1)
-    val piece = df
-      .select(id.as("doc_id"), toks.as("__toks"), n.as("n_tokens"),
+    val piece = prepared
+      .select(col("doc_id"), col("toks").as("__toks"), n.as("n_tokens"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
     val part = slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens))
     piece.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-      array_join(part, " ").as("chunk_text"),
+      array_join(part, sep).as("chunk_text"),
       size(part).as("chunk_tokens"))
   }
 

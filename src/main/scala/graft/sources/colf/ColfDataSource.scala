@@ -1282,7 +1282,7 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       spjPartCols.map(pc => tv.getOrElse(pc, throw new IllegalStateException(
         s"colf: SPJ partition value for '$pc' missing on ${r.path} — " +
           "layout changed since the table was resolved")))
-    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
 
   private def spjActive: Boolean = spjPartCols.nonEmpty && spjGroups.nonEmpty
 

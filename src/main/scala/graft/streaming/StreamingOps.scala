@@ -483,4 +483,109 @@ object StreamingOps {
           }
       }
   }
+
+  /** STREAMING item-item collaborative filtering, maintained by
+    * foreachBatch incremental co-occurrence — the streaming counterpart
+    * of [[graft.operators.Analytics.itemNeighbors]].
+    *
+    * Feed contract: BASKET-ATOMIC and append-only — every microbatch
+    * carries complete baskets and a basket id never reappears (a CDC feed
+    * of completed orders satisfies this; an open-cart stream does not).
+    * Under that contract the per-batch pair counts are exactly additive,
+    * so each refresh costs O(changed baskets): the within-batch
+    * basket-keyed self-join (work ∝ Σ|basket|² over NEW baskets only)
+    * plus one keyed merge into state — never a recompute over history.
+    *
+    * State: two count tables under `stateDir` — unordered pair
+    * co-occurrence (`pairs`: item_a < item_b, n) and per-item basket
+    * counts (`items`: it, n) — merged per batch with a full-outer
+    * read-modify-write into an alternating cur/next directory (the
+    * [[graft.operators.Incremental.maintainSumCount]] idiom; on a
+    * production lakehouse the same delta MERGEs into a colf/Delta table —
+    * identical delta shape, O(delta) shuffle). Counts are exact longs, so
+    * maintenance is associative across any microbatch split and the
+    * maintained state is bit-equal to a one-shot recompute
+    * (StreamingItemCFSpec pins it; `q_stream_item_cf` shares
+    * `q_item_cf`'s oracle).
+    *
+    * Returns the started query (AvailableNow); await it, then read
+    * neighbors with [[itemCFFromState]].
+    */
+  def maintainItemCF(feed: DataFrame, basketCol: String, itemCol: String,
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    feed.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+          .distinct()
+          .localCheckpoint(true) // two consumers below; batch-scoped blocks
+        val dPairs = b.as("a").join(b.as("b"), "bk")
+          .where(col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+          .agg(count(lit(1)).as("dn"))
+        val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
+        mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs)
+        mergeCountState(s"$stateDir/items", Seq("it"), dItems)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One keyed merge of a (+keys, dn) delta into the parquet count table
+    * at `dir/cur`: read-modify-write to `dir/next`, then swap — the
+    * alternating-directory commit that keeps the read and write sides of
+    * one batch on different paths. Batches of one streaming query run
+    * sequentially, so the swap needs no cross-writer coordination.
+    */
+  private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = delta.sparkSession
+    val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/cur")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/next")
+    val fs = cur.getFileSystem(hconf)
+    val merged =
+      if (fs.exists(cur)) {
+        val existing = spark.read.parquet(cur.toString)
+        existing.join(delta, keys, "full_outer")
+          .select(keys.map(col) :+
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
+      } else delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(cur, true)
+    if (!fs.rename(next, cur))
+      throw new IllegalStateException(s"state swap failed for $dir")
+  }
+
+  /** Top-k neighbors from the maintained [[maintainItemCF]] state —
+    * the exact [[graft.operators.Analytics.itemNeighbors]] scoring
+    * (cosine = cooc/√(cnt_a·cnt_b); ties (cos desc, cooc desc, nbr asc))
+    * over the maintained counts, so a drained stream's neighbors equal
+    * the one-shot batch computation row for row.
+    */
+  def itemCFFromState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      k: Int, minPairs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val pairs = spark.read.parquet(s"$stateDir/pairs/cur")
+      .where(col("n") >= minPairs)
+      .select(col("item_a"), col("item_b"), col("n").as("cooc"))
+    val itemCnt = spark.read.parquet(s"$stateDir/items/cur")
+      .select(col("it"), col("n").as("cnt"))
+    val both = pairs.select(col("item_a").as("item"), col("item_b").as("nbr"), col("cooc"))
+      .unionAll(pairs.select(col("item_b").as("item"), col("item_a").as("nbr"), col("cooc")))
+    val scored = both
+      .join(broadcast(itemCnt.toDF("item", "cnt_i")), "item")
+      .join(broadcast(itemCnt.toDF("nbr", "cnt_n")), "nbr")
+      .withColumn("cos", col("cooc").cast("double") /
+        sqrt((col("cnt_i") * col("cnt_n")).cast("double")))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cos").desc, col("cooc").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("item"), col("nbr"), col("cooc"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
 }

@@ -12,6 +12,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Whether the session's CacheManager holds any entries — the class is
+    * `private[sql]`, so specs reach it through here to assert operators
+    * with Cleaner-scoped caches (Packing.globalCumsum) never leave a
+    * session-lifetime cache entry behind.
+    */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** The analyzed logical plan OBJECT a Dataset embeds into plans derived
+    * from it (`private[sql]` in Spark 4). Packing.globalCumsum registers
+    * its cache-release Cleaner on this node: every derived Dataset holds
+    * it as a subtree (plan child pointers only go downward), so the cache
+    * lives exactly as long as some plan that can still read it.
+    */
+  def logicalPlanOf(df: Dataset[_]): AnyRef =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
   /** Column → Catalyst expression via the FULL ColumnNode conversion (the
     * one Dataset.select applies), yielding `UnresolvedFunction` nodes the
     * analyzer can resolve. [[expression]] is a thin wrapper fine for

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, TextAnalysis}
+
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  val merges: Seq[(String, String)] = Bpe.DemoMerges
+
+  test("DemoMerges is a valid (sequential-replayable) table") {
+    Bpe.validateMerges(merges)
+    // and an invalid one is rejected: 'th' consumed before produced
+    assertThrows[IllegalArgumentException] {
+      Bpe.validateMerges(Seq(("th", "e"), ("t", "h")))
+    }
+  }
+
+  test("encode: hand-computed matrix over DemoMerges") {
+    // "the": t,h -> th (rule 0); th,e -> the (rule 6)
+    assert(Bpe.encode("the", merges).toSeq == Seq("the"))
+    // min-rank order matters: [t,h,e,r] -> th,e,r (0); then (e,r)@3 beats
+    // (th,e)@6 -> th,er — NOT "the","r"
+    assert(Bpe.encode("ther", merges).toSeq == Seq("th", "er"))
+    // leading space rides the pre-token and never merges (no space rules)
+    assert(Bpe.encode("the cat ate the hat", merges).toSeq ==
+      Seq("the", " ", "c", "at", " ", "at", "e", " ", "the", " ", "h", "at"))
+    // contraction pre-tokens: "don't" -> "d","on" | "'t"
+    assert(Bpe.encode("don't", merges).toSeq == Seq("d", "on", "'", "t"))
+    // digits and punctuation pre-tokenize separately, no merges apply
+    assert(Bpe.encode("a1!?", merges).toSeq == Seq("a", "1", "!", "?"))
+    // repeated pair merges all occurrences left-to-right: "inin" -> in,in
+    assert(Bpe.encode("inin", merges).toSeq == Seq("in", "in"))
+    // empty and whitespace-only
+    assert(Bpe.encode("", merges).isEmpty)
+    assert(Bpe.encode("   ", merges).toSeq == Seq(" ", " ", " "))
+    // supplementary char is ONE initial token (code-point split)
+    assert(Bpe.encode("𝕏y", merges).toSeq == Seq("𝕏", "y"))
+    // oracle delimiters are stripped before tokenization
+    assert(Bpe.encode("t\u0001h\u0002e", merges).toSeq == Seq("the"))
+  }
+
+  test("token concatenation reassembles the matched input") {
+    val texts = Seq("the rain in spain", "it's 42 degrees!", "ingesting tokens, ok?")
+    for (t <- texts) {
+      assert(Bpe.encode(t, merges).mkString == t,
+        s"round-trip failed for '$t'") // every char here is pattern-covered
+    }
+  }
+
+  /** The oracle's replay: wrap code points as \u0001cp\u0002, apply each
+    * merge in rank order as a plain non-overlapping replace, count
+    * delimiters — the exact algorithm the q_bpe_encode DuckDB SQL runs.
+    */
+  private def replayCount(text: String): Long = {
+    val clean = text.replace("\u0001", "").replace("\u0002", "")
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpeTokenPattern)
+    val m = pat.matcher(clean)
+    var total = 0L
+    while (m.find()) {
+      var s = Bpe.codePoints(m.group()).map(cp => "\u0001" + cp + "\u0002").mkString
+      for ((a, b) <- merges)
+        s = s.replace("\u0001" + a + "\u0002\u0001" + b + "\u0002", "\u0001" + a + b + "\u0002")
+      total += s.count(_ == '\u0001')
+    }
+    total
+  }
+
+  test("sequential-replay equivalence: replace-chain count == real BPE count") {
+    // deterministic pseudo-random words over the merge alphabet — the
+    // worst case for replay divergence (dense rule applicability)
+    val alpha = "theinandorgsu "
+    val texts = (0 until 400).map { i =>
+      val len = i % 37 + 1
+      (0 until len).map(j => alpha((i * 31 + j * 17) % alpha.length)).mkString
+    } ++ Seq("the cat ate the hat", "don't stop", "ingesting the tokens",
+      "aaa bbb', x9 ?!", "\u0001weird\u0002 bytes")
+    for (t <- texts) {
+      assert(Bpe.encode(t, merges).length.toLong == replayCount(t),
+        s"replay diverged for '$t'")
+    }
+  }
+
+  test("tokenCounts: distributed counts match the local kernel") {
+    val docs = Seq(
+      (1L, "the cat ate the hat"), (2L, "don't stop believing"),
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "ingesting!")
+    ).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, $"doc_id", $"text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> Bpe.encode("the cat ate the hat", merges).length.toLong,
+      2L -> Bpe.encode("don't stop believing", merges).length.toLong,
+      3L -> 0L,
+      5L -> Bpe.encode("ingesting!", merges).length.toLong))
+  }
+
+  test("chunkBpeTokens: chunk text reassembles exactly, budget respected") {
+    val text = "the cat ate the hat on the mat and sat"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val toks = Bpe.encode(text, merges)
+    val chunks = TextAnalysis.chunkBpeTokens(docs, $"doc_id", $"text", merges,
+      maxTokens = 7, overlap = 2).orderBy("chunk_id")
+      .select("chunk_text", "chunk_tokens", "n_tokens")
+      .as[(String, Int, Int)].collect()
+    assert(chunks.head._3 == toks.length)
+    assert(chunks.forall(_._2 <= 7))
+    // stride-5 windows of the true token stream, rejoined with ""
+    val expected = toks.sliding(7, 5).map(_.mkString).toSeq
+    assert(chunks.map(_._1).toSeq == expected.take(chunks.length))
+    // full coverage: first chunk starts the text, last chunk ends it
+    assert(chunks.head._1.startsWith("the"))
+    assert(text.endsWith(chunks.last._1.takeRight(3)))
+  }
+
+  test("Bpe.packTokenStream packs on merged-token counts") {
+    val docs = Seq(
+      (1L, "the the"), // the, space, the = 3 tokens
+      (2L, "in an on"), // in,' ',an,' ',on = 5
+      (3L, "sting") // st,ing = 2
+    ).toDF("doc_id", "text")
+    val packed = Bpe.packTokenStream(docs, $"doc_id", $"text", merges, budget = 4)
+      .orderBy("id", "pack_id")
+      .select("id", "pack_id", "pack_offset", "n_in_pack")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // stream: doc1 [0,3), doc2 [3,8), doc3 [8,10); packs of 4:
+    //   doc1 -> pack0 off0 n3; doc2 -> pack0 off3 n1 + pack1 off0 n4;
+    //   doc3 -> pack2 off0 n2
+    assert(packed == Seq(
+      (1L, 0L, 0L, 3L),
+      (2L, 0L, 3L, 1L), (2L, 1L, 0L, 4L),
+      (3L, 2L, 0L, 2L)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Pins the perceptual-hash image-dedup pipeline: dHash determinism and
+  * bit-exact flip semantics on the planted patterns, the cross-pattern
+  * Hamming margin `q_dedup_image`'s closed-form oracle relies on, poison
+  * behavior, and the end-to-end decode→hash→block→cluster path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: planted flips move EXACTLY that many bits, noise moves none") {
+    for (p <- 0 until 10) {
+      val base = Multimodal.dHash64(Multimodal.syntheticPatternPng(p, 0, 1L)).get
+      for (f <- 1 until 4) {
+        val v = Multimodal.dHash64(Multimodal.syntheticPatternPng(p, f, 2L)).get
+        assert(hamming(base, v) == f, s"pattern $p flips $f")
+        // the flipped bits are column 0 of rows < f: bit indices 8*gy
+        assert((base ^ v) == (0 until f).map(gy => 1L << (gy * 8)).reduce(_ | _))
+      }
+      // byte-level noise is mean-preserving: different bytes, same hash
+      val n1 = Multimodal.syntheticPatternPng(p, 2, 11L)
+      val n2 = Multimodal.syntheticPatternPng(p, 2, 12L)
+      assert(!java.util.Arrays.equals(n1, n2))
+      assert(Multimodal.dHash64(n1) == Multimodal.dHash64(n2))
+    }
+  }
+
+  test("dHash: cross-pattern margin clears the radius even after flips") {
+    val flipMask = ~((0 until 3).map(gy => 1L << (gy * 8)).reduce(_ | _))
+    val bases = (0 until 10).map(p =>
+      Multimodal.dHash64(Multimodal.syntheticPatternPng(p, 0, 0L)).get)
+    for (p <- 0 until 10; q <- (p + 1) until 10) {
+      // variants may alter only the 3 flip bits on each side, so the
+      // masked distance lower-bounds any variant pair across patterns;
+      // it must clear maxHamming=3 with margin
+      val masked = hamming(bases(p) & flipMask, bases(q) & flipMask)
+      assert(masked > 6, s"patterns $p vs $q too close: masked hamming $masked")
+    }
+  }
+
+  test("dHash: PNG re-encode keeps the hash bit-identical; poison rows are null") {
+    val png = Multimodal.syntheticPatternPng(3, 1, 7L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash64(bos.toByteArray) == Multimodal.dHash64(png))
+    assert(Multimodal.dHash64(null).isEmpty)
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+    // decodable but smaller than the 9x8 grid
+    val tiny = {
+      val i = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", b)
+      b.toByteArray
+    }
+    assert(Multimodal.dHash64(tiny).isEmpty)
+  }
+
+  test("end to end: planted table clusters are exactly the pattern groups") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val media = Multimodal.plantedImageTable(ids, patterns = 10)
+    val hashes = Multimodal.imageHashes(media)
+    val got = Dedup.hammingClusters(hashes, col("doc_id"), col("dhash"), maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 120)
+    for ((id, cluster) <- got) assert(cluster == id % 10, s"doc $id")
+    // poison row joins as its own singleton
+    val withPoison = hashes.unionByName(
+      Seq((999L, None: Option[Long])).toDF("doc_id", "dhash"))
+    val got2 = Dedup.hammingClusters(withPoison, col("doc_id"), col("dhash"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(999L) == 999L)
+    assert(got2.size == 121)
+  }
+
+  test("hammingClusters: exact-duplicate signatures collapse before blocking") {
+    // 1000 identical signatures + one 2-bit neighbor: no quadratic chunk
+    // flood (reps = 2 rows), every member lands in one cluster
+    val sigs = (0L until 1000L).map(i => (i, 0xABCDEF0123456789L))
+      .toDF("doc_id", "sig")
+      .unionByName(Seq((5000L, 0xABCDEF0123456789L ^ 3L)).toDF("doc_id", "sig"))
+    val got = Dedup.hammingClusters(sigs, col("doc_id"), col("sig"), maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1001)
+    assert(got.values.toSet == Set(0L))
+  }
+}

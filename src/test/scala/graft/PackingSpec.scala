@@ -31,6 +31,50 @@ class PackingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("globalCumsum: re-execution exact, struct keys, cache released on GC") {
+    // The r12->r13->r14 history this guards: the offsets used to be keyed
+    // on spark_partition_id() after the range exchange, which made any
+    // recomputation silently WRONG (partition ids depend on
+    // RangePartitioner's random sample) and forced a pin — persist leaked
+    // a session-lifetime CacheManager entry per invocation, localCheckpoint
+    // paid a slower block path and died on executor loss. r14 keys buckets
+    // on the DATA (RangeBucket over sketched boundaries): re-executing the
+    // SAME returned plan repeatedly must be value-identical even after the
+    // cache entry is dropped, and the Cleaner must release the entry once
+    // the returned plan is unreachable.
+    spark.catalog.clearCache()
+    val df = (1 to 997).map(i => (i.toLong, (i * 11 % 19) + 1)).toDF("id", "v")
+    var out = Packing.globalCumsum(df, $"id", $"v", numPartitions = 7)
+    val first = out.select("id", "cum").as[(Long, Long)].collect().toMap
+    // drop the cache NOW and re-execute the SAME plan: the recompute path
+    // (executor loss / post-release derived plan) must reassign identically
+    spark.catalog.clearCache()
+    val second = out.select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(first == second, "recompute after cache loss must reassign identically")
+    val expected = df.as[(Long, Long)].collect().sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }.drop(1).toMap
+    assert(first == expected)
+    // struct order keys exercise RangeBucket's interpreted ordering on
+    // non-primitive types (the globalRowNumber tie-break composition)
+    val sdf = (1 to 400).map(i => (i % 20, i.toLong, 1L)).toDF("k", "t", "v")
+    val sout = Packing.globalCumsum(sdf, struct($"k", $"t"), $"v", numPartitions = 6)
+      .select($"k", $"t", $"cum").as[(Int, Long, Long)].collect()
+    val sexp = (1 to 400).map(i => (i % 20, i.toLong)).sorted.zipWithIndex
+      .map { case ((k, t), idx) => (k, t, idx + 1L) }.toSet
+    assert(sout.toSet == sexp)
+    // Cleaner lifecycle: once no returned plan is reachable, the cache
+    // entries must drain (GC-driven, so poll with explicit gc)
+    out = null
+    val deadline = System.currentTimeMillis() + 30000
+    while (!org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark) &&
+        System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+    }
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark),
+      "globalCumsum cache entries must be Cleaner-released once the plan is unreachable")
+  }
+
   test("packTokenStream: docs span pack boundaries with exact offsets") {
     // token counts 4, 5, 3, 8 at budget 10:
     //   doc 1 -> [0,4)   pack 0 offset 0, 4 tokens

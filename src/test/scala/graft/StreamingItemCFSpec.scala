@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.streaming.StreamingOps
+
+/** Pins the foreachBatch item-CF maintenance contract: a basket-atomic
+  * feed drained through ANY microbatch split yields maintained state —
+  * and therefore neighbors — equal to the one-shot batch computation.
+  */
+class StreamingItemCFSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("maintained neighbors == one-shot itemNeighbors across 3 microbatches") {
+    // 30 baskets over 8 items, deterministic contents, plenty of shared
+    // pairs; baskets assigned whole to one of three feed files
+    val rows = for {
+      bk <- 0L until 30L
+      slot <- 0 until (bk % 4 + 2).toInt
+    } yield (bk, ((bk * 7 + slot * slot + slot) % 8).toLong)
+    val df = rows.toDF("bk", "it")
+    val feedDir = tmp("itemcf-feed")
+    val stateDir = tmp("itemcf-state")
+    for (r <- 0 until 3)
+      df.where($"bk" % 3 === r).coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = spark.readStream.schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    StreamingOps.maintainItemCF(feed, "bk", "it", stateDir).awaitTermination()
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"item".cast("long"), $"nbr".cast("long"), $"cooc".cast("long"),
+          $"cos", $"rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val maintained = canon(StreamingOps.itemCFFromState(spark, stateDir, k = 3, minPairs = 2))
+    val oneShot = canon(Analytics.itemNeighbors(df, $"bk", $"it", k = 3, minPairs = 2))
+    assert(maintained == oneShot)
+    assert(maintained.nonEmpty)
+  }
+
+  test("state is additive: a second maintenance run over extra baskets extends it") {
+    val base = (0L until 10L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
+    val extra = (10L until 20L).flatMap(bk => Seq((bk, 1L), (bk, 3L))).toDF("bk", "it")
+    val stateDir = tmp("itemcf-state2")
+    def drain(d: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      val fd = tmp("itemcf-feed2-" + java.lang.Long.toHexString(System.nanoTime()))
+      d.coalesce(1).write.mode("append").parquet(fd)
+      val feed = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fd)
+      StreamingOps.maintainItemCF(feed, "bk", "it", dir).awaitTermination()
+    }
+    drain(base, stateDir)
+    drain(extra, stateDir)
+    val pairs = spark.read.parquet(s"$stateDir/pairs/cur")
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) from the first run, (1,3) from the second, both over item 1
+    assert(pairs == Set((1L, 2L, 10L), (1L, 3L, 10L)))
+    val items = spark.read.parquet(s"$stateDir/items/cur")
+      .as[(Long, Long)].collect().toMap
+    assert(items == Map(1L -> 20L, 2L -> 10L, 3L -> 10L))
+  }
+}
