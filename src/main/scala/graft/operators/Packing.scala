@@ -29,6 +29,24 @@ object Packing {
     */
   private val cleaner = java.lang.ref.Cleaner.create()
 
+  /** Deterministic backstop for the GC-driven Cleaner: at most this many
+    * globalCumsum caches live at once — each new invocation retires the
+    * oldest beyond the cap (FIFO). The Cleaner only fires after a GC
+    * collects the dead plan nodes, so a tight loop of invocations (a
+    * bench, a backfill) could otherwise accumulate dead cached tables
+    * until the next old-gen GC. Eviction is SAFE by construction: buckets
+    * are data-keyed, so a still-referenced plan whose cache was retired
+    * silently recomputes the identical result (PackingSpec pins this).
+    */
+  private val MaxLiveCaches = 8
+  private val liveCaches = new java.util.ArrayDeque[DataFrame]()
+
+  private def trackCache(ranged: DataFrame): Unit = liveCaches.synchronized {
+    liveCaches.addLast(ranged)
+    while (liveCaches.size > MaxLiveCaches)
+      liveCaches.removeFirst().unpersist(false)
+  }
+
   /** Exact global running total of `valueCol` in `orderCol` order,
     * returned as column `cum` (inclusive: the sum up to AND including the
     * row). `orderCol` must be unique and non-null — it defines the corpus
@@ -111,6 +129,7 @@ object Packing {
     // is idempotent and non-blocking.
     cleaner.register(org.apache.spark.sql.GraftSqlBridge.logicalPlanOf(out),
       () => ranged.unpersist(false))
+    trackCache(ranged) // FIFO cap — the GC-independent backstop
     out
   }
 
