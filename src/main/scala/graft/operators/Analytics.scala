@@ -749,11 +749,17 @@ object Analytics {
       .withColumn("diff", when(col("n1") > 0 && col("n2") > 0, abs(
         col("c1").cast("double") / col("n1").cast("double") -
           col("c2").cast("double") / col("n2").cast("double"))))
-    val ks = diffs.agg(max(col("diff")).as("ks"))
-    diffs.crossJoin(broadcast(ks))
-      .where(col("diff") === col("ks"))
-      .groupBy(col("n1"), col("n2"), col("ks"))
-      .agg(min(col("v")).as("v_at"))
+    // D and its attaining value in ONE aggregation: v_at = the v of the
+    // row minimizing (−diff, v), i.e. max diff then smallest v — the
+    // min_by form replaces the previous max-then-rejoin, which evaluated
+    // the whole diffs pipeline (both prefix sums included) TWICE per
+    // action. Ties are impossible in the ordering struct (v is distinct
+    // by the groupBy above), so min_by is deterministic; negation of a
+    // double is exact.
+    diffs.where(col("diff").isNotNull)
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("diff")).as("ks"),
+        min_by(col("v"), struct((-col("diff")).as("nd"), col("v"))).as("v_at"))
       .select(col("n1"), col("n2"), col("ks"), col("v_at"))
   }
 
