@@ -41,7 +41,8 @@ object Bench {
     "q_ewma", "q_survival_km", "q_chisq_indep", "q_ks_test", "q_item_cf",
     "q_golden_record", "q_benford",
     "q_l_diversity", "q_holt", "q_sssp", "q_rrf_fusion",
-    "q_bpe_encode", "q_dedup_image",
+    "q_bpe_encode", "q_dedup_image", "q_pack_bpe", "q_chunk_bpe",
+    "q_stream_item_cf",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -2160,6 +2160,24 @@ object SparkEntry {
         operators.Bpe.DemoMerges)
     }),
 
+    "q_pack_bpe" -> ((s, dir) =>
+      // Sequence packing on TRUE BPE token counts (budget measured in
+      // merged tokens, not whitespace pieces) — the Bpe-counter wiring of
+      // packCounted, end to end. Zero-token docs (empty text) occupy no
+      // pack. Oracle: q_pack's global-window replay over the q_bpe_encode
+      // counting expression.
+      operators.Bpe.packTokenStream(t(s, dir, "documents"),
+        col("doc_id"), col("text"), operators.Bpe.DemoMerges, budget = 48)),
+
+    "q_chunk_bpe" -> ((s, dir) =>
+      // Overlapping chunking over REAL BPE token streams: budget counts
+      // merged tokens and chunk_text reassembles by plain concatenation
+      // (BPE tokens carry their own leading spaces). Oracle: DuckDB
+      // rebuilds the token ARRAYS from the delimited replace-chain and
+      // replays the slicing.
+      TextAnalysis.chunkBpeTokens(t(s, dir, "documents"), col("doc_id"),
+        col("text"), operators.Bpe.DemoMerges, maxTokens = 32, overlap = 8)),
+
     "q_dsir_select" -> ((s, dir) => {
       // DSIR data selection: the 100 documents whose hashed-unigram
       // features look most like the English subset (the "target") relative
@@ -3133,6 +3151,30 @@ object SparkEntry {
       |  SELECT item, nbr, cooc, cos, row_number() OVER (
       |      PARTITION BY item ORDER BY cos DESC, cooc DESC, nbr) AS "rank"
       |  FROM sc) WHERE "rank" <= 5""".stripMargin
+
+  /** The BPE merge replay shared by the q_bpe_encode / q_pack_bpe /
+    * q_chunk_bpe oracles: each pre-token exploded to delimited code
+    * points, then the merge table applied as a chain of plain replace()
+    * calls in rank order — exact for a VALID table (operators.Bpe
+    * scaladoc proves the equivalence).
+    */
+  private def bpeOracleChain: String =
+    operators.Bpe.DemoMerges.foldLeft(
+      "regexp_replace(pt, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
+    }
+
+  /** DuckDB expression: the full BPE token ARRAY of `text` — flattened
+    * per-pre-token token lists recovered from the delimited replay.
+    */
+  private def bpeOracleToks: String = {
+    val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    s"flatten(list_transform(regexp_extract_all(" +
+      s"replace(replace(text, chr(1), ''), chr(2), ''), '$pat'), " +
+      s"pt -> list_transform(string_split($bpeOracleChain, chr(1))[2:], " +
+      "t -> replace(t, chr(2), ''))))"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -4556,17 +4598,44 @@ object SparkEntry {
     // from the input on both engines, making the delimiting unambiguous.
     "q_bpe_encode" -> {
       val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
-      val chain = operators.Bpe.DemoMerges.foldLeft(
-        "regexp_replace(pt, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')") {
-        case (acc, (a, b)) =>
-          s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
-      }
       s"""SELECT doc_id,
          |  CAST(coalesce(list_sum(list_transform(
          |    regexp_extract_all(replace(replace(text, chr(1), ''), chr(2), ''), '$pat'),
-         |    pt -> len(string_split($chain, chr(1))) - 1)), 0) AS BIGINT) AS n_bpe_tokens
+         |    pt -> len(string_split($bpeOracleChain, chr(1))) - 1)), 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents WHERE text IS NOT NULL""".stripMargin
     },
+
+    // q_pack's global-window replay with n_tokens = the TRUE BPE count
+    // (len of the replayed token array); zero-token docs fall out of the
+    // empty generate_series exactly as packCounted's n_tokens > 0 filter.
+    "q_pack_bpe" ->
+      s"""SELECT id, n_tokens, CAST(p AS BIGINT) AS pack_id,
+         |  CAST(greatest(s, p*48) - p*48 AS BIGINT) AS pack_offset,
+         |  CAST(least(c, (p+1)*48) - greatest(s, p*48) AS BIGINT) AS n_in_pack
+         |FROM (
+         |  SELECT id, n_tokens, s, c, unnest(generate_series(s // 48, (c-1) // 48)) AS p
+         |  FROM (
+         |    SELECT doc_id AS id, n_tokens,
+         |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS s,
+         |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, CAST(len($bpeOracleToks) AS BIGINT) AS n_tokens
+         |          FROM documents WHERE text IS NOT NULL)))""".stripMargin,
+
+    // q_chunk's list-slicing replay over the replayed BPE token arrays;
+    // sep '' because BPE tokens carry their own leading spaces. DuckDB
+    // slices are 1-based inclusive-end: toks[i*24+1 : i*24+32] == Spark
+    // slice(toks, i*24+1, 32).
+    "q_chunk_bpe" ->
+      s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  coalesce(array_to_string(toks[(i*24+1):(i*24+32)], ''), '') AS chunk_text,
+         |  CAST(len(toks[(i*24+1):(i*24+32)]) AS INTEGER) AS chunk_tokens
+         |FROM (
+         |  SELECT doc_id, toks, unnest(generate_series(0,
+         |    CASE WHEN len(toks) <= 32 THEN 0
+         |         ELSE CAST(ceil((len(toks)-32)/24.0) AS INTEGER) END)) AS i
+         |  FROM (SELECT doc_id, $bpeOracleToks AS toks
+         |        FROM documents WHERE text IS NOT NULL))""".stripMargin,
 
     // The composed pipeline replayed stage for stage: arg_min mirrors
     // min_by, the DSIR CTEs are fit on the DEDUPED corpus (not raw —

@@ -406,7 +406,14 @@ object Dedup {
     require(64 % nChunks == 0, s"64 must divide into $nChunks equal chunks")
     val width = 64 / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    // Materialize the (id, sig) table ONCE before fan-out: three
+    // consumers read it (rep table, member map, null-singleton union),
+    // and its lineage is typically an expensive media decode+hash
+    // pipeline that must not re-execute per consumer. 16 bytes/row —
+    // the bounded-narrow-table checkpoint discipline of
+    // [[connectedComponents]]'s edge list.
     val all = sigs.select(id.cast("long").as("id"), sig.as("sig"))
+      .localCheckpoint(true)
     val clean = all.where(col("sig").isNotNull)
     // exact-duplicate guard: one representative per distinct signature
     // rides the chunk join; members inherit the rep's cluster afterwards

@@ -356,6 +356,9 @@ object Multimodal {
     if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk ARGB fetch — per-pixel getRGB pays a color-model call per
+    // pixel and dominated the planted-corpus benchmark
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     val sums = Array.ofDim[Long](9, 8)
     val areas = Array.ofDim[Long](9, 8)
     var gx = 0
@@ -367,9 +370,10 @@ object Multimodal {
         var s = 0L
         var y = y0
         while (y < y1) {
+          val row = y * w
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(row + x)
             s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
               114L * (rgb & 0xff)
             x += 1
@@ -445,6 +449,7 @@ object Multimodal {
       else baseGray(gx, gy)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h) // bulk write — setRGB per pixel is slow
     var y = 0
     while (y < h) {
       var x = 0
@@ -456,11 +461,12 @@ object Multimodal {
           if (x % 8 == nx && y % 8 == 0) g += 1
           if (x % 8 == nx && y % 8 == 1) g -= 1
         }
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        px(y * w + x) = (g << 16) | (g << 8) | g
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

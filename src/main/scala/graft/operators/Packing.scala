@@ -170,7 +170,13 @@ object Packing {
     */
   def packCounted(counts: DataFrame, budget: Int, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val cum = globalCumsum(counts, col("id"), col("n_tokens"), numPartitions)
+    // Zero-token docs occupy no pack — and MUST be dropped before the
+    // explode: with cum == __start, `sequence(a, a-1)` would count DOWN
+    // (Spark's default step is -1 when start > stop) and emit two bogus
+    // rows. Unreachable from whitespace counts (always ≥ 1) but real for
+    // BPE counts (empty text, a lone apostrophe).
+    val nonEmpty = counts.where(col("n_tokens") > 0)
+    val cum = globalCumsum(nonEmpty, col("id"), col("n_tokens"), numPartitions)
     // `div`, not `/`: Spark's `/` is double division, and a 100-TB token
     // stream sits near 2^53 where double loses integer exactness.
     cum

@@ -558,6 +558,88 @@ object StreamingOps {
       throw new IllegalStateException(s"state swap failed for $dir")
   }
 
+  /** [[maintainItemCF]] with the engine's OWN lakehouse tables as the
+    * state store: per batch, the pair/item deltas `MERGE INTO` two colf
+    * tables (`stateDir/pairs`, `stateDir/items`) through the row-level
+    * copy-on-write path — runtime group filtering on `_file` rewrites
+    * only the files that hold matched keys, so a batch's write cost is
+    * O(files touched by the delta), not O(state) like the parquet
+    * read-modify-write above. This is the production shape at 100 TB:
+    * the maintained view lives in a queryable, versioned, time-travelable
+    * table of the engine's own format. Same feed contract and exactness
+    * as [[maintainItemCF]]; read with [[itemCFFromColfState]].
+    */
+  def maintainItemCFColf(feed: DataFrame, basketCol: String, itemCol: String,
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    feed.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.catalog.colf_cat",
+          classOf[graft.sources.colf.ColfCatalog].getName)
+        val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+          .distinct()
+          .localCheckpoint(true)
+        val dPairs = b.as("a").join(b.as("b"), "bk")
+          .where(col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+          .agg(count(lit(1)).as("dn"))
+        val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
+        mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs)
+        mergeColfCountState(s"$stateDir/items", Seq("it"), dItems)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One keyed MERGE of a (+keys, dn) delta into the colf count table at
+    * `dir` (created from the first delta): matched keys accumulate,
+    * unmatched insert — the lakehouse form of [[mergeCountState]].
+    */
+  private def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = delta.sparkSession
+    // COLF's closed type lattice is {int32, float64, utf8}: long keys ride
+    // as utf8 (lossless), counts as float64 (count sums are integral and
+    // stay exact below 2^53 — the repo's standard decimal→double bound)
+    val typed = delta.select(
+      keys.map(k => col(k).cast("string").as(k)) :+
+        col("dn").cast("double").as("dn"): _*)
+    val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!path.getFileSystem(hconf).exists(path)) {
+      typed.select(keys.map(col) :+ col("dn").as("n"): _*)
+        .write.format("colf").mode("append").save(dir)
+      return
+    }
+    val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
+    typed.createOrReplaceTempView(view)
+    try {
+      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val cols = (keys :+ "n").mkString(", ")
+      val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
+      spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
+        "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
+        s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** [[itemCFFromState]] over the colf-backed state tables (keys ride as
+    * utf8 in COLF's type lattice — cast back to long for scoring).
+    */
+  def itemCFFromColfState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      k: Int, minPairs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    itemCFScore(
+      spark.read.format("colf").load(s"$stateDir/pairs")
+        .select(col("item_a").cast("long").as("item_a"),
+          col("item_b").cast("long").as("item_b"), col("n").cast("long").as("n")),
+      spark.read.format("colf").load(s"$stateDir/items")
+        .select(col("it").cast("long").as("it"), col("n").cast("long").as("n")),
+      k, minPairs)
+  }
+
   /** Top-k neighbors from the maintained [[maintainItemCF]] state —
     * the exact [[graft.operators.Analytics.itemNeighbors]] scoring
     * (cosine = cooc/√(cnt_a·cnt_b); ties (cos desc, cooc desc, nbr asc))
@@ -565,14 +647,20 @@ object StreamingOps {
     * the one-shot batch computation row for row.
     */
   def itemCFFromState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      k: Int, minPairs: Long = 2L): DataFrame = {
+      k: Int, minPairs: Long = 2L): DataFrame =
+    itemCFScore(
+      spark.read.parquet(s"$stateDir/pairs/cur"),
+      spark.read.parquet(s"$stateDir/items/cur"), k, minPairs)
+
+  /** The shared scoring core over maintained (keys, n) count tables. */
+  private def itemCFScore(pairState: DataFrame, itemState: DataFrame,
+      k: Int, minPairs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val pairs = spark.read.parquet(s"$stateDir/pairs/cur")
+    val pairs = pairState
       .where(col("n") >= minPairs)
       .select(col("item_a"), col("item_b"), col("n").as("cooc"))
-    val itemCnt = spark.read.parquet(s"$stateDir/items/cur")
-      .select(col("it"), col("n").as("cnt"))
+    val itemCnt = itemState.select(col("it"), col("n").as("cnt"))
     val both = pairs.select(col("item_a").as("item"), col("item_b").as("nbr"), col("cooc"))
       .unionAll(pairs.select(col("item_b").as("item"), col("item_a").as("nbr"), col("cooc")))
     val scored = both

@@ -122,7 +122,9 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the the"), // the, space, the = 3 tokens
       (2L, "in an on"), // in,' ',an,' ',on = 5
-      (3L, "sting") // st,ing = 2
+      (3L, "sting"), // st,ing = 2
+      (4L, "'") // ZERO tokens (lone apostrophe is unmatched) — must emit
+                 // no pack rows, not a bogus descending-sequence pair
     ).toDF("doc_id", "text")
     val packed = Bpe.packTokenStream(docs, $"doc_id", $"text", merges, budget = 4)
       .orderBy("id", "pack_id")

@@ -47,6 +47,33 @@ class StreamingItemCFSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("colf-backed state (MERGE INTO) equals the parquet path and the one-shot") {
+    val rows = for {
+      bk <- 0L until 24L
+      slot <- 0 until (bk % 3 + 2).toInt
+    } yield (bk, ((bk * 5 + slot * 3 + slot * slot) % 7).toLong)
+    val df = rows.toDF("bk", "it")
+    val feedDir = tmp("itemcf-colf-feed")
+    val stateDir = tmp("itemcf-colf-state") + "/s" // colf creates it
+    for (r <- 0 until 3)
+      df.where($"bk" % 3 === r).coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = spark.readStream.schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    StreamingOps.maintainItemCFColf(feed, "bk", "it", stateDir).awaitTermination()
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"item".cast("long"), $"nbr".cast("long"), $"cooc".cast("long"),
+          $"cos", $"rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val maintained = canon(StreamingOps.itemCFFromColfState(spark, stateDir, k = 3, minPairs = 2))
+    val oneShot = canon(Analytics.itemNeighbors(df, $"bk", $"it", k = 3, minPairs = 2))
+    assert(maintained == oneShot)
+    assert(maintained.nonEmpty)
+    // the state is a real, versioned colf table: batch 1 created v1 and
+    // each later batch's MERGE committed a new version
+    val pairsNow = spark.read.format("colf").load(s"$stateDir/pairs").count()
+    assert(pairsNow > 0)
+  }
+
   test("state is additive: a second maintenance run over extra baskets extends it") {
     val base = (0L until 10L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
     val extra = (10L until 20L).flatMap(bk => Seq((bk, 1L), (bk, 3L))).toDF("bk", "it")
