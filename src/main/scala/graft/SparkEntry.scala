@@ -1982,6 +1982,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    "q_dedup_audio" -> ((s, dir) => {
+      // Perceptual AUDIO dedup end to end — the q_dedup_image analogue
+      // over real PCM WAV decode: planted tones (pattern = doc_id mod 10,
+      // ≤3 controlled energy-envelope bit flips per variant, energy-exact
+      // byte noise) → Multimodal.audioHash64 → the same hammingClusters
+      // backend. Ground truth is closed-form (pattern groups), so the
+      // oracle replays it without decoding audio.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedAudioTable(ids, patterns = 10)
+      val hashes = operators.Multimodal.audioHashes(media)
+      Dedup.hammingClusters(hashes, col("doc_id"), col("ahash"), maxHamming = 3)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     "q_weighted_mix" -> ((s, dir) =>
       // Corpus assembly: src0 upsampled 2.5x (2 full epochs + a
       // deterministic md5 half), src1 cut to a quarter, everything else
@@ -4390,6 +4404,13 @@ object SparkEntry {
     // pins the margin), so the near-dup components ARE the pattern
     // groups and the cluster label is each group's min doc_id.
     "q_dedup_image" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
+        |FROM documents""".stripMargin,
+
+    // Same closed-form planting scheme, audio flavor (MultimodalSpec pins
+    // the audio margins too).
+    "q_dedup_audio" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
         |FROM documents""".stripMargin,

@@ -490,6 +490,148 @@ object Multimodal {
     }.toDF("doc_id", "media", "media_type")
   }
 
+  /** 64-bit perceptual audio hash — the energy-envelope analogue of
+    * [[dHash64]]: decode PCM samples (JDK `javax.sound.sampled` — WAV/
+    * AIFF/AU; compressed formats without a JDK provider degrade to null),
+    * slice the interleaved 16-bit sample stream into 65 equal segments,
+    * per-segment energy = Σ|sample| (exact long), bit i = segment i
+    * strictly louder on average than segment i+1 (cross-multiplied by
+    * segment lengths — exact; BigInt-guarded). Re-encodes and
+    * amplitude-exact edits hash identically; envelope-preserving
+    * near-copies land within a few bits; unrelated audio differs on ~32.
+    *
+    * Poison rows (null, undecodable, < 65 samples, non-16-bit PCM) yield
+    * null, never failing the task.
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val samples: Array[Long] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Long](n)
+          val order =
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer()
+          var i = 0
+          while (i < n) { out(i) = math.abs(buf.get(i).toLong); i += 1 }
+          out
+        } finally ais.close()
+      } catch { case _: Exception => return None }
+    val n = samples.length
+    if (n < 65) return None
+    val energy = new Array[Long](65)
+    val len = new Array[Long](65)
+    var seg = 0
+    while (seg < 65) {
+      val s0 = seg * n / 65; val s1 = (seg + 1) * n / 65
+      var e = 0L
+      var i = s0
+      while (i < s1) { e += samples(i); i += 1 }
+      energy(seg) = e
+      len(seg) = (s1 - s0).toLong
+      seg += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val gt = (BigInt(energy(b)) * len(b + 1)) > (BigInt(energy(b + 1)) * len(b))
+      if (gt) out |= 1L << b
+      b += 1
+    }
+    Some(out)
+  }
+
+  /** (doc_id, ahash) per media row — null for poison payloads; feeds
+    * [[Dedup.hammingClusters]] exactly like [[imageHashes]].
+    */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.doc_id, audioHash64(r.media)))
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Deterministic synthetic PCM-WAV test pattern for validating the
+    * decode→audioHash→blocking pipeline with an externally computable
+    * ground truth (SparkEntry's `q_dedup_audio`). 65 segments × 64
+    * samples of NON-NEGATIVE 16-bit values:
+    *
+    *  - segments 3k..3k+2 for k<4 hold the fixed descending scaffold
+    *    (5,3,1)·1000 — `flips` ∈ [0,4) silences segment 3k+1 for k<flips,
+    *    flipping EXACTLY bit 3k+1 each (the left comparison 5000>0 stays
+    *    true, so one flip slot moves one bit);
+    *  - segments ≥ 12 carry the pattern's avalanche-mixed levels in
+    *    {1..5}·1000 — the cross-pattern Hamming margin;
+    *  - `noiseSeed` moves one +1/−1 pair inside the LAST segment —
+    *    byte-distinct, energy-exact (samples stay positive), hash
+    *    unchanged.
+    */
+  def syntheticToneWav(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
+    require(flips >= 0 && flips < 4, s"flips must be in [0,4), got $flips")
+    val per = 64
+    val n = 65 * per
+    val pcm = new Array[Short](n)
+    def level(seg: Int): Int = {
+      if (seg < 12) {
+        val k = seg / 3
+        val base = (seg % 3: @unchecked) match { case 0 => 5; case 1 => 3; case 2 => 1 }
+        if (seg % 3 == 1 && k < flips) 0 else base
+      } else {
+        var x = pattern * 73856093 ^ seg * 19349663
+        x = (x ^ (x >>> 16)) * 0x45d9f3b
+        x = x ^ (x >>> 16)
+        1 + ((x & 0x7fffffff) % 5)
+      }
+    }
+    var seg = 0
+    while (seg < 65) {
+      val v = (level(seg) * 1000).toShort
+      var i = 0
+      while (i < per) { pcm(seg * per + i) = v; i += 1 }
+      seg += 1
+    }
+    // energy-exact noise in the last segment (values stay positive)
+    val np = (((noiseSeed % (per - 1)) + (per - 1)) % (per - 1)).toInt
+    pcm(64 * per + np) = (pcm(64 * per + np) + 1).toShort
+    pcm(64 * per + np + 1) = (pcm(64 * per + np + 1) - 1).toShort
+    val bytes = new Array[Byte](n * 2)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(pcm)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A planted audio-media table — the [[plantedImageTable]] analogue:
+    * pattern = doc_id mod `patterns`, flips = (doc_id div patterns) mod 4,
+    * so ground-truth near-dup clusters are exactly the pattern groups.
+    */
+  def plantedAudioTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val p = ((id % patterns + patterns) % patterns).toInt
+        val f = (((id / patterns) % 4 + 4) % 4).toInt
+        MediaRow(id, syntheticToneWav(p, f, id), "audio/wav")
+      }
+    }.toDF("doc_id", "media", "media_type")
+  }
+
   private def imageMeta(r: MediaRow): MediaMeta = {
     // null media is a poison row like any other: degrade, don't NPE
     if (r.media == null) return MediaMeta(r.doc_id, 0, -1, -1, 0L)

@@ -85,6 +85,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got2.size == 121)
   }
 
+  test("audioHash: planted flips move exactly those bits, noise moves none") {
+    for (p <- 0 until 10) {
+      val base = Multimodal.audioHash64(Multimodal.syntheticToneWav(p, 0, 1L)).get
+      for (f <- 1 until 4) {
+        val v = Multimodal.audioHash64(Multimodal.syntheticToneWav(p, f, 2L)).get
+        assert(hamming(base, v) == f, s"pattern $p flips $f")
+        // the flipped bits are the slot bits 3k+1 for k < f
+        assert((base ^ v) == (0 until f).map(k => 1L << (3 * k + 1)).reduce(_ | _))
+      }
+      // energy-exact byte noise: different bytes, identical hash
+      val n1 = Multimodal.syntheticToneWav(p, 2, 11L)
+      val n2 = Multimodal.syntheticToneWav(p, 2, 12L)
+      assert(!java.util.Arrays.equals(n1, n2))
+      assert(Multimodal.audioHash64(n1) == Multimodal.audioHash64(n2))
+    }
+  }
+
+  test("audioHash: cross-pattern margin; poison rows are null") {
+    val flipMask = ~((0 until 3).map(k => 1L << (3 * k + 1)).reduce(_ | _))
+    val bases = (0 until 10).map(p =>
+      Multimodal.audioHash64(Multimodal.syntheticToneWav(p, 0, 0L)).get)
+    for (p <- 0 until 10; q <- (p + 1) until 10) {
+      val masked = hamming(bases(p) & flipMask, bases(q) & flipMask)
+      assert(masked > 6, s"patterns $p vs $q too close: masked hamming $masked")
+    }
+    assert(Multimodal.audioHash64(null).isEmpty)
+    assert(Multimodal.audioHash64("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioHash64(Array[Byte](82, 73, 70, 70)).isEmpty) // truncated RIFF
+  }
+
+  test("audio end to end: planted clusters are exactly the pattern groups") {
+    val ids = (0L until 80L).toDF("doc_id")
+    val media = Multimodal.plantedAudioTable(ids, patterns = 10)
+    val got = Dedup.hammingClusters(Multimodal.audioHashes(media),
+        col("doc_id"), col("ahash"), maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 80)
+    for ((id, cluster) <- got) assert(cluster == id % 10, s"doc $id")
+  }
+
   test("hammingClusters: exact-duplicate signatures collapse before blocking") {
     // 1000 identical signatures + one 2-bit neighbor: no quadratic chunk
     // flood (reps = 2 rows), every member lands in one cluster
