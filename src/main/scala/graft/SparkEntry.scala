@@ -2174,6 +2174,18 @@ object SparkEntry {
         operators.Bpe.DemoMerges)
     }),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // Distributed BPE TRAINING on the corpus itself: one corpus pass
+      // builds the pre-token frequency table (bounded by vocabulary),
+      // then 12 rounds of weighted pair counting + UTF8-binary-tie-broken
+      // argmax + map-only merge application. The oracle replays the
+      // training EXACTLY as 12 unrolled materialized-CTE stages over the
+      // same delimited form — every chosen pair, ties included.
+      val merges = operators.Bpe.trainMergesTable(
+        t(s, dir, "documents"), col("text"), nMerges = 12)
+      merges
+    }),
+
     "q_pack_bpe" -> ((s, dir) =>
       // Sequence packing on TRUE BPE token counts (budget measured in
       // merged tokens, not whitespace pieces) — the Bpe-counter wiring of
@@ -4624,6 +4636,45 @@ object SparkEntry {
          |    regexp_extract_all(replace(replace(text, chr(1), ''), chr(2), ''), '$pat'),
          |    pt -> len(string_split($bpeOracleChain, chr(1))) - 1)), 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
+
+    // BPE TRAINING replayed stage for stage: w0 = the delimited pre-token
+    // frequency table; stage k counts adjacent pairs (list_zip over the
+    // token lists, weighted by cnt), picks the argmax under
+    // (n DESC, a, b) — DuckDB's binary varchar order == Spark's
+    // UTF8String order, so ties replay — and applies the merge as one
+    // non-overlapping replace. MATERIALIZED is load-bearing: each stage
+    // is referenced by the next stage AND the pair scan AND the final
+    // union; un-materialized CTEs re-evaluate exponentially.
+    "q_bpe_train" -> {
+      val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+      val nM = 12
+      val toks = "list_transform(string_split(word, chr(1))[2:], t -> replace(t, chr(2), ''))"
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        s"""w0 AS MATERIALIZED (
+           |  SELECT regexp_replace(pt, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS word,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(regexp_extract_all(
+           |          replace(replace(text, chr(1), ''), chr(2), ''), '$pat')) AS pt
+           |        FROM documents WHERE text IS NOT NULL)
+           |  GROUP BY 1)""".stripMargin)
+      for (k <- 0 until nM) {
+        ctes += s"""p$k AS MATERIALIZED (
+           |  SELECT z[1] AS a, z[2] AS b, SUM(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+           |    FROM (SELECT cnt, $toks AS toks FROM w$k))
+           |  GROUP BY 1, 2)""".stripMargin
+        ctes += s"m$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1)"
+        ctes += s"""w${k + 1} AS MATERIALIZED (
+           |  SELECT replace(word,
+           |    chr(1)||(SELECT a FROM m$k)||chr(2)||chr(1)||(SELECT b FROM m$k)||chr(2),
+           |    chr(1)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(2)) AS word, cnt
+           |  FROM w$k)""".stripMargin
+      }
+      val union = (0 until nM)
+        .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs FROM m$k")
+        .mkString("\nUNION ALL ")
+      "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM (\n$union)"
     },
 
     // q_pack's global-window replay with n_tokens = the TRUE BPE count

@@ -163,6 +163,98 @@ object Bpe {
       }.toDF("doc_id", "toks")
   }
 
+  /** Merge every left-to-right occurrence of the single pair (a, b) —
+    * one training round's application (also the inner step of
+    * [[encodeWord]], which repeats it per min-rank pair).
+    */
+  private def mergeAll(toks: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += toks(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed BPE TRAINING (Sennrich et al. 2016): learn `nMerges`
+    * merge rules from the corpus itself. The corpus is touched ONCE — a
+    * single aggregation builds the pre-token frequency table (bounded by
+    * VOCABULARY, not corpus size; this is why BPE training scales: a
+    * 100 TB corpus has millions of distinct pre-tokens, not trillions) —
+    * then each round runs on the word table: adjacent-pair counts
+    * weighted by word frequency (flatMap + one map-side-combined
+    * aggregate), the arg-max pair via TakeOrdered
+    * (count DESC, then (a, b) ascending in UTF8-binary order — Spark's
+    * native string order, identical to DuckDB's binary collation, so the
+    * oracle replays every tie), and a map-only application of the chosen
+    * merge. Per-round `localCheckpoint` truncates the iterative lineage
+    * (the kCore/components discipline — word tables are bounded).
+    *
+    * The trained table is VALID by construction (round k's pair sides are
+    * single code points or outputs of rounds < k), so it feeds
+    * [[encode]]/[[tokenCounts]] AND the sequential-replay oracle form
+    * directly. Throws if the corpus runs out of adjacent pairs before
+    * `nMerges` (train less or feed more text — silence would corrupt
+    * downstream rank arithmetic).
+    */
+  def trainMerges(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0 && nMerges <= 256, s"nMerges must be in [1,256], got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.where(text.isNotNull).select(text.as("t")).as[String]
+      .mapPartitions { it =>
+        val p = pretokenizer
+        it.flatMap { t =>
+          val m = p.matcher(t.replace("\u0001", "").replace("\u0002", ""))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) buf += m.group()
+          buf.iterator
+        }
+      }
+      .groupByKey(identity).count()
+      .map { case (w, c) => (codePoints(w).toSeq, c) }
+      .toDF("toks", "cnt")
+    var reps = words.localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    while (k < nMerges) {
+      val top = reps.as[(Seq[String], Long)]
+        .flatMap { case (toks, c) =>
+          (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), c))
+        }
+        .toDF("a", "b", "c")
+        .groupBy("a", "b").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty)
+        throw new IllegalStateException(
+          s"BPE training exhausted adjacent pairs after ${out.size} of $nMerges merges")
+      val a = top(0).getString(0)
+      val b = top(0).getString(1)
+      out += ((a, b))
+      val prev = reps
+      reps = prev.as[(Seq[String], Long)]
+        .map { case (toks, c) => (mergeAll(toks.toArray, a, b).toSeq, c) }
+        .toDF("toks", "cnt")
+        .localCheckpoint(true)
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** [[trainMerges]] as a harness-checkable table: one row per learned
+    * rule — (merge_rank, lhs, rhs) in training order.
+    */
+  def trainMergesTable(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainMerges(df, text, nMerges).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
   /** [[Packing.packTokenStream]] on TRUE BPE token counts: pack the
     * corpus token stream into `budget`-token examples where the budget is
     * measured in merged tokens, not whitespace or pre-tokenizer pieces.

@@ -118,6 +118,57 @@ class BpeSpec extends AnyFunSuite {
     assert(text.endsWith(chunks.last._1.takeRight(3)))
   }
 
+  test("trainMerges == reference trainer; trained table is valid and effective") {
+    val texts = Seq("the cat sat on the mat", "the rat ate the cheese, the cheese was nice",
+      "thermal other mother, don't dither", "in inns and innings 123 !!",
+      "aaa aaaa ab", null, "")
+    // reference trainer: word-frequency Counter + exhaustive pair counts,
+    // argmax under (count desc, a, b) in UTF-8 byte order — the textbook
+    // Sennrich procedure, independent of the distributed implementation
+    def refTrain(n: Int): Seq[(String, String)] = {
+      val pat = java.util.regex.Pattern.compile(TextAnalysis.BpeTokenPattern)
+      var words = scala.collection.mutable.Map.empty[Seq[String], Long]
+      for (t <- texts if t != null) {
+        val m = pat.matcher(t)
+        while (m.find()) {
+          val w = Bpe.codePoints(m.group()).toSeq
+          words(w) = words.getOrElse(w, 0L) + 1
+        }
+      }
+      def byteLt(x: String, y: String): Boolean =
+        java.util.Arrays.compare(x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+      (0 until n).map { _ =>
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, c) <- words; i <- 0 until w.length - 1)
+          pairs((w(i), w(i + 1))) = pairs.getOrElse((w(i), w(i + 1)), 0L) + c
+        val best = pairs.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else if (a1 != a2) byteLt(a1, a2) else byteLt(b1, b2)
+        }.head._1
+        val (a, b) = best
+        words = words.map { case (w, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == a && w(j + 1) == b) { out += a + b; j += 2 }
+            else { out += w(j); j += 1 }
+          }
+          out.toSeq -> c
+        }
+        best
+      }
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, $"text", nMerges = 8)
+    assert(got == refTrain(8), s"trained $got")
+    // valid by construction: feeds the sequential-replay oracle form
+    Bpe.validateMerges(got)
+    // and effective: encoding with the trained table shrinks token counts
+    val before = texts.filter(_ != null).map(t => Bpe.encode(t, Nil).length).sum
+    val after = texts.filter(_ != null).map(t => Bpe.encode(t, got).length).sum
+    assert(after < before)
+  }
+
   test("Bpe.packTokenStream packs on merged-token counts") {
     val docs = Seq(
       (1L, "the the"), // the, space, the = 3 tokens
