@@ -46,7 +46,7 @@ object ColfPruneProps extends Properties("ColfPrune") {
       1 -> Gen.const(None),
       5 -> Gen.oneOf(
         Gen.asciiPrintableStr.map(_.take(8)),
-        Gen.oneOf("", "aa", "zz", "日本語", "🎉", "b" * 80, "ctl")).map(Some(_))))
+        Gen.oneOf("", "aa", "zz", "日本語", "🎉", "b" * 80, "\u0001ctl")).map(Some(_))))
 
   // ---- filter generators, biased toward the column's own values
 
