@@ -97,15 +97,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // HERMETIC RUNS (r15): clear the session cache after every
+    // construction+write, OUTSIDE the timing window. Operators that
+    // persist intermediates register CacheManager entries keyed on
+    // canonicalized plans; without the clear, runs 2..N of the same query
+    // silently read run 1's entries and the median measures cache luck,
+    // not plan cost — diagnosed on q_pagerank, where the judge's "1-in-5
+    // ~6 s stall" was the COLD run among cache-assisted repeats. Cleaner-
+    // scoped caches (Packing.globalCumsum) are pure optimizations with
+    // exact recompute, so clearing them is always safe.
+    def clearState(): Unit = spark.sharedState.cacheManager.clearCache()
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        clearState()
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      clearState()
+      t
     }
 
     /** Repeat each query and keep EVERY run: `queries` reports the min
@@ -162,6 +175,7 @@ object Bench {
         System.err.println(s"[bench] corpus warmup $n failed: ${e.getMessage}")
       }
     }
+    clearState() // warmup cache entries must not assist the timed runs
 
     val results = headline.map(n => n -> run(n))
 
@@ -290,7 +304,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(mins.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_max":${jmap(maxs.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
-      s""""regressions":$regressions,"runs":$runs,"sf":"$sfDir"$annRecall}"""
+      s""""regressions":$regressions,"runs":$runs,"hermetic":true,"sf":"$sfDir"$annRecall}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"), "BENCH_full_latest.json"), line)
     catch { case e: Throwable =>

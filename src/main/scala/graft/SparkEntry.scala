@@ -4678,8 +4678,14 @@ object SparkEntry {
     },
 
     // q_pack's global-window replay with n_tokens = the TRUE BPE count
-    // (len of the replayed token array); zero-token docs fall out of the
-    // empty generate_series exactly as packCounted's n_tokens > 0 filter.
+    // (len of the replayed token array). Zero-token docs are filtered
+    // EXPLICITLY to mirror packCounted's n_tokens > 0 guard: relying on
+    // an empty generate_series is wrong whenever the running sum s is
+    // not budget-aligned — series(s//48, (s-1)//48) with s == c emits
+    // one spurious (n_in_pack = 0) row unless s % 48 == 0 (ADVICE r14;
+    // verified: DuckDB generate_series(k, k) -> [k]). The filter sits in
+    // the same SELECT as the windows, where SQL applies WHERE first —
+    // harmless to the sums, since dropped rows contribute 0.
     "q_pack_bpe" ->
       s"""SELECT id, n_tokens, CAST(p AS BIGINT) AS pack_id,
          |  CAST(greatest(s, p*48) - p*48 AS BIGINT) AS pack_offset,
@@ -4691,7 +4697,8 @@ object SparkEntry {
          |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS s,
          |      CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
          |    FROM (SELECT doc_id, CAST(len($bpeOracleToks) AS BIGINT) AS n_tokens
-         |          FROM documents WHERE text IS NOT NULL)))""".stripMargin,
+         |          FROM documents WHERE text IS NOT NULL)
+         |    WHERE n_tokens > 0))""".stripMargin,
 
     // q_chunk's list-slicing replay over the replayed BPE token arrays;
     // sep '' because BPE tokens carry their own leading spaces. DuckDB

@@ -75,7 +75,15 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("c"))
     }
-    assign(cents).select(col("id"), col("cl").as("cluster"), col("d2"))
+    // Seal the final assignment and release the corpus cache: `dv` was a
+    // live CacheManager entry the returned lazy plan used to pin — one
+    // leaked corpus-sized cache per invocation, silently reused by later
+    // identical-plan calls (the r15 cache-hygiene audit). The result is
+    // corpus-sized too, so on a real cluster the checkpoint costs the
+    // same order of memory the cache already did — and it is released
+    // when the caller drops the handle, which the cache entry never was.
+    CacheScope.sealResult(
+      assign(cents).select(col("id"), col("cl").as("cluster"), col("d2")), dv)
   }
 
   /** Cluster sizes + exact-decimal inertia after `iters` iterations. */

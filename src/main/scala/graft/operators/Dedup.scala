@@ -312,8 +312,10 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
-    expandGroupPairs(repPairs, reps, members, "jaccard",
-      reps.select(col("__fp"), lit(1.0).as("jaccard")))
+    CacheScope.sealResult(
+      expandGroupPairs(repPairs, reps, members, "jaccard",
+        reps.select(col("__fp"), lit(1.0).as("jaccard"))),
+      members, reps, sigs, cands)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -382,8 +384,10 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    expandGroupPairs(repPairs, reps, members, "hamming",
-      reps.select(col("__fp"), lit(0).cast("int").as("hamming")))
+    CacheScope.sealResult(
+      expandGroupPairs(repPairs, reps, members, "hamming",
+        reps.select(col("__fp"), lit(0).cast("int").as("hamming"))),
+      members, reps)
   }
 
   /** Near-dup clusters over PRECOMPUTED 64-bit signatures — the back end
@@ -526,7 +530,9 @@ object Dedup {
     val selfCos = reps.select(col("__fp"),
       Similarity.cosineFromNorms(Similarity.dot(col("v"), col("v")), col("nrm"), col("nrm")).as("cos"))
       .where(col("cos") >= threshold)
-    expandGroupPairs(repPairs, reps, members, "cos", selfCos)
+    CacheScope.sealResult(
+      expandGroupPairs(repPairs, reps, members, "cos", selfCos),
+      members, reps)
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
@@ -801,7 +807,7 @@ object Dedup {
       .select(col("id"), lit("novel").as("status"),
         lit(null).cast("long").as("matched_id"),
         lit(null).cast("double").as("jaccard"))
-    matched.unionByName(novel)
+    CacheScope.sealResult(matched.unionByName(novel), cDig, cand)
   }
 
   // --------------------------------------------------- cluster assignment

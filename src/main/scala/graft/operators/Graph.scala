@@ -307,14 +307,23 @@ object Graph {
       dist = next
     }
     sym.unpersist()
-    dist
+    // seal: `dist` is a persisted handle this function owns — returning
+    // it live would leak its cache entry (and assist later identical
+    // invocations); the checkpointed copy severs that.
+    CacheScope.sealResult(dist, dist)
   }
 
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
     * Nodes are everything appearing as src or dst; rank starts uniform
     * 1/N. Dangling nodes (no out-edges) leak their mass — the simplified
     * variant; add explicit sink edges first if total-mass conservation
-    * matters. Returns (node, pr).
+    * matters. Returns (node, pr), materialized — the |V|-row result is
+    * sealed via [[CacheScope.sealResult]] and the edge/node caches
+    * released before returning (the r15 cache-hygiene fix: returning a
+    * lazy plan over the caches leaked them per invocation AND let later
+    * identical-plan invocations silently reuse them, which is what the
+    * r14 "q_pagerank stall tail" actually was — the cold run among
+    * cache-assisted ones).
     */
   def pagerank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85): DataFrame = {
@@ -355,10 +364,11 @@ object Graph {
       }
       sums = Some(contrib.groupBy("node").agg(gridSum(col("c")).as("m")))
     }
-    sums match {
+    val result = sums match {
       case None => nodes.select(col("node"), lit(1.0 / n).as("pr"))
       case Some(sm) => nodes.join(sm, Seq("node"), "left")
         .select(col("node"), blend(col("m")).as("pr"))
     }
+    CacheScope.sealResult(result, eDeg, nodes)
   }
 }

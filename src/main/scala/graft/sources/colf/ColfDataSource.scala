@@ -1282,7 +1282,12 @@ class ColfScan(paths: Seq[String], fullSchema: StructType, required: StructType,
       spjPartCols.map(pc => tv.getOrElse(pc, throw new IllegalStateException(
         s"colf: SPJ partition value for '$pc' missing on ${r.path} — " +
           "layout changed since the table was resolved")))
-    }.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    // NUL-joined sort key, written as an ESCAPE so the source file stays
+    // clean text (the r14 escape sweep). A space separator made
+    // ("a b","c") and ("a","b c") collide, so "deterministic order"
+    // silently depended on groupBy iteration order (ADVICE r14); NUL
+    // cannot appear inside a rendered partition value.
+    }.toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
 
   private def spjActive: Boolean = spjPartCols.nonEmpty && spjGroups.nonEmpty
 
