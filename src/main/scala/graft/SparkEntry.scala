@@ -3008,6 +3008,28 @@ object SparkEntry {
       streaming.StreamingOps.itemCFFromState(s, stateDir, k = 5, minPairs = 2)
     }),
 
+    "q_stream_item_cf_colf" -> ((s, dir) => {
+      // The PRODUCTION state shape of streaming item-CF, promoted to the
+      // harness (VERDICT r14 #3): the same three basket-atomic
+      // microbatches, but the pair/item counts MERGE INTO the engine's
+      // own colf tables through the row-level copy-on-write path —
+      // per-batch write cost O(files touched by the delta), not
+      // O(state) like the parquet read-modify-write. Must equal the
+      // one-shot batch computation — shares q_item_cf's oracle.
+      val feedDir = work("q_stream_item_cf_colf_feed")
+      val stateDir = work("q_stream_item_cf_colf_state")
+      rmDir(feedDir); rmDir(stateDir)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      for (r <- 0 until 3)
+        li.where(col("l_orderkey") % 3 === r)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+      val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      streaming.StreamingOps.maintainItemCFColf(feed, "l_orderkey", "l_partkey", stateDir)
+        .awaitTermination()
+      streaming.StreamingOps.itemCFFromColfState(s, stateDir, k = 5, minPairs = 2)
+    }),
+
     "q_golden_record" -> ((s, dir) => {
       // Survivorship / golden-record consolidation of each customer's
       // order history under per-attribute rules: modal status (ties →
@@ -5836,8 +5858,11 @@ object SparkEntry {
     "q_item_cf" -> ItemCfOracleSql,
 
     // The maintained streaming state must equal the one-shot computation,
-    // so the oracle IS q_item_cf's (same data, same scoring, same ranks).
+    // so the oracle IS q_item_cf's (same data, same scoring, same ranks) —
+    // for BOTH state backends: the parquet read-modify-write path and the
+    // colf MERGE path must land on identical counts.
     "q_stream_item_cf" -> ItemCfOracleSql,
+    "q_stream_item_cf_colf" -> ItemCfOracleSql,
 
     // Golden record: modal status / latest priority / exact decimal spend
     // (VARCHAR hop — DuckDB's direct DECIMAL→DOUBLE cast double-rounds).

@@ -508,6 +508,15 @@ object StreamingOps {
     * (StreamingItemCFSpec pins it; `q_stream_item_cf` shares
     * `q_item_cf`'s oracle).
     *
+    * Restart safety (ADVICE r14): the source checkpoint lives INSIDE the
+    * state directory (`stateDir/_checkpoint`), so a restarted query
+    * resumes from the committed offset instead of re-reading the whole
+    * feed — state and progress share one lifetime, and resetting the
+    * state means deleting `stateDir`, which resets both together. Replay
+    * of the one uncommitted batch is made idempotent by the applied
+    * batch id riding inside each state swap (see [[mergeCountState]]),
+    * so at-least-once delivery still yields exactly-once counts.
+    *
     * Returns the started query (AvailableNow); await it, then read
     * neighbors with [[itemCFFromState]].
     */
@@ -515,7 +524,8 @@ object StreamingOps {
       stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     feed.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
           .distinct()
           .localCheckpoint(true) // two consumers below; batch-scoped blocks
@@ -524,8 +534,8 @@ object StreamingOps {
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs)
-        mergeCountState(s"$stateDir/items", Seq("it"), dItems)
+        mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
+        mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -533,18 +543,35 @@ object StreamingOps {
   }
 
   /** One keyed merge of a (+keys, dn) delta into the parquet count table
-    * at `dir/cur`: read-modify-write to `dir/next`, then swap — the
-    * alternating-directory commit that keeps the read and write sides of
-    * one batch on different paths. Batches of one streaming query run
-    * sequentially, so the swap needs no cross-writer coordination.
+    * at `dir/cur`: read-modify-write to `dir/next`, then a NEVER-LOSSY
+    * swap — cur is renamed aside to `old` before next takes its place,
+    * so no instant exists where the state is only a deleted directory
+    * (the r14-ADVICE delete-then-rename window). If the driver dies
+    * mid-swap, the next run restores `old` and the streaming replay
+    * re-applies the batch against the PRE-batch state.
+    *
+    * Idempotent replay: the applied batch id is written inside `next`
+    * (`_graft_batch`, an underscore file parquet readers skip) BEFORE
+    * the swap, so it becomes visible atomically with the data it
+    * describes; a replayed already-applied batch is a no-op instead of
+    * a double count. Batches of one streaming query run sequentially,
+    * so the swap needs no cross-writer coordination.
     */
-  private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame): Unit = {
+  private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
+      batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = delta.sparkSession
     val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
     val cur = new org.apache.hadoop.fs.Path(s"$dir/cur")
     val next = new org.apache.hadoop.fs.Path(s"$dir/next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/old")
     val fs = cur.getFileSystem(hconf)
+    // crash recovery: death between the two swap renames leaves the
+    // pre-batch state at old/ and no cur/ — restore it (the interrupted
+    // batch was never committed to the checkpoint, so it replays next)
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new IllegalStateException(s"state restore failed for $dir")
+    if (fs.exists(cur) && appliedBatchId(fs, cur) >= batchId) return
     val merged =
       if (fs.exists(cur)) {
         val existing = spark.read.parquet(cur.toString)
@@ -553,9 +580,34 @@ object StreamingOps {
             (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
       } else delta.select(keys.map(col) :+ col("dn").as("n"): _*)
     merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(cur, true)
+    writeBatchMarker(fs, next, batchId)
+    fs.delete(old, true)
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new IllegalStateException(s"state swap (cur->old) failed for $dir")
     if (!fs.rename(next, cur))
-      throw new IllegalStateException(s"state swap failed for $dir")
+      throw new IllegalStateException(s"state swap (next->cur) failed for $dir")
+    fs.delete(old, true)
+  }
+
+  /** Last applied batch id recorded inside a state directory (-1 if
+    * none — pre-upgrade state folds the next batch unconditionally).
+    */
+  private def appliedBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): Long = {
+    val f = new org.apache.hadoop.fs.Path(stateDir, "_graft_batch")
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir, "_graft_batch"), true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** [[maintainItemCF]] with the engine's OWN lakehouse tables as the
@@ -568,12 +620,37 @@ object StreamingOps {
     * the maintained view lives in a queryable, versioned, time-travelable
     * table of the engine's own format. Same feed contract and exactness
     * as [[maintainItemCF]]; read with [[itemCFFromColfState]].
+    *
+    * Restart safety (ADVICE r14): checkpoint under `stateDir/_checkpoint`
+    * (state and source progress share one lifetime), and each table
+    * records its applied batch id (`_graft_batch` inside the table dir —
+    * underscore files are invisible to the colf reader), so replay of
+    * the one uncommitted batch skips tables it already reached. The
+    * MERGE commit and the marker write are two operations — death
+    * exactly between them double-applies that one table's delta; the
+    * parquet path's rename protocol has no such window, and a production
+    * deployment would fold the batch id into the colf commit itself.
+    *
+    * Key typing (ADVICE r14): COLF's closed lattice stores keys as utf8
+    * and [[itemCFFromColfState]] casts them back to LONG for scoring, so
+    * basket/item columns must be integral — validated here, loudly, not
+    * silently corrupted at read time (string SKUs/UUIDs need the parquet
+    * state path, which preserves types end-to-end).
     */
   def maintainItemCFColf(feed: DataFrame, basketCol: String, itemCol: String,
       stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(basketCol, itemCol).foreach { c =>
+      val dt = feed.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"maintainItemCFColf: column '$c' is $dt; colf state keys ride as utf8 and " +
+          "are read back as LONG, so basket/item columns must be integral - " +
+          "use maintainItemCF (parquet state) for non-integral ids")
+    }
     feed.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         spark.conf.set("spark.sql.catalog.colf_cat",
           classOf[graft.sources.colf.ColfCatalog].getName)
@@ -585,8 +662,8 @@ object StreamingOps {
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs)
-        mergeColfCountState(s"$stateDir/items", Seq("it"), dItems)
+        mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
+        mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -597,20 +674,25 @@ object StreamingOps {
     * `dir` (created from the first delta): matched keys accumulate,
     * unmatched insert — the lakehouse form of [[mergeCountState]].
     */
-  private def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame): Unit = {
+  private def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame,
+      batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = delta.sparkSession
+    val fsHconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
+    val tablePath = new org.apache.hadoop.fs.Path(dir)
+    val tableFs = tablePath.getFileSystem(fsHconf)
+    if (tableFs.exists(tablePath) && appliedBatchId(tableFs, tablePath) >= batchId)
+      return // idempotent replay: this table already folded this batch
     // COLF's closed type lattice is {int32, float64, utf8}: long keys ride
     // as utf8 (lossless), counts as float64 (count sums are integral and
     // stay exact below 2^53 — the repo's standard decimal→double bound)
     val typed = delta.select(
       keys.map(k => col(k).cast("string").as(k)) :+
         col("dn").cast("double").as("dn"): _*)
-    val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
-    val path = new org.apache.hadoop.fs.Path(dir)
-    if (!path.getFileSystem(hconf).exists(path)) {
+    if (!tableFs.exists(tablePath)) {
       typed.select(keys.map(col) :+ col("dn").as("n"): _*)
         .write.format("colf").mode("append").save(dir)
+      writeBatchMarker(tableFs, tablePath, batchId)
       return
     }
     val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
@@ -623,6 +705,7 @@ object StreamingOps {
         "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
         s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
     } finally spark.catalog.dropTempView(view)
+    writeBatchMarker(tableFs, tablePath, batchId)
   }
 
   /** [[itemCFFromState]] over the colf-backed state tables (keys ride as

@@ -78,8 +78,14 @@ class StreamingItemCFSpec extends AnyFunSuite {
     val base = (0L until 10L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
     val extra = (10L until 20L).flatMap(bk => Seq((bk, 1L), (bk, 3L))).toDF("bk", "it")
     val stateDir = tmp("itemcf-state2")
+    // ONE growing feed directory across both maintenance runs: the
+    // checkpoint now lives inside stateDir (ADVICE r14 restart safety)
+    // and pins the source path, so "more data later" arrives as new
+    // files in the same feed — the natural streaming contract — and the
+    // second run resumes the committed offset instead of re-reading
+    // (re-counting) the first run's baskets.
+    val fd = tmp("itemcf-feed2")
     def drain(d: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-      val fd = tmp("itemcf-feed2-" + java.lang.Long.toHexString(System.nanoTime()))
       d.coalesce(1).write.mode("append").parquet(fd)
       val feed = spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(fd)
@@ -94,5 +100,33 @@ class StreamingItemCFSpec extends AnyFunSuite {
     val items = spark.read.parquet(s"$stateDir/items/cur")
       .as[(Long, Long)].collect().toMap
     assert(items == Map(1L -> 20L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("restart with no new data is a no-op: checkpoint resume, no double count") {
+    // ADVICE r14: without a checkpointLocation a restarted query
+    // re-read the ENTIRE feed and double-counted every basket into the
+    // surviving state. Now the checkpoint rides inside stateDir: a
+    // second drain over the same feed resumes the committed offset,
+    // sees nothing new, and the counts are bit-identical.
+    val df = (0L until 6L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
+    val fd = tmp("itemcf-feed3")
+    val stateDir = tmp("itemcf-state3")
+    df.coalesce(1).write.mode("append").parquet(fd)
+    def drain(): Unit = {
+      val feed = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fd)
+      StreamingOps.maintainItemCF(feed, "bk", "it", stateDir).awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(s"$stateDir/pairs/cur")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(first == Set((1L, 2L, 6L)))
+    drain() // restart: nothing new committed, state must not move
+    val second = spark.read.parquet(s"$stateDir/pairs/cur")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(second == first, "restarted drain double-counted the feed")
+    // the swap protocol left no transient directories behind
+    val leftovers = new java.io.File(s"$stateDir/pairs").listFiles().map(_.getName).toSet
+    assert(leftovers == Set("cur"), s"unexpected state dirs: $leftovers")
   }
 }
