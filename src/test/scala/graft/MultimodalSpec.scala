@@ -136,4 +136,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.size == 1001)
     assert(got.values.toSet == Set(0L))
   }
+
+  test("videoHash: every (pattern, flips) clip decodes to the closed-form hash") {
+    // THE JPEG-robustness pin: frames are lossy JPEGs, but the no-tie
+    // cell margins (>= 25 grays vs ~1-3 grays of DCT-aligned
+    // quantization error) make every dHash comparison land exactly on
+    // the integer closed form — for all 40 planted (pattern, flips)
+    // combinations, so q_dedup_video's oracle can replay clustering
+    // without decoding a frame
+    for (p <- 0 until 10; f <- 0 until 4) {
+      val clip = Multimodal.syntheticMjpegAvi(p, f, noiseSeed = p * 100L + f)
+      assert(Multimodal.videoHash64(clip).contains(Multimodal.expectedVideoHash(p, f)),
+        s"pattern $p flips $f diverged from closed form")
+    }
+  }
+
+  test("videoHash: flips move exactly those bits; noise moves none; margins hold") {
+    for (p <- 0 until 10) {
+      val base = Multimodal.expectedVideoHash(p, 0)
+      for (f <- 1 until 4)
+        assert((base ^ Multimodal.expectedVideoHash(p, f)) ==
+          (0 until f).map(gy => 1L << (gy * 8)).reduce(_ | _), s"pattern $p flips $f")
+      // byte-level per-frame noise: different container bytes, same hash
+      val c1 = Multimodal.syntheticMjpegAvi(p, 2, 101L)
+      val c2 = Multimodal.syntheticMjpegAvi(p, 2, 202L)
+      assert(!java.util.Arrays.equals(c1, c2))
+      assert(Multimodal.videoHash64(c1) == Multimodal.videoHash64(c2))
+    }
+    // cross-pattern margin outside the flip-bit mask clears the radius
+    val flipMask = ~((0 until 3).map(gy => 1L << (gy * 8)).reduce(_ | _))
+    val bases = (0 until 10).map(p => Multimodal.expectedVideoHash(p, 0))
+    for (p <- 0 until 10; q <- (p + 1) until 10) {
+      val masked = hamming(bases(p) & flipMask, bases(q) & flipMask)
+      assert(masked > 6, s"patterns $p vs $q too close: masked hamming $masked")
+    }
+  }
+
+  test("videoHash: poison rows are null, never failing the task") {
+    assert(Multimodal.videoHash64(null).isEmpty)
+    assert(Multimodal.videoHash64("not a riff container".getBytes("UTF-8")).isEmpty)
+    // a RIFF/AVI wrapper whose frames are garbage decodes zero frames -> null
+    val junkFrames = Multimodal.buildMjpegAvi(
+      Seq("junk1".getBytes("UTF-8"), "junk2".getBytes("UTF-8")), 72, 64, 500000L)
+    assert(Multimodal.videoHash64(junkFrames).isEmpty)
+    // truncated container: parser must bail cleanly
+    val good = Multimodal.syntheticMjpegAvi(1, 0, 1L)
+    assert(Multimodal.videoHash64(java.util.Arrays.copyOf(good, good.length / 3)).isEmpty)
+  }
+
+  test("video end to end: planted clusters are exactly the pattern groups") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val media = Multimodal.plantedVideoTable(ids, patterns = 10)
+    val hashes = Multimodal.videoHashes(media)
+    val got = Dedup.hammingClusters(hashes, col("doc_id"), col("vhash"), maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 60)
+    for ((id, cl) <- got) assert(cl == id % 10, s"doc $id in cluster $cl")
+  }
 }

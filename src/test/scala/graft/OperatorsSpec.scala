@@ -854,7 +854,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metas(3).timescale == -1L && metas(3).n_bytes == 0)
   }
 
-  test("sampleFramesStub: frame grid from real mvhd duration; poison docs contribute zero frames") {
+  test("sampleFrames: frame grid from real mvhd duration; poison docs contribute zero frames") {
     def be32(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -874,15 +874,39 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, null.asInstanceOf[Array[Byte]], "video/mp4"))
       .toDF("doc_id", "media", "media_type")
     // 2 fps over 3.0 s → frames at 0, 500, ..., 3000 ms = 7 frames
-    val frames = Multimodal.sampleFramesStub(df, fps = 2.0).collect()
+    val frames = Multimodal.sampleFrames(df, fps = 2.0).collect()
     assert(frames.forall(_.doc_id == 1L), "poison docs must contribute zero frames")
     assert(frames.length == 7)
     assert(frames.map(_.frame_ts_ms).sorted.toSeq ==
       Seq(0L, 500L, 1000L, 1500L, 2000L, 2500L, 3000L))
-    assert(frames.forall(_.frame == null), "decode is the documented stub")
+    assert(frames.forall(_.frame == null),
+      "MP4 sample data has no pure-JVM codec - frames stay null")
     // the lying-duration bound: same video capped at 4 frames
-    assert(Multimodal.sampleFramesStub(df, fps = 2.0, maxFramesPerDoc = 4)
+    assert(Multimodal.sampleFrames(df, fps = 2.0, maxFramesPerDoc = 4)
       .collect().length == 4)
+  }
+
+  test("sampleFrames: MJPEG/AVI payloads carry REAL decodable frame bytes") {
+    // 3 stored frames at 2 fps = 1.5 s: the grid includes the endpoint,
+    // so 2 fps samples ts 0/500/1000/1500 (the last clamps to stored
+    // frame 2); 1 fps samples ts 0/1000
+    val avi = Multimodal.syntheticMjpegAvi(pattern = 3, flips = 1, noiseSeed = 9L)
+    val df = Seq((1L, avi, "video/x-msvideo")).toDF("doc_id", "media", "media_type")
+    val at2 = Multimodal.sampleFrames(df, fps = 2.0).collect().sortBy(_.frame_idx)
+    assert(at2.length == 4)
+    assert(at2.map(_.frame_ts_ms).toSeq == Seq(0L, 500L, 1000L, 1500L))
+    assert(java.util.Arrays.equals(at2(2).frame, at2(3).frame),
+      "past-the-end grid point clamps to the last stored frame")
+    assert(at2.forall(_.frame != null), "AVI frames must be real bytes")
+    // every emitted frame is a real JPEG javax.imageio can decode, and
+    // hashes to the closed-form signature
+    at2.foreach { fr =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame))
+      assert(img != null && img.getWidth == 72 && img.getHeight == 64)
+      assert(Multimodal.dHash64(fr.frame).contains(Multimodal.expectedVideoHash(3, 1)))
+    }
+    val at1 = Multimodal.sampleFrames(df, fps = 1.0).collect().sortBy(_.frame_idx)
+    assert(at1.length == 2 && at1.map(_.frame_ts_ms).toSeq == Seq(0L, 1000L))
   }
 
   test("byteHistogramFeatures: exact normalized histogram, zero vector for empty") {
