@@ -2450,13 +2450,18 @@ object SparkEntry {
     // (auto == explicit identity) and trended by Bench's ann_recall.
     "q_sim_ann" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5, planes = 6)
+      Similarity.lshTopK(corpus, corpus.where(col("id") < 8), k = 5, planes = 6,
+        tables = 1) // pinned with the other knobs: the r15 recall-aware
+                    // default (4 tables) is trended by ann_recall instead
     }),
 
     "q_sim_ivf" -> ((s, dir) => {
       val corpus = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.ivfTopK(corpus, corpus.where(col("id") < 8), k = 5,
-        coarseBits = 3, nProbe = 2)
+        coarseBits = 3, nProbe = 2,
+        spill = 1) // pinned like q_sim_ann's tables: the spill default
+                   // changes reachable lists, which a static oracle
+                   // cannot mirror across scale factors
     }),
 
     "q_sim_pq" -> ((s, dir) => {
