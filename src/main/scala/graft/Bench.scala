@@ -43,7 +43,7 @@ object Bench {
     "q_l_diversity", "q_holt", "q_sssp", "q_rrf_fusion",
     "q_bpe_encode", "q_dedup_image", "q_pack_bpe", "q_chunk_bpe",
     "q_stream_item_cf", "q_dedup_audio", "q_bpe_train",
-    "q_stream_item_cf_colf", "q_dedup_video",
+    "q_stream_item_cf_colf", "q_dedup_video", "q_bpe_pipeline", "q_label_prop",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

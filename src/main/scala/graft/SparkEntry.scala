@@ -2203,6 +2203,29 @@ object SparkEntry {
       merges
     }),
 
+    "q_bpe_pipeline" -> ((s, dir) => {
+      // END-TO-END tokenizer lifecycle: TRAIN the merge table on the
+      // corpus (12 merges, the delta trainer), PERSIST the learned
+      // vocabulary as a real table (parquet round-trip — the artifact a
+      // production pipeline ships between its train and apply jobs),
+      // LOAD it back in rank order, ENCODE the same corpus with it, and
+      // emit per-doc TRUE token counts (one row per non-null-text doc,
+      // zero-token docs included). The oracle replays training AND
+      // encoding: the shared q_bpe_train CTE chain derives m0..m11,
+      // then the sequential-replay replace chain runs with those
+      // CTE-computed merges as scalar subqueries.
+      val docs = t(s, dir, "documents")
+      val vocabDir = work("q_bpe_pipeline_vocab")
+      rmDir(vocabDir)
+      operators.Bpe.trainMergesTable(docs, col("text"), nMerges = 12)
+        .write.mode("overwrite").parquet(vocabDir)
+      val vocab = s.read.parquet(vocabDir).orderBy("merge_rank")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      operators.Bpe.validateMerges(vocab) // trained tables replay-valid
+      operators.Bpe.tokenCounts(docs, col("doc_id"), col("text"), vocab)
+    }),
+
     "q_pack_bpe" -> ((s, dir) =>
       // Sequence packing on TRUE BPE token counts (budget measured in
       // merged tokens, not whitespace pieces) — the Bpe-counter wiring of
@@ -2911,6 +2934,17 @@ object SparkEntry {
       operators.Graph.pagerank(edges, col("src"), col("dst"), iters = 2)
     }),
 
+    // ---- graph: label-propagation communities over the same trade
+    // graph — 2 deterministic synchronous rounds (min tie-break), both
+    // replayed in the oracle SQL round for round.
+    "q_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val or = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      operators.Graph.labelPropagation(pairs, col("src"), col("dst"), rounds = 2)
+    }),
+
     // ---- retrieval & corpus association
     "q_bm25" -> ((s, dir) =>
       operators.Retrieval.bm25(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -3234,6 +3268,39 @@ object SparkEntry {
       case (acc, (a, b)) =>
         s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'$a$b'||chr(2))"
     }
+
+  /** The BPE TRAINING replay CTE block shared by the q_bpe_train and
+    * q_bpe_pipeline oracles: w0 = the delimited pre-token frequency
+    * table, then per round k the weighted adjacent-pair counts (p_k),
+    * the argmax under (n DESC, a, b) binary collation (m_k — ties
+    * replayed exactly), and the merged word table (w_{k+1}).
+    */
+  private def bpeTrainCtes(nM: Int): String = {
+    val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+    val toks = "list_transform(string_split(word, chr(1))[2:], t -> replace(t, chr(2), ''))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(pt, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS word,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all(
+         |          replace(replace(text, chr(1), ''), chr(2), ''), '$pat')) AS pt
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1)""".stripMargin)
+    for (k <- 0 until nM) {
+      ctes += s"""p$k AS MATERIALIZED (
+         |  SELECT z[1] AS a, z[2] AS b, SUM(cnt) AS n FROM (
+         |    SELECT cnt, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+         |    FROM (SELECT cnt, $toks AS toks FROM w$k))
+         |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"m$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1)"
+      ctes += s"""w${k + 1} AS MATERIALIZED (
+         |  SELECT replace(word,
+         |    chr(1)||(SELECT a FROM m$k)||chr(2)||chr(1)||(SELECT b FROM m$k)||chr(2),
+         |    chr(1)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(2)) AS word, cnt
+         |  FROM w$k)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
 
   /** DuckDB expression: the full BPE token ARRAY of `text` — flattened
     * per-pre-token token lists recovered from the delimited replay.
@@ -4699,34 +4766,39 @@ object SparkEntry {
     // is referenced by the next stage AND the pair scan AND the final
     // union; un-materialized CTEs re-evaluate exponentially.
     "q_bpe_train" -> {
-      val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
       val nM = 12
-      val toks = "list_transform(string_split(word, chr(1))[2:], t -> replace(t, chr(2), ''))"
-      val ctes = scala.collection.mutable.ArrayBuffer(
-        s"""w0 AS MATERIALIZED (
-           |  SELECT regexp_replace(pt, '(?s)(.)', chr(1)||'\\1'||chr(2), 'g') AS word,
-           |         CAST(count(*) AS BIGINT) AS cnt
-           |  FROM (SELECT unnest(regexp_extract_all(
-           |          replace(replace(text, chr(1), ''), chr(2), ''), '$pat')) AS pt
-           |        FROM documents WHERE text IS NOT NULL)
-           |  GROUP BY 1)""".stripMargin)
-      for (k <- 0 until nM) {
-        ctes += s"""p$k AS MATERIALIZED (
-           |  SELECT z[1] AS a, z[2] AS b, SUM(cnt) AS n FROM (
-           |    SELECT cnt, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
-           |    FROM (SELECT cnt, $toks AS toks FROM w$k))
-           |  GROUP BY 1, 2)""".stripMargin
-        ctes += s"m$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1)"
-        ctes += s"""w${k + 1} AS MATERIALIZED (
-           |  SELECT replace(word,
-           |    chr(1)||(SELECT a FROM m$k)||chr(2)||chr(1)||(SELECT b FROM m$k)||chr(2),
-           |    chr(1)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(2)) AS word, cnt
-           |  FROM w$k)""".stripMargin
-      }
       val union = (0 until nM)
         .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs FROM m$k")
         .mkString("\nUNION ALL ")
-      "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM (\n$union)"
+      "WITH " + bpeTrainCtes(nM) + s"\nSELECT * FROM (\n$union)"
+    },
+
+    // END-TO-END tokenizer pipeline oracle: the SAME training replay as
+    // q_bpe_train (shared CTE block, every argmax and tie included),
+    // then the corpus re-encoded with the CTE-COMPUTED merges — the
+    // sequential-replay chain's replace targets are scalar subqueries
+    // against m0..m11 instead of literals — and the delimiter count per
+    // pre-token summed per doc. Zero-pre-token docs (lone apostrophe)
+    // come back as 0 via the left join, mirroring tokenCounts' contract
+    // of one row per non-null-text doc.
+    "q_bpe_pipeline" -> {
+      val pat = operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+      val nM = 12
+      val chain = (0 until nM).foldLeft(
+        "regexp_replace(pt, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')") {
+        case (acc, k) =>
+          s"replace($acc, chr(1)||(SELECT a FROM m$k)||chr(2)||chr(1)||(SELECT b FROM m$k)||chr(2), " +
+            s"chr(1)||(SELECT a FROM m$k)||(SELECT b FROM m$k)||chr(2))"
+      }
+      s"""WITH ${bpeTrainCtes(nM)},
+         |pt AS (SELECT doc_id, unnest(regexp_extract_all(
+         |    replace(replace(text, chr(1), ''), chr(2), ''), '$pat')) AS pt
+         |  FROM documents WHERE text IS NOT NULL),
+         |enc AS (SELECT doc_id, len(string_split($chain, chr(1))) - 1 AS n FROM pt),
+         |agg AS (SELECT doc_id, SUM(n) AS n FROM enc GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
 
     // q_pack's global-window replay with n_tokens = the TRUE BPE count
@@ -5664,6 +5736,27 @@ object SparkEntry {
     // sums on the 1e-12 decimal grid, damping blend with literals printed
     // from the operator's own doubles. Dangling mass leaks on both sides
     // identically (the documented simplified variant).
+    // Label propagation: both synchronous rounds replayed — per round,
+    // neighbor-label counts then the (count DESC, label ASC) argmax per
+    // node, the operator's exact deterministic tie-break.
+    "q_label_prop" -> {
+      def round(cN: String, lOld: String, lNew: String) =
+        s"""$cN AS (SELECT s.v AS node, l.label, count(*) AS c
+           |  FROM sym s JOIN $lOld l ON s.u = l.node GROUP BY 1, 2),
+           |$lNew AS (SELECT node, label FROM (
+           |  SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM $cN) WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |canon AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pairs),
+         |sym AS (SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${round("c1", "l0", "l1")},
+         |${round("c2", "l1", "l2")}
+         |SELECT node, label FROM l2""".stripMargin
+    },
+
     "q_pagerank" -> {
       val d = 0.85
       def iterCtes(cN: String, pOld: String, pNew: String) =

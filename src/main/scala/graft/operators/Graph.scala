@@ -313,6 +313,62 @@ object Graph {
     CacheScope.sealResult(dist, dist)
   }
 
+  /** Deterministic synchronous label propagation, `rounds` rounds over
+    * the undirected distinct graph — the standard cheap community
+    * detector (Raghavan et al. 2007), made engine-portable: labels start
+    * as node ids; each round EVERY node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken to the SMALLEST
+    * label (the usual random tie-break would be irreproducible; min is
+    * the same determinism choice as [[Dedup.connectedComponents]]'s
+    * min-label convention). The fixed round count makes the answer
+    * well-defined even where synchronous LPA oscillates (bipartite
+    * graphs flip 2-cycles forever), the same hop-bounded honesty as
+    * [[ssspBounded]] — and lets an oracle replay every round as SQL.
+    *
+    * Scale shape: per round = one src-keyed label join onto the cached
+    * symmetric edge list + one (node, label)-keyed count + one node-keyed
+    * argmax — all equi-joins and partial aggregates, O(|E|) shuffled
+    * bytes per round, nothing driver-side. Per-round materialization
+    * keeps lineage one round deep; the |V|-row result is sealed and the
+    * caches released ([[CacheScope]]).
+    *
+    * Output: (node, label) for every node appearing in `edges`.
+    */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val canon = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val sym = canon
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    for (_ <- 1 to rounds) {
+      // argmax by (count DESC, label ASC) via one struct-max: negate the
+      // label inside the ordered struct so the lexicographic max gives
+      // the smallest label among tied counts
+      val next = sym.join(labels, sym("u") === labels("node"))
+        .groupBy(col("v").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("n").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    CacheScope.sealResult(labels, labels)
+  }
+
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
     * Nodes are everything appearing as src or dst; rank starts uniform
     * 1/N. Dangling nodes (no out-edges) leak their mass — the simplified

@@ -502,6 +502,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((2L to 4L).forall(l => out(l) == out(1L)))
   }
 
+  test("labelPropagation: hand-replayed rounds, min tie-break, rounds=0 identity") {
+    // triangle 1-2-3 with pendant 4 on node 3; labels start as node ids.
+    // Round 1 by hand: 1 sees {2,3} (tie -> 2), 2 sees {1,3} -> 1,
+    // 3 sees {1,2,4} -> 1, 4 sees {3} -> 3.
+    // Round 2 from {1->2, 2->1, 3->1, 4->3}: 1 sees {1,1} -> 1,
+    // 2 sees {2,1} (tie) -> 1, 3 sees {2,1,3} (tie) -> 1, 4 sees {1} -> 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    def run(r: Int) = operators.Graph.labelPropagation(edges, col("s"), col("d"), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // duplicate/reversed edges collapse (distinct canonical edge set):
+    // the neighbor-label COUNTS must not double
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(operators.Graph.labelPropagation(dup, col("s"), col("d"), 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == run(1))
+  }
+
+  test("labelPropagation: two separated cliques converge to per-clique min labels") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)))
+      .toDF("s", "d")
+    val out = operators.Graph.labelPropagation(edges, col("s"), col("d"), rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => out(n) == 1L), s"got $out")
+    assert(Seq(10L, 11L, 12L, 13L).forall(n => out(n) == 10L), s"got $out")
+  }
+
   test("pagerank duplicate edges collapse and iters=0 is uniform") {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d")
     val out0 = operators.Graph.pagerank(edges, col("s"), col("d"), iters = 0)
