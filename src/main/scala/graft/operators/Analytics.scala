@@ -735,16 +735,23 @@ object Analytics {
         when(inFirst, 1L).otherwise(0L).as("is1"))
       .groupBy(col("v"))
       .agg(sum(col("is1")).as("k1"), (count(lit(1)) - sum(col("is1"))).as("k2"))
-    val c1 = Packing.globalCumsum(byVal, col("v"), col("k1"))
-      .withColumnRenamed("cum", "c1")
-    val c2 = Packing.globalCumsum(byVal.select("v", "k2"), col("v"), col("k2"))
-      .withColumnRenamed("cum", "c2")
-    val tot = byVal.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    // BOTH samples' CDFs ride ONE prefix-sum pipeline (r15:
+    // globalCumsumMulti) — the prior form ran two full globalCumsum
+    // pipelines over the same value axis and re-joined them on v, paying
+    // a second range exchange, a second byVal aggregation, and the join.
+    val c = Packing.globalCumsumMulti(byVal, col("v"),
+      Seq(col("k1") -> "c1", col("k2") -> "c2"))
+    // totals = the LAST cumulative of each inclusive running sum — one
+    // aggregate over the (cached) cumsum output instead of a third
+    // evaluation of byVal
+    val tot = c.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
     // Degenerate-input guard (the pearson/twap/zscore audit class): an
     // EMPTY sample has no CDF, so n1 = 0 or n2 = 0 nulls every diff and
     // the operator returns zero rows — a clean "no test" instead of an
     // ANSI divide-by-zero error surfacing from deep inside the plan.
-    val diffs = c1.select("v", "c1").join(c2.select("v", "c2"), "v")
+    // (An entirely empty INPUT makes n1/n2 NULL from max-over-nothing —
+    // the when() guard rejects that identically.)
+    val diffs = c.select("v", "c1", "c2")
       .crossJoin(broadcast(tot))
       .withColumn("diff", when(col("n1") > 0 && col("n2") > 0, abs(
         col("c1").cast("double") / col("n1").cast("double") -

@@ -85,16 +85,33 @@ object Packing {
     * plan that runs after release silently recomputes the right answer.
     */
   def globalCumsum(df: DataFrame, orderCol: Column, valueCol: Column,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    globalCumsumMulti(df, orderCol, Seq(valueCol -> "cum"), numPartitions)
+
+  /** [[globalCumsum]] for SEVERAL value columns in ONE pass: each
+    * (value, outName) gets its exact inclusive running total, all riding
+    * the same range exchange, the same per-range totals collect (one row
+    * per partition carrying every column's subtotal), and the same
+    * per-bucket window — so k simultaneous prefix sums cost one shuffle
+    * instead of k (the [[graft.operators.Analytics.ksTest2]] shape: both
+    * samples' CDFs over one shared value axis).
+    */
+  def globalCumsumMulti(df: DataFrame, orderCol: Column,
+      values: Seq[(Column, String)], numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "globalCumsumMulti needs at least one value column")
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val vNames = values.indices.map(i => s"__v$i")
+    val offNames = values.indices.map(i => s"__off$i")
     // __pid is baked into the cached projection (a stored column, not a
     // grouping over the nondeterministic-flagged spark_partition_id(),
     // which would deoptimize the totals aggregate) and consumed ONLY by
     // the driver-collected pass below — nothing downstream keys on it.
-    val ranged = df
-      .withColumn("__ord", orderCol).withColumn("__v", valueCol.cast("long"))
+    val ranged = values.zip(vNames)
+      .foldLeft(df.withColumn("__ord", orderCol)) { case (acc, ((c, _), n)) =>
+        acc.withColumn(n, c.cast("long"))
+      }
       .repartitionByRange(parts, col("__ord"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -105,20 +122,32 @@ object Packing {
     // ords form the ascending boundary array and the dense index i is
     // the bucket id.
     val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("t"), max(col("__ord")).as("mx"))
+      .agg(sum(col(vNames.head)).as("t0"),
+        (vNames.tail.zipWithIndex.map { case (n, i) => sum(col(n)).as(s"t${i + 1}") } :+
+          max(col("__ord")).as("mx")): _*)
       .orderBy("__pid").collect()
-    var acc = 0L
-    val offsets = totals.zipWithIndex.map { case (r, i) =>
-      val o = (i, acc); acc += r.getLong(1); o
-    }.toSeq
-    val uppers = totals.map(_.get(2)).toSeq
-    val offsetDf = df.sparkSession.createDataFrame(offsets).toDF("__bkt", "__off")
+    val acc = new Array[Long](values.size)
+    val offsetRows = totals.zipWithIndex.map { case (r, i) =>
+      val row = org.apache.spark.sql.Row.fromSeq(i +: acc.toSeq)
+      for (j <- values.indices) acc(j) += r.getLong(1 + j)
+      row
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bkt",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        offNames.map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*), offSchema)
+    val uppers = totals.map(_.get(1 + values.size)).toSeq
     val w = Window.partitionBy("__bkt").orderBy("__ord")
-    val out = ranged
-      .withColumn("__bkt", graft.functions.RangeBucket(col("__ord"), uppers, ordType))
-      .join(broadcast(offsetDf), "__bkt")
-      .withColumn("cum", sum(col("__v")).over(w) + col("__off"))
-      .drop("__pid", "__bkt", "__off", "__ord", "__v")
+    val out = values.zipWithIndex
+      .foldLeft(ranged
+        .withColumn("__bkt", graft.functions.RangeBucket(col("__ord"), uppers, ordType))
+        .join(broadcast(offsetDf), "__bkt")) { case (acc0, ((_, name), i)) =>
+        acc0.withColumn(name, sum(col(s"__v$i")).over(w) + col(s"__off$i"))
+      }
+      .drop(Seq("__pid", "__bkt", "__ord") ++ vNames ++ offNames: _*)
     // Register on `out`'s logical plan NODE, not `out`: callers derive new
     // Datasets from `out` and drop it immediately, but every derived plan
     // embeds this node as a subtree, keeping it — and therefore the cache —

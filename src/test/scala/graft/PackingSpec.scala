@@ -22,6 +22,27 @@ class PackingSpec extends AnyFunSuite {
     assert(dist == naive)
   }
 
+  test("globalCumsumMulti: k columns in one pass equal k independent cumsums") {
+    val df = (1 to 800).map(i => (i.toLong, i % 17 + 1, (i * 3) % 11)).toDF("id", "a", "b")
+    val multi = Packing.globalCumsumMulti(df, $"id",
+        Seq($"a" -> "ca", $"b" -> "cb"), numPartitions = 5)
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val ca = Packing.globalCumsum(df, $"id", $"a", numPartitions = 5)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val cb = Packing.globalCumsum(df, $"id", $"b", numPartitions = 5)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(multi.keySet == ca.keySet)
+    for ((id, (a, b)) <- multi) {
+      assert(a == ca(id), s"id $id col a")
+      assert(b == cb(id), s"id $id col b")
+    }
+    // zero-value columns cumulate exactly (b hits 0 at multiples of 11
+    // scaled by 3 — inclusive sums must still be monotone non-decreasing)
+    assert(multi.toSeq.sortBy(_._1).map(_._2._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)))
+  }
+
   test("globalCumsum is invariant to input partitioning") {
     val df = (1 to 500).map(i => (i.toLong, i % 13 + 1)).toDF("id", "v")
     val a = Packing.globalCumsum(df.repartition(1), $"id", $"v", numPartitions = 3)
