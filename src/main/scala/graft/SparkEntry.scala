@@ -1999,6 +1999,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    "q_video_containment" -> ((s, dir) => {
+      // CLIP CONTAINMENT over planted compilations: short clips embedded
+      // verbatim inside longer videos — the duplicate class whole-clip
+      // signatures cannot see (a 3-frame clip and the 6-frame
+      // compilation carrying it vote to distant majority hashes).
+      // Real per-frame decode -> frame-hash sequences -> first-shingle
+      // blocked, alignment-carrying containment join. Ground truth is
+      // doc-id arithmetic (the plantedClipTable contract), replayed by
+      // the oracle without touching a frame.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedClipTable(ids, patterns = 10)
+      val frames = operators.Multimodal.videoFrameHashes(media)
+      operators.Multimodal.clipContainment(frames, minFrames = 3)
+    }),
+
     "q_dedup_audio" -> ((s, dir) => {
       // Perceptual AUDIO dedup end to end — the q_dedup_image analogue
       // over real PCM WAV decode: planted tones (pattern = doc_id mod 10,
@@ -4545,6 +4560,30 @@ object SparkEntry {
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
         |FROM documents""".stripMargin,
+
+    // Clip containment ground truth from the plantedClipTable id
+    // arithmetic: shorts (id % 3 = 0) carry one pattern segment,
+    // compilations carry (p, p+1 mod 10); frame hashes are pure
+    // functions of the pattern (spec-pinned), so containment pairs and
+    // alignments are closed-form. A short matches at most one segment
+    // of a compilation (head != tail pattern always), so no dedup is
+    // needed across the unioned cases.
+    "q_video_containment" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS p,
+        |    (doc_id % 3 = 0) AS s FROM documents)
+        |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+        |  CAST(0 AS BIGINT) AS at_frame
+        |FROM d a JOIN d b ON a.s AND b.s AND a.p = b.p AND a.doc_id <> b.doc_id
+        |UNION ALL
+        |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+        |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = b.p
+        |UNION ALL
+        |SELECT a.doc_id, b.doc_id, CAST(3 AS BIGINT)
+        |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = (b.doc_id + 1) % 10
+        |UNION ALL
+        |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+        |FROM d a JOIN d b
+        |  ON NOT a.s AND NOT b.s AND a.p = b.p AND a.doc_id <> b.doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,

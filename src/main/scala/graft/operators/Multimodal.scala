@@ -916,6 +916,77 @@ object Multimodal {
       w = 72, h = 64, usPerFrame = 500000L, junkTag = noiseSeed)
   }
 
+  /** (doc_id, frame_idx, fhash) per DECODED frame of each MJPEG/AVI
+    * payload — the per-frame refinement of [[videoHash64]] (which votes
+    * these into one signature): map-only, one [[dHash64]] per stored
+    * frame, row count bounded by stored frames. Undecodable frames and
+    * poison containers contribute NO rows (a frame-hash table indexes
+    * decoded content only — the [[sampleFrames]] rule).
+    */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviMjpegFrames(r.media).iterator.flatMap { case (_, frames) =>
+          frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+            dHash64(f).map(h => (r.doc_id, i, h))
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** CLIP CONTAINMENT: pairs (inner, outer) where inner's ENTIRE
+    * frame-hash sequence appears as a CONTIGUOUS run inside outer's —
+    * the training-data case perceptual clustering misses: a short clip
+    * embedded in a compilation is a duplicate of part of it, but the
+    * whole-clip majority-vote signatures ([[videoHash64]]) sit far
+    * apart. Works on ANY (doc_id, frame_idx, hash) table, so it also
+    * covers audio-segment or text-block sequences.
+    *
+    * Scale shape — never an all-pairs sequence comparison:
+    *   - sequences are assembled once (per-doc sort of its own ≤
+    *     maxFrames rows, a bounded collect_list, not a global sort);
+    *   - the OUTER side explodes into width-`minFrames` shingles keyed
+    *     by the hash subarray; the INNER side contributes ONE key — its
+    *     first shingle. Containment at position i implies the first
+    *     shingles match at i, so the equi-join on (subarray) has FULL
+    *     recall and each candidate arrives WITH its alignment i;
+    *   - verification is one slice-equality per candidate against the
+    *     inner sequence — exact, no scoring heuristics.
+    *
+    * Self-pairs are excluded; equal sequences (exact duplicate clips)
+    * qualify in BOTH directions by design — containment is reflexive on
+    * content, and downstream keep-one logic wants both edges. Inner
+    * sequences shorter than `minFrames` are skipped (no shingle).
+    *
+    * Output: (inner_id, outer_id, at_frame) — at_frame = the FIRST
+    * 0-based position where inner's run begins in outer.
+    */
+  def clipContainment(frames: DataFrame, minFrames: Int = 3): DataFrame = {
+    require(minFrames >= 1, s"minFrames must be >= 1, got $minFrames")
+    val seqs = frames
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
+        s => s.getField("fhash")).as("seq"))
+      .where(size(col("seq")) >= minFrames)
+    val outer = seqs.select(col("doc_id").as("outer_id"), col("seq").as("oseq"))
+      .select(col("outer_id"), col("oseq"),
+        explode(transform(sequence(lit(0), size(col("oseq")) - minFrames),
+          i => struct(i.as("i"),
+            slice(col("oseq"), i + 1, lit(minFrames)).as("key")))).as("sh"))
+      .select(col("outer_id"), col("oseq"), col("sh.i").as("i"), col("sh.key").as("key"))
+    val inner = seqs.select(col("doc_id").as("inner_id"), col("seq").as("iseq"),
+      slice(col("seq"), 1, minFrames).as("key"))
+    inner.join(outer, "key")
+      .where(col("inner_id") =!= col("outer_id") &&
+        col("i") + size(col("iseq")) <= size(col("oseq")) &&
+        slice(col("oseq"), col("i") + 1, size(col("iseq"))) === col("iseq"))
+      .groupBy(col("inner_id"), col("outer_id"))
+      .agg(min(col("i")).cast("long").as("at_frame"))
+  }
+
   /** A planted video-media table derived from a doc-id table — the
     * [[plantedImageTable]] scheme, clip flavor: pattern = doc_id mod
     * `patterns`, flips = (doc_id div patterns) mod 4, per-frame noise =
@@ -923,6 +994,37 @@ object Multimodal {
     * pattern groups (within a pattern, pairwise Hamming <= 3; across
     * patterns, far — MultimodalSpec pins the margin).
     */
+  /** A planted clip/compilation table for [[clipContainment]]: docs with
+    * id % 3 == 0 are SHORT clips (3 frames of pattern id % patterns),
+    * every other doc is a COMPILATION (3 frames of pattern id % patterns
+    * followed by 3 frames of pattern (id+1) % patterns — always two
+    * DISTINCT patterns since +1 never wraps to 0 mod 10). All flips = 0
+    * and frame hashes depend only on the pattern, so the containment
+    * ground truth is pure doc-id arithmetic: a short clip sits at frame
+    * 0 of same-pattern docs and frame 3 of compilations whose tail
+    * pattern matches; compilations contain each other iff their ids are
+    * congruent mod `patterns`.
+    */
+  def plantedClipTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val p = ((id % patterns + patterns) % patterns).toInt
+        val frames =
+          if (id % 3 == 0)
+            (0 until 3).map(i => syntheticPatternJpegFrame(p, 0, id * 16 + i))
+          else {
+            val q = (((id + 1) % patterns + patterns) % patterns).toInt
+            (0 until 3).map(i => syntheticPatternJpegFrame(p, 0, id * 16 + i)) ++
+              (0 until 3).map(i => syntheticPatternJpegFrame(q, 0, id * 16 + 8 + i))
+          }
+        MediaRow(id, buildMjpegAvi(frames, 72, 64, 500000L, junkTag = id),
+          "video/x-msvideo")
+      }
+    }.toDF("doc_id", "media", "media_type")
+  }
+
   def plantedVideoTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._

@@ -184,6 +184,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoHash64(java.util.Arrays.copyOf(good, good.length / 3)).isEmpty)
   }
 
+  test("clipContainment: hand-built sequences, alignments, both-direction equality") {
+    // generic over any (doc_id, frame_idx, hash) table — integers here
+    val frames = Seq(
+      (1L, 0, 5L), (1L, 1, 5L), (1L, 2, 7L),                      // [5,5,7]
+      (2L, 0, 9L), (2L, 1, 5L), (2L, 2, 5L), (2L, 3, 7L), (2L, 4, 3L), // [9,5,5,7,3]
+      (3L, 0, 5L), (3L, 1, 5L), (3L, 2, 7L),                      // [5,5,7] == doc 1
+      (4L, 0, 5L), (4L, 1, 7L), (4L, 2, 3L),                      // [5,7,3]
+      (5L, 0, 2L), (5L, 1, 2L), (5L, 2, 2L), (5L, 3, 2L),         // [2,2,2,2]
+      (6L, 0, 2L), (6L, 1, 2L), (6L, 2, 2L)                       // [2,2,2]
+    ).toDF("doc_id", "frame_idx", "fhash")
+    val got = Multimodal.clipContainment(frames, minFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (3L, 2L, 1L), // short inside the compilation, aligned
+      (1L, 3L, 0L), (3L, 1L, 0L), // equal sequences qualify both ways
+      (4L, 2L, 2L),               // tail run
+      (6L, 5L, 0L)                // repeated-hash run: FIRST position wins
+    ), s"got $got")
+  }
+
+  test("video end to end: planted clip containment equals the id-arithmetic truth") {
+    val ids = (0L until 45L).toDF("doc_id")
+    val media = Multimodal.plantedClipTable(ids, patterns = 10)
+    val frames = Multimodal.videoFrameHashes(media)
+    val got = Multimodal.clipContainment(frames, minFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    def short(id: Long) = id % 3 == 0
+    val idsSeq = 0L until 45L
+    val expected = (for {
+      a <- idsSeq; b <- idsSeq if a != b
+      hit <- {
+        if (short(a) && short(b) && a % 10 == b % 10) Some(0L)
+        else if (short(a) && !short(b) && a % 10 == b % 10) Some(0L)
+        else if (short(a) && !short(b) && a % 10 == (b + 1) % 10) Some(3L)
+        else if (!short(a) && !short(b) && a % 10 == b % 10) Some(0L)
+        else None
+      }
+    } yield (a, b, hit)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("video end to end: planted clusters are exactly the pattern groups") {
     val ids = (0L until 60L).toDF("doc_id")
     val media = Multimodal.plantedVideoTable(ids, patterns = 10)
