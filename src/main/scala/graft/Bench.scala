@@ -44,7 +44,7 @@ object Bench {
     "q_bpe_encode", "q_dedup_image", "q_pack_bpe", "q_chunk_bpe",
     "q_stream_item_cf", "q_dedup_audio", "q_bpe_train",
     "q_stream_item_cf_colf", "q_dedup_video", "q_bpe_pipeline", "q_label_prop",
-    "q_video_containment",
+    "q_video_containment", "q_holt_winters",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

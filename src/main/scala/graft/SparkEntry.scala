@@ -3181,6 +3181,24 @@ object SparkEntry {
           col("fitted"))
     }),
 
+    "q_holt_winters" -> ((s, dir) => {
+      // Holt-Winters ADDITIVE seasonal smoothing of the same daily
+      // volume, weekly cycle (m = 7) — q_holt plus the seasonal
+      // component a volume forecaster actually needs. Exact-binary
+      // alpha/beta/gamma; the oracle replays the triple recursion as a
+      // recursive CTE carrying the seasonal LIST.
+      val ev = events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      operators.Analytics.holtWinters(daily, col("event_type"), col("day"),
+          col("n"), m = 7, alpha = 0.5, beta = 0.25, gamma = 0.5)
+        .select(col("k").as("event_type"), col("ord").as("day"),
+          col("x").cast("long").as("n"), col("level"), col("trend"),
+          col("seasonal"), col("fitted"))
+    }),
+
     "q_sssp" -> ((s, dir) => {
       // Cheapest supplier-affinity paths within 3 hops from supplier 1:
       // the co-occurrence graph of q_triangles with an integral affinity
@@ -6112,6 +6130,42 @@ object SparkEntry {
         |    r.level + r.trend
         |  FROM idx x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1)
         |SELECT event_type, day, n, level, trend, fitted FROM r""".stripMargin,
+
+    // Holt-Winters: the same recursion carrying the 7-slot seasonal LIST.
+    // Every sub-expression is inlined with the operator's exact literal
+    // order (the q_holt discipline), so doubles replay bit-for-bit:
+    // slot (1-based) = r.i % 7 + 1, shat read BEFORE the update.
+    "q_holt_winters" -> {
+      val shat = "r.seas[(r.i % 7) + 1]"
+      val lNew = s"CAST(0.5 AS DOUBLE) * (CAST(x.n AS DOUBLE) - $shat) " +
+        s"+ CAST(0.5 AS DOUBLE) * (r.level + r.trend)"
+      val sNew = s"CAST(0.5 AS DOUBLE) * (CAST(x.n AS DOUBLE) - ($lNew)) " +
+        s"+ CAST(0.5 AS DOUBLE) * $shat"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, day, n,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+         |  FROM daily),
+         |r AS (
+         |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS level,
+         |    CAST(0 AS DOUBLE) AS trend,
+         |    list_transform(generate_series(1, 7), j -> CAST(0 AS DOUBLE)) AS seas,
+         |    CAST(0 AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT x.event_type, x.day, x.n, x.i,
+         |    $lNew,
+         |    CAST(0.25 AS DOUBLE) * (($lNew) - r.level)
+         |      + CAST(0.75 AS DOUBLE) * r.trend,
+         |    list_transform(generate_series(1, 7), j ->
+         |      CASE WHEN j = (r.i % 7) + 1 THEN $sNew ELSE r.seas[j] END),
+         |    $sNew,
+         |    r.level + r.trend + $shat
+         |  FROM idx x JOIN r ON x.event_type = r.event_type AND x.i = r.i + 1)
+         |SELECT event_type, day, n, level, trend, seasonal, fitted FROM r""".stripMargin
+    },
 
     // Bounded Bellman–Ford unrolled: three MATERIALIZED relax-then-min
     // rounds over the symmetrized weighted co-occurrence edges — the hop

@@ -662,6 +662,78 @@ object Analytics {
             element_at(col("st"), col("i")).getField("b")).as("fitted"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per key — [[holtLinear]]
+    * plus a length-`m` seasonal component, the standard triple-
+    * exponential forecaster for volume series with a weekly/daily cycle.
+    * Deterministic engine-portable convention (every initialization
+    * scheme in the literature is a choice; this one needs no lookahead):
+    *
+    *   - step 1: level = x_1, trend = 0, seasonals start all-zero
+    *     (they converge within a few cycles; a zero seasonal makes the
+    *     first cycle's fits equal plain Holt, which is the honest prior);
+    *   - step t>1, slot = (t-1) mod m (0-based over update steps):
+    *     shat   = seas[slot]                       (value BEFORE update)
+    *     level' = a*(x_t - shat) + (1-a)*(level + trend)
+    *     trend' = b*(level' - level) + (1-b)*trend
+    *     seas[slot] = g*(x_t - level') + (1-g)*shat
+    *     fitted = level + trend + shat             (one-step-ahead)
+    *
+    * Exact-binary alpha/beta/gamma keep the fold bit-portable; the
+    * oracle replays it as a recursive CTE carrying the seasonal LIST.
+    * Same bounded-fold shape as [[holtLinear]] (per-key series arrays).
+    *
+    * Output: (k, ord, x, level, trend, seasonal, fitted) — `seasonal` is
+    * the slot value AFTER this step's update; `fitted` is NULL at step 1.
+    */
+  def holtWinters(df: DataFrame, key: Column, ord: Column, x: Column,
+      m: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    val a = alpha.toString; val ia = (1.0 - alpha).toString
+    val bt = beta.toString; val ib = (1.0 - beta).toString
+    val g = gamma.toString; val ig = (1.0 - gamma).toString
+    // shared sub-expressions as SQL text so both uses are literally the
+    // same expression tree (the holtLinear discipline)
+    val shat = "element_at(acc.seas, (size(acc.out) % " + m + ") + 1)"
+    val prevL = "element_at(acc.out, -1).l"
+    val prevB = "element_at(acc.out, -1).b"
+    val lNew = s"CAST($a AS DOUBLE) * (r.x - $shat) " +
+      s"+ CAST($ia AS DOUBLE) * ($prevL + $prevB)"
+    val sNew = s"CAST($g AS DOUBLE) * (r.x - ($lNew)) + CAST($ig AS DOUBLE) * $shat"
+    df.select(key.as("k"), ord.as("o"), x.cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("s"))
+      .withColumn("st", expr(
+        s"""aggregate(s,
+           |  CAST(named_struct(
+           |      'seas', array_repeat(CAST(0 AS DOUBLE), $m),
+           |      'out', CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE, f: DOUBLE, sv: DOUBLE>>))
+           |    AS STRUCT<seas: ARRAY<DOUBLE>,
+           |              out: ARRAY<STRUCT<l: DOUBLE, b: DOUBLE, f: DOUBLE, sv: DOUBLE>>>),
+           |  (acc, r) -> CASE WHEN size(acc.out) = 0
+           |    THEN named_struct('seas', acc.seas,
+           |      'out', array(named_struct('l', r.x, 'b', CAST(0 AS DOUBLE),
+           |        'f', CAST(NULL AS DOUBLE), 'sv', CAST(0 AS DOUBLE))))
+           |    ELSE named_struct(
+           |      'seas', transform(acc.seas, (v, j) ->
+           |        CASE WHEN j = size(acc.out) % $m THEN $sNew ELSE v END),
+           |      'out', array_append(acc.out, named_struct(
+           |        'l', $lNew,
+           |        'b', CAST($bt AS DOUBLE) * (($lNew) - $prevL)
+           |             + CAST($ib AS DOUBLE) * $prevB,
+           |        'f', $prevL + $prevB + $shat,
+           |        'sv', $sNew)))
+           |    END)""".stripMargin))
+      .select(col("k"), posexplode(col("s")).as(Seq("i", "r")), col("st"))
+      .select(col("k"), col("r.o").as("ord"), col("r.x").as("x"),
+        element_at(col("st.out"), col("i") + 1).getField("l").as("level"),
+        element_at(col("st.out"), col("i") + 1).getField("b").as("trend"),
+        element_at(col("st.out"), col("i") + 1).getField("sv").as("seasonal"),
+        element_at(col("st.out"), col("i") + 1).getField("f").as("fitted"))
+  }
+
   /** Kaplan–Meier survival estimator per cohort: subjects arrive as one
     * row each with a duration and an observed/censored flag; the output
     * is the classic life table — at-risk count, events, censorings, and

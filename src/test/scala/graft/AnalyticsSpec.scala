@@ -296,6 +296,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(h0.map(_._2).forall(_ == 0.0) && h0.map(_._1).toSeq == ew.toSeq)
   }
 
+  test("holtWinters: recurrence by hand; gamma=0 reduces exactly to holtLinear") {
+    // m=2, alpha=beta=gamma=0.5; x = 4, 8, 6, 10 (ord 1..4):
+    // t1: l=4 b=0 s=[0,0]                          (init; fitted null)
+    // t2 slot1(0b): shat=s[2]=0
+    //   l=.5*(8-0)+.5*(4+0)=6, b=.5*(6-4)+.5*0=1, s[2]=.5*(8-6)+.5*0=1, fit=4
+    // t3 slot0: shat=s[1]=0
+    //   l=.5*(6-0)+.5*(6+1)=6.5, b=.5*(6.5-6)+.5*1=.75,
+    //   s[1]=.5*(6-6.5)+.5*0=-.25, fit=7
+    // t4 slot1: shat=s[2]=1
+    //   l=.5*(10-1)+.5*(6.5+.75)=8.125, b=.5*(8.125-6.5)+.5*.75=1.1875,
+    //   s[2]=.5*(10-8.125)+.5*1=1.4375, fit=6.5+.75+1=8.25
+    val df = Seq(("k", 1L, 4.0), ("k", 2L, 8.0), ("k", 3L, 6.0), ("k", 4L, 10.0))
+      .toDF("g", "o", "x")
+    val out = Analytics.holtWinters(df.repartition(3), col("g"), col("o"), col("x"),
+        m = 2, alpha = 0.5, beta = 0.5, gamma = 0.5).orderBy("ord").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(out.toSeq == Seq(
+      (4.0, 0.0, 0.0, None),
+      (6.0, 1.0, 1.0, Some(4.0)),
+      (6.5, 0.75, -0.25, Some(7.0)),
+      (8.125, 1.1875, 1.4375, Some(8.25))), s"got ${out.toSeq}")
+    // gamma=0: seasonals never leave zero, so level/trend/fitted equal
+    // plain Holt bit for bit
+    val hw0 = Analytics.holtWinters(df, col("g"), col("o"), col("x"),
+        m = 3, alpha = 0.25, beta = 0.5, gamma = 0.0).orderBy("ord").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    val h = Analytics.holtLinear(df, col("g"), col("o"), col("x"),
+        alpha = 0.25, beta = 0.5).orderBy("ord").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(hw0.map(t => (t._1, t._2, t._4)).toSeq == h.toSeq)
+    assert(hw0.forall(_._3 == 0.0))
+  }
+
   test("ssspBounded: hop bound vs convergence, weighted detour beats direct edge, parallel-edge min") {
     // 1-2 w=10 direct; 1-3 w=1, 3-2 w=2 -> detour costs 3 but needs 2 hops.
     // rounds=1 sees only the direct 10; rounds=2 finds 3.
