@@ -182,8 +182,13 @@ object Bpe {
     * (`UTF8String.compareTo`) and DuckDB's binary collation, so driver-
     * side tie-breaks replay identically on both engines.
     */
-  private[operators] def utf8Lt(x: String, y: String): Boolean =
-    java.util.Arrays.compare(
+  private[graft] def utf8Lt(x: String, y: String): Boolean =
+    // compareUnsigned, NOT compare: UTF8String/DuckDB binary order is
+    // over UNSIGNED bytes, and every non-ASCII UTF-8 lead byte is >=
+    // 0x80 — signed comparison would sort multi-byte tokens BEFORE
+    // ASCII and silently split the driver tier's tie-breaks from the
+    // distributed tier and the oracle (BpeSpec pins a non-ASCII tie)
+    java.util.Arrays.compareUnsigned(
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
 

@@ -351,15 +351,15 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
     for (_ <- 1 to rounds) {
-      // argmax by (count DESC, label ASC) via one struct-max: negate the
-      // label inside the ordered struct so the lexicographic max gives
-      // the smallest label among tied counts
+      // argmax by (count DESC, label ASC) in one aggregate: min_by over
+      // the ordering struct (-count, label) — the COUNT is negated (a
+      // long, always safe), never the label, so node ids of ANY
+      // orderable type (strings, structs) tie-break correctly
       val next = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v").as("n"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("n").as("node"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
       labels.unpersist()

@@ -971,39 +971,38 @@ object Multimodal {
       .agg(transform(array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
         s => s.getField("fhash")).as("seq"))
       .where(size(col("seq")) >= minFrames)
-    val outer = seqs.select(col("doc_id").as("outer_id"), col("seq").as("oseq"))
-      .select(col("outer_id"), col("oseq"),
-        explode(transform(sequence(lit(0), size(col("oseq")) - minFrames),
+    // shingle rows carry ONLY (outer_id, i, key) — the full outer
+    // sequence would otherwise ride every one of its ~len shingles
+    // through the shuffle (O(len^2) bytes per doc); it is re-joined
+    // once per CANDIDATE for the verification slice instead
+    val outerShingles = seqs
+      .select(col("doc_id").as("outer_id"),
+        explode(transform(sequence(lit(0), size(col("seq")) - minFrames),
           i => struct(i.as("i"),
-            slice(col("oseq"), i + 1, lit(minFrames)).as("key")))).as("sh"))
-      .select(col("outer_id"), col("oseq"), col("sh.i").as("i"), col("sh.key").as("key"))
+            slice(col("seq"), i + 1, lit(minFrames)).as("key")))).as("sh"))
+      .select(col("outer_id"), col("sh.i").as("i"), col("sh.key").as("key"))
     val inner = seqs.select(col("doc_id").as("inner_id"), col("seq").as("iseq"),
       slice(col("seq"), 1, minFrames).as("key"))
-    inner.join(outer, "key")
-      .where(col("inner_id") =!= col("outer_id") &&
-        col("i") + size(col("iseq")) <= size(col("oseq")) &&
+    inner.join(outerShingles, "key")
+      .where(col("inner_id") =!= col("outer_id"))
+      .join(seqs.select(col("doc_id").as("outer_id"), col("seq").as("oseq")), "outer_id")
+      .where(col("i") + size(col("iseq")) <= size(col("oseq")) &&
         slice(col("oseq"), col("i") + 1, size(col("iseq"))) === col("iseq"))
       .groupBy(col("inner_id"), col("outer_id"))
       .agg(min(col("i")).cast("long").as("at_frame"))
   }
 
-  /** A planted video-media table derived from a doc-id table — the
-    * [[plantedImageTable]] scheme, clip flavor: pattern = doc_id mod
-    * `patterns`, flips = (doc_id div patterns) mod 4, per-frame noise =
-    * doc_id-keyed, so ground-truth near-dup clusters are exactly the
-    * pattern groups (within a pattern, pairwise Hamming <= 3; across
-    * patterns, far — MultimodalSpec pins the margin).
-    */
   /** A planted clip/compilation table for [[clipContainment]]: docs with
     * id % 3 == 0 are SHORT clips (3 frames of pattern id % patterns),
     * every other doc is a COMPILATION (3 frames of pattern id % patterns
-    * followed by 3 frames of pattern (id+1) % patterns — always two
-    * DISTINCT patterns since +1 never wraps to 0 mod 10). All flips = 0
-    * and frame hashes depend only on the pattern, so the containment
-    * ground truth is pure doc-id arithmetic: a short clip sits at frame
-    * 0 of same-pattern docs and frame 3 of compilations whose tail
-    * pattern matches; compilations contain each other iff their ids are
-    * congruent mod `patterns`.
+    * followed by 3 frames of pattern (id+1) % patterns — the head and
+    * tail patterns always DIFFER, because p and (p+1) mod `patterns` are
+    * never equal for `patterns` >= 2; the +1 does wrap 9 -> 0, which is
+    * fine). All flips = 0 and frame hashes depend only on the pattern,
+    * so the containment ground truth is pure doc-id arithmetic: a short
+    * clip sits at frame 0 of same-pattern docs and frame 3 of
+    * compilations whose tail pattern matches; compilations contain each
+    * other iff their ids are congruent mod `patterns`.
     */
   def plantedClipTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
@@ -1025,6 +1024,13 @@ object Multimodal {
     }.toDF("doc_id", "media", "media_type")
   }
 
+  /** A planted video-media table derived from a doc-id table — the
+    * [[plantedImageTable]] scheme, clip flavor: pattern = doc_id mod
+    * `patterns`, flips = (doc_id div patterns) mod 4, per-frame noise =
+    * doc_id-keyed, so ground-truth near-dup clusters are exactly the
+    * pattern groups (within a pattern, pairwise Hamming <= 3; across
+    * patterns, far — MultimodalSpec pins the margin).
+    */
   def plantedVideoTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._

@@ -591,6 +591,11 @@ object StreamingOps {
 
   /** Last applied batch id recorded inside a state directory (-1 if
     * none — pre-upgrade state folds the next batch unconditionally).
+    * An unparseable marker (empty/truncated — possible if the writer
+    * died mid-create on the colf path, where the marker lives in the
+    * live table dir) is treated as ABSENT, not an error: the batch
+    * re-folds (at-least-once, the pre-marker behavior) instead of
+    * wedging every restart in a parse-failure loop.
     */
   private def appliedBatchId(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: org.apache.hadoop.fs.Path): Long = {
@@ -598,8 +603,10 @@ object StreamingOps {
     if (!fs.exists(f)) -1L
     else {
       val in = fs.open(f)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      try txt.toLong catch { case _: NumberFormatException => -1L }
     }
   }
 

@@ -557,6 +557,17 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap == run(1))
   }
 
+  test("labelPropagation: string node ids tie-break lexicographically (no numeric cast)") {
+    // same triangle+pendant as above with letter ids — the min-label
+    // tie-break must never negate/cast the label (a numeric-only trick
+    // would null every string label); round-1 expectations mirror the
+    // numeric test under 'a'<'b'<'c'<'d'
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("s", "d")
+    val out = operators.Graph.labelPropagation(edges, col("s"), col("d"), 1)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(out == Map("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "c"), s"got $out")
+  }
+
   test("labelPropagation: two separated cliques converge to per-clique min labels") {
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
     val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)))

@@ -134,7 +134,7 @@ class BpeSpec extends AnyFunSuite {
         }
       }
       def byteLt(x: String, y: String): Boolean =
-        java.util.Arrays.compare(x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+        java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
       (0 until n).map { _ =>
         val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
         for ((w, c) <- words; i <- 0 until w.length - 1)
@@ -230,6 +230,22 @@ class BpeSpec extends AnyFunSuite {
     assert(viaDistributed == viaIndexed)
     // and both match the recount reference
     assert(viaIndexed == refTrain(texts, 24))
+  }
+
+  test("tie-break is UNSIGNED byte order: ASCII beats multi-byte on count ties") {
+    // (é,x) and (a,x) tie at count 2; unsigned UTF-8 order says
+    // 'a' (0x61) < 'é' (0xC3A9), so (a,x) must win — a SIGNED byte
+    // comparator would sort 0xC3 as -61 and pick (é,x) first, splitting
+    // the driver tier from Spark's UTF8String order, the distributed
+    // tier, and DuckDB's binary collation
+    assert(Bpe.utf8Lt("a", "é") && !Bpe.utf8Lt("é", "a"))
+    val texts = Seq("éx", "éx", "ax", "ax")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val indexed = Bpe.trainMerges(docs, $"text", nMerges = 1)
+    assert(indexed == Seq(("a", "x")), s"got $indexed")
+    // and the distributed IVM tier agrees on the same tie
+    val dist = Bpe.trainMerges(docs, $"text", nMerges = 1, maxDriverVocab = 0L)
+    assert(dist == indexed)
   }
 
   test("trainMerges minCount drops rare pre-tokens before training") {
