@@ -961,35 +961,61 @@ object Multimodal {
     * content, and downstream keep-one logic wants both edges. Inner
     * sequences shorter than `minFrames` are skipped (no shingle).
     *
+    * Exact-duplicate guard (the minhash/simhash flood discipline,
+    * measured essential here: the sf1 planted corpus collapses to ~20
+    * distinct sequences across 50k docs, and an ungrouped join paid
+    * 48x per 10x): docs with IDENTICAL sequences enter the shingle join
+    * as ONE representative — candidates and verification run over
+    * distinct sequences (grouped by the sequence itself, no hash
+    * collision risk) — and rep-level containments expand back to member
+    * pairs afterwards. Containment depends only on the sequences, so a
+    * rep SELF-pair (equal sequences, alignment 0) expands to every
+    * ordered pair of distinct member docs. Work is then
+    * O(distinct-seq shingle join) + O(output), both irreducible.
+    *
     * Output: (inner_id, outer_id, at_frame) — at_frame = the FIRST
     * 0-based position where inner's run begins in outer.
     */
   def clipContainment(frames: DataFrame, minFrames: Int = 3): DataFrame = {
     require(minFrames >= 1, s"minFrames must be >= 1, got $minFrames")
+    // Materialize the narrow (doc_id, seq) table ONCE before fan-out:
+    // five consumers read it (rep table, member map, shingles, both
+    // verification sides), and its lineage is typically an expensive
+    // media decode+hash pipeline that must not re-execute per consumer
+    // — the bounded-narrow-table checkpoint discipline of
+    // [[Dedup.hammingClusters]] (measured on the sf1 planted corpus:
+    // 221 s of repeated decode collapses to one pass).
     val seqs = frames
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
         s => s.getField("fhash")).as("seq"))
       .where(size(col("seq")) >= minFrames)
-    // shingle rows carry ONLY (outer_id, i, key) — the full outer
-    // sequence would otherwise ride every one of its ~len shingles
-    // through the shuffle (O(len^2) bytes per doc); it is re-joined
-    // once per CANDIDATE for the verification slice instead
-    val outerShingles = seqs
-      .select(col("doc_id").as("outer_id"),
+      .localCheckpoint(true)
+    val reps = seqs.groupBy(col("seq")).agg(min(col("doc_id")).as("rid"))
+    val members = seqs.join(reps, "seq").select(col("rid"), col("doc_id"))
+    // shingle rows carry ONLY (orid, i, key) — the full outer sequence
+    // would otherwise ride every one of its ~len shingles through the
+    // shuffle (O(len^2) bytes per doc); it is re-joined once per
+    // CANDIDATE for the verification slice instead
+    val outerShingles = reps
+      .select(col("rid").as("orid"),
         explode(transform(sequence(lit(0), size(col("seq")) - minFrames),
           i => struct(i.as("i"),
             slice(col("seq"), i + 1, lit(minFrames)).as("key")))).as("sh"))
-      .select(col("outer_id"), col("sh.i").as("i"), col("sh.key").as("key"))
-    val inner = seqs.select(col("doc_id").as("inner_id"), col("seq").as("iseq"),
+      .select(col("orid"), col("sh.i").as("i"), col("sh.key").as("key"))
+    val inner = reps.select(col("rid").as("irid"), col("seq").as("iseq"),
       slice(col("seq"), 1, minFrames).as("key"))
-    inner.join(outerShingles, "key")
-      .where(col("inner_id") =!= col("outer_id"))
-      .join(seqs.select(col("doc_id").as("outer_id"), col("seq").as("oseq")), "outer_id")
+    val repPairs = inner.join(outerShingles, "key")
+      .join(reps.select(col("rid").as("orid"), col("seq").as("oseq")), "orid")
       .where(col("i") + size(col("iseq")) <= size(col("oseq")) &&
         slice(col("oseq"), col("i") + 1, size(col("iseq"))) === col("iseq"))
-      .groupBy(col("inner_id"), col("outer_id"))
+      .groupBy(col("irid"), col("orid"))
       .agg(min(col("i")).cast("long").as("at_frame"))
+    repPairs
+      .join(members.toDF("irid", "inner_id"), "irid")
+      .join(members.toDF("orid", "outer_id"), "orid")
+      .where(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id"), col("at_frame"))
   }
 
   /** A planted clip/compilation table for [[clipContainment]]: docs with
