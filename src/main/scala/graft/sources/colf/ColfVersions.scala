@@ -452,6 +452,57 @@ object ColfVersions {
           e: java.util.Map.Entry[String, String]): Boolean = size() > 4096
     })
 
+  /** COMMIT properties of one version: the `"cprops"` header object the
+    * committer embedded in the version file itself. Unlike
+    * [[TableMeta.props]] (declared table properties, carried forward by
+    * every commit), cprops are VERSION-SCOPED facts about one commit —
+    * e.g. the streaming batch id a foreachBatch maintenance loop applied
+    * — and they become visible ATOMICALLY with the data the version
+    * publishes: there is no instant where the commit is live but its
+    * cprops are not, which is exactly the double-apply window a separate
+    * marker file leaves open (VERDICT r15 #1). Empty for versions whose
+    * committer staged none. Version files are immutable → cached.
+    */
+  def commitProps(fs: FileSystem, root: Path, version: Long): Map[String, String] = {
+    val p = versionFile(root, version)
+    val key = fs.makeQualified(p).toString
+    val hit = cpropsCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val cn = node.get("cprops")
+    val out: Map[String, String] =
+      if (cn == null || !cn.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        val it = cn.fieldNames()
+        while (it.hasNext) { val k = it.next(); b += k -> cn.get(k).asText() }
+        b.result()
+      }
+    cpropsCache.put(key, out)
+    out
+  }
+
+  private val cpropsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, String]]): Boolean = size() > 4096
+    })
+
+  /** Newest value of commit property `key` across the table's versions
+    * (newest-first scan, stopping at the first version that carries it) —
+    * robust to interleaved commits that stage no cprops (a compaction
+    * between two maintenance batches must not erase the applied-batch
+    * record). None when no version carries the key or the table is
+    * unversioned. Scan length is bounded by vacuum retention, and the
+    * common case (the latest commit staged it) reads one version file.
+    */
+  def latestCommitProp(fs: FileSystem, root: Path, key: String): Option[String] = {
+    listVersions(fs, root).reverseIterator
+      .map(v => commitProps(fs, root, v).get(key))
+      .collectFirst { case Some(v) => v }
+  }
+
   /** The newest version committed at or before `tsMillis` (embedded
     * manifest commit times, mtime fallback — see [[commitTime]]). Backs
     * SQL `TIMESTAMP AS OF`. Fails loudly on an unversioned table and on
@@ -477,15 +528,30 @@ object ColfVersions {
     case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
   }
 
+  /** Render the version-scoped commit-properties object (after op,
+    * before the declared-schema fields — ts/op head-reads are unmoved).
+    */
+  private def renderCprops(cprops: Map[String, String], sb: StringBuilder): Unit =
+    if (cprops.nonEmpty) {
+      sb.append(""","cprops":{""")
+      cprops.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), j) =>
+        if (j > 0) sb.append(',')
+        sb.append('"').append(esc(k)).append("\":\"").append(esc(v)).append('"')
+      }
+      sb.append('}')
+    }
+
   /** Inline version file: header + full entry body. `ts` (epoch millis)
     * embeds the commit time in the manifest itself — the durable record
     * [[commitTime]] prefers over the copy-fragile file mtime.
     */
   private def render(version: Long, entries: Seq[Entry],
-      meta: Option[TableMeta], op: String): Array[Byte] = {
+      meta: Option[TableMeta], op: String,
+      cprops: Map[String, String] = Map.empty): Array[Byte] = {
     val sb = new StringBuilder
     // ts and op render FIRST — commitTime/commitOp read only the head
     sb.append(s"""{"version":$version,"ts":${System.currentTimeMillis()},"op":"${esc(op)}"""")
+    renderCprops(cprops, sb)
     renderMeta(meta, sb)
     renderBody(entries, sb)
     sb.append('}')
@@ -621,8 +687,12 @@ object ColfVersions {
       metaUpdate: (Option[TableMeta], Seq[Entry]) => Option[TableMeta] =
         (m, _) => m,
       op: String = "commit"): Long = {
-    val lock = appendLocks.computeIfAbsent(
-      fs.makeQualified(root).toString, _ => new Object)
+    val qualified = fs.makeQualified(root).toString
+    // Staged commit properties ride into THIS commit's version file —
+    // consumed exactly once, whichever write path (batch append, CoW/MoR
+    // DML, DDL, compaction) carries the commit. See [[ColfCommitProps]].
+    val cprops = ColfCommitProps.take(qualified)
+    val lock = appendLocks.computeIfAbsent(qualified, _ => new Object)
     lock.synchronized {
       var attempt = 0
       while (true) {
@@ -649,9 +719,9 @@ object ColfVersions {
         // every entry lands in brand-new segments — tombstones fold away
         val bytes =
           if (current.lengthCompare(InlineMaxEntries) <= 0)
-            render(next, current, meta, op)
+            render(next, current, meta, op, cprops)
           else renderSharded(fs, root,
-            if (freshSegments) None else basisView, current, next, meta, op)
+            if (freshSegments) None else basisView, current, next, meta, op, cprops)
         val tmp = new Path(vp, s".v$next-${java.util.UUID.randomUUID()}.json.tmp")
         val out = fs.create(tmp, false)
         try out.write(bytes) finally out.close()
@@ -696,7 +766,8 @@ object ColfVersions {
     */
   private def renderSharded(fs: FileSystem, root: Path,
       basisView: Option[View], current: Seq[Entry], next: Long,
-      meta: Option[TableMeta], op: String = "commit"): Array[Byte] = {
+      meta: Option[TableMeta], op: String = "commit",
+      cprops: Map[String, String] = Map.empty): Array[Byte] = {
     val vp = versionsPath(root)
     val curByPath: Map[String, Entry] = current.map(e => e.relPath -> e).toMap
     require(curByPath.size == current.size,
@@ -748,6 +819,7 @@ object ColfVersions {
 
     val sb = new StringBuilder
     sb.append(s"""{"version":$next,"ts":${System.currentTimeMillis()},"op":"${esc(op)}"""")
+    renderCprops(cprops, sb)
     renderMeta(meta, sb)
     sb.append(""","segs":[""")
     view.segs.zipWithIndex.foreach { case ((n, _), i) =>
@@ -817,6 +889,24 @@ object ColfVersions {
     if (!fs.exists(root)) Seq.empty else walk(root, "")
   }
 
+  /** Stage commit properties for the NEXT manifest commit on `root`
+    * ([[ColfVersions.commitProps]]). The channel exists because DML
+    * arrives through `spark.sql("MERGE INTO ...")` — there is no write
+    * option to thread a caller fact (like a streaming batch id) into the
+    * commit — yet the fact must land in the SAME version file as the
+    * data to be crash-atomic with it. Driver-side and per-table:
+    * `stage` is called immediately before issuing the write, and
+    * [[ColfVersions.append]] consumes (removes) the entry whatever path
+    * carries the commit. Callers are expected to serialize their own
+    * writes per table (the foreachBatch contract — microbatches of one
+    * query run sequentially); if a staged write dies before reaching the
+    * manifest, the stale entry attaches to the table's next commit —
+    * which, under at-least-once replay, is the same batch re-staging the
+    * same values.
+    */
+  def stageCommitProps(fs: FileSystem, root: Path, props: Map[String, String]): Unit =
+    ColfCommitProps.stage(fs.makeQualified(root).toString, props)
+
   /** Attach each schema-less entry's file schema via one batched
     * (cache-aware, parallel) header fetch — the one-time migration sweep
     * that makes a listing-seeded manifest (first `enableVersioning`, the
@@ -841,5 +931,24 @@ object ColfVersions {
         } catch { case _: java.io.IOException => e }
       }
     }
+  }
+}
+
+/** Driver-side staging area for version-scoped commit properties — see
+  * [[ColfVersions.stageCommitProps]]. Keyed by the table root's
+  * QUALIFIED path string (exactly what `append` computes), so staging
+  * for one table can never leak into another's commit.
+  */
+private[colf] object ColfCommitProps {
+  private val pending =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  def stage(qualifiedRoot: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty) pending.put(qualifiedRoot, props)
+
+  /** Consume (remove) the staged props for one table — empty if none. */
+  def take(qualifiedRoot: String): Map[String, String] = {
+    val v = pending.remove(qualifiedRoot)
+    if (v == null) Map.empty else v
   }
 }

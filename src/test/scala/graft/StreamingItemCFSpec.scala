@@ -74,6 +74,115 @@ class StreamingItemCFSpec extends AnyFunSuite {
     assert(pairsNow > 0)
   }
 
+  test("colf state: every committed version carries its applied batch id ATOMICALLY") {
+    // VERDICT r15 #1: the old design wrote the MERGE commit and a
+    // separate _graft_batch marker as two operations — death exactly
+    // between them double-applied that table's delta on replay. Now the
+    // batch id is a commit PROPERTY of the version file the MERGE itself
+    // publishes, so the adversarial state (data applied, id unrecorded)
+    // is unconstructible: this test walks the table's whole version
+    // history and asserts every version carries the id that committed
+    // it, ids ascending — there is no instant between "applied" and
+    // "recorded" for a kill to land in.
+    import graft.sources.colf.ColfVersions
+    val rows = (0L until 12L).flatMap(bk => Seq((bk, 1L), (bk, (bk % 3) + 2L)))
+    val df = rows.toDF("bk", "it")
+    val feedDir = tmp("itemcf-colf-atomic-feed")
+    val stateDir = tmp("itemcf-colf-atomic") + "/s"
+    for (r <- 0 until 3)
+      df.where($"bk" % 3 === r).coalesce(1).write.mode("append").parquet(feedDir)
+    val feed = spark.readStream.schema(spark.read.parquet(feedDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    StreamingOps.maintainItemCFColf(feed, "bk", "it", stateDir).awaitTermination()
+    for (table <- Seq("pairs", "items")) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$table")
+      val fs = root.getFileSystem(
+        org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark))
+      val versions = ColfVersions.listVersions(fs, root)
+      assert(versions.size == 3, s"$table: expected one version per batch, got $versions")
+      val batchIds = versions.map(v =>
+        ColfVersions.commitProps(fs, root, v).get(StreamingOps.BatchProp))
+      assert(batchIds.forall(_.isDefined),
+        s"$table: a version committed WITHOUT its batch id — the atomicity " +
+          s"contract is broken ($batchIds)")
+      val ids = batchIds.map(_.get.toLong)
+      assert(ids == ids.sorted && ids.distinct == ids,
+        s"$table: batch ids not strictly ascending: $ids")
+      assert(ids.last == 2L)
+      // the owning query id rides in the same commit
+      assert(versions.forall(v =>
+        ColfVersions.commitProps(fs, root, v).get(StreamingOps.QueryProp).exists(_.nonEmpty)))
+    }
+    // no separate marker file exists anymore — nothing left to desync
+    assert(!new java.io.File(s"$stateDir/pairs/_graft_batch").exists())
+  }
+
+  test("colf state: replay of an applied batch is a no-op (exactly-once under replay)") {
+    // The at-least-once window that REMAINS by design: the batch is
+    // fully applied but the source checkpoint's commit for it is lost,
+    // so the restarted query re-delivers it. The recorded batch id must
+    // swallow the replay — including a replay that arrives when only
+    // SOME tables folded the batch (the old marker's double-apply
+    // schedule, now just another replay case).
+    spark.conf.set("spark.sql.catalog.colf_cat",
+      classOf[graft.sources.colf.ColfCatalog].getName)
+    val delta = Seq((1L, 2L)).toDF("item_a", "item_b")
+      .withColumn("dn", lit(3L))
+    val dir = tmp("itemcf-colf-replay") + "/pairs"
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), delta, batchId = 0L)
+    val d1 = Seq((1L, 2L)).toDF("item_a", "item_b").withColumn("dn", lit(5L))
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), d1, batchId = 1L)
+    def n(): Double = spark.read.format("colf").load(dir)
+      .select($"n".cast("double")).as[Double].collect().sum
+    assert(n() == 8.0)
+    // replay batch 1 (crash after apply, before checkpoint commit)
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), d1, batchId = 1L)
+    assert(n() == 8.0, "replayed batch double-applied")
+    // replay batch 0 too (a full-feed re-read): also a no-op
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), delta, batchId = 0L)
+    assert(n() == 8.0)
+    // a genuinely new batch still applies
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), d1, batchId = 2L)
+    assert(n() == 13.0)
+  }
+
+  test("checkpoint-only deletion is detected, not silently undercounted") {
+    // ADVICE r15: deleting stateDir/_checkpoint while keeping the state
+    // restarts batch ids at 0; the bare `applied >= batchId` guard then
+    // silently SKIPPED every early batch of the new incarnation. The
+    // recorded query id (stable per checkpoint) now turns that into a
+    // loud failure on both state backends.
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    for (backend <- Seq("parquet", "colf")) {
+      val df = (0L until 6L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
+      val fd = tmp(s"itemcf-ckguard-feed-$backend")
+      val stateDir = tmp(s"itemcf-ckguard-$backend") + "/s"
+      df.coalesce(1).write.mode("append").parquet(fd)
+      def drain(): Unit = {
+        val feed = spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 1).parquet(fd)
+        val q =
+          if (backend == "parquet") StreamingOps.maintainItemCF(feed, "bk", "it", stateDir)
+          else StreamingOps.maintainItemCFColf(feed, "bk", "it", stateDir)
+        q.awaitTermination()
+      }
+      drain()
+      // sever checkpoint from state, add new data, restart
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(s"$stateDir/_checkpoint"))
+      (6L until 8L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
+        .coalesce(1).write.mode("append").parquet(fd)
+      val e = intercept[StreamingQueryException](drain())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint")),
+        s"$backend: expected the state/checkpoint mismatch failure, got $e")
+    }
+  }
+
   test("state is additive: a second maintenance run over extra baskets extends it") {
     val base = (0L until 10L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
     val extra = (10L until 20L).flatMap(bk => Seq((bk, 1L), (bk, 3L))).toDF("bk", "it")
