@@ -179,6 +179,70 @@ object SparkEntry {
   /** Order-insensitive exact sum of a 2-dp double, surfaced as double. */
   private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
 
+  /** Shared by q_video_containment, q_audio_containment and
+    * q_text_containment: all three planted corpora follow the same
+    * doc-id arithmetic (shorts at id % 3 = 0 carry pattern id % 10;
+    * everything else is a compilation of (p, p+1 mod 10)), and all three
+    * run through the ONE generic containment core.
+    */
+  /** Shared by q_sim_ann AND q_stream_ann (the streaming-maintained
+    * index is bit-identical to the one-shot build): single-table
+    * multiprobe LSH top-k recomputed independently — 6 inlined planes
+    * sign the bucket for both sides, the query side fans out over the
+    * Hamming-1 probe ring (bucket XOR {0, 1<<i}), candidates dedupe on
+    * (query, nbr), exact cosine, per-query top-5 with nbr_id tie-break —
+    * stage-for-stage the lshTopK pipeline.
+    */
+  private lazy val SimAnnOracleSql: String = {
+    val planes = 6; val k = 5
+    val hp = operators.Similarity.hyperplanes(planes, 64, 42L)
+    def planeLit(p: Array[Double]) =
+      p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val sig = (0 until planes).map { i =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(hp(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (0L +: (0 until planes).map(i => 1L << i)).mkString("[", ", ", "]")
+    s"""WITH dv AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), cs AS (
+       |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm, $sig AS bucket FROM dv
+       |), qs AS (
+       |  SELECT id, e, nrm, bucket FROM cs WHERE id < 8
+       |), probes AS (
+       |  SELECT q.id, q.e, q.nrm, xor(q.bucket, m.m) AS bucket
+       |  FROM qs q, UNNEST($masks) m(m)
+       |), cand AS (
+       |  SELECT DISTINCT p.id AS query_id, c.id AS nbr_id
+       |  FROM probes p JOIN cs c ON c.bucket = p.bucket AND c.id <> p.id
+       |), scored AS (
+       |  SELECT c.query_id, c.nbr_id,
+       |    list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cos
+       |  FROM cand c JOIN qs q ON q.id = c.query_id JOIN cs n ON n.id = c.nbr_id
+       |)
+       |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank, cos FROM (
+       |  SELECT query_id, nbr_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
+       |  FROM scored WHERE cos IS NOT NULL)
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  private val ContainmentOracleSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS p,
+      |    (doc_id % 3 = 0) AS s FROM documents)
+      |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+      |  CAST(0 AS BIGINT) AS at_frame
+      |FROM d a JOIN d b ON a.s AND b.s AND a.p = b.p AND a.doc_id <> b.doc_id
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+      |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = b.p
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, CAST(3 AS BIGINT)
+      |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = (b.doc_id + 1) % 10
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+      |FROM d a JOIN d b
+      |  ON NOT a.s AND NOT b.s AND a.p = b.p AND a.doc_id <> b.doc_id""".stripMargin
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2028,6 +2092,63 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    "q_audio_containment" -> ((s, dir) => {
+      // AUDIO CONTAINMENT through the generic containment core (VERDICT
+      // r15 #2): a jingle embedded verbatim in a podcast is a duplicate
+      // of part of it, but whole-recording envelope hashes sit far apart
+      // — real PCM WAV decode -> per-window envelope hashes
+      // (Multimodal.audioWindowHashes) -> the SAME first-shingle blocked,
+      // alignment-carrying containment join as video. Planted
+      // jingle/podcast fixtures follow the video corpus's doc-id
+      // arithmetic exactly, so the two queries share one oracle.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedAudioClipTable(ids, patterns = 10)
+      val frames = operators.Multimodal
+        .audioWindowHashes(media, operators.Multimodal.ToneWindowSamples)
+        .toDF("doc_id", "frame_idx", "fhash")
+      operators.Multimodal.clipContainment(frames, minFrames = 3)
+    }),
+
+    "q_text_containment" -> ((s, dir) => {
+      // TEXT-BLOCK CONTAINMENT (VERDICT r15 stretch): a document quoted
+      // verbatim inside an article is a paragraph-hash RUN — the
+      // granularity span-dedup's fixed n-gram shingles miss. Planted
+      // quote-inside-article fixtures (3 paragraphs of pattern p; /
+      // articles: those + 3 of pattern (p+1) mod 10), paragraphs built
+      // as codegen'd Spark expressions, hashed with xxhash64 (exact
+      // semantics — hashes never surface in the output), then the same
+      // generic containment core. Same doc-id-arithmetic oracle.
+      def para(pat: Column, j: Int): Column =
+        concat(lit("para-"), pat, lit(s"-$j lorem ipsum dolor sit amet"))
+      val p = col("doc_id") % 10
+      val q = (col("doc_id") + 1) % 10
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("qtext",
+          when(col("doc_id") % 3 === 0,
+            concat_ws("\n\n", para(p, 0), para(p, 1), para(p, 2)))
+          .otherwise(concat_ws("\n\n", para(p, 0), para(p, 1), para(p, 2),
+            para(q, 0), para(q, 1), para(q, 2))))
+      val frames = TextAnalysis.paragraphHashes(docs, col("doc_id"), col("qtext"))
+        .toDF("doc_id", "frame_idx", "fhash")
+      operators.Multimodal.clipContainment(frames, minFrames = 3)
+    }),
+
+    "q_dedup_mp4_exact" -> ((s, dir) => {
+      // The MP4 exact-dup BRIDGE (VERDICT r15 #6): codec'd video gets no
+      // perceptual dedup (no pure-JVM H.264/AV1 decoder — the declared
+      // boundary), but re-muxed copies of the same encoded stream carry
+      // byte-identical mdat sample data inside byte-different files.
+      // Digesting ONLY the mdat payload collapses exactly those: planted
+      // MP4s re-wrap one payload per pattern group under 3 mux variants
+      // (brand/timescale/free-box padding), so clusters are the pattern
+      // groups — the q_dedup_image oracle shape.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedMp4Table(ids, patterns = 10)
+      val digs = operators.Multimodal.mdatDigests(media)
+      val reps = digs.groupBy(col("pdigest")).agg(min(col("doc_id")).as("cluster"))
+      digs.join(reps, "pdigest").select(col("doc_id"), col("cluster"))
+    }),
+
     "q_weighted_mix" -> ((s, dir) =>
       // Corpus assembly: src0 upsampled 2.5x (2 full epochs + a
       // deterministic md5 half), src1 cut to a quarter, everything else
@@ -3101,6 +3222,32 @@ object SparkEntry {
       streaming.StreamingOps.itemCFFromColfState(s, stateDir, k = 5, minPairs = 2)
     }),
 
+    "q_stream_ann" -> ((s, dir) => {
+      // STREAMING-MAINTAINED ANN INDEX (VERDICT r15 #3): the embeddings
+      // corpus arrives as three microbatches (vec_id % 3 splits;
+      // maxFilesPerTrigger=1 so maintenance provably accumulates ACROSS
+      // batches); each batch signs only its new vectors against the
+      // PINNED q_sim_ann plane set and lands one immutable index
+      // segment. The drained index is bit-identical to the one-shot
+      // lshBuild, so searching it with q_sim_ann's knobs shares
+      // q_sim_ann's oracle verbatim.
+      val feedDir = work("q_stream_ann_feed")
+      val stateDir = work("q_stream_ann_state")
+      rmDir(feedDir); rmDir(stateDir)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      for (r <- 0 until 3)
+        emb.where(col("id") % 3 === r)
+          .coalesce(1).write.mode("append").parquet(feedDir)
+      val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      streaming.StreamingOps.maintainLshIndex(feed, "id", "vec", stateDir,
+        planes = 6, dim = 64, seed = 42L, tables = 1).awaitTermination()
+      val index = streaming.StreamingOps.lshIndexFromState(s, stateDir,
+        planes = 6, dim = 64, seed = 42L, tables = 1)
+      Similarity.lshSearch(index, emb.where(col("id") < 8), k = 5)
+    }),
+
     "q_golden_record" -> ((s, dir) => {
       // Survivorship / golden-record consolidation of each customer's
       // order history under per-attribute rules: modal status (ties →
@@ -4144,43 +4291,12 @@ object SparkEntry {
         |    ON a.vec_id < b.vec_id
         |) WHERE cos >= 0.35""".stripMargin,
 
-    "q_sim_ann" -> {
-      // Single-table multiprobe LSH top-k, recomputed independently: 6
-      // inlined planes sign the bucket for both sides, the query side
-      // fans out over the Hamming-1 probe ring (bucket XOR {0, 1<<i}),
-      // candidates dedupe on (query, nbr), exact cosine, per-query top-5
-      // with nbr_id tie-break — stage-for-stage the lshTopK pipeline.
-      val planes = 6; val k = 5
-      val hp = operators.Similarity.hyperplanes(planes, 64, 42L)
-      def planeLit(p: Array[Double]) =
-        p.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
-      val sig = (0 until planes).map { i =>
-        s"(CASE WHEN list_dot_product(e, ${planeLit(hp(i))}) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      val masks = (0L +: (0 until planes).map(i => 1L << i)).mkString("[", ", ", "]")
-      s"""WITH dv AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |), cs AS (
-         |  SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm, $sig AS bucket FROM dv
-         |), qs AS (
-         |  SELECT id, e, nrm, bucket FROM cs WHERE id < 8
-         |), probes AS (
-         |  SELECT q.id, q.e, q.nrm, xor(q.bucket, m.m) AS bucket
-         |  FROM qs q, UNNEST($masks) m(m)
-         |), cand AS (
-         |  SELECT DISTINCT p.id AS query_id, c.id AS nbr_id
-         |  FROM probes p JOIN cs c ON c.bucket = p.bucket AND c.id <> p.id
-         |), scored AS (
-         |  SELECT c.query_id, c.nbr_id,
-         |    list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cos
-         |  FROM cand c JOIN qs q ON q.id = c.query_id JOIN cs n ON n.id = c.nbr_id
-         |)
-         |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank, cos FROM (
-         |  SELECT query_id, nbr_id, cos, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn
-         |  FROM scored WHERE cos IS NOT NULL)
-         |WHERE rn <= $k""".stripMargin
-    },
+    "q_sim_ann" -> SimAnnOracleSql,
+
+    // The streaming-maintained index is bit-identical to the one-shot
+    // build by construction (per-row signatures, fixed knobs), so the
+    // search result shares q_sim_ann's oracle verbatim.
+    "q_stream_ann" -> SimAnnOracleSql,
 
     "q_sim_ivf" -> {
       // IVF top-k recomputed independently: 3 inlined coarse planes
@@ -4579,29 +4695,25 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
         |FROM documents""".stripMargin,
 
-    // Clip containment ground truth from the plantedClipTable id
-    // arithmetic: shorts (id % 3 = 0) carry one pattern segment,
-    // compilations carry (p, p+1 mod 10); frame hashes are pure
-    // functions of the pattern (spec-pinned), so containment pairs and
-    // alignments are closed-form. A short matches at most one segment
-    // of a compilation (head != tail pattern always), so no dedup is
-    // needed across the unioned cases.
-    "q_video_containment" ->
-      """WITH d AS (SELECT doc_id, doc_id % 10 AS p,
-        |    (doc_id % 3 = 0) AS s FROM documents)
-        |SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
-        |  CAST(0 AS BIGINT) AS at_frame
-        |FROM d a JOIN d b ON a.s AND b.s AND a.p = b.p AND a.doc_id <> b.doc_id
-        |UNION ALL
-        |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
-        |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = b.p
-        |UNION ALL
-        |SELECT a.doc_id, b.doc_id, CAST(3 AS BIGINT)
-        |FROM d a JOIN d b ON a.s AND NOT b.s AND a.p = (b.doc_id + 1) % 10
-        |UNION ALL
-        |SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
-        |FROM d a JOIN d b
-        |  ON NOT a.s AND NOT b.s AND a.p = b.p AND a.doc_id <> b.doc_id""".stripMargin,
+    // Containment ground truth from the planted-corpus id arithmetic:
+    // shorts (id % 3 = 0) carry one pattern segment, compilations carry
+    // (p, p+1 mod 10); segment hashes are pure functions of the pattern
+    // (spec-pinned), so containment pairs and alignments are closed-form.
+    // Shared by ALL THREE containment fronts — video frames, audio
+    // windows, text paragraphs — because their planted corpora follow
+    // the identical doc-id arithmetic through ONE generic core
+    // (Multimodal.clipContainment).
+    "q_video_containment" -> ContainmentOracleSql,
+    "q_audio_containment" -> ContainmentOracleSql,
+    "q_text_containment" -> ContainmentOracleSql,
+
+    // mdat-payload digest groups == pattern groups, by the
+    // plantedMp4Table construction (mux variants re-wrap one payload per
+    // pattern) — the q_dedup_image oracle shape.
+    "q_dedup_mp4_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 10) AS cluster
+        |FROM documents""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,

@@ -198,10 +198,18 @@ object Multimodal {
               FrameRow(r.doc_id, i, tsMs, stored(idx))
             }
           case _ =>
-            val meta = videoMeta(r)
-            if (meta.timescale < 0 || meta.duration_secs <= 0) Iterator.empty
+            // codec'd AVI (XviD/H.264 — declared handler is not MJPEG):
+            // same null-frame timed grid as MP4, from avih's frame clock
+            // (ADVICE r15: previously these emitted zero frames)
+            val durationSecs = aviTimedGrid(r.media) match {
+              case Some((us, total)) => total * us / 1e6
+              case None =>
+                val meta = videoMeta(r)
+                if (meta.timescale < 0) -1.0 else meta.duration_secs
+            }
+            if (durationSecs <= 0) Iterator.empty
             else {
-              val n = math.min(math.floor(meta.duration_secs * fps).toLong + 1,
+              val n = math.min(math.floor(durationSecs * fps).toLong + 1,
                 maxFramesPerDoc.toLong).toInt
               (0 until n).iterator.map { i =>
                 val tsMs = math.round(i * 1000.0 / fps)
@@ -519,36 +527,51 @@ object Multimodal {
     * Poison rows (null, undecodable, < 65 samples, non-16-bit PCM) yield
     * null, never failing the task.
     */
-  def audioHash64(bytes: Array[Byte]): Option[Long] = {
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    decodePcm16Abs(bytes).flatMap(s => envelopeHash64(s, 0, s.length))
+
+  /** Decode a 16-bit signed-PCM payload (WAV/AIFF/AU via the JDK
+    * providers) to |sample| longs — the shared front half of
+    * [[audioHash64]] and [[audioWindowHashes]]. None for poison rows
+    * (null, undecodable, non-16-bit-PCM).
+    */
+  private[graft] def decodePcm16Abs(bytes: Array[Byte]): Option[Array[Long]] = {
     if (bytes == null) return None
-    val samples: Array[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16 ||
-              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-            return None
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
-          val out = new Array[Long](n)
-          val order =
-            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-            else java.nio.ByteOrder.LITTLE_ENDIAN
-          val buf = java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer()
-          var i = 0
-          while (i < n) { out(i) = math.abs(buf.get(i).toLong); i += 1 }
-          out
-        } finally ais.close()
-      } catch { case _: Exception => return None }
-    val n = samples.length
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Long](n)
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val buf = java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer()
+        var i = 0
+        while (i < n) { out(i) = math.abs(buf.get(i).toLong); i += 1 }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** The 65-segment energy-envelope hash over `samples[from, until)` —
+    * [[audioHash64]]'s back half, rangeable so a long recording hashes
+    * per WINDOW (the containment front end) with one decode. None for
+    * ranges shorter than 65 samples.
+    */
+  private[graft] def envelopeHash64(samples: Array[Long], from: Int, until: Int): Option[Long] = {
+    val n = until - from
     if (n < 65) return None
     val energy = new Array[Long](65)
     val len = new Array[Long](65)
     var seg = 0
     while (seg < 65) {
-      val s0 = seg * n / 65; val s1 = (seg + 1) * n / 65
+      val s0 = from + seg * n / 65; val s1 = from + (seg + 1) * n / 65
       var e = 0L
       var i = s0
       while (i < s1) { e += samples(i); i += 1 }
@@ -564,6 +587,33 @@ object Multimodal {
       b += 1
     }
     Some(out)
+  }
+
+  /** (doc_id, win_idx, whash) per COMPLETE `windowSamples`-sample window
+    * of each decodable audio payload — the per-segment refinement of
+    * [[audioHash64]] (which hashes the whole recording), and the
+    * [[clipContainment]] front end for audio: a jingle embedded verbatim
+    * in a podcast is a window-hash RUN inside it, exactly the structure
+    * the generic containment core joins on. One decode per payload, one
+    * rangeable envelope hash per window; the trailing partial window is
+    * dropped (its envelope would differ from the same audio's windows in
+    * any other container). Poison payloads contribute no rows.
+    */
+  def audioWindowHashes(media: DataFrame, windowSamples: Int): DataFrame = {
+    require(windowSamples >= 65, s"windowSamples must be >= 65, got $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePcm16Abs(r.media).iterator.flatMap { s =>
+          val nWin = s.length / windowSamples
+          (0 until nWin).iterator.flatMap { w =>
+            envelopeHash64(s, w * windowSamples, (w + 1) * windowSamples)
+              .map(h => (r.doc_id, w, h))
+          }
+        }
+      }
+    }.toDF("doc_id", "win_idx", "whash")
   }
 
   /** (doc_id, ahash) per media row — null for poison payloads; feeds
@@ -592,26 +642,38 @@ object Multimodal {
     *    byte-distinct, energy-exact (samples stay positive), hash
     *    unchanged.
     */
-  def syntheticToneWav(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
+  /** Samples per synthetic tone window: 65 envelope segments × 64. */
+  private[graft] val ToneWindowSamples: Int = 65 * 64
+
+  /** Per-segment tone level of the synthetic pattern — the closed form
+    * both the PCM generator and [[expectedAudioWindowHash]] share.
+    */
+  private def toneLevel(pattern: Int, flips: Int, seg: Int): Int =
+    if (seg < 12) {
+      val k = seg / 3
+      val base = (seg % 3: @unchecked) match { case 0 => 5; case 1 => 3; case 2 => 1 }
+      if (seg % 3 == 1 && k < flips) 0 else base
+    } else {
+      var x = pattern * 73856093 ^ seg * 19349663
+      x = (x ^ (x >>> 16)) * 0x45d9f3b
+      x = x ^ (x >>> 16)
+      1 + ((x & 0x7fffffff) % 5)
+    }
+
+  /** One [[ToneWindowSamples]]-sample PCM window of the synthetic tone
+    * pattern (see [[syntheticToneWav]] for the bit semantics): 65 flat
+    * segments of `toneLevel`·1000, plus one mean- AND energy-preserving
+    * ±1 noise pair in the last segment keyed by `noiseSeed` — so the
+    * window's envelope hash is a pure function of (pattern, flips).
+    */
+  private[graft] def tonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] = {
     require(flips >= 0 && flips < 4, s"flips must be in [0,4), got $flips")
     val per = 64
-    val n = 65 * per
+    val n = ToneWindowSamples
     val pcm = new Array[Short](n)
-    def level(seg: Int): Int = {
-      if (seg < 12) {
-        val k = seg / 3
-        val base = (seg % 3: @unchecked) match { case 0 => 5; case 1 => 3; case 2 => 1 }
-        if (seg % 3 == 1 && k < flips) 0 else base
-      } else {
-        var x = pattern * 73856093 ^ seg * 19349663
-        x = (x ^ (x >>> 16)) * 0x45d9f3b
-        x = x ^ (x >>> 16)
-        1 + ((x & 0x7fffffff) % 5)
-      }
-    }
     var seg = 0
     while (seg < 65) {
-      val v = (level(seg) * 1000).toShort
+      val v = (toneLevel(pattern, flips, seg) * 1000).toShort
       var i = 0
       while (i < per) { pcm(seg * per + i) = v; i += 1 }
       seg += 1
@@ -620,16 +682,70 @@ object Multimodal {
     val np = (((noiseSeed % (per - 1)) + (per - 1)) % (per - 1)).toInt
     pcm(64 * per + np) = (pcm(64 * per + np) + 1).toShort
     pcm(64 * per + np + 1) = (pcm(64 * per + np + 1) - 1).toShort
-    val bytes = new Array[Byte](n * 2)
+    pcm
+  }
+
+  /** Wrap raw 16-bit mono little-endian PCM as a WAV container. */
+  private[graft] def wavFromPcm(pcm: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](pcm.length * 2)
     java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .asShortBuffer().put(pcm)
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  def syntheticToneWav(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
+    wavFromPcm(tonePcm(pattern, flips, noiseSeed))
+
+  /** The closed-form envelope hash every [[tonePcm]](pattern, flips, *)
+    * window must produce: segment energies are exactly level·1000·64
+    * (the noise pair is energy-exact), segment lengths are equal, so bit
+    * b = level(b) > level(b+1) — computable without decoding a sample,
+    * which is what lets `q_audio_containment`'s oracle replay the
+    * containment arithmetic in SQL (the [[expectedVideoHash]] move,
+    * audio flavor).
+    */
+  private[graft] def expectedAudioWindowHash(pattern: Int, flips: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (toneLevel(pattern, flips, b) > toneLevel(pattern, flips, b + 1)) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** A planted jingle/podcast table for audio [[clipContainment]] — the
+    * [[plantedClipTable]] scheme, audio flavor: docs with id % 3 == 0
+    * are short JINGLES (3 tone windows of pattern id % patterns), every
+    * other doc is a PODCAST (3 windows of pattern id % patterns followed
+    * by 3 of pattern (id+1) % patterns — head and tail always differ).
+    * All flips = 0; per-window noise is doc-keyed but energy-exact, so
+    * window hashes depend only on the pattern and the containment ground
+    * truth is the same doc-id arithmetic as the video corpus — the two
+    * queries share one oracle.
+    */
+  def plantedAudioClipTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val p = ((id % patterns + patterns) % patterns).toInt
+        val windows =
+          if (id % 3 == 0) (0 until 3).map(i => tonePcm(p, 0, id * 16 + i))
+          else {
+            val q = (((id + 1) % patterns + patterns) % patterns).toInt
+            (0 until 3).map(i => tonePcm(p, 0, id * 16 + i)) ++
+              (0 until 3).map(i => tonePcm(q, 0, id * 16 + 8 + i))
+          }
+        MediaRow(id, wavFromPcm(windows.flatten.toArray), "audio/wav")
+      }
+    }.toDF("doc_id", "media", "media_type")
   }
 
   /** A planted audio-media table — the [[plantedImageTable]] analogue:
@@ -687,8 +803,14 @@ object Multimodal {
     * `hdrl`/`strl`/`movi` LISTs only. Malformed sizes, truncation, or a
     * frameless file return None — poison payloads degrade, never throw.
     */
-  private[graft] def aviMjpegFrames(
-      bytes: Array[Byte]): Option[(Long, IndexedSeq[Array[Byte]])] = {
+  /** One walk of an AVI (RIFF) container, shared by the MJPEG frame
+    * extractor and the codec'd-AVI timed grid: (microseconds per frame
+    * from `avih`, total frames from `avih`, whether a 'vids' stream
+    * declares an MJPEG handler, the movi `..dc`/`..db` chunk payloads).
+    * None for non-AVI / malformed payloads.
+    */
+  private def aviWalk(
+      bytes: Array[Byte]): Option[(Long, Long, Boolean, IndexedSeq[Array[Byte]])] = {
     if (bytes == null || bytes.length < 24) return None
     def fourcc(at: Int): String =
       new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -696,6 +818,8 @@ object Multimodal {
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     val riffEnd = math.min(bytes.length.toLong, 8L + (bb.getInt(4).toLong & 0xffffffffL))
     var usPerFrame = -1L
+    var totalFrames = -1L
+    var mjpeg = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(from: Long, to: Long): Boolean = {
       var p = from
@@ -708,8 +832,20 @@ object Multimodal {
           val listType = fourcc(p.toInt + 8)
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
             if (!walk(p + 12, p + 8 + size)) return false
-        } else if (id == "avih" && size >= 4) {
+        } else if (id == "avih" && size >= 20) {
           usPerFrame = bb.getInt(p.toInt + 8).toLong & 0xffffffffL
+          totalFrames = bb.getInt(p.toInt + 24).toLong & 0xffffffffL // dwTotalFrames
+        } else if (id == "strh" && size >= 8) {
+          // ADVICE r15: check the stream's DECLARED codec — fccType
+          // 'vids' + fccHandler MJPG (any case; dmb1 is QuickTime's
+          // MJPEG-A fourcc). Without this gate an XviD AVI's '..dc'
+          // chunks were emitted as `frame` bytes, contradicting the
+          // contract that codec'd containers keep frame = null.
+          val fccType = fourcc(p.toInt + 8)
+          val handler = fourcc(p.toInt + 12)
+          if (fccType == "vids" &&
+              (handler.equalsIgnoreCase("MJPG") || handler == "dmb1"))
+            mjpeg = true
         } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
           frames += java.util.Arrays.copyOfRange(bytes, p.toInt + 8, (p + 8 + size).toInt)
         }
@@ -718,10 +854,34 @@ object Multimodal {
       true
     }
     try {
-      if (!walk(12L, riffEnd) || frames.isEmpty) None
-      else Some((usPerFrame, frames.toIndexedSeq))
+      if (!walk(12L, riffEnd)) None
+      else Some((usPerFrame, totalFrames, mjpeg, frames.toIndexedSeq))
     } catch { case _: Exception => None }
   }
+
+  private[graft] def aviMjpegFrames(
+      bytes: Array[Byte]): Option[(Long, IndexedSeq[Array[Byte]])] =
+    aviWalk(bytes) match {
+      // frames only when the stream DECLARES MJPEG — raw codec data from
+      // an XviD/H.264 AVI must never masquerade as decodable frame bytes
+      case Some((us, _, true, frames)) if frames.nonEmpty => Some((us, frames))
+      case _ => None
+    }
+
+  /** Timed-grid parameters for a codec'd (non-MJPEG) AVI: (microseconds
+    * per frame, stored frame count) from `avih` — enough to emit the
+    * same null-frame grid MP4 containers get, without touching sample
+    * data. None for non-AVI, malformed, or frameless payloads.
+    */
+  private[graft] def aviTimedGrid(bytes: Array[Byte]): Option[(Long, Long)] =
+    aviWalk(bytes) match {
+      case Some((us, total, _, chunks)) if us > 0 =>
+        // dwTotalFrames is advisory in the wild; fall back to counting
+        // the stored movi chunks when the header claims none
+        val n = if (total > 0) total else chunks.length.toLong
+        if (n > 0) Some((us, n)) else None
+      case _ => None
+    }
 
   /** 64-bit perceptual VIDEO hash: real per-frame JPEG decode →
     * [[dHash64]] per frame → per-bit MAJORITY VOTE across the decoded
@@ -762,6 +922,123 @@ object Multimodal {
     media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
       rows.map(r => (r.doc_id, videoHash64(r.media)))
     }.toDF("doc_id", "vhash")
+  }
+
+  /** md5 hex digest of an MP4/QuickTime payload's CONCATENATED `mdat`
+    * box contents (64-bit largesize honored, top-level walk only — mdat
+    * is a top-level box), or null when the payload is not ISO BMFF or
+    * carries no sample data. The container-level EXACT-dedup bridge for
+    * codec'd video (VERDICT r15 #6): no pure-JVM H.264/AV1 decoder
+    * exists, so MP4 corpora cannot get perceptual dedup — but re-muxed
+    * copies of the same encoded stream (metadata edits, faststart
+    * repacks, brand changes, free-box padding) carry byte-identical
+    * sample data in a byte-different file, and digesting ONLY the mdat
+    * payload collapses exactly those. Cost ∝ bytes, map-only; whole-file
+    * digests would miss every one of these copies.
+    */
+  private[graft] def mdatDigest(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 16) return None
+    def fourcc(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // must LOOK like ISO BMFF (leading ftyp/moov/free/mdat/wide box),
+    // else arbitrary binary would hash to "no mdat" nulls only by luck
+    if (!Set("ftyp", "moov", "free", "mdat", "wide", "skip").contains(fourcc(4)))
+      return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var sawMdat = false
+    try {
+      var p = 0L
+      val to = bytes.length.toLong
+      while (p + 8 <= to) {
+        val size32 = buf.getInt(p.toInt).toLong & 0xffffffffL
+        val tpe = fourcc(p.toInt + 4)
+        var header = 8L
+        var size = size32
+        if (size32 == 1L) {
+          if (p + 16 > to) return None
+          size = buf.getLong(p.toInt + 8)
+          header = 16L
+        } else if (size32 == 0L) size = to - p
+        if (size < header || p + size > to) return None
+        if (tpe == "mdat" && size > header) {
+          md.update(bytes, (p + header).toInt, (size - header).toInt)
+          sawMdat = true
+        }
+        p += size
+      }
+      if (!sawMdat) None
+      else Some(md.digest().map(b => f"${b & 0xff}%02x").mkString)
+    } catch { case _: Exception => None }
+  }
+
+  /** (doc_id, pdigest) per media row — null digest for poison/non-BMFF
+    * payloads. Feeds the exact-dup grouping in `q_dedup_mp4_exact`.
+    */
+  def mdatDigests(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type").as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.doc_id, mdatDigest(r.media)))
+    }.toDF("doc_id", "pdigest")
+  }
+
+  /** Assemble a minimal ISO BMFF (MP4) container: ftyp(brand) + moov
+    * (mvhd v0 with the given timescale/duration) + an optional `free`
+    * padding box + mdat(payload). Enough structure for [[decodeVideo]]
+    * to read real metadata and for [[mdatDigest]] to see real sample
+    * bytes — the re-mux fixture generator.
+    */
+  private[graft] def buildMp4(brand: String, timescale: Long, duration: Long,
+      freePad: Int, payload: Array[Byte]): Array[Byte] = {
+    require(brand.length == 4, s"brand fourcc must be 4 chars, got '$brand'")
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(tpe) ++ body
+    val ftyp = box("ftyp", cc(brand) ++ be32(0) ++ cc(brand))
+    // mvhd v0: version+flags, ctime, mtime, timescale, duration, then
+    // the fixed tail (rate/volume/matrix/next-track) as zeros
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ Array.fill[Byte](80)(0))
+    val moov = box("moov", mvhd)
+    val free = if (freePad <= 0) Array.emptyByteArray
+      else box("free", Array.fill[Byte](freePad)(0x5a.toByte))
+    ftyp ++ moov ++ free ++ box("mdat", payload)
+  }
+
+  /** A planted MP4 table for the exact-dup bridge: sample payload =
+    * deterministic bytes of pattern doc_id % `patterns`; mux variant =
+    * (doc_id div patterns) mod 3 re-wraps the SAME payload with a
+    * different brand, timescale (duration rescaled so the real duration
+    * is unchanged), and free-box padding — byte-distinct files, equal
+    * mdat. Ground truth: clusters are exactly the pattern groups.
+    */
+  def plantedMp4Table(ids: DataFrame, patterns: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val p = ((id % patterns + patterns) % patterns).toInt
+        val payload = new Array[Byte](256)
+        var i = 0
+        while (i < payload.length) {
+          var x = p * 73856093 ^ i * 19349663
+          x = (x ^ (x >>> 16)) * 0x45d9f3b
+          payload(i) = (x ^ (x >>> 16)).toByte
+          i += 1
+        }
+        val v = (((id / patterns) % 3 + 3) % 3).toInt
+        val media = v match {
+          case 0 => buildMp4("isom", 1000L, 4000L, 0, payload)
+          case 1 => buildMp4("mp42", 600L, 2400L, 32, payload)
+          case _ => buildMp4("qt  ", 90000L, 360000L, 64 + (id % 7).toInt, payload)
+        }
+        MediaRow(id, media, "video/mp4")
+      }
+    }.toDF("doc_id", "media", "media_type")
   }
 
   /** Cell grays for the synthetic video pattern: the image generator's
@@ -865,7 +1142,8 @@ object Multimodal {
     * [[aviMjpegFrames]], stream the movi list directly.)
     */
   private[graft] def buildMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-      usPerFrame: Long, junkTag: Long = 0L): Array[Byte] = {
+      usPerFrame: Long, junkTag: Long = 0L, codec: String = "MJPG"): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars, got '$codec'")
     val bos = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -881,12 +1159,12 @@ object Multimodal {
     val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w.toLong) ++ le32(h.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+    val strh = cc("vids") ++ cc(codec) ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(usPerFrame) ++ le32(1000000L) ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
     val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
-      cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      cc(codec) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi", frames.iterator.map(f => chunk("00dc", f))

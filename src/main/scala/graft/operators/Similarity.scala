@@ -308,24 +308,48 @@ object Similarity {
         val (n, d) = corpusStats(corpus, col("vec"))
         (planesFor(n, math.max(128L, 64L * tables)), if (dim0 == AutoDim) d else dim0)
       } else (planes0, resolveDim(dim0, corpus, col("vec")))
+    LshIndex(lshSignCorpus(corpus, planes, dim, seed, tables), planes, dim, seed, tables)
+  }
+
+  /** Sign-and-bucket a corpus batch against FIXED (resolved) knobs — the
+    * per-row half of the LSH index build, exposed so an INCREMENTALLY
+    * maintained index ([[graft.streaming.StreamingOps.maintainLshIndex]])
+    * can sign each microbatch identically to a one-shot build: the
+    * signature is a pure per-row function of (vec, planes, dim, seed,
+    * tables), so batch-signed rows unioned over any split are
+    * bit-identical to signing the whole corpus at once. Knobs must be
+    * explicit here (no Auto sentinels): auto-planning reads corpus
+    * statistics, which an append stream changes batch to batch.
+    */
+  private[graft] def lshSignCorpus(corpus: DataFrame, planes: Int, dim: Int,
+      seed: Long, tables: Int): DataFrame = {
+    require(planes >= 0 && planes <= 62 && dim > 0 && tables >= 1 && tables <= 64,
+      s"lshSignCorpus needs explicit knobs: planes=$planes dim=$dim tables=$tables")
     val c0 = corpus.select(col("id").as("nbr_id"), asDouble(col("vec")).as("nbr_vec"))
       .withColumn("nbr_nrm", norm(col("nbr_vec")))
-    val c =
-      if (tables == 1)
-        c0.withColumn("bucket", signature(col("nbr_vec"), hyperplanes(planes, dim, seed)))
-      else {
-        // One signed copy per table (union of per-table projections, each
-        // with its own plane set): the corpus is replicated ×tables — the
-        // textbook OR-amplification trade of index size for recall. A
-        // per-row `tbl` key keeps tables from cross-matching in the join.
-        (0 until tables).map { t =>
-          val hp = hyperplanes(planes, dim, tableSeed(seed, t))
-          c0.withColumn("tbl", lit(t))
-            .withColumn("bucket", signature(col("nbr_vec"), hp))
-        }.reduce(_ unionByName _)
-      }
-    LshIndex(c, planes, dim, seed, tables)
+    if (tables == 1)
+      c0.withColumn("bucket", signature(col("nbr_vec"), hyperplanes(planes, dim, seed)))
+    else {
+      // One signed copy per table (union of per-table projections, each
+      // with its own plane set): the corpus is replicated ×tables — the
+      // textbook OR-amplification trade of index size for recall. A
+      // per-row `tbl` key keeps tables from cross-matching in the join.
+      (0 until tables).map { t =>
+        val hp = hyperplanes(planes, dim, tableSeed(seed, t))
+        c0.withColumn("tbl", lit(t))
+          .withColumn("bucket", signature(col("nbr_vec"), hp))
+      }.reduce(_ unionByName _)
+    }
   }
+
+  /** Wrap an externally materialized signed-corpus table (the
+    * [[lshSignCorpus]] schema — e.g. read back from a streaming-
+    * maintained state store) as a searchable [[LshIndex]]. The caller
+    * owns the knobs' consistency with how the rows were signed.
+    */
+  private[graft] def lshIndexFrom(bucketed: DataFrame, planes: Int, dim: Int,
+      seed: Long, tables: Int): LshIndex =
+    LshIndex(bucketed, planes, dim, seed, tables)
 
   def lshSearch(index: LshIndex, queries: DataFrame, k: Int,
       multiProbe: Boolean = true): DataFrame = {

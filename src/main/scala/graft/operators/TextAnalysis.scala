@@ -682,4 +682,23 @@ object TextAnalysis {
         regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
         lit(Ipv4Pattern), lit("<IP>")),
       lit(PhonePattern), lit("<PHONE>"))
+
+  /** (doc_id, para_idx, phash) per non-empty paragraph (blank-line
+    * separated, trimmed) of each document — the TEXT front end for
+    * [[Multimodal.clipContainment]]: a document quoted verbatim inside
+    * another is a paragraph-hash RUN inside its sequence, the
+    * granularity span-dedup's fixed n-gram shingles miss (a quote
+    * shorter than the shingle width, or one whose boundaries straddle
+    * shingles, never forms a containment edge there). Hashes are
+    * xxhash64 over the trimmed paragraph — exact-match semantics (text
+    * containment is exact, unlike the perceptual audio/video fronts),
+    * codegen'd, map-only. `para_idx` numbers the KEPT paragraphs
+    * consecutively, so runs stay contiguous across dropped blanks.
+    */
+  def paragraphHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val paras = filter(transform(split(text, "\\n\\n"), p => trim(p)), p => p =!= "")
+    df.where(text.isNotNull)
+      .select(id.cast("long").as("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"), xxhash64(col("para")).as("phash"))
+  }
 }

@@ -809,6 +809,83 @@ object StreamingOps {
     } finally spark.catalog.dropTempView(view)
   }
 
+  /** STREAMING-MAINTAINED LSH ANN index (VERDICT r15 #3 — the one
+    * LLM-pipeline surface that was still one-shot): maintain
+    * [[graft.operators.Similarity.lshBuild]]'s signed-and-bucketed
+    * corpus incrementally from an append feed of `(id, vec)` rows, so a
+    * growing embedding corpus never rebuilds its index — each batch
+    * signs ONLY its new vectors (a pure per-row map against the fixed
+    * plane set) and lands them as one immutable per-batch segment under
+    * `stateDir/index/b<batchId>`. Cost per batch: O(batch rows), zero
+    * shuffle, zero touch of prior segments — the append-only analogue
+    * of the item-CF MERGE discipline.
+    *
+    * Feed contract: append-only with UNIQUE ids (a CDC feed of new
+    * documents' embeddings; updates/deletes need a keyed state store —
+    * the item-CF shape — not an append index).
+    *
+    * Exactness: the signature is a pure per-row function of (vec,
+    * planes, dim, seed, tables), so the drained index is BIT-IDENTICAL
+    * to a one-shot [[graft.operators.Similarity.lshBuild]] over the same
+    * rows with the same knobs (StreamingAnnSpec pins it; `q_stream_ann`
+    * shares `q_sim_ann`'s pinned-knob oracle). Knobs must therefore be
+    * EXPLICIT — auto-planning reads corpus stats, which a stream changes
+    * every batch; plan them once from the expected corpus size
+    * ([[graft.operators.Similarity.planesFor]]) and keep them fixed for
+    * the index's lifetime (re-plan = rebuild, as with every LSH index).
+    *
+    * Restart safety: the source checkpoint lives in
+    * `stateDir/_checkpoint` (one lifetime with the state); replay is
+    * idempotent WITHOUT any marker because the batch id names the
+    * segment directory — a replayed batch overwrites its own segment
+    * with identical rows, never duplicates (crash mid-overwrite leaves
+    * an uncommitted batch, which replays and converges). A batch-id
+    * marker still records the owning query id to detect checkpoint-only
+    * deletion loudly ([[mergeCountState]]'s guard).
+    *
+    * Returns the started query (AvailableNow); await it, then search
+    * with [[lshIndexFromState]] + [[graft.operators.Similarity.lshSearch]].
+    */
+  def maintainLshIndex(feed: DataFrame, idCol: String, vecCol: String,
+      stateDir: String, planes: Int, dim: Int, seed: Long = 42L,
+      tables: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    feed.writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
+        val idx = new org.apache.hadoop.fs.Path(s"$stateDir/index")
+        val fs = idx.getFileSystem(hconf)
+        val qid = streamQueryId(spark)
+        if (fs.exists(idx))
+          requireSameQuery(appliedQueryId(fs, idx), qid, s"$stateDir/index")
+        // replayed already-complete batch: segment exists and the marker
+        // moved past it — skip (a lambda must not non-locally `return`)
+        if (!fs.exists(idx) || appliedBatchId(fs, idx) < batchId) {
+          val signed = graft.operators.Similarity.lshSignCorpus(
+            batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+            planes, dim, seed, tables)
+          signed.write.mode("overwrite").parquet(s"$stateDir/index/b$batchId")
+          writeBatchMarker(fs, idx, batchId, qid)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained [[maintainLshIndex]] segments as a searchable
+    * [[graft.operators.Similarity.LshIndex]] — pass the SAME knobs the
+    * maintenance ran with (they parameterize the query-side hashing;
+    * the corpus side is already signed).
+    */
+  def lshIndexFromState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      planes: Int, dim: Int, seed: Long = 42L,
+      tables: Int = 1): graft.operators.Similarity.LshIndex =
+    graft.operators.Similarity.lshIndexFrom(
+      spark.read.parquet(s"$stateDir/index/b*"), planes, dim, seed, tables)
+
   /** [[itemCFFromState]] over the colf-backed state tables (keys ride as
     * utf8 in COLF's type lattice — cast back to long for scoring).
     */
