@@ -45,6 +45,7 @@ object Bench {
     "q_stream_item_cf", "q_dedup_audio", "q_bpe_train",
     "q_stream_item_cf_colf", "q_dedup_video", "q_bpe_pipeline", "q_label_prop",
     "q_video_containment", "q_holt_winters",
+    "q_audio_containment", "q_text_containment", "q_dedup_mp4_exact", "q_stream_ann",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of
@@ -77,6 +78,28 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
+
+  /** Regression rows for the tripwire: this run's medians vs a prior
+    * artifact's. Two ways onto the list (VERDICT r16 #2): a >1.5×
+    * slowdown, and — LOUDER than any slowdown — a query that had a
+    * positive prior time and now FAILED (median -1). The r16 board
+    * silently dropped q_stream_item_cf_colf's 10.4 s this way: the
+    * `med > 0` guard skipped it and the total quietly shrank, reading
+    * as a win. Factored out of main so BenchParseSpec can pin both
+    * paths without running a bench.
+    */
+  private[graft] def regressionRows(meds: Seq[(String, Double)],
+      prevMap: Map[String, Double], src: String): Seq[String] =
+    meds.flatMap { case (n, med) =>
+      prevMap.get(n) match {
+        case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>
+          Some(s"""{"q":"$n","median":$med,"prev":$prev,"ratio":${
+            math.round(med / prev * 100) / 100.0},"vs":"$src"}""")
+        case Some(prev) if prev > 0 && med < 0 =>
+          Some(s"""{"q":"$n","median":-1.0,"prev":$prev,"failed":true,"vs":"$src"}""")
+        case _ => None
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,7 +202,29 @@ object Bench {
     }
     clearState() // warmup cache entries must not assist the timed runs
 
-    val results = headline.map(n => n -> run(n))
+    // Calibration sentinel (VERDICT r15 #4 / r16 #6): a fixed,
+    // data-independent query timed at the start, after every 20th
+    // headline query, and at the end. Its plan never changes, so any
+    // inflation of later samples over the first measures BOX CONTENTION
+    // during the capture — the adjudication signal that separates "the
+    // operator regressed" from "the machine was busy" without re-running.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      // hash() is int-valued, so the 64M-row sum stays far from long
+      // overflow (ANSI mode aborts on overflow); murmur3-per-row keeps
+      // the sentinel CPU-bound rather than a constant-foldable no-op
+      spark.range(0L, 64L << 20, 1L, 32)
+        .selectExpr("sum(hash(id)) AS s", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce() // JIT the sentinel itself; untimed
+    val calSamples = scala.collection.mutable.ArrayBuffer[Double](calOnce())
+    val results = headline.zipWithIndex.map { case (n, i) =>
+      if (i % 20 == 19) calSamples += calOnce()
+      n -> run(n)
+    }
+    calSamples += calOnce()
 
     // ANN quality trend: recall@10 of each approximate strategy against the
     // exact brute-force top-k over the same corpus and a 64-query probe set
@@ -274,7 +319,7 @@ object Bench {
     // COMPLETE BENCH_full_latest.json this bench writes itself, and if
     // that too yields nothing, say "no_comparable_artifact" loudly
     // instead of an indistinguishable-from-healthy [].
-    val regressions: String = try {
+    val prior: Option[(String, Map[String, Double])] = try {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"))
       val candidates: Seq[java.io.File] =
         Option(dir.listFiles()).getOrElse(Array.empty)
@@ -282,33 +327,37 @@ object Bench {
           .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
           .lastOption.toSeq ++
         Some(new java.io.File(dir, "BENCH_full_latest.json")).filter(_.isFile)
-      val parsed: Option[(String, Map[String, Double])] =
-        candidates.iterator.map { f =>
-          val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          f.getName -> parsePriorQueryTimes(raw, sfDir)
-        }.find(_._2.nonEmpty)
-      parsed match {
-        case None =>
-          System.err.println(s"[bench] regression tripwire: no comparable " +
-            s"prior artifact (tried ${candidates.map(_.getName).mkString(", ")})")
-          "\"no_comparable_artifact\""
-        case Some((src, prevMap)) =>
-          val regs = meds.flatMap { case (n, med) =>
-            prevMap.get(n) match {
-              case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>
-                Some(s"""{"q":"$n","median":$med,"prev":$prev,"ratio":${
-                  math.round(med / prev * 100) / 100.0},"vs":"$src"}""")
-              case _ => None
-            }
-          }
-          regs.mkString("[", ",", "]")
-      }
+      val parsed = candidates.iterator.map { f =>
+        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        f.getName -> parsePriorQueryTimes(raw, sfDir)
+      }.find(_._2.nonEmpty)
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] regression tripwire: no comparable " +
+          s"prior artifact (tried ${candidates.map(_.getName).mkString(", ")})")
+      parsed
     } catch { case e: Throwable =>
       System.err.println(s"[bench] regression diff failed: ${e.getMessage}")
-      "\"no_comparable_artifact\""
+      None
+    }
+    val regressions: String = prior match {
+      case None => "\"no_comparable_artifact\""
+      case Some((src, prevMap)) =>
+        regressionRows(meds, prevMap, src).mkString("[", ",", "]")
     }
 
+    // Failures are LOUD (VERDICT r16 #2): `failed` names every query
+    // whose runs short-circuited, and when the prior artifact carries
+    // their last-known times, `total_with_failed_at_prev` reports what
+    // the board would read if they had merely not regressed — so a
+    // query falling OFF the board can never masquerade as a speedup.
+    val failedQs = results.collect { case (n, ts) if ts.isEmpty => n }
+    val failedJson = failedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
+    val totalWithFailedAtPrev: Option[Double] =
+      if (failedQs.isEmpty) None
+      else prior.map { case (_, prevMap) =>
+        total + failedQs.flatMap(prevMap.get).filter(_ > 0).sum
+      }
     // The driver's artifact keeps only the LAST ~2000 chars of stdout
     // (BENCH_r09.json: tail length exactly 2000, `parsed: null`), so the
     // line is laid out to degrade gracefully under tail-truncation: the
@@ -319,10 +368,21 @@ object Bench {
     // written to BENCH_full_latest.json next to the prior-round
     // artifacts (best-effort — read-only trees just log).
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val calSorted = calSamples.toSeq.sorted
+    val calJson = {
+      val inflation =
+        if (calSorted.head > 0) r3(calSorted.last / calSorted.head) else -1.0
+      s"""{"n":${calSorted.size},"min":${r3(calSorted.head)},""" +
+        s""""median":${r3(median(calSorted))},"max":${r3(calSorted.last)},""" +
+        s""""inflation":$inflation}"""
+    }
+    val estField = totalWithFailedAtPrev
+      .map(v => s""","total_with_failed_at_prev":${r3(v)}""").getOrElse("")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(mins.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_max":${jmap(maxs.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
+      s""""failed":$failedJson$estField,"calibration":$calJson,""" +
       s""""regressions":$regressions,"runs":$runs,"hermetic":true,"sf":"$sfDir"$annRecall}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"), "BENCH_full_latest.json"), line)

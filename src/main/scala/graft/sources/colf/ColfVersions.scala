@@ -355,13 +355,38 @@ object ColfVersions {
       }
     }
 
+  /** Cache key for a version file: qualified path + mtime + length.
+    * Version files are immutable while a table LIVES, but a table
+    * dropped and recreated at the same path is reborn with a fresh
+    * `v00000001.json` — a path-only key would keep serving the dead
+    * incarnation's values (stale declared schema, stale `TIMESTAMP AS
+    * OF` resolution, a prior query's applied-batch id tripping the
+    * severance guard; VERDICT r16 #1). (path, mtime, length) is the
+    * same file identity [[ColfHeaderCache]] uses via [[ColfFileRef]];
+    * the extra `getFileStatus` is one metadata round-trip per miss or
+    * recheck, negligible next to the open+read it guards.
+    */
+  private def versionCacheKey(fs: FileSystem, root: Path, version: Long): String = {
+    val p = versionFile(root, version)
+    val st = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException =>
+        // same diagnosable error readView raises — a vacuumed/never-
+        // existed version must not surface as a raw FS stack trace
+        throw new IllegalArgumentException(
+          s"colf: version $version of $root does not exist " +
+            s"(available: ${listVersions(fs, root).mkString(", ")})")
+    }
+    s"${fs.makeQualified(p)}@${st.getModificationTime}:${st.getLen}"
+  }
+
   /** The declared table schema at `version` (default: latest), or None
     * when the table is unversioned or no DDL ever declared one. One
-    * version-file read; results cache with the (immutable) version file.
+    * version-file read; results cache with the (immutable) version file,
+    * keyed by (path, mtime, length) so a recreated table misses.
     */
   def tableMeta(fs: FileSystem, root: Path, version: Option[Long] = None): Option[TableMeta] = {
     val v = version.orElse(latestVersion(fs, root)).getOrElse(return None)
-    val key = fs.makeQualified(versionFile(root, v)).toString
+    val key = versionCacheKey(fs, root, v)
     metaCache.get(key) match {
       case null =>
         // corruption propagates (resolution would fail on the entries
@@ -389,12 +414,12 @@ object ColfVersions {
     * pre-ts manifests. The embedded field is what survives a table
     * copy/restore/relocation — file mtimes silently become the copy
     * time, so resolving `TIMESTAMP AS OF` from them would time-travel a
-    * restored table to the wrong snapshots. Version files are immutable,
-    * so results cache per qualified path.
+    * restored table to the wrong snapshots. Cached per
+    * (path, mtime, length) — see [[versionCacheKey]].
     */
   def commitTime(fs: FileSystem, root: Path, version: Long): Long = {
     val p = versionFile(root, version)
-    val key = fs.makeQualified(p).toString
+    val key = versionCacheKey(fs, root, version)
     val hit = tsCache.get(key)
     if (hit != null) return hit
     val st = fs.getFileStatus(p)
@@ -428,7 +453,7 @@ object ColfVersions {
     */
   def commitOp(fs: FileSystem, root: Path, version: Long): String = {
     val p = versionFile(root, version)
-    val key = fs.makeQualified(p).toString
+    val key = versionCacheKey(fs, root, version)
     val hit = opCache.get(key)
     if (hit != null) return hit
     val in = fs.open(p)
@@ -461,11 +486,12 @@ object ColfVersions {
     * publishes: there is no instant where the commit is live but its
     * cprops are not, which is exactly the double-apply window a separate
     * marker file leaves open (VERDICT r15 #1). Empty for versions whose
-    * committer staged none. Version files are immutable → cached.
+    * committer staged none. Cached per (path, mtime, length) — see
+    * [[versionCacheKey]].
     */
   def commitProps(fs: FileSystem, root: Path, version: Long): Map[String, String] = {
     val p = versionFile(root, version)
-    val key = fs.makeQualified(p).toString
+    val key = versionCacheKey(fs, root, version)
     val hit = cpropsCache.get(key)
     if (hit != null) return hit
     val in = fs.open(p)

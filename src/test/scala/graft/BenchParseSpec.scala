@@ -54,6 +54,23 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueryTimes(raw, sf).isEmpty)
   }
 
+  test("regression rows: slowdown >1.5x flags, and a FAILED query flags louder than any slowdown") {
+    val prev = Map("q_fast" -> 1.0, "q_slow" -> 2.0, "q_broken" -> 10.4, "q_gone" -> 0.0)
+    val meds = Seq(
+      "q_fast" -> 1.2,     // 1.2x: under the tripwire, no row
+      "q_slow" -> 4.0,     // 2.0x: slowdown row
+      "q_broken" -> -1.0,  // was 10.4 s, now failed: MUST appear (r16 silently hid this)
+      "q_gone" -> -1.0,    // prior time not positive: nothing to compare against
+      "q_new" -> 3.0)      // no prior entry: no row
+    val rows = Bench.regressionRows(meds, prev, "BENCH_rXX.json")
+    assert(rows.size == 2)
+    assert(rows.exists(r => r.contains("\"q\":\"q_slow\"") && r.contains("\"ratio\":2.0")))
+    val broken = rows.filter(_.contains("\"q\":\"q_broken\""))
+    assert(broken.size == 1 && broken.head.contains("\"failed\":true")
+      && broken.head.contains("\"prev\":10.4"))
+    assert(!rows.exists(_.contains("q_gone")) && !rows.exists(_.contains("q_new")))
+  }
+
   test("the real committed r9 artifact parses without crashing and without inventing a baseline") {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/BENCH_r09.json")), "UTF-8")

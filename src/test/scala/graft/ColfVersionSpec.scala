@@ -443,4 +443,46 @@ class ColfVersionSpec extends AnyFunSuite {
         "grace_minutes => 0)").collect()(0)
     assert(again.getInt(1) == 2 && versions(dir) == Seq(3L))
   }
+
+  test("drop-and-recreate at the same path: version-file caches serve the NEW incarnation") {
+    // VERDICT r16 #1: version files are immutable only while a table
+    // lives — delete + recreate rebirths v00000001.json with new content
+    // at the SAME path. Path-only caches then serve the dead table's
+    // schema / commit time / commit props (the exact failure that made
+    // q_stream_item_cf_colf's severance guard kill every warm bench run).
+    // All four caches (meta/ts/op/cprops) must key on (path,mtime,length).
+    spark.conf.set("spark.sql.catalog.colf_rec",
+      classOf[graft.sources.colf.ColfCatalog].getName)
+    val dir = tmp() + "/t"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // incarnation 1: declared schema (k, v); batch id 7 rides the INSERT
+    spark.sql(s"CREATE TABLE colf_rec.`$dir` (k INT, v STRING)")
+    ColfVersions.stageCommitProps(fs, root, Map("graft.appliedBatch" -> "7"))
+    spark.sql(s"INSERT INTO colf_rec.`$dir` VALUES (1, 'a')")
+    // warm all four caches against incarnation 1's version files
+    assert(ColfVersions.tableMeta(fs, root).get.fields.map(_.name) == Seq("k", "v"))
+    val ts1 = ColfVersions.commitTime(fs, root, 1L)
+    assert(ColfVersions.commitOp(fs, root, 1L) == "create")
+    assert(ColfVersions.commitProps(fs, root, 2L).get("graft.appliedBatch").contains("7"))
+
+    fs.delete(root, true) // drop the table outright (bench rmDir scenario)
+    Thread.sleep(5)       // reborn files must differ in mtime even at equal length
+
+    // incarnation 2: different schema, a fresh query's batch id 1
+    spark.sql(s"CREATE TABLE colf_rec.`$dir` (id INT, w DOUBLE, s STRING)")
+    ColfVersions.stageCommitProps(fs, root, Map("graft.appliedBatch" -> "1"))
+    spark.sql(s"INSERT INTO colf_rec.`$dir` VALUES (10, 1.5, 'x')")
+
+    assert(ColfVersions.tableMeta(fs, root).get.fields.map(_.name) == Seq("id", "w", "s"),
+      "stale metaCache served the dead incarnation's declared schema")
+    assert(ColfVersions.commitProps(fs, root, 2L).get("graft.appliedBatch").contains("1"),
+      "stale cpropsCache served the dead incarnation's applied-batch id")
+    assert(ColfVersions.commitTime(fs, root, 1L) > ts1,
+      "stale tsCache served the dead incarnation's commit time")
+    assert(ColfVersions.commitOp(fs, root, 1L) == "create")
+    // and the data itself reads back from the new incarnation
+    assert(spark.sql(s"SELECT id FROM colf_rec.`$dir`").as[Int].collect().toSeq == Seq(10))
+  }
 }
