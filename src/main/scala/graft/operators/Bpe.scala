@@ -440,22 +440,34 @@ object Bpe {
     * downstream rank arithmetic).
     */
   def trainMerges(df: DataFrame, text: Column, nMerges: Int,
-      minCount: Long = 1L, maxDriverVocab: Long = 2000000L): Seq[(String, String)] =
-    trainMergesWithStats(df, text, nMerges, minCount, maxDriverVocab)._1
+      minCount: Long = 1L, maxDriverVocab: Long = 2000000L,
+      maxDriverChars: Long = 64000000L): Seq[(String, String)] =
+    trainMergesWithStats(df, text, nMerges, minCount, maxDriverVocab, maxDriverChars)._1
 
   /** [[trainMerges]] plus the per-round affected-word counts when the
     * indexed tier ran (empty for the distributed tier — its evidence is
     * the |affected|-bounded shuffle, not a driver counter).
     */
   def trainMergesWithStats(df: DataFrame, text: Column, nMerges: Int,
-      minCount: Long = 1L, maxDriverVocab: Long = 2000000L): (Seq[(String, String)], Array[Int]) = {
+      minCount: Long = 1L, maxDriverVocab: Long = 2000000L,
+      maxDriverChars: Long = 64000000L): (Seq[(String, String)], Array[Int]) = {
     require(nMerges > 0 && nMerges <= 100000,
       s"nMerges must be in [1,100000], got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = df.sparkSession
     import spark.implicits._
     val words = wordTable(df, text, minCount).localCheckpoint(true)
-    if (words.count() <= maxDriverVocab) {
+    // The driver gate is TWO-dimensional (VERDICT r15 #5 / r16 #4): row
+    // count alone lets a long-token corpus (few distinct pre-tokens,
+    // each thousands of code points — DNA fragments, minified JS,
+    // base64 runs) collect driver-hostile bytes. Each collected word is
+    // an Array of mostly-1-char Strings (~60 B/element on-heap), so the
+    // total element count across the vocabulary IS the byte proxy;
+    // one extra agg on the already-checkpointed pass prices it.
+    val g = words.agg(count(lit(1)),
+      coalesce(sum(size($"toks")).cast("long"), lit(0L))).head()
+    val (nWords, nChars) = (g.getLong(0), g.getLong(1))
+    if (nWords <= maxDriverVocab && nChars <= maxDriverChars) {
       val collected = words.as[(Seq[String], Long)].collect()
         .map { case (t, c) => (t.toArray, c) }
       trainIndexed(collected, nMerges)

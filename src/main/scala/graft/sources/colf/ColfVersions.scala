@@ -925,13 +925,23 @@ object ColfVersions {
     * [[ColfVersions.append]] consumes (removes) the entry whatever path
     * carries the commit. Callers are expected to serialize their own
     * writes per table (the foreachBatch contract — microbatches of one
-    * query run sequentially); if a staged write dies before reaching the
-    * manifest, the stale entry attaches to the table's next commit —
-    * which, under at-least-once replay, is the same batch re-staging the
-    * same values.
+    * query run sequentially). A caller whose staged write FAILS must
+    * [[clearStagedCommitProps]] (the item-CF MERGE path does, in its
+    * catch) so the stale entry cannot attach to an unrelated next
+    * commit; a clean same-batch replay simply re-stages the same values.
     */
   def stageCommitProps(fs: FileSystem, root: Path, props: Map[String, String]): Unit =
     ColfCommitProps.stage(fs.makeQualified(root).toString, props)
+
+  /** Discard any staged-but-unconsumed commit props for `root`. A caller
+    * whose staged write FAILED before reaching the manifest must call
+    * this (ADVICE r16): otherwise the stale entry attaches to the
+    * table's next commit of ANY kind — a compaction landing after a
+    * failed MERGE would record the batch as applied without its delta,
+    * and the later replay would be silently skipped (undercount).
+    */
+  def clearStagedCommitProps(fs: FileSystem, root: Path): Unit =
+    ColfCommitProps.take(fs.makeQualified(root).toString)
 
   /** Attach each schema-less entry's file schema via one batched
     * (cache-aware, parallel) header fetch — the one-time migration sweep

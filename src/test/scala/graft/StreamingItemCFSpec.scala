@@ -203,12 +203,124 @@ class StreamingItemCFSpec extends AnyFunSuite {
     drain(base, stateDir)
     drain(extra, stateDir)
     val pairs = spark.read.parquet(s"$stateDir/pairs/cur")
+      .select("item_a", "item_b", "n") // drop the bucket layout column
       .as[(Long, Long, Long)].collect().toSet
     // (1,2) from the first run, (1,3) from the second, both over item 1
     assert(pairs == Set((1L, 2L, 10L), (1L, 3L, 10L)))
     val items = spark.read.parquet(s"$stateDir/items/cur")
+      .select("it", "n")
       .as[(Long, Long)].collect().toMap
     assert(items == Map(1L -> 20L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("a failed colf MERGE clears its staged batch props (no phantom applied record)") {
+    // ADVICE r16: staged commit props left behind by a FAILED merge
+    // would attach to the table's next commit of any kind, recording the
+    // batch as applied without its delta — the replay then silently
+    // skips and the counts undercount forever.
+    import graft.sources.colf.ColfVersions
+    val dir = tmp("itemcf-failmerge") + "/t"
+    // a state table whose schema cannot satisfy the MERGE's ON clause
+    Seq((1, "x")).toDF("k", "v").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    val delta = Seq((1L, 2L, 1L)).toDF("item_a", "item_b", "dn")
+    intercept[Exception] {
+      StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), delta, 5L)
+    }
+    // an unrelated next commit (plain append) must NOT carry the failed
+    // batch's props
+    Seq((2, "y")).toDF("k", "v").coalesce(1)
+      .write.format("colf").mode("append").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = ColfVersions.latestVersion(fs, root).get
+    val props = ColfVersions.commitProps(fs, root, v)
+    assert(!props.contains(StreamingOps.BatchProp),
+      s"failed MERGE's staged props leaked onto an unrelated commit: $props")
+  }
+
+  test("pre-upgrade colf state: the legacy _graft_batch marker still guards replay") {
+    // ADVICE r16: a state dir written before props-in-version-file (r16)
+    // records its applied batch only in the legacy marker file; ignoring
+    // it would double-apply the one in-flight batch at upgrade time.
+    import graft.sources.colf.ColfVersions
+    val dir = tmp("itemcf-legacy") + "/t"
+    Seq(("1", "2", 1.0)).toDF("item_a", "item_b", "n").coalesce(1)
+      .write.format("colf").option("manifest", "true").mode("append").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_batch"), true)
+    try out.write("3\n".getBytes("UTF-8")) finally out.close()
+    val vBefore = ColfVersions.latestVersion(fs, root).get
+    val delta = Seq((1L, 2L, 1L)).toDF("item_a", "item_b", "dn")
+    // replay of the marker's batch: must be a no-op (no new version)
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), delta, 3L)
+    assert(ColfVersions.latestVersion(fs, root).get == vBefore,
+      "legacy marker ignored: batch 3 double-applied on a pre-upgrade state")
+    // a genuinely new batch still lands
+    StreamingOps.mergeColfCountState(dir, Seq("item_a", "item_b"), delta, 4L)
+    val n = spark.read.format("colf").load(dir)
+      .where($"item_a" === "1" && $"item_b" === "2")
+      .select("n").as[Double].collect().toSeq
+    assert(n == Seq(2.0))
+  }
+
+  test("bucketed state: a batch rewrites ONLY its delta's buckets, others byte-identical") {
+    // VERDICT r16 #5: the parquet state's per-batch write cost must be
+    // O(touched buckets), not O(state). 40 disjoint-pair baskets spread
+    // the state over many bucket dirs; a second batch adds ONE basket
+    // whose pair hashes into one bucket — every other pair bucket's
+    // files must survive the swap bit-for-bit (carried by rename, never
+    // rewritten or reread).
+    val base = (0L until 40L).flatMap(bk => Seq((bk, 2 * bk), (bk, 2 * bk + 1))).toDF("bk", "it")
+    val extra = Seq((1000L, 0L), (1000L, 1L)).toDF("bk", "it")
+    val fd = tmp("itemcf-feed-bkt")
+    val stateDir = tmp("itemcf-state-bkt")
+    def drain(d: org.apache.spark.sql.DataFrame): Unit = {
+      d.coalesce(1).write.mode("append").parquet(fd)
+      val feed = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fd)
+      StreamingOps.maintainItemCF(feed, "bk", "it", stateDir).awaitTermination()
+    }
+    drain(base)
+
+    def md5s(dir: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          val h = md.digest(java.nio.file.Files.readAllBytes(p))
+          root.relativize(p).toString -> h.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = md5s(s"$stateDir/pairs/cur")
+
+    drain(extra) // delta = single pair (0,1): exactly one pair bucket touched
+    val after = md5s(s"$stateDir/pairs/cur")
+
+    // the touched bucket, computed with the state's own hash function
+    val touched = spark.range(1)
+      .select(pmod(hash(lit(0L), lit(1L)), lit(StreamingOps.StateBuckets)).cast("int"))
+      .head.getInt(0)
+    val untouchedBefore = before.filter { case (p, _) =>
+      p.startsWith("bucket=") && !p.startsWith(s"bucket=$touched/") }
+    assert(untouchedBefore.nonEmpty, "fixture degenerate: everything hashed to one bucket")
+    untouchedBefore.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"untouched state file $p was rewritten")
+    }
+    // and the touched bucket DID change (the new pair landed)
+    assert(before.keys.filter(_.startsWith(s"bucket=$touched/")).toSet
+      != after.keys.filter(_.startsWith(s"bucket=$touched/")).toSet
+      || before.exists { case (p, h) =>
+           p.startsWith(s"bucket=$touched/") && !after.get(p).contains(h) },
+      "touched bucket unchanged — the delta never landed")
+    // correctness of the merged counts is unchanged by the layout
+    val pair01 = spark.read.parquet(s"$stateDir/pairs/cur")
+      .where($"item_a" === 0L && $"item_b" === 1L)
+      .select("n").as[Long].collect().toSeq
+    assert(pair01 == Seq(2L)) // basket 0 and basket 1000 both carry (0,1)
   }
 
   test("restart with no new data is a no-op: checkpoint resume, no double count") {
@@ -228,10 +340,12 @@ class StreamingItemCFSpec extends AnyFunSuite {
     }
     drain()
     val first = spark.read.parquet(s"$stateDir/pairs/cur")
+      .select("item_a", "item_b", "n")
       .as[(Long, Long, Long)].collect().toSet
     assert(first == Set((1L, 2L, 6L)))
     drain() // restart: nothing new committed, state must not move
     val second = spark.read.parquet(s"$stateDir/pairs/cur")
+      .select("item_a", "item_b", "n")
       .as[(Long, Long, Long)].collect().toSet
     assert(second == first, "restarted drain double-counted the feed")
     // the swap protocol left no transient directories behind
