@@ -805,12 +805,13 @@ object Multimodal {
     */
   /** One walk of an AVI (RIFF) container, shared by the MJPEG frame
     * extractor and the codec'd-AVI timed grid: (microseconds per frame
-    * from `avih`, total frames from `avih`, whether a 'vids' stream
-    * declares an MJPEG handler, the movi `..dc`/`..db` chunk payloads).
+    * from `avih`, total frames from `avih`, the stream INDEX of the
+    * first 'vids' stream declaring an MJPEG handler (-1 when none), the
+    * movi `..dc`/`..db` chunks as (2-digit stream prefix, payload)).
     * None for non-AVI / malformed payloads.
     */
   private def aviWalk(
-      bytes: Array[Byte]): Option[(Long, Long, Boolean, IndexedSeq[Array[Byte]])] = {
+      bytes: Array[Byte]): Option[(Long, Long, Int, IndexedSeq[(String, Array[Byte])])] = {
     if (bytes == null || bytes.length < 24) return None
     def fourcc(at: Int): String =
       new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -819,8 +820,9 @@ object Multimodal {
     val riffEnd = math.min(bytes.length.toLong, 8L + (bb.getInt(4).toLong & 0xffffffffL))
     var usPerFrame = -1L
     var totalFrames = -1L
-    var mjpeg = false
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var mjpegStream = -1
+    var streamIdx = 0 // strh chunks appear in stream order inside hdrl
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     def walk(from: Long, to: Long): Boolean = {
       var p = from
       while (p + 8 <= to) {
@@ -832,22 +834,29 @@ object Multimodal {
           val listType = fourcc(p.toInt + 8)
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
             if (!walk(p + 12, p + 8 + size)) return false
-        } else if (id == "avih" && size >= 20) {
+        } else if (id == "avih" && size >= 4) {
+          // ADVICE r16: dwMicroSecPerFrame is the first field — readable
+          // from size 4; only dwTotalFrames (offset 16) needs size >= 20
           usPerFrame = bb.getInt(p.toInt + 8).toLong & 0xffffffffL
-          totalFrames = bb.getInt(p.toInt + 24).toLong & 0xffffffffL // dwTotalFrames
+          if (size >= 20)
+            totalFrames = bb.getInt(p.toInt + 24).toLong & 0xffffffffL // dwTotalFrames
         } else if (id == "strh" && size >= 8) {
           // ADVICE r15: check the stream's DECLARED codec — fccType
           // 'vids' + fccHandler MJPG (any case; dmb1 is QuickTime's
           // MJPEG-A fourcc). Without this gate an XviD AVI's '..dc'
           // chunks were emitted as `frame` bytes, contradicting the
           // contract that codec'd containers keep frame = null.
+          // ADVICE r16: remember WHICH stream declared MJPEG, so a
+          // mixed-stream file's other-codec chunks never ride along.
           val fccType = fourcc(p.toInt + 8)
           val handler = fourcc(p.toInt + 12)
-          if (fccType == "vids" &&
+          if (mjpegStream < 0 && fccType == "vids" &&
               (handler.equalsIgnoreCase("MJPG") || handler == "dmb1"))
-            mjpeg = true
+            mjpegStream = streamIdx
+          streamIdx += 1
         } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
-          frames += java.util.Arrays.copyOfRange(bytes, p.toInt + 8, (p + 8 + size).toInt)
+          frames += ((id.substring(0, 2),
+            java.util.Arrays.copyOfRange(bytes, p.toInt + 8, (p + 8 + size).toInt)))
         }
         p += 8 + size + (size & 1L) // chunks pad to even
       }
@@ -855,16 +864,21 @@ object Multimodal {
     }
     try {
       if (!walk(12L, riffEnd)) None
-      else Some((usPerFrame, totalFrames, mjpeg, frames.toIndexedSeq))
+      else Some((usPerFrame, totalFrames, mjpegStream, frames.toIndexedSeq))
     } catch { case _: Exception => None }
   }
 
   private[graft] def aviMjpegFrames(
       bytes: Array[Byte]): Option[(Long, IndexedSeq[Array[Byte]])] =
     aviWalk(bytes) match {
-      // frames only when the stream DECLARES MJPEG — raw codec data from
-      // an XviD/H.264 AVI must never masquerade as decodable frame bytes
-      case Some((us, _, true, frames)) if frames.nonEmpty => Some((us, frames))
+      // frames only when a stream DECLARES MJPEG — and only THAT
+      // stream's chunks: raw codec data from an XviD/H.264 stream (in a
+      // codec'd AVI or riding beside the MJPEG stream in a mixed file)
+      // must never masquerade as decodable frame bytes (ADVICE r15/r16)
+      case Some((us, _, s, chunks)) if s >= 0 =>
+        val prefix = f"$s%02d"
+        val frames = chunks.collect { case (p, b) if p == prefix => b }
+        if (frames.nonEmpty) Some((us, frames)) else None
       case _ => None
     }
 
@@ -877,7 +891,7 @@ object Multimodal {
     aviWalk(bytes) match {
       case Some((us, total, _, chunks)) if us > 0 =>
         // dwTotalFrames is advisory in the wild; fall back to counting
-        // the stored movi chunks when the header claims none
+        // the stored movi chunks (any stream) when the header claims none
         val n = if (total > 0) total else chunks.length.toLong
         if (n > 0) Some((us, n)) else None
       case _ => None

@@ -681,7 +681,13 @@ object StreamingOps {
           .select(keys.map(col) :+
             (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
       }
+    // repartition ON the bucket column before the partitioned write:
+    // the join's key-hash partitioning is unrelated to bucket, so a
+    // direct write would emit up to (shuffle partitions × touched
+    // buckets) files per batch; this one bounded shuffle (touched rows
+    // only) lands each bucket wholly in one task → one file per bucket
     merged.withColumn("bucket", bucketOf)
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(next.toString)
     writeBucketsFile(fs, next, nb.getOrElse(StateBuckets))
     writeBatchMarker(fs, next, batchId, qid)

@@ -184,6 +184,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoHash64(java.util.Arrays.copyOf(good, good.length / 3)).isEmpty)
   }
 
+  test("mixed-stream AVI: only the MJPG stream's chunks decode as frames") {
+    // ADVICE r16: the mjpeg flag was container-global — a file with an
+    // MJPG vids stream PLUS a second codec'd video stream emitted the
+    // second stream's ..dc chunks as decodable frame bytes. The walk
+    // must bind frames to the declaring stream's 2-digit chunk prefix.
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      cc(id) ++ le32(payload.length.toLong) ++ payload ++ pad
+    }
+    def list(t: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(body.length + 4L) ++ cc(t) ++ body
+    def strl(codec: String): Array[Byte] = {
+      val strh = cc("vids") ++ cc(codec) ++ Array.fill(48)(0.toByte)
+      list("strl", chunk("strh", strh))
+    }
+    def avi(avihPayload: Array[Byte], strls: Seq[Array[Byte]],
+        movi: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val hdrl = list("hdrl",
+        chunk("avih", avihPayload) ++ strls.foldLeft(Array.emptyByteArray)(_ ++ _))
+      val m = list("movi",
+        movi.map { case (id, b) => chunk(id, b) }.foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = cc("AVI ") ++ hdrl ++ m
+      cc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+    val avih = le32(500000L) ++ Array.fill(52)(0.toByte) // full 14-dword avih
+    // a real decodable JPEG frame vs codec garbage
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val garbage = Array.fill(64)(0x5a.toByte)
+
+    // MJPG is stream 0: only 00dc rides out
+    val mixed0 = avi(avih, Seq(strl("MJPG"), strl("XVID")),
+      Seq("00dc" -> jpeg, "01dc" -> garbage))
+    val f0 = Multimodal.aviMjpegFrames(mixed0)
+    assert(f0.exists(_._2.map(_.toSeq) == IndexedSeq(jpeg.toSeq)),
+      "stream-0 MJPG must emit exactly its own chunk")
+    // MJPG is stream 1: only 01dc rides out
+    val mixed1 = avi(avih, Seq(strl("XVID"), strl("MJPG")),
+      Seq("00dc" -> garbage, "01dc" -> jpeg))
+    val f1 = Multimodal.aviMjpegFrames(mixed1)
+    assert(f1.exists(_._2.map(_.toSeq) == IndexedSeq(jpeg.toSeq)),
+      "stream-1 MJPG must emit exactly its own chunk")
+    // no MJPG stream at all: no frames, whatever chunks exist
+    val none = avi(avih, Seq(strl("XVID")), Seq("00dc" -> garbage))
+    assert(Multimodal.aviMjpegFrames(none).isEmpty)
+
+    // ADVICE r16 #5: a short avih (size in [4,20)) still yields
+    // usPerFrame for the timed grid — only dwTotalFrames needs 20 bytes
+    val shortAvih = avi(le32(250000L), Seq(strl("XVID")), Seq("00dc" -> garbage))
+    assert(Multimodal.aviTimedGrid(shortAvih).contains((250000L, 1L)))
+  }
+
   test("clipContainment: hand-built sequences, alignments, both-direction equality") {
     // generic over any (doc_id, frame_idx, hash) table — integers here
     val frames = Seq(
