@@ -266,9 +266,10 @@ class StreamingItemCFSpec extends AnyFunSuite {
   }
 
   test("bucketed state: a batch rewrites ONLY its delta's buckets, others byte-identical") {
-    // VERDICT r16 #5: the parquet state's per-batch write cost must be
-    // O(touched buckets), not O(state). 40 disjoint-pair baskets spread
-    // the state over many bucket dirs; a second batch adds ONE basket
+    // VERDICT r16 #5: past the size gate, the parquet state's per-batch
+    // write cost must be O(touched buckets), not O(state). Gate forced
+    // to 0 so the state buckets immediately; 40 disjoint-pair baskets
+    // spread it over many bucket dirs; a later batch adds ONE basket
     // whose pair hashes into one bucket — every other pair bucket's
     // files must survive the swap bit-for-bit (carried by rename, never
     // rewritten or reread).
@@ -276,13 +277,20 @@ class StreamingItemCFSpec extends AnyFunSuite {
     val extra = Seq((1000L, 0L), (1000L, 1L)).toDF("bk", "it")
     val fd = tmp("itemcf-feed-bkt")
     val stateDir = tmp("itemcf-state-bkt")
+    val gateBefore = StreamingOps.BucketStateMinBytes
+    StreamingOps.BucketStateMinBytes = 0L
+    try {
     def drain(d: org.apache.spark.sql.DataFrame): Unit = {
       d.coalesce(1).write.mode("append").parquet(fd)
       val feed = spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1).parquet(fd)
       StreamingOps.maintainItemCF(feed, "bk", "it", stateDir).awaitTermination()
     }
-    drain(base)
+    // two base batches: batch 0 lands flat (no prior state), batch 1
+    // crosses the (zeroed) gate and migrates to the bucketed layout —
+    // the snapshot below is of a bucketed state
+    drain(base.where($"bk" < 20L))
+    drain(base.where($"bk" >= 20L))
 
     def md5s(dir: String): Map[String, String] = {
       import scala.jdk.CollectionConverters._
@@ -321,6 +329,27 @@ class StreamingItemCFSpec extends AnyFunSuite {
       .where($"item_a" === 0L && $"item_b" === 1L)
       .select("n").as[Long].collect().toSeq
     assert(pair01 == Seq(2L)) // basket 0 and basket 1000 both carry (0,1)
+    } finally StreamingOps.BucketStateMinBytes = gateBefore
+  }
+
+  test("count state stays FLAT under the size gate (no bucket machinery at small scale)") {
+    // the tier gate: a small state keeps the cheap flat rewrite — the
+    // bucket layout's extra shuffle/dirs/renames cost more than they
+    // save below BucketStateMinBytes (the sf0.1 bench measured 2.1x)
+    val df = (0L until 6L).flatMap(bk => Seq((bk, 1L), (bk, 2L))).toDF("bk", "it")
+    val fd = tmp("itemcf-feed-flat")
+    val stateDir = tmp("itemcf-state-flat")
+    df.coalesce(1).write.mode("append").parquet(fd)
+    val feed = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(fd)
+    StreamingOps.maintainItemCF(feed, "bk", "it", stateDir).awaitTermination()
+    val entries = new java.io.File(s"$stateDir/pairs/cur").listFiles().map(_.getName)
+    assert(!entries.exists(_.startsWith("bucket=")),
+      s"tiny state bucketed despite the gate: ${entries.toSeq}")
+    assert(!entries.contains("_graft_buckets"))
+    assert(spark.read.parquet(s"$stateDir/pairs/cur")
+      .select("item_a", "item_b", "n").as[(Long, Long, Long)].collect().toSet
+      == Set((1L, 2L, 6L)))
   }
 
   test("restart with no new data is a no-op: checkpoint resume, no double count") {
