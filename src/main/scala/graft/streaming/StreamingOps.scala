@@ -632,7 +632,7 @@ object StreamingOps {
     * batch is O(touched). Pre-bucketing (r16-and-earlier) states are
     * just flat states and follow the same rule.
     */
-  private def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
+  private[graft] def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
       batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val spark = delta.sparkSession
