@@ -1043,6 +1043,64 @@ object StreamingOps {
     graft.operators.Similarity.lshIndexFrom(
       spark.read.parquet(s"$stateDir/index/b*"), planes, dim, seed, tables)
 
+  /** Fold a [[maintainLshIndex]] state's committed per-batch segments
+    * into one — the maintenance that keeps a long-lived streaming index
+    * from accumulating one tiny directory per microbatch (10⁴ batches =
+    * 10⁴ segment dirs = 10⁴ footer reads per search plan). Returns
+    * (segments before, segments after).
+    *
+    * Replay safety: only segments whose batch id is BELOW the marker's
+    * applied id fold — those batches are checkpoint-committed and can
+    * never replay; the one batch that CAN replay (crash after its
+    * foreachBatch, before its commit) keeps its own segment to
+    * overwrite. The folded segment's name (`b<hi>_c<token>`) still
+    * matches the reader's `b*` glob.
+    *
+    * Crash safety, leaning on the search's candidate dedupe
+    * ([[graft.operators.Similarity.lshSearch]] scores each (query, nbr)
+    * once no matter how many segments or probes surface it): the merged
+    * segment is fully written to a dot-prefixed temp (invisible to
+    * readers) and RENAMED in before the folded originals are deleted —
+    * a crash in the delete window leaves some rows visible twice, which
+    * costs candidates, never correctness, and the next compaction's
+    * row-level dropDuplicates folds the overlap away. Stale temps from
+    * a crashed write are swept at entry. Single-maintainer contract as
+    * with the item-CF state: one compactor at a time (concurrent with
+    * the streaming query is fine — it only ever writes the un-foldable
+    * latest segment).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, targetBytesPerFile: Long = 128L << 20): (Int, Int) = {
+    val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
+    val idx = new org.apache.hadoop.fs.Path(s"$stateDir/index")
+    val fs = idx.getFileSystem(hconf)
+    if (!fs.exists(idx)) return (0, 0)
+    fs.listStatus(idx).filter(_.getPath.getName.startsWith(".compact"))
+      .foreach(s => fs.delete(s.getPath, true)) // crashed-write leftovers
+    val applied = appliedBatchId(fs, idx)
+    val segs = fs.listStatus(idx).filter(s =>
+      s.isDirectory && s.getPath.getName.matches("b\\d+(_c[0-9a-f]+)?"))
+    def segBatch(name: String): Long =
+      name.stripPrefix("b").takeWhile(_.isDigit).toLong
+    val foldable = segs.filter(s => segBatch(s.getPath.getName) < applied)
+    if (foldable.length <= 1) return (segs.length, segs.length)
+    val hi = foldable.map(s => segBatch(s.getPath.getName)).max
+    val bytes = foldable.map(s => fs.getContentSummary(s.getPath).getLength).sum
+    val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(idx,
+      s".compact-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    spark.read.parquet(foldable.map(_.getPath.toString).toIndexedSeq: _*)
+      .dropDuplicates() // overlap left by a crashed prior delete window
+      .coalesce(nFiles)
+      .write.parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(idx,
+      s"b${hi}_c${java.util.UUID.randomUUID().toString.take(8).toLowerCase}")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"lsh index compaction publish failed: $tmp -> $dst")
+    foldable.foreach(s => fs.delete(s.getPath, true))
+    (segs.length, segs.length - foldable.length + 1)
+  }
+
   /** [[itemCFFromState]] over the colf-backed state tables (keys ride as
     * utf8 in COLF's type lattice — cast back to long for scoring).
     */

@@ -119,6 +119,49 @@ class StreamingAnnSpec extends AnyFunSuite {
       "replayed batch duplicated or altered its segment")
   }
 
+  test("compaction folds committed segments; search identical; crash overlap deduped") {
+    val feedDir = tmp("ann-feed5")
+    val stateDir = tmp("ann-state5")
+    seedFeed(feedDir)
+    drain(feedDir, stateDir)
+    val rowsBefore = indexRows(stateDir)
+    def search() = Similarity.lshSearch(
+      StreamingOps.lshIndexFromState(spark, stateDir, Planes, Dim, Seed, Tables),
+      corpus().where($"id" < 4), k = 3)
+      .select("query_id", "nbr_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val searchBefore = search()
+
+    // fold: b0+b1 (committed) merge, b2 (the replayable batch) survives
+    assert(StreamingOps.compactLshIndex(spark, stateDir) == ((3, 2)))
+    val names = new java.io.File(s"$stateDir/index").listFiles()
+      .map(_.getName).filter(_.startsWith("b")).sorted.toSeq
+    assert(names.exists(_.matches("b1_c[0-9a-f]+")) && names.contains("b2"),
+      s"unexpected segment layout after compaction: $names")
+    assert(indexRows(stateDir) == rowsBefore, "compaction changed index content")
+    assert(search() == searchBefore, "compaction changed search results")
+
+    // crash window: folded rows visible TWICE (delete phase interrupted)
+    val compacted = names.find(_.matches("b1_c[0-9a-f]+")).get
+    val src = java.nio.file.Paths.get(s"$stateDir/index/$compacted")
+    val dup = java.nio.file.Paths.get(s"$stateDir/index/b0")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dup.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(search() == searchBefore,
+      "duplicate segments changed search results — candidate dedupe failed")
+    // the next compaction folds the overlap away at the ROW level
+    assert(StreamingOps.compactLshIndex(spark, stateDir) == ((3, 2)))
+    val flat = spark.read.parquet(s"$stateDir/index/b*")
+    assert(flat.count() == rowsBefore.size, "row-level overlap survived re-compaction")
+    assert(indexRows(stateDir) == rowsBefore && search() == searchBefore)
+    // nothing foldable left: idempotent no-op
+    assert(StreamingOps.compactLshIndex(spark, stateDir) == ((2, 2)))
+  }
+
   test("checkpoint-only deletion is detected loudly, not silently re-indexed") {
     val feedDir = tmp("ann-feed4")
     val stateDir = tmp("ann-state4")
