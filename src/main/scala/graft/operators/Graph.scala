@@ -224,12 +224,26 @@ object Graph {
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
+    // ONE job per round: each round's frontier is cached and counted
+    // once (the count doubles as the empty-frontier fixpoint test), and
+    // `settled` stays a LAZY union over the cached frontiers — the
+    // anti-join scans only cached blocks, so no round re-materializes
+    // the settled set (the old grown.count() job) or runs a separate
+    // limit-1 emptiness probe. Peak cache is O(V) total across all
+    // frontiers — the same as one settled copy, without the transient
+    // 2× while grown and settled coexisted. The union plan deepens by
+    // one leaf per round; rounds are bounded by the graph's
+    // eccentricity, which for the small-world graphs BFS radii are run
+    // on is a handful — re-fold into a checkpoint if a use case ever
+    // has thousands of hops.
+    val frontierCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var settled = sources.select(sourceCol.as("node")).distinct()
       .withColumn("dist", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    frontierCaches += settled
     var frontier = settled
     var dist = 0L
-    var done = frontier.isEmpty
+    var done = frontier.count() == 0
     while (!done) {
       require(dist < maxHops,
         s"bfsDistances exceeded $maxHops hops - raise maxHops")
@@ -239,27 +253,22 @@ object Graph {
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(dist))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) {
+      if (next.count() == 0) {
         next.unpersist()
         done = true
       } else {
-        val grown = settled.unionByName(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        grown.count()
-        settled.unpersist()
-        if (frontier ne settled) frontier.unpersist()
-        settled = grown
+        frontierCaches += next
+        settled = settled.unionByName(next)
         frontier = next
       }
     }
-    if (frontier ne settled) frontier.unpersist()
     sym.unpersist()
     // Same cache-release discipline as [[kCore]]: hand back checkpoint
     // blocks the cleaner can reclaim, not a live CacheManager entry.
     // Same cluster-mode caveat too: localCheckpoint blocks don't survive
     // executor loss; reliable checkpoint() is the cluster-HA variant.
     val result = settled.localCheckpoint()
-    settled.unpersist()
+    frontierCaches.foreach(_.unpersist())
     result
   }
 

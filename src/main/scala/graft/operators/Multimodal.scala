@@ -456,7 +456,28 @@ object Multimodal {
     *    byte-level uniqueness with cell sums (and therefore the hash)
     *    unchanged, so exact-dup logic can't shortcut the perceptual path.
     */
-  def syntheticPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
+  def syntheticPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
+    pngFrameCache.computeIfAbsent(
+      (pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt),
+      k => renderPatternPng(k._1, k._2, k._3))
+
+  /** Both synthetic frame encoders depend on `noiseSeed` ONLY through
+    * `noiseSeed mod 8` (the noise pair's x-offset inside the bottom-row
+    * cells), so a corpus of any size contains at most
+    * patterns × flips × 8 distinct frames — yet the ImageIO encode used
+    * to run once per (doc, frame) and dominated the planted-fixture
+    * queries' wall clock (r15 profiling: ~60% of q_video_containment).
+    * Memoizing on (pattern, flips, seed mod 8) is bit-identical and
+    * bounds the cache at a few hundred ~2 KB entries per executor JVM.
+    * Callers never mutate the returned arrays (they are copied into
+    * containers or serialized as row payloads).
+    */
+  private val pngFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+  private val jpegFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  private def renderPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
     require(flips >= 0 && flips < 8, s"flips must be in [0,8), got $flips")
     val w = 72; val h = 64
     def baseGray(gx: Int, gy: Int): Int = {
@@ -1121,7 +1142,12 @@ object Multimodal {
     * uniqueness per frame without moving any cell average past the
     * no-tie margin.
     */
-  private def syntheticPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
+  private def syntheticPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
+    jpegFrameCache.computeIfAbsent(
+      (pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt),
+      k => renderPatternJpegFrame(k._1, k._2, k._3))
+
+  private def renderPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
     val g = videoCellGrays(pattern, flips)
     val w = 72; val h = 64
     val img = new java.awt.image.BufferedImage(w, h,

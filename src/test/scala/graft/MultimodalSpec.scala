@@ -35,6 +35,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthetic frames: noiseSeed acts only through mod 8 (memo-cache contract)") {
+    // The frame memo caches key on (pattern, flips, seed mod 8); this is
+    // sound because the noise pair's x-offset is the ONLY seed-dependent
+    // pixel and it is computed mod 8. Pin both directions: congruent
+    // seeds are byte-identical, non-congruent seeds differ.
+    for (p <- Seq(0, 7); f <- Seq(0, 2)) {
+      val a = Multimodal.syntheticPatternPng(p, f, 3L)
+      assert(java.util.Arrays.equals(a, Multimodal.syntheticPatternPng(p, f, 11L)))
+      assert(java.util.Arrays.equals(a, Multimodal.syntheticPatternPng(p, f, -5L))) // -5 ≡ 3 (mod 8)
+      assert(!java.util.Arrays.equals(a, Multimodal.syntheticPatternPng(p, f, 4L)))
+    }
+    // cached arrays must be distinct objects per key, never clobbered:
+    // a second call returns the SAME bytes (reference-stable is fine)
+    val x = Multimodal.syntheticPatternPng(1, 1, 2L)
+    assert(java.util.Arrays.equals(x, Multimodal.syntheticPatternPng(1, 1, 2L)))
+  }
+
   test("dHash: cross-pattern margin clears the radius even after flips") {
     val flipMask = ~((0 until 3).map(gy => 1L << (gy * 8)).reduce(_ | _))
     val bases = (0 until 10).map(p =>
