@@ -135,14 +135,20 @@ object Graph {
     * and a genuinely ITERATIVE fixpoint: peeling a node can drop its
     * neighbors below k, so rounds repeat until stable.
     *
-    * Each round = one degree aggregate over the surviving edge set + one
-    * semi-join filter — O(|E|) shuffled bytes with map-side combine,
-    * nothing driver-side except the survivor count (one scalar per
-    * round, which also detects the fixpoint). Round count is bounded by
-    * the graph's degeneracy ordering length, in practice a handful; the
-    * surviving edge set is cached per round and the previous round's
-    * cache released, so lineage stays one round deep (the same
-    * discipline as [[pagerank]]'s iteration).
+    * DELTA peeling, not re-aggregation: degrees are computed ONCE
+    * (O(|E|)), then each round subtracts the removed nodes' incident
+    * edges from their surviving neighbors' counts — the only edge work
+    * per round is the join of the (usually small) removed set against
+    * the cached symmetric edge list, so shuffled bytes per round are
+    * O(edges incident to removed) plus node-sized joins, never a
+    * re-shuffle of the surviving edge set (the naive form pays one
+    * degree aggregate + two semi-joins over O(|E|) EVERY round — at
+    * 100× the data that difference is the whole game, since late
+    * peeling rounds remove a handful of nodes). Each edge (x,y)
+    * decrements y exactly once — when x is removed — so the counts
+    * telescope to core-internal degrees without ever recounting.
+    * The degree state is node-sized, cached one round deep; the
+    * fixpoint test is a min() over it (one scalar job per round).
     *
     * Output: (node, degree) for every node of the k-core, with degree
     * counted INSIDE the core (≥ k by construction).
@@ -155,36 +161,37 @@ object Graph {
       .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-    var cur = canon.persist(StorageLevel.MEMORY_AND_DISK)
-    var curEdges = cur.count()
+    val sym = canon
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
-    var done = curEdges == 0
+    var done = false
     while (!done) {
       require(round < maxRounds,
         s"kCore did not converge in $maxRounds rounds - raise maxRounds")
-      val keep = degrees(cur).where(col("d") >= k).select("n")
-      val next = cur
-        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextEdges = next.count()
-      if (nextEdges == curEdges) {
-        next.unpersist()
-        done = true
-      } else {
-        cur.unpersist()
-        cur = next
-        curEdges = nextEdges
-        done = nextEdges == 0
+      val minRow = deg.agg(min(col("d"))).first()
+      if (minRow.isNullAt(0) || minRow.getLong(0) >= k) done = true
+      else {
+        // removed is recomputed lazily from the cached deg in both uses —
+        // a filter over node-sized cached blocks, cheaper than a persist
+        val removed = deg.where(col("d") < k).select(col("n").as("rn"))
+        val dec = removed.join(sym, col("rn") === col("u"))
+          .groupBy(col("v").as("n")).agg(count(lit(1)).as("dec"))
+        val next = deg.join(removed.select(col("rn").as("n")), Seq("n"), "left_anti")
+          .join(dec, Seq("n"), "left")
+          .select(col("n"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        deg.unpersist()
+        deg = next
       }
       round += 1
     }
+    sym.unpersist()
     // Materialize the (small) core before returning so the per-round
-    // edge cache can be RELEASED here — returning a plan over `cur`
+    // degree cache can be RELEASED here — returning a plan over `deg`
     // would pin the final round's cache blocks for the session lifetime
     // (repeat invocations would accumulate them). localCheckpoint blocks
     // are owned by the returned Dataset and reclaimed by the context
@@ -192,10 +199,10 @@ object Graph {
     // Cluster-mode caveat: localCheckpoint blocks do NOT survive executor
     // loss (the truncated lineage cannot recompute them) — a long-lived
     // consumer on a real cluster should use reliable checkpoint() instead.
-    val result = degrees(cur).where(col("d") >= k)
+    val result = deg
       .select(col("n").as("node"), col("d").as("degree"))
       .localCheckpoint()
-    cur.unpersist()
+    deg.unpersist()
     result
   }
 
