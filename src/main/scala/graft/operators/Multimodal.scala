@@ -687,7 +687,21 @@ object Multimodal {
     * ±1 noise pair in the last segment keyed by `noiseSeed` — so the
     * window's envelope hash is a pure function of (pattern, flips).
     */
-  private[graft] def tonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] = {
+  /** tonePcm depends on `noiseSeed` only through `noiseSeed mod 63` (the
+    * noise pair's offset inside the last segment), so at most
+    * patterns × flips × 63 distinct windows exist corpus-wide — the same
+    * memo argument as the image/video frame caches (≤ ~2.5k entries ×
+    * 8 KB). Callers copy (flatten) or wrap read-only, never mutate.
+    */
+  private val tonePcmCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Short]]()
+
+  private[graft] def tonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] =
+    tonePcmCache.computeIfAbsent(
+      (pattern, flips, (((noiseSeed % 63) + 63) % 63).toInt),
+      k => renderTonePcm(k._1, k._2, k._3))
+
+  private def renderTonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] = {
     require(flips >= 0 && flips < 4, s"flips must be in [0,4), got $flips")
     val per = 64
     val n = ToneWindowSamples
