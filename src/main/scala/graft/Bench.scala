@@ -203,11 +203,14 @@ object Bench {
     clearState() // warmup cache entries must not assist the timed runs
 
     // Calibration sentinel (VERDICT r15 #4 / r16 #6): a fixed,
-    // data-independent query timed at the start, after every 20th
+    // data-independent query timed at the start, after every 10th
     // headline query, and at the end. Its plan never changes, so any
     // inflation of later samples over the first measures BOX CONTENTION
     // during the capture — the adjudication signal that separates "the
     // operator regressed" from "the machine was busy" without re-running.
+    // Every-10th (r17 carry-over #4): the n=7 cadence straddled stalls
+    // that inflated single queries 10x between samples — n~12 halves
+    // the blind window at ~4s of added capture time.
     def calOnce(): Double = {
       val t0 = System.nanoTime()
       // hash() is int-valued, so the 64M-row sum stays far from long
@@ -221,7 +224,7 @@ object Bench {
     calOnce() // JIT the sentinel itself; untimed
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calOnce())
     val results = headline.zipWithIndex.map { case (n, i) =>
-      if (i % 20 == 19) calSamples += calOnce()
+      if (i % 10 == 9) calSamples += calOnce()
       n -> run(n)
     }
     calSamples += calOnce()
