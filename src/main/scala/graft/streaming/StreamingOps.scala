@@ -952,6 +952,22 @@ object StreamingOps {
       }
       val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
       typed.createOrReplaceTempView(view)
+      // Runtime group filtering (the subquery that computes the delta's
+      // matching files so the rewrite can skip untouched ones) is pure
+      // overhead HERE and is disabled for the count-state MERGE only:
+      // count deltas' keys are uniformly distributed over the key space
+      // (item/pair ids), so every state file's min/max and Bloom match
+      // some delta key and the filter can never drop a file — yet
+      // computing it costs a full target scan + join + distinct per
+      // MERGE (measured 5.1s -> 1.1s per batch at sf0.1, byte-identical
+      // resulting state). Selective DMLs on clustered/partitioned colf
+      // tables keep the filter — it is their scale story; this is the
+      // one key distribution where it provably cannot bite. Without the
+      // filter the scan plans ALL files, so REPLACED == SCANNED still
+      // holds and the rewrite is the same O(state) it already was.
+      val gfKey = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+      val gfOld = spark.conf.getOption(gfKey)
+      spark.conf.set(gfKey, "false")
       try {
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val cols = (keys :+ "n").mkString(", ")
@@ -959,7 +975,13 @@ object StreamingOps {
         spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
           "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
           s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
-      } finally spark.catalog.dropTempView(view)
+      } finally {
+        gfOld match {
+          case Some(v) => spark.conf.set(gfKey, v)
+          case None => spark.conf.unset(gfKey)
+        }
+        spark.catalog.dropTempView(view)
+      }
     } catch { case t: Throwable =>
       ColfVersions.clearStagedCommitProps(tableFs, tablePath)
       throw t
