@@ -221,13 +221,32 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calOnce() // JIT the sentinel itself; untimed
+    // Second sentinel, LATENCY mode: four back-to-back single-task
+    // trivial jobs time the scheduler/driver round-trip, which the
+    // CPU-bound sentinel above cannot see — r17 captures showed
+    // iterative queries (one action per round: label_prop, pagerank,
+    // sssp) elevated ~2x on a box whose CPU sentinel read normal.
+    // The two sentinels separate "cores are slow/stolen" from "job
+    // dispatch is slow" without re-running anything.
+    def latOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 4) {
+        spark.range(0L, 1000L, 1L, 1).selectExpr("sum(id) AS s")
+          .write.format("noop").mode("overwrite").save()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce(); latOnce() // JIT the sentinels themselves; untimed
     val calSamples = scala.collection.mutable.ArrayBuffer[Double](calOnce())
+    val latSamples = scala.collection.mutable.ArrayBuffer[Double](latOnce())
     val results = headline.zipWithIndex.map { case (n, i) =>
-      if (i % 10 == 9) calSamples += calOnce()
+      if (i % 10 == 9) { calSamples += calOnce(); latSamples += latOnce() }
       n -> run(n)
     }
     calSamples += calOnce()
+    latSamples += latOnce()
 
     // ANN quality trend: recall@10 of each approximate strategy against the
     // exact brute-force top-k over the same corpus and a 64-query probe set
@@ -384,6 +403,14 @@ object Bench {
         s""""median":${r3(med)},"max":${r3(calSorted.last)},""" +
         s""""inflation":$inflation}"""
     }
+    val latJson = {
+      val ls = latSamples.toSeq.sorted
+      val med = median(ls)
+      val inflation = if (med > 0) r3(ls.last / med) else -1.0
+      s"""{"n":${ls.size},"min":${r3(ls.head)},""" +
+        s""""median":${r3(med)},"max":${r3(ls.last)},""" +
+        s""""inflation":$inflation}"""
+    }
     val estField = totalWithFailedAtPrev
       .map(v => s""","total_with_failed_at_prev":${r3(v)}""").getOrElse("")
     val line =
@@ -391,6 +418,7 @@ object Bench {
       s""""queries_max":${jmap(maxs.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
       s""""failed":$failedJson$estField,"calibration":$calJson,""" +
+      s""""calibration_latency":$latJson,""" +
       s""""regressions":$regressions,"runs":$runs,"hermetic":true,"sf":"$sfDir"$annRecall}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"), "BENCH_full_latest.json"), line)
