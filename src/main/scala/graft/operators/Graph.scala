@@ -362,27 +362,27 @@ object Graph {
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
+    // Rounds chain LAZILY (the pagerank treatment): each round is a
+    // deterministic join + two aggregates over the cached edge list, so
+    // r rounds execute as ONE job with 3r shuffle stages — no per-round
+    // count() action, no per-round label materialization, and shuffle
+    // outputs are reused within the single DAG. Fixed `rounds` is always
+    // small (hop-bounded honesty, see above), so plan depth stays sane;
+    // a thousand-round call would want per-round checkpoints instead.
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
     for (_ <- 1 to rounds) {
       // argmax by (count DESC, label ASC) in one aggregate: min_by over
       // the ordering struct (-count, label) — the COUNT is negated (a
       // long, always safe), never the label, so node ids of ANY
       // orderable type (strings, structs) tie-break correctly
-      val next = sym.join(labels, sym("u") === labels("node"))
+      labels = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v").as("n"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("n").as("node"))
         .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist()
-      labels = next
     }
-    sym.unpersist()
-    CacheScope.sealResult(labels, labels)
+    CacheScope.sealResult(labels, sym)
   }
 
   /** PageRank after `iters` power iterations over the DISTINCT edge set.
