@@ -308,25 +308,24 @@ object Graph {
       .unionByName(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
+    // Relaxation rounds chain LAZILY (the pagerank treatment): each
+    // round is one join + one min aggregate over the cached edge list,
+    // so `rounds` rounds execute as ONE job with 2r shuffle stages — no
+    // per-round count() action or distance-table materialization. The
+    // hop bound is small by contract (it IS the answer's definition);
+    // a large bound would want per-round checkpoints instead.
     var dist = sources.select(sourceCol.as("node")).distinct()
       .withColumn("dist", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dist.count()
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(sym, dist("node") === sym("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
+      dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      dist.unpersist()
-      dist = next
     }
-    sym.unpersist()
-    // seal: `dist` is a persisted handle this function owns — returning
-    // it live would leak its cache entry (and assist later identical
-    // invocations); the checkpointed copy severs that.
-    CacheScope.sealResult(dist, dist)
+    // seal: the result is materialized once and the edge cache this
+    // function owns is released — returning a live plan over `sym`
+    // would leak its cache entry.
+    CacheScope.sealResult(dist, sym)
   }
 
   /** Deterministic synchronous label propagation, `rounds` rounds over
