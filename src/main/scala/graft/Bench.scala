@@ -390,27 +390,21 @@ object Bench {
     // written to BENCH_full_latest.json next to the prior-round
     // artifacts (best-effort — read-only trees just log).
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val calSorted = calSamples.toSeq.sorted
-    val calJson = {
-      // max/MEDIAN, not max/min: a single unusually-fast sample (fully
-      // warm JVM, hot page cache) would inflate a min-based ratio on a
-      // quiet box (measured 6.8 vs 1.5 on the same capture) — the
-      // contention signal is how far the worst sample sits above the
-      // typical one
-      val med = median(calSorted)
-      val inflation = if (med > 0) r3(calSorted.last / med) else -1.0
-      s"""{"n":${calSorted.size},"min":${r3(calSorted.head)},""" +
-        s""""median":${r3(med)},"max":${r3(calSorted.last)},""" +
+    // max/MEDIAN, not max/min: a single unusually-fast sample (fully
+    // warm JVM, hot page cache) would inflate a min-based ratio on a
+    // quiet box (measured 6.8 vs 1.5 on the same capture) — the
+    // contention signal is how far the worst sample sits above the
+    // typical one. Shared by BOTH sentinels.
+    def sentinelJson(samples: Seq[Double]): String = {
+      val s = samples.sorted
+      val med = median(s)
+      val inflation = if (med > 0) r3(s.last / med) else -1.0
+      s"""{"n":${s.size},"min":${r3(s.head)},""" +
+        s""""median":${r3(med)},"max":${r3(s.last)},""" +
         s""""inflation":$inflation}"""
     }
-    val latJson = {
-      val ls = latSamples.toSeq.sorted
-      val med = median(ls)
-      val inflation = if (med > 0) r3(ls.last / med) else -1.0
-      s"""{"n":${ls.size},"min":${r3(ls.head)},""" +
-        s""""median":${r3(med)},"max":${r3(ls.last)},""" +
-        s""""inflation":$inflation}"""
-    }
+    val calJson = sentinelJson(calSamples.toSeq)
+    val latJson = sentinelJson(latSamples.toSeq)
     val estField = totalWithFailedAtPrev
       .map(v => s""","total_with_failed_at_prev":${r3(v)}""").getOrElse("")
     val line =

@@ -504,7 +504,8 @@ object SparkEntry {
       // peeling fixpoint (4 rounds at sf0.01): stripping a sub-k node
       // can drop its neighbors below k, so one filter pass is NOT the
       // answer (k=22 peels 11 nodes at sf0.01; a single pass stops at
-      // 5). Each round is one degree aggregate + one semi-join.
+      // 5). Delta peeling: degrees computed once, each round subtracts
+      // removed nodes' incident edges from surviving neighbors' counts.
       val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
         .select(col("l_orderkey"), col("l_suppkey"))
       val b = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))

@@ -308,19 +308,24 @@ object Graph {
       .unionByName(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
-    // Relaxation rounds chain LAZILY (the pagerank treatment): each
-    // round is one join + one min aggregate over the cached edge list,
-    // so `rounds` rounds execute as ONE job with 2r shuffle stages — no
-    // per-round count() action or distance-table materialization. The
-    // hop bound is small by contract (it IS the answer's definition);
-    // a large bound would want per-round checkpoints instead.
+    // Relaxation rounds chain LAZILY (the pagerank treatment) so a small
+    // hop bound executes without per-round count() actions — BUT unlike
+    // pagerank/labelPropagation, each round here references `dist`
+    // TWICE (in `relaxed` and in the union), so the un-truncated logical
+    // plan DOUBLES per round. A localCheckpoint every 4 rounds truncates
+    // it to a LogicalRDD leaf, capping the blowup at 2^4 subtree copies
+    // between seals while still batching 4 rounds per job — without
+    // this, rounds=20 would hand Catalyst a ~2^20-node tree before any
+    // job launched. (Checkpoint blocks don't survive executor loss —
+    // the same cluster-HA caveat as kCore/bfsDistances.)
     var dist = sources.select(sourceCol.as("node")).distinct()
       .withColumn("dist", lit(0L))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val relaxed = dist.join(sym, dist("node") === sym("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (r % 4 == 0 && r < rounds) dist = dist.localCheckpoint(true)
     }
     // seal: the result is materialized once and the edge cache this
     // function owns is released — returning a live plan over `sym`
@@ -343,9 +348,10 @@ object Graph {
     * Scale shape: per round = one src-keyed label join onto the cached
     * symmetric edge list + one (node, label)-keyed count + one node-keyed
     * argmax — all equi-joins and partial aggregates, O(|E|) shuffled
-    * bytes per round, nothing driver-side. Per-round materialization
-    * keeps lineage one round deep; the |V|-row result is sealed and the
-    * caches released ([[CacheScope]]).
+    * bytes per round, nothing driver-side. Rounds chain lazily into one
+    * job (each round references the prior labels ONCE, so plan depth is
+    * linear in `rounds`); the |V|-row result is sealed and the edge
+    * cache released ([[CacheScope]]).
     *
     * Output: (node, label) for every node appearing in `edges`.
     */

@@ -457,9 +457,11 @@ object Multimodal {
     *    unchanged, so exact-dup logic can't shortcut the perceptual path.
     */
   def syntheticPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
-    pngFrameCache.computeIfAbsent(
-      (pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt),
-      k => renderPatternPng(k._1, k._2, k._3))
+    // defensive copy at the PUBLIC boundary: the cache's arrays are
+    // shared, and a caller tweaking a returned PNG must not poison
+    // every later frame of that key class (2 KB clone ≪ the render)
+    memoFrame(pngFrameCache, pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt,
+      renderPatternPng).clone()
 
   /** Both synthetic frame encoders depend on `noiseSeed` ONLY through
     * `noiseSeed mod 8` (the noise pair's x-offset inside the bottom-row
@@ -467,15 +469,25 @@ object Multimodal {
     * patterns × flips × 8 distinct frames — yet the ImageIO encode used
     * to run once per (doc, frame) and dominated the planted-fixture
     * queries' wall clock (r15 profiling: ~60% of q_video_containment).
-    * Memoizing on (pattern, flips, seed mod 8) is bit-identical and
-    * bounds the cache at a few hundred ~2 KB entries per executor JVM.
-    * Callers never mutate the returned arrays (they are copied into
-    * containers or serialized as row payloads).
+    * Memoizing on (pattern, flips, seed mod 8) is bit-identical. The
+    * planted corpora use patterns=10 (≤ a few hundred ~2 KB entries per
+    * executor JVM); `patterns` is caller-supplied, so the caches CAP at
+    * [[MemoCacheCap]] keys and render directly past it — bounded heap
+    * whatever the argument space. Internal callers never mutate the
+    * shared arrays (copied into containers or serialized as payloads);
+    * the public PNG entry point clones.
     */
+  private val MemoCacheCap = 4096
   private val pngFrameCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
   private val jpegFrameCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+
+  private def memoFrame[A](cache: java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), A],
+      pattern: Int, flips: Int, seedClass: Int, render: (Int, Int, Long) => A): A =
+    if (cache.size >= MemoCacheCap) render(pattern, flips, seedClass.toLong)
+    else cache.computeIfAbsent((pattern, flips, seedClass),
+      k => render(k._1, k._2, k._3.toLong))
 
   private def renderPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
     require(flips >= 0 && flips < 8, s"flips must be in [0,8), got $flips")
@@ -697,9 +709,8 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Short]]()
 
   private[graft] def tonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] =
-    tonePcmCache.computeIfAbsent(
-      (pattern, flips, (((noiseSeed % 63) + 63) % 63).toInt),
-      k => renderTonePcm(k._1, k._2, k._3))
+    memoFrame(tonePcmCache, pattern, flips, (((noiseSeed % 63) + 63) % 63).toInt,
+      renderTonePcm)
 
   private def renderTonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] = {
     require(flips >= 0 && flips < 4, s"flips must be in [0,4), got $flips")
@@ -1157,9 +1168,8 @@ object Multimodal {
     * no-tie margin.
     */
   private def syntheticPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
-    jpegFrameCache.computeIfAbsent(
-      (pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt),
-      k => renderPatternJpegFrame(k._1, k._2, k._3))
+    memoFrame(jpegFrameCache, pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt,
+      renderPatternJpegFrame)
 
   private def renderPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
     val g = videoCellGrays(pattern, flips)

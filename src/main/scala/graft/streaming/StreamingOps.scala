@@ -879,6 +879,12 @@ object StreamingOps {
     * commit: the applied streaming batch id and the owning query's
     * stable id.
     */
+  /** Serializes the session-conf toggle inside [[mergeColfCountState]]
+    * (see the comment there): the group-filter save/restore must not
+    * interleave across threads sharing one SparkSession.
+    */
+  private val mergeGroupFilterLock = new Object
+
   private[graft] val BatchProp = "graft.appliedBatch"
   private[graft] val QueryProp = "graft.queryId"
 
@@ -965,23 +971,31 @@ object StreamingOps {
       // one key distribution where it provably cannot bite. Without the
       // filter the scan plans ALL files, so REPLACED == SCANNED still
       // holds and the rewrite is the same O(state) it already was.
-      val gfKey = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
-      val gfOld = spark.conf.getOption(gfKey)
-      spark.conf.set(gfKey, "false")
-      try {
-        val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-        val cols = (keys :+ "n").mkString(", ")
-        val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
-        spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
-          "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
-          s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
-      } finally {
-        gfOld match {
-          case Some(v) => spark.conf.set(gfKey, v)
-          case None => spark.conf.unset(gfKey)
+      // The toggle+restore is serialized under a JVM-wide lock: two
+      // overlapping merges on one shared session would otherwise
+      // interleave save/restore (T2 saves T1's "false" and restores it
+      // after T1's unset) and leave group filtering off session-wide
+      // for every later selective DML. An unrelated DML planned while
+      // the conf is transiently off only loses a prune (correct, just
+      // unpruned); the lock closes the PERMANENT failure mode.
+      try mergeGroupFilterLock.synchronized {
+        val gfKey = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+        val gfOld = spark.conf.getOption(gfKey)
+        spark.conf.set(gfKey, "false")
+        try {
+          val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+          val cols = (keys :+ "n").mkString(", ")
+          val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
+          spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
+            "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
+            s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
+        } finally {
+          gfOld match {
+            case Some(v) => spark.conf.set(gfKey, v)
+            case None => spark.conf.unset(gfKey)
+          }
         }
-        spark.catalog.dropTempView(view)
-      }
+      } finally spark.catalog.dropTempView(view)
     } catch { case t: Throwable =>
       ColfVersions.clearStagedCommitProps(tableFs, tablePath)
       throw t

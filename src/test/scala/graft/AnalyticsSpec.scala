@@ -346,6 +346,10 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(1) == Map(1L -> 0L, 2L -> 7L, 3L -> 1L))
     assert(run(2) == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
     assert(run(3) == run(2)) // converged
+    // rounds >= 5 crosses the every-4-rounds plan-truncation checkpoint
+    // (the lazy chain references dist twice per round, so the logical
+    // plan doubles between seals) — result must be identical through it
+    assert(run(9) == run(2))
   }
 
   test("rrfFuse: fixed-order score, absent side contributes zero, tie-break and topK") {
