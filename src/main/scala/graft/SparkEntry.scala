@@ -3190,10 +3190,16 @@ object SparkEntry {
       val feedDir = work("q_stream_item_cf_feed")
       val stateDir = work("q_stream_item_cf_state")
       rmDir(feedDir); rmDir(stateDir)
+      // ONE partitionBy pass writes the same one-file-per-residue feed
+      // the old three sequential coalesce(1) jobs did: repartition(3, r)
+      // routes each residue to exactly one task, so each r= dir holds
+      // one file, and maxFilesPerTrigger=1 keeps batches basket-atomic.
+      // Batch ORDER is irrelevant: count maintenance is commutative and
+      // replay-guarded per batch id.
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      for (r <- 0 until 3)
-        li.where(col("l_orderkey") % 3 === r)
-          .coalesce(1).write.mode("append").parquet(feedDir)
+      li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
+        .repartition(3, col("r"))
+        .write.partitionBy("r").mode("append").parquet(feedDir)
       val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir)
       streaming.StreamingOps.maintainItemCF(feed, "l_orderkey", "l_partkey", stateDir)
@@ -3212,10 +3218,11 @@ object SparkEntry {
       val feedDir = work("q_stream_item_cf_colf_feed")
       val stateDir = work("q_stream_item_cf_colf_state")
       rmDir(feedDir); rmDir(stateDir)
+      // Same one-pass partitionBy feed as q_stream_item_cf (see there).
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      for (r <- 0 until 3)
-        li.where(col("l_orderkey") % 3 === r)
-          .coalesce(1).write.mode("append").parquet(feedDir)
+      li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
+        .repartition(3, col("r"))
+        .write.partitionBy("r").mode("append").parquet(feedDir)
       val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir)
       streaming.StreamingOps.maintainItemCFColf(feed, "l_orderkey", "l_partkey", stateDir)
