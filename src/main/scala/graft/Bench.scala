@@ -87,19 +87,63 @@ object Bench {
     * `med > 0` guard skipped it and the total quietly shrank, reading
     * as a win. Factored out of main so BenchParseSpec can pin both
     * paths without running a bench.
+    *
+    * Every row carries THIS capture's sentinel inflations (VERDICT r17
+    * #1): a reader of a single regression row sees whether the capture
+    * that produced it was contention-skewed (r17's driver capture
+    * published 12 phantom regressions whose only tell was a
+    * calibration_latency block elsewhere in the artifact).
     */
   private[graft] def regressionRows(meds: Seq[(String, Double)],
-      prevMap: Map[String, Double], src: String): Seq[String] =
+      prevMap: Map[String, Double], src: String,
+      calInflation: Double = -1.0, latInflation: Double = -1.0): Seq[String] = {
+    val sentinels = s""","cal_inflation":$calInflation,"lat_inflation":$latInflation"""
     meds.flatMap { case (n, med) =>
       prevMap.get(n) match {
         case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>
           Some(s"""{"q":"$n","median":$med,"prev":$prev,"ratio":${
-            math.round(med / prev * 100) / 100.0},"vs":"$src"}""")
+            math.round(med / prev * 100) / 100.0},"vs":"$src"$sentinels}""")
         case Some(prev) if prev > 0 && med < 0 =>
-          Some(s"""{"q":"$n","median":-1.0,"prev":$prev,"failed":true,"vs":"$src"}""")
+          Some(s"""{"q":"$n","median":-1.0,"prev":$prev,"failed":true,"vs":"$src"$sentinels}""")
         case _ => None
       }
     }
+  }
+
+  /** True when a prior artifact self-declares a contention-skewed capture
+    * (the `contaminated` tag this bench writes when its own sentinels
+    * exceed the gate). Checked raw AND backslash-escaped: the driver's
+    * per-round wrapper escapes the whole stdout tail. Artifacts predating
+    * the tag (no field at all) are treated as clean — the tag only ever
+    * ADDS information.
+    */
+  private[graft] def isContaminated(raw: String): Boolean =
+    raw.contains("\"contaminated\":true") || raw.contains("\\\"contaminated\\\":true")
+
+  /** Tripwire baseline selection over (name, rawContent) candidates, in
+    * preference (recency) order. Two rules, both bought by r17 failures:
+    *   1. A candidate that self-declares `contaminated:true` is skipped
+    *      outright (r17: the driver's stall-mode capture became the r18
+    *      baseline and would have masked real regressions behind its 12
+    *      inflated priors).
+    *   2. Among the clean candidates, the one with the MOST parsed query
+    *      entries wins, ties broken by recency — a 3-query isolation
+    *      probe or a tail-truncated wrapper must never shadow a complete
+    *      clean board (r17: a probe overwrote BENCH_full_latest.json and
+    *      left the tripwire comparing 3 queries). Cross-round medians
+    *      drift slowly, so coverage beats recency.
+    */
+  private[graft] def choosePrior(candidates: Seq[(String, String)],
+      sfDir: String): Option[(String, Map[String, Double])] = {
+    val parsed = candidates.flatMap { case (name, raw) =>
+      if (isContaminated(raw)) {
+        System.err.println(s"[bench] tripwire: skipping $name " +
+          "(self-declared contaminated capture)")
+        None
+      } else Some(name -> parsePriorQueryTimes(raw, sfDir))
+    }.filter(_._2.nonEmpty)
+    if (parsed.isEmpty) None else Some(parsed.maxBy(_._2.size))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -239,14 +283,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calOnce(); latOnce() // JIT the sentinels themselves; untimed
-    val calSamples = scala.collection.mutable.ArrayBuffer[Double](calOnce())
-    val latSamples = scala.collection.mutable.ArrayBuffer[Double](latOnce())
+    // Each sample records its POSITION: the index of the next headline
+    // query (0 = before any, headline.size = after all). The per-sample
+    // arrays land in the artifact (VERDICT r17 #2) so a stall window can
+    // be correlated to the specific queries it straddled — r17's closing
+    // board carried two single-run stalls (q_drift, q_pit_join) that cost
+    // a manual four-capture adjudication for lack of exactly this.
+    val calSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)](0 -> calOnce())
+    val latSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)](0 -> latOnce())
     val results = headline.zipWithIndex.map { case (n, i) =>
-      if (i % 10 == 9) { calSamples += calOnce(); latSamples += latOnce() }
+      if (i % 10 == 9) { calSamples += (i + 1) -> calOnce(); latSamples += (i + 1) -> latOnce() }
       n -> run(n)
     }
-    calSamples += calOnce()
-    latSamples += latOnce()
+    calSamples += headline.size -> calOnce()
+    latSamples += headline.size -> latOnce()
 
     // ANN quality trend: recall@10 of each approximate strategy against the
     // exact brute-force top-k over the same corpus and a 64-query probe set
@@ -341,30 +391,32 @@ object Bench {
     // COMPLETE BENCH_full_latest.json this bench writes itself, and if
     // that too yields nothing, say "no_comparable_artifact" loudly
     // instead of an indistinguishable-from-healthy [].
+    // The clean-baseline file is keyed by the sf basename (sf0.1 etc.) so
+    // an sf10 probe can never displace the sf0.1 board's baseline — the
+    // r17 sf10 probe overwrote BENCH_full_latest.json between captures
+    // and cost the closing run its comparison (ROUND17_NOTES §4.1).
+    val sfBase = new java.io.File(sfDir).getName
+    val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo")
     val prior: Option[(String, Map[String, Double])] = try {
-      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"))
-      val candidates: Seq[java.io.File] =
+      val dir = new java.io.File(benchDir)
+      val files: Seq[java.io.File] =
         Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
           .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
           .lastOption.toSeq ++
-        Some(new java.io.File(dir, "BENCH_full_latest.json")).filter(_.isFile)
-      val parsed = candidates.iterator.map { f =>
-        val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        f.getName -> parsePriorQueryTimes(raw, sfDir)
-      }.find(_._2.nonEmpty)
+        Seq(new java.io.File(dir, "BENCH_full_latest.json"),
+            new java.io.File(dir, s"BENCH_full_clean_$sfBase.json")).filter(_.isFile)
+      val candidates = files.map { f =>
+        f.getName -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      }
+      val parsed = choosePrior(candidates, sfDir)
       if (parsed.isEmpty)
         System.err.println(s"[bench] regression tripwire: no comparable " +
-          s"prior artifact (tried ${candidates.map(_.getName).mkString(", ")})")
+          s"prior artifact (tried ${files.map(_.getName).mkString(", ")})")
       parsed
     } catch { case e: Throwable =>
       System.err.println(s"[bench] regression diff failed: ${e.getMessage}")
       None
-    }
-    val regressions: String = prior match {
-      case None => "\"no_comparable_artifact\""
-      case Some((src, prevMap)) =>
-        regressionRows(meds, prevMap, src).mkString("[", ",", "]")
     }
 
     // Failures are LOUD (VERDICT r16 #2): `failed` names every query
@@ -395,16 +447,45 @@ object Bench {
     // quiet box (measured 6.8 vs 1.5 on the same capture) — the
     // contention signal is how far the worst sample sits above the
     // typical one. Shared by BOTH sentinels.
-    def sentinelJson(samples: Seq[Double]): String = {
-      val s = samples.sorted
+    def inflationOf(samples: Seq[(Int, Double)]): Double = {
+      val s = samples.map(_._2).sorted
       val med = median(s)
-      val inflation = if (med > 0) r3(s.last / med) else -1.0
-      s"""{"n":${s.size},"min":${r3(s.head)},""" +
-        s""""median":${r3(med)},"max":${r3(s.last)},""" +
-        s""""inflation":$inflation}"""
+      if (med > 0) r3(s.last / med) else -1.0
     }
+    // `samples` is the raw capture-order array of [queryPosition, seconds]
+    // pairs (position = index of the next headline query): the stall-
+    // correlation data the aggregate stats can't carry (VERDICT r17 #2).
+    def sentinelJson(samples: Seq[(Int, Double)]): String = {
+      val s = samples.map(_._2).sorted
+      val arr = samples.map { case (p, t) => s"[$p,${r3(t)}]" }.mkString("[", ",", "]")
+      s"""{"n":${s.size},"min":${r3(s.head)},""" +
+        s""""median":${r3(median(s))},"max":${r3(s.last)},""" +
+        s""""inflation":${inflationOf(samples)},"samples":$arr}"""
+    }
+    val calInflation = inflationOf(calSamples.toSeq)
+    val latInflation = inflationOf(latSamples.toSeq)
     val calJson = sentinelJson(calSamples.toSeq)
     val latJson = sentinelJson(latSamples.toSeq)
+    // Contamination gate (VERDICT r17 #1): when either sentinel's
+    // max/median inflation exceeds the gate, the capture self-declares
+    // contaminated — the tripwire in FUTURE runs skips it as a baseline,
+    // and a reader sees the state up front instead of reverse-engineering
+    // it from 12 phantom regressions (the r17 driver capture: latency
+    // inflation 3.499, q_pagerank median 25.5 s vs 2.6-3.1 s clean).
+    // 2.0 ≈ 2x the clean-capture reading (r17 closing board: 1.67/1.74).
+    val sentinelGate =
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE", "2.0").toDouble
+    val contaminated = calInflation > sentinelGate || latInflation > sentinelGate
+    if (contaminated)
+      System.err.println(s"[bench] capture CONTAMINATED by its own sentinels " +
+        s"(cal $calInflation, lat $latInflation, gate $sentinelGate) — tagged; " +
+        "future tripwires will not use it as a baseline")
+    val regressions: String = prior match {
+      case None => "\"no_comparable_artifact\""
+      case Some((src, prevMap)) =>
+        regressionRows(meds, prevMap, src, calInflation, latInflation)
+          .mkString("[", ",", "]")
+    }
     val estField = totalWithFailedAtPrev
       .map(v => s""","total_with_failed_at_prev":${r3(v)}""").getOrElse("")
     val line =
@@ -413,11 +494,27 @@ object Bench {
       s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
       s""""failed":$failedJson$estField,"calibration":$calJson,""" +
       s""""calibration_latency":$latJson,""" +
+      s""""contaminated":$contaminated,"sentinel_gate":$sentinelGate,""" +
       s""""regressions":$regressions,"runs":$runs,"hermetic":true,"sf":"$sfDir"$annRecall}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"), "BENCH_full_latest.json"), line)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
+    // Artifact files (VERDICT r17 #1 — baseline-publication discipline):
+    //   - A SUBSET run (SPARK_GRAFT_BENCH_ONLY) writes BENCH_subset_latest
+    //     .json only: an isolation probe must never shadow the full board
+    //     (r17: a 3-query probe overwrote BENCH_full_latest.json).
+    //   - A full run always writes BENCH_full_latest.json (the "what
+    //     happened last" record, contamination tag included).
+    //   - A full CLEAN run additionally publishes the per-sf clean
+    //     baseline BENCH_full_clean_<sf>.json — the file the tripwire
+    //     trusts most and the only one a contaminated capture can't touch.
+    def writeArtifact(name: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchDir, name), line)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name write skipped: ${e.getMessage}")
+      }
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) writeArtifact("BENCH_subset_latest.json")
+    else {
+      writeArtifact("BENCH_full_latest.json")
+      if (!contaminated) writeArtifact(s"BENCH_full_clean_$sfBase.json")
     }
     println(line)
     spark.stop()

@@ -71,6 +71,46 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!rows.exists(_.contains("q_gone")) && !rows.exists(_.contains("q_new")))
   }
 
+  test("regression rows carry the capture's sentinel inflations") {
+    // VERDICT r17 #1: a reader of one row must see the capture's noise
+    // state — r17's 12 phantom regressions were only diagnosable by
+    // cross-referencing the calibration_latency block elsewhere.
+    val rows = Bench.regressionRows(Seq("q_slow" -> 4.0), Map("q_slow" -> 2.0),
+      "BENCH_rXX.json", calInflation = 1.2, latInflation = 3.499)
+    assert(rows.size == 1)
+    assert(rows.head.contains("\"cal_inflation\":1.2")
+      && rows.head.contains("\"lat_inflation\":3.499"))
+  }
+
+  test("contaminated prior artifacts are skipped by the tripwire, raw and wrapper-escaped") {
+    assert(Bench.isContaminated("""{"contaminated":true,"sf":"x"}"""))
+    assert(Bench.isContaminated("""{"tail":"...,\"contaminated\":true,...","parsed":null}"""))
+    assert(!Bench.isContaminated("""{"contaminated":false,"sf":"x"}"""))
+    assert(!Bench.isContaminated("""{"queries":{"q1_agg":1.0}}""")) // pre-tag artifact = clean
+
+    val dirty =
+      s"""{"queries_median":{"q1_agg":9.0,"q_topk":9.0},"contaminated":true,"sf":"$sf"}"""
+    val clean = s"""{"queries_median":{"q1_agg":2.0},"sf":"$sf"}"""
+    val got = Bench.choosePrior(Seq("BENCH_r18.json" -> dirty, "BENCH_full_clean_sf0.1.json" -> clean), sf)
+    assert(got == Some("BENCH_full_clean_sf0.1.json" -> Map("q1_agg" -> 2.0)))
+    // Nothing clean and parseable → None (the caller prints no_comparable_artifact).
+    assert(Bench.choosePrior(Seq("a" -> dirty), sf).isEmpty)
+  }
+
+  test("a small clean probe never shadows a larger clean board") {
+    // r17: a 3-query isolation probe overwrote BENCH_full_latest.json;
+    // the tripwire must prefer the candidate with the most entries, ties
+    // broken by recency (candidate order).
+    val probe = s"""{"queries_median":{"q_pagerank":3.0},"sf":"$sf"}"""
+    val board = s"""{"queries_median":{"q1_agg":2.0,"q_topk":0.3,"q_pagerank":2.6},"sf":"$sf"}"""
+    val got = Bench.choosePrior(
+      Seq("BENCH_full_latest.json" -> probe, "BENCH_full_clean_sf0.1.json" -> board), sf)
+    assert(got.map(_._1) == Some("BENCH_full_clean_sf0.1.json"))
+    // Equal coverage → the earlier (more recent) candidate wins.
+    val got2 = Bench.choosePrior(Seq("new" -> board, "old" -> board), sf)
+    assert(got2.map(_._1) == Some("new"))
+  }
+
   test("the real committed r9 artifact parses without crashing and without inventing a baseline") {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/BENCH_r09.json")), "UTF-8")
