@@ -46,6 +46,7 @@ object Bench {
     "q_stream_item_cf_colf", "q_dedup_video", "q_bpe_pipeline", "q_label_prop",
     "q_video_containment", "q_holt_winters",
     "q_audio_containment", "q_text_containment", "q_dedup_mp4_exact", "q_stream_ann",
+    "q_containment_groups",
   )
 
   /** Extract a prior round's per-query times from a BENCH artifact of

@@ -243,6 +243,30 @@ object SparkEntry {
       |FROM d a JOIN d b
       |  ON NOT a.s AND NOT b.s AND a.p = b.p AND a.doc_id <> b.doc_id""".stripMargin
 
+  /** Group-level replay of the same doc-id arithmetic: groups are the
+    * (pattern, short?) classes — every member of a class carries a
+    * byte-identical frame-hash sequence, so the engine's distinct-
+    * sequence groups coincide with them exactly; rep = min(doc_id),
+    * member count = class size. Self edges (equal sequences) report the
+    * group once; cross edges are short→compilation at the head (0) or
+    * tail (3) alignment.
+    */
+  private val ContainmentGroupsOracleSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS p,
+      |    (doc_id % 3 = 0) AS s FROM documents),
+      |g AS (SELECT p, s, min(doc_id) AS rep, count(*) AS members
+      |      FROM d GROUP BY p, s)
+      |SELECT rep AS inner_rep, rep AS outer_rep,
+      |  CAST(0 AS BIGINT) AS at_frame, members AS inner_members,
+      |  members AS outer_members
+      |FROM g
+      |UNION ALL
+      |SELECT a.rep, b.rep, CAST(0 AS BIGINT), a.members, b.members
+      |FROM g a JOIN g b ON a.s AND NOT b.s AND a.p = b.p
+      |UNION ALL
+      |SELECT a.rep, b.rep, CAST(3 AS BIGINT), a.members, b.members
+      |FROM g a JOIN g b ON a.s AND NOT b.s AND a.p = (b.p + 1) % 10""".stripMargin
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2134,6 +2158,22 @@ object SparkEntry {
       operators.Multimodal.clipContainment(frames, minFrames = 3)
     }),
 
+    "q_containment_groups" -> ((s, dir) => {
+      // GROUP-LEVEL containment over the same planted clip corpus as
+      // q_video_containment — the scale-default surface (VERDICT r17
+      // #3): one row per (inner-group, outer-group) containment edge
+      // with rep ids and member counts, LINEAR in distinct sequences.
+      // The member-expanded q_video_containment output is quadratic in
+      // dup-group size by construction (sf10: 25 B rows); a 100-TB
+      // pipeline consumes THIS surface and joins the member map for
+      // exactly the groups it expands. Same doc-id-arithmetic ground
+      // truth, replayed by the oracle at group level.
+      val ids = t(s, dir, "documents").select("doc_id")
+      val media = operators.Multimodal.plantedClipTable(ids, patterns = 10)
+      val frames = operators.Multimodal.videoFrameHashes(media)
+      operators.Multimodal.clipContainmentGroups(frames, minFrames = 3)
+    }),
+
     "q_dedup_mp4_exact" -> ((s, dir) => {
       // The MP4 exact-dup BRIDGE (VERDICT r15 #6): codec'd video gets no
       // perceptual dedup (no pure-JVM H.264/AV1 decoder — the declared
@@ -3197,13 +3237,17 @@ object SparkEntry {
       // Batch ORDER is irrelevant: count maintenance is commutative and
       // replay-guarded per batch id.
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
-        .repartition(3, col("r"))
-        .write.partitionBy("r").mode("append").parquet(feedDir)
+      streaming.StreamingOps.prof("itemcf feed write") {
+        li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
+          .repartition(3, col("r"))
+          .write.partitionBy("r").mode("append").parquet(feedDir)
+      }
       val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir)
-      streaming.StreamingOps.maintainItemCF(feed, "l_orderkey", "l_partkey", stateDir)
-        .awaitTermination()
+      streaming.StreamingOps.prof("itemcf stream total") {
+        streaming.StreamingOps.maintainItemCF(feed, "l_orderkey", "l_partkey", stateDir)
+          .awaitTermination()
+      }
       streaming.StreamingOps.itemCFFromState(s, stateDir, k = 5, minPairs = 2)
     }),
 
@@ -3220,13 +3264,17 @@ object SparkEntry {
       rmDir(feedDir); rmDir(stateDir)
       // Same one-pass partitionBy feed as q_stream_item_cf (see there).
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
-        .repartition(3, col("r"))
-        .write.partitionBy("r").mode("append").parquet(feedDir)
+      streaming.StreamingOps.prof("itemcf-colf feed write") {
+        li.withColumn("r", (col("l_orderkey") % 3).cast("int"))
+          .repartition(3, col("r"))
+          .write.partitionBy("r").mode("append").parquet(feedDir)
+      }
       val feed = s.readStream.schema(s.read.parquet(feedDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir)
-      streaming.StreamingOps.maintainItemCFColf(feed, "l_orderkey", "l_partkey", stateDir)
-        .awaitTermination()
+      streaming.StreamingOps.prof("itemcf-colf stream total") {
+        streaming.StreamingOps.maintainItemCFColf(feed, "l_orderkey", "l_partkey", stateDir)
+          .awaitTermination()
+      }
       streaming.StreamingOps.itemCFFromColfState(s, stateDir, k = 5, minPairs = 2)
     }),
 
@@ -4714,6 +4762,7 @@ object SparkEntry {
     "q_video_containment" -> ContainmentOracleSql,
     "q_audio_containment" -> ContainmentOracleSql,
     "q_text_containment" -> ContainmentOracleSql,
+    "q_containment_groups" -> ContainmentGroupsOracleSql,
 
     // mdat-payload digest groups == pattern groups, by the
     // plantedMp4Table construction (mux variants re-wrap one payload per

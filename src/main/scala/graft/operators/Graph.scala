@@ -166,27 +166,35 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE action per round (the BFS treatment, VERDICT r17 #4): the
+    // min-degree aggregate that decides the fixpoint ALSO materializes
+    // the round's degree cache (an aggregate scans every partition), so
+    // a peel round costs exactly one job — the old shape paid a separate
+    // min-agg action plus a count() action, and at thousands of late
+    // rounds peeling a handful of nodes each, the per-action scheduling
+    // floor dominates. min() returns NULL on an empty frame, which is
+    // also the correct "empty core" terminator.
+    def minDeg(df: DataFrame): Option[Long] = {
+      val row = df.agg(min(col("d"))).first()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    var curMin = minDeg(deg)
     var round = 0
-    var done = false
-    while (!done) {
+    while (curMin.exists(_ < k)) {
       require(round < maxRounds,
         s"kCore did not converge in $maxRounds rounds - raise maxRounds")
-      val minRow = deg.agg(min(col("d"))).first()
-      if (minRow.isNullAt(0) || minRow.getLong(0) >= k) done = true
-      else {
-        // removed is recomputed lazily from the cached deg in both uses —
-        // a filter over node-sized cached blocks, cheaper than a persist
-        val removed = deg.where(col("d") < k).select(col("n").as("rn"))
-        val dec = removed.join(sym, col("rn") === col("u"))
-          .groupBy(col("v").as("n")).agg(count(lit(1)).as("dec"))
-        val next = deg.join(removed.select(col("rn").as("n")), Seq("n"), "left_anti")
-          .join(dec, Seq("n"), "left")
-          .select(col("n"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        deg.unpersist()
-        deg = next
-      }
+      // removed is recomputed lazily from the cached deg in both uses —
+      // a filter over node-sized cached blocks, cheaper than a persist
+      val removed = deg.where(col("d") < k).select(col("n").as("rn"))
+      val dec = removed.join(sym, col("rn") === col("u"))
+        .groupBy(col("v").as("n")).agg(count(lit(1)).as("dec"))
+      val next = deg.join(removed.select(col("rn").as("n")), Seq("n"), "left_anti")
+        .join(dec, Seq("n"), "left")
+        .select(col("n"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      curMin = minDeg(next) // one job: fixpoint test + cache fill
+      deg.unpersist()
+      deg = next
       round += 1
     }
     sym.unpersist()
@@ -238,11 +246,18 @@ object Graph {
     // the settled set (the old grown.count() job) or runs a separate
     // limit-1 emptiness probe. Peak cache is O(V) total across all
     // frontiers — the same as one settled copy, without the transient
-    // 2× while grown and settled coexisted. The union plan deepens by
-    // one leaf per round; rounds are bounded by the graph's
-    // eccentricity, which for the small-world graphs BFS radii are run
-    // on is a handful — re-fold into a checkpoint if a use case ever
-    // has thousands of hops.
+    // 2× while grown and settled coexisted. Every SettleFoldRounds
+    // rounds the union is FOLDED into a localCheckpoint, the folded
+    // frontiers' caches released, and the frontier re-derived from the
+    // sealed leaf (the ssspBounded treatment, ADVICE r17) — and the
+    // fold is LOAD-BEARING, not just a scan optimization: each round's
+    // frontier plan references the prior settled union TWICE (the join
+    // and the anti-join), so the un-truncated logical plan DOUBLES per
+    // round — a 20-hop path graph hands Catalyst a ~2^20-node tree
+    // whose explain string alone OOMs the driver. Sealing every 4
+    // rounds caps the between-seal blowup at 2^4 subtree copies (the
+    // ssspBounded constant).
+    val SettleFoldRounds = 4
     val frontierCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var settled = sources.select(sourceCol.as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -267,6 +282,18 @@ object Graph {
         frontierCaches += next
         settled = settled.unionByName(next)
         frontier = next
+        if (dist % SettleFoldRounds == 0) {
+          // seal the union into one LogicalRDD leaf and re-derive the
+          // frontier FROM the leaf (a filter over it — no second
+          // materialization, and crucially a truncated plan: keeping
+          // the live frontier would carry the pre-seal plan into every
+          // later round); then every folded cache can be released —
+          // the rows now live in the checkpoint blocks
+          settled = settled.localCheckpoint()
+          frontierCaches.foreach(_.unpersist())
+          frontierCaches.clear()
+          frontier = settled.where(col("dist") === dist)
+        }
       }
     }
     sym.unpersist()

@@ -528,21 +528,42 @@ object StreamingOps {
     feed.writeStream
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-          .distinct()
-          .localCheckpoint(true) // two consumers below; batch-scoped blocks
+        val b = prof(s"itemcf b$batchId dedup+checkpoint") {
+          batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+            .distinct()
+            .localCheckpoint(true) // two consumers below; batch-scoped blocks
+        }
         val dPairs = b.as("a").join(b.as("b"), "bk")
           .where(col("a.it") < col("b.it"))
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
-        mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        prof(s"itemcf b$batchId merge pairs") {
+          mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
+        }
+        prof(s"itemcf b$batchId merge items") {
+          mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /** Env-gated stage timer (`SPARK_GRAFT_PROFILE` set → one
+    * `[graft-prof] <label> <sec>` stderr line per stage): breaks a
+    * streaming query's wall clock into per-batch stages without a
+    * profiler attached — the instrument behind the item-CF floor
+    * breakdown (VERDICT r17 #6). Zero overhead when unset.
+    */
+  private[graft] val profileEnabled = sys.env.contains("SPARK_GRAFT_PROFILE")
+  private[graft] def prof[T](label: String)(f: => T): T =
+    if (!profileEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[graft-prof] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
 
   /** The enclosing streaming query's STABLE id, when running inside a
     * microbatch (StreamExecution publishes it as a thread-local Spark
@@ -710,12 +731,16 @@ object StreamingOps {
       // direct write would emit up to (shuffle partitions × touched
       // buckets) files per batch; this one bounded shuffle (touched rows
       // only) lands each bucket wholly in one task → one file per bucket
-      merged.withColumn("bucket", bucketOf)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(next.toString)
+      prof(s"  state write (bucketed) ${cur.getParent.getName}") {
+        merged.withColumn("bucket", bucketOf)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(next.toString)
+      }
       writeBucketsFile(fs, next, nb.getOrElse(StateBuckets))
     } else
-      merged.write.mode("overwrite").parquet(next.toString)
+      prof(s"  state write (flat) ${cur.getParent.getName}") {
+        merged.write.mode("overwrite").parquet(next.toString)
+      }
     writeBatchMarker(fs, next, batchId, qid)
     fs.delete(old, true)
     if (fs.exists(cur) && !fs.rename(cur, old))
@@ -859,16 +884,22 @@ object StreamingOps {
         val spark = batch.sparkSession
         spark.conf.set("spark.sql.catalog.colf_cat",
           classOf[graft.sources.colf.ColfCatalog].getName)
-        val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-          .distinct()
-          .localCheckpoint(true)
+        val b = prof(s"itemcf-colf b$batchId dedup+checkpoint") {
+          batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+            .distinct()
+            .localCheckpoint(true)
+        }
         val dPairs = b.as("a").join(b.as("b"), "bk")
           .where(col("a.it") < col("b.it"))
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
-        mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        prof(s"itemcf-colf b$batchId merge pairs") {
+          mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
+        }
+        prof(s"itemcf-colf b$batchId merge items") {
+          mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -879,12 +910,6 @@ object StreamingOps {
     * commit: the applied streaming batch id and the owning query's
     * stable id.
     */
-  /** Serializes the session-conf toggle inside [[mergeColfCountState]]
-    * (see the comment there): the group-filter save/restore must not
-    * interleave across threads sharing one SparkSession.
-    */
-  private val mergeGroupFilterLock = new Object
-
   private[graft] val BatchProp = "graft.appliedBatch"
   private[graft] val QueryProp = "graft.queryId"
 
@@ -956,8 +981,6 @@ object StreamingOps {
           .write.format("colf").option("manifest", "true").mode("append").save(dir)
         return
       }
-      val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
-      typed.createOrReplaceTempView(view)
       // Runtime group filtering (the subquery that computes the delta's
       // matching files so the rewrite can skip untouched ones) is pure
       // overhead HERE and is disabled for the count-state MERGE only:
@@ -971,29 +994,28 @@ object StreamingOps {
       // one key distribution where it provably cannot bite. Without the
       // filter the scan plans ALL files, so REPLACED == SCANNED still
       // holds and the rewrite is the same O(state) it already was.
-      // The toggle+restore is serialized under a JVM-wide lock: two
-      // overlapping merges on one shared session would otherwise
-      // interleave save/restore (T2 saves T1's "false" and restores it
-      // after T1's unset) and leave group filtering off session-wide
-      // for every later selective DML. An unrelated DML planned while
-      // the conf is transiently off only loses a prune (correct, just
-      // unpruned); the lock closes the PERMANENT failure mode.
-      try mergeGroupFilterLock.synchronized {
-        val gfKey = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
-        val gfOld = spark.conf.getOption(gfKey)
-        spark.conf.set(gfKey, "false")
-        try {
-          val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-          val cols = (keys :+ "n").mkString(", ")
-          val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
-          spark.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
+      // The MERGE runs on a CLONED session (ADVICE r17): the conf flips
+      // only in the clone's isolated SessionState, so there is no window
+      // in which an unrelated DML planned on the shared session loses
+      // its runtime group pruning, and no JVM-wide lock serializing
+      // unrelated count-state merges. The clone shares SharedState
+      // (catalog plugins, cache manager) and inherits all confs and the
+      // temp-view catalog AS OF the clone — so the view is registered on
+      // the shared session FIRST, and dropped from it after; the clone
+      // itself is unreferenced past the statement.
+      val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
+      typed.createOrReplaceTempView(view)
+      try {
+        val merger = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+        merger.conf.set(
+          "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "false")
+        val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+        val cols = (keys :+ "n").mkString(", ")
+        val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")
+        prof(s"  colf MERGE ${tablePath.getName}") {
+          merger.sql(s"MERGE INTO colf_cat.`$dir` t USING $view s ON $on " +
             "WHEN MATCHED THEN UPDATE SET n = t.n + s.dn " +
             s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)")
-        } finally {
-          gfOld match {
-            case Some(v) => spark.conf.set(gfKey, v)
-            case None => spark.conf.unset(gfKey)
-          }
         }
       } finally spark.catalog.dropTempView(view)
     } catch { case t: Throwable =>

@@ -68,6 +68,16 @@ object GraftSqlBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
       .registerFunction(ident, info, builder)
 
+  /** A forked session sharing SharedState (catalogs, cache manager) with
+    * an isolated COPY of the session state — confs, temp views — as of
+    * the call (`cloneSession` is `private[sql]` in Spark 4). Lets an
+    * operator flip a planner conf for ONE statement without a toggle
+    * window or lock on the shared session (StreamingOps' count-state
+    * MERGE disables runtime group filtering this way).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** A DSv2 relation over an already-built connector [[org.apache.spark.sql.connector.catalog.Table]] —
     * the logical plan a table-valued function returns.
     */

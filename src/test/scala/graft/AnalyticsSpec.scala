@@ -452,6 +452,48 @@ class AnalyticsSpec extends AnyFunSuite {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kCore runs ONE action per peel round (VERDICT r17 #4)") {
+    // The min-degree fixpoint test must ride the job that materializes
+    // the round's degree cache — a separate min-agg action per round
+    // pays the scheduling floor twice at thousands of late peel rounds.
+    // Jobs are counted with AQE and broadcast builds disabled (both
+    // split one action into several jobs, making the count
+    // nondeterministic); the budget is initial-min + one per round +
+    // the final localCheckpoint.
+    val sc = spark.sparkContext
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.addSparkListener(listener)
+    try {
+      // path 1-2-3-4-5, k=2: r1 peels {1,5}, r2 {2,4}, r3 {3} -> empty.
+      val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("s", "d")
+      val got = operators.Graph.kCore(edges, col("s"), col("d"), 2).collect()
+      assert(got.isEmpty)
+      // listener events are posted async: poll until the count is stable
+      var last = -1; var cur = counter.get(); var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(100); cur = counter.get(); spins += 1
+      }
+      val rounds = 3
+      // +2 = the initial min-agg and the final localCheckpoint; the
+      // collect() above adds 1. Anything beyond that is a per-round
+      // extra action creeping back in.
+      assert(cur <= rounds + 3, s"kCore ran $cur jobs for $rounds peel rounds")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcPrev)
+    }
+  }
+
   test("triangleCount and kCore agree with brute force on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
@@ -528,6 +570,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bfs(Seq(10L)) == Map(10L -> 0L, 11L -> 1L, 12L -> 1L))
     // a source absent from the graph still reports itself at 0
     assert(bfs(Seq(99L)) == Map(99L -> 0L))
+  }
+
+  test("bfsDistances: high-eccentricity path crosses the settled-fold boundary") {
+    // 20-hop path: the settled set folds into a localCheckpoint every 8
+    // rounds (ADVICE r17 — without the fold the anti-join rescans every
+    // prior frontier leaf, O(rounds²·V)); distances must be unaffected
+    // across BOTH fold seals, including the source layer folded first.
+    val n = 21L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d")
+    val got = operators.Graph.bfsDistances(edges, col("s"), col("d"),
+      Seq(0L).toDF("n"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(i => i -> i).toMap)
   }
 
   // ---- pagerank -------------------------------------------------------

@@ -282,6 +282,41 @@ class MultimodalSpec extends AnyFunSuite {
     ), s"got $got")
   }
 
+  test("clipContainmentGroups: rep edges + member counts; expansion reproduces the pair surface") {
+    // Same hand-built table as the pair test: groups are {1,3} (seq
+    // [5,5,7], rep 1), {2}, {4}, {5}, {6}. Group output must be LINEAR
+    // in distinct sequences: one self edge per group (equal sequences)
+    // plus the cross containment edges, each carrying member counts.
+    val frames = Seq(
+      (1L, 0, 5L), (1L, 1, 5L), (1L, 2, 7L),
+      (2L, 0, 9L), (2L, 1, 5L), (2L, 2, 5L), (2L, 3, 7L), (2L, 4, 3L),
+      (3L, 0, 5L), (3L, 1, 5L), (3L, 2, 7L),
+      (4L, 0, 5L), (4L, 1, 7L), (4L, 2, 3L),
+      (5L, 0, 2L), (5L, 1, 2L), (5L, 2, 2L), (5L, 3, 2L),
+      (6L, 0, 2L), (6L, 1, 2L), (6L, 2, 2L)
+    ).toDF("doc_id", "frame_idx", "fhash")
+    val got = Multimodal.clipContainmentGroups(frames, minFrames = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L, 2L, 2L), (2L, 2L, 0L, 1L, 1L), (4L, 4L, 0L, 1L, 1L),
+      (5L, 5L, 0L, 1L, 1L), (6L, 6L, 0L, 1L, 1L), // self edges, all groups
+      (1L, 2L, 1L, 2L, 1L),                       // [5,5,7] inside doc 2
+      (4L, 2L, 2L, 1L, 1L),                       // tail run
+      (6L, 5L, 0L, 1L, 1L)                        // repeated-hash run
+    ), s"got $got")
+    // the member map + group edges EXPAND to exactly clipContainment's
+    // member-level pairs (self edges -> ordered distinct member pairs)
+    val memberMap = Multimodal.containmentMembers(frames, minFrames = 3)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expanded = (for {
+      (ir, or, at, _, _) <- got.toSeq
+      i <- memberMap(ir); o <- memberMap(or) if i != o
+    } yield (i, o, at)).toSet
+    val pairs = Multimodal.clipContainment(frames, minFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expanded == pairs, s"missing=${pairs -- expanded} extra=${expanded -- pairs}")
+  }
+
   test("video end to end: planted clip containment equals the id-arithmetic truth") {
     val ids = (0L until 45L).toDF("doc_id")
     val media = Multimodal.plantedClipTable(ids, patterns = 10)
