@@ -538,11 +538,12 @@ object StreamingOps {
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        prof(s"itemcf b$batchId merge pairs") {
-          mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
-        }
-        prof(s"itemcf b$batchId merge items") {
-          mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        val qid = Some(streamQueryId(b.sparkSession))
+        prof(s"itemcf b$batchId merge both") {
+          mergeBoth(
+            () => mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"),
+              dPairs, batchId, qid),
+            () => mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId, qid))
         }
         ()
       }
@@ -654,7 +655,7 @@ object StreamingOps {
     * just flat states and follow the same rule.
     */
   private[graft] def mergeCountState(dir: String, keys: Seq[String], delta: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, qidOpt: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val spark = delta.sparkSession
     val hconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
@@ -662,7 +663,11 @@ object StreamingOps {
     val next = new org.apache.hadoop.fs.Path(s"$dir/next")
     val old = new org.apache.hadoop.fs.Path(s"$dir/old")
     val fs = cur.getFileSystem(hconf)
-    val qid = streamQueryId(spark)
+    // qid rides as an explicit argument when the caller forks merges onto
+    // pool threads: the streaming query id is a DRIVER-THREAD local that
+    // a Future's thread does not inherit, and a silently-empty qid would
+    // disarm the checkpoint-separation guard
+    val qid = qidOpt.getOrElse(streamQueryId(spark))
     // crash recovery: death between the two swap renames leaves the
     // pre-batch state at old/ and no cur/ — restore it (the interrupted
     // batch was never committed to the checkpoint, so it replays next)
@@ -894,11 +899,12 @@ object StreamingOps {
           .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
           .agg(count(lit(1)).as("dn"))
         val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-        prof(s"itemcf-colf b$batchId merge pairs") {
-          mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"), dPairs, batchId)
-        }
-        prof(s"itemcf-colf b$batchId merge items") {
-          mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId)
+        val qid = Some(streamQueryId(spark))
+        prof(s"itemcf-colf b$batchId merge both") {
+          mergeBoth(
+            () => mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"),
+              dPairs, batchId, qid),
+            () => mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId, qid))
         }
         ()
       }
@@ -912,6 +918,32 @@ object StreamingOps {
     */
   private[graft] val BatchProp = "graft.appliedBatch"
   private[graft] val QueryProp = "graft.queryId"
+
+  private val mergeViewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run the per-batch pairs/items state merges CONCURRENTLY and await
+    * both — they touch disjoint state directories, so the only shared
+    * resource is the scheduler, and overlapping them hides the smaller
+    * merge's wall clock entirely (measured: the items merge is
+    * 0.3–0.6 s of pure sequential tail per batch at sf0.1, ~1.5 s per
+    * query across 3 batches). Exactly-once is unaffected: each table
+    * carries its OWN applied-batch marker, so a batch that fails one
+    * merge after the other committed replays into a fold (failed table)
+    * plus a marker no-op (committed table) — the same convergence as
+    * the sequential order, on every crash schedule.
+    */
+  private def mergeBoth(left: () => Unit, right: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lf = Future(left())
+    val rf = Future(right())
+    // await BOTH before rethrowing either: the batch must not return
+    // (and commit the checkpoint) with a merge still in flight
+    val lr = scala.util.Try(Await.result(lf, Duration.Inf))
+    val rr = scala.util.Try(Await.result(rf, Duration.Inf))
+    lr.get; rr.get
+  }
 
   /** (owning query id, last applied batch id) recorded in the colf state
     * table's own version history — ("", -1) for a table with no record
@@ -944,14 +976,15 @@ object StreamingOps {
     * instant (VERDICT r15 #1).
     */
   private[graft] def mergeColfCountState(dir: String, keys: Seq[String], delta: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, qidOpt: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     import graft.sources.colf.ColfVersions
     val spark = delta.sparkSession
     val fsHconf = org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark)
     val tablePath = new org.apache.hadoop.fs.Path(dir)
     val tableFs = tablePath.getFileSystem(fsHconf)
-    val qid = streamQueryId(spark)
+    // explicit qid for pool-thread callers, like [[mergeCountState]]
+    val qid = qidOpt.getOrElse(streamQueryId(spark))
     if (tableFs.exists(tablePath)) {
       val (storedQid, storedBatch) = colfAppliedState(tableFs, tablePath)
       requireSameQuery(storedQid, qid, dir)
@@ -1003,7 +1036,10 @@ object StreamingOps {
       // temp-view catalog AS OF the clone — so the view is registered on
       // the shared session FIRST, and dropped from it after; the clone
       // itself is unreferenced past the statement.
-      val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}"
+      // nanoTime alone can collide when two state merges fork in the same
+      // instant (the parallel pairs/items batch); the counter disambiguates
+      val view = s"graft_itemcf_delta_${java.lang.Long.toHexString(System.nanoTime())}" +
+        s"_${mergeViewCounter.incrementAndGet()}"
       typed.createOrReplaceTempView(view)
       try {
         val merger = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
