@@ -455,8 +455,22 @@ object Graph {
     val base = (1.0 - damping) / n
     def blend(m: Column): Column =
       lit(base) + lit(damping) * coalesce(m, lit(0.0))
+    // Order-independent exact sum at the 1e-12 grid, LONG-backed: each
+    // per-edge contribution is ≤ the source's full rank mass, and total
+    // rank mass is ~1, so a node's grid-integer sum is ≤ ~1e12 plus half
+    // a unit of rounding slack per in-edge — even a 1e12-edge hub stays
+    // ~1.5e12, six orders below Long.MaxValue, so the ANSI overflow
+    // check can never fire at any corpus size. The previous
+    // decimal(28,0) buffer computed the same integers but through
+    // non-long-backed Decimal (precision 28 > 18): measured at sf1
+    // (12M edges), the BigDecimal aggregation path was intermittently
+    // CATASTROPHIC — same plan, same data read 36.7/60.5/69.3/7.3 s
+    // across four runs where the long-backed form reads a stable
+    // 5.5-9.9 s (r18 diagnosis of the 71 s sf1 bench row). Values are
+    // bit-identical either way, so the DuckDB oracle (which sums
+    // DECIMAL(28,0)) is untouched.
     def gridSum(c: Column): Column =
-      sum(round(c * lit(1.0e12)).cast("decimal(28,0)")).cast("double") / lit(1.0e12)
+      sum(round(c * lit(1.0e12)).cast("long")).cast("double") / lit(1.0e12)
     var sums: Option[DataFrame] = None // m per node; None = uniform start
     for (_ <- 0 until iters) {
       val contrib = sums match {
