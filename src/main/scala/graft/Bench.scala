@@ -127,15 +127,20 @@ object Bench {
     *      outright (r17: the driver's stall-mode capture became the r18
     *      baseline and would have masked real regressions behind its 12
     *      inflated priors).
-    *   2. Among the clean candidates, the one with the MOST parsed query
-    *      entries wins, ties broken by recency — a 3-query isolation
-    *      probe or a tail-truncated wrapper must never shadow a complete
-    *      clean board (r17: a probe overwrote BENCH_full_latest.json and
-    *      left the tripwire comparing 3 queries). Cross-round medians
-    *      drift slowly, so coverage beats recency.
+    *   2. Among the clean candidates, the one with the MOST entries that
+    *      OVERLAP the current headline set wins, ties broken by recency
+    *      (candidates arrive recency-ordered and maxBy keeps the first
+    *      maximum) — a 3-query isolation probe or a tail-truncated
+    *      wrapper must never shadow a complete clean board (r17: a probe
+    *      overwrote BENCH_full_latest.json and left the tripwire
+    *      comparing 3 queries). Ranking by OVERLAP rather than raw entry
+    *      count (ADVICE r18) keeps the rule self-correcting when the
+    *      headline set changes: a stale board full of removed/renamed
+    *      queries scores only on what it can still compare, so it cannot
+    *      permanently out-rank every newer baseline.
     */
   private[graft] def choosePrior(candidates: Seq[(String, String)],
-      sfDir: String): Option[(String, Map[String, Double])] = {
+      sfDir: String, headline: Set[String]): Option[(String, Map[String, Double])] = {
     val parsed = candidates.flatMap { case (name, raw) =>
       if (isContaminated(raw)) {
         System.err.println(s"[bench] tripwire: skipping $name " +
@@ -143,7 +148,8 @@ object Bench {
         None
       } else Some(name -> parsePriorQueryTimes(raw, sfDir))
     }.filter(_._2.nonEmpty)
-    if (parsed.isEmpty) None else Some(parsed.maxBy(_._2.size))
+    if (parsed.isEmpty) None
+    else Some(parsed.maxBy(_._2.keySet.count(headline.contains)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -410,7 +416,7 @@ object Bench {
       val candidates = files.map { f =>
         f.getName -> new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       }
-      val parsed = choosePrior(candidates, sfDir)
+      val parsed = choosePrior(candidates, sfDir, headline.toSet)
       if (parsed.isEmpty)
         System.err.println(s"[bench] regression tripwire: no comparable " +
           s"prior artifact (tried ${files.map(_.getName).mkString(", ")})")
@@ -474,8 +480,17 @@ object Bench {
     // it from 12 phantom regressions (the r17 driver capture: latency
     // inflation 3.499, q_pagerank median 25.5 s vs 2.6-3.1 s clean).
     // 2.0 ≈ 2x the clean-capture reading (r17 closing board: 1.67/1.74).
-    val sentinelGate =
-      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE", "2.0").toDouble
+    // Parsed defensively (ADVICE r18): a malformed env value must not
+    // throw AFTER every query has run and lose the whole capture — fall
+    // back to the default gate and say so.
+    val sentinelGate = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE", "2.0")
+      scala.util.Try(raw.toDouble).getOrElse {
+        System.err.println(s"[bench] SPARK_GRAFT_SENTINEL_GATE='$raw' is not " +
+          "a number - using default gate 2.0")
+        2.0
+      }
+    }
     val contaminated = calInflation > sentinelGate || latInflation > sentinelGate
     if (contaminated)
       System.err.println(s"[bench] capture CONTAMINATED by its own sentinels " +

@@ -459,9 +459,10 @@ object Multimodal {
   def syntheticPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
     // defensive copy at the PUBLIC boundary: the cache's arrays are
     // shared, and a caller tweaking a returned PNG must not poison
-    // every later frame of that key class (2 KB clone ≪ the render)
+    // every later frame of that key class (2 KB clone ≪ the render);
+    // memoFrame copies cache-sourced values only
     memoFrame(pngFrameCache, pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt,
-      renderPatternPng).clone()
+      renderPatternPng, (a: Array[Byte]) => a.clone())
 
   /** Both synthetic frame encoders depend on `noiseSeed` ONLY through
     * `noiseSeed mod 8` (the noise pair's x-offset inside the bottom-row
@@ -484,16 +485,21 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
 
   private def memoFrame[A](cache: java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), A],
-      pattern: Int, flips: Int, seedClass: Int, render: (Int, Int, Long) => A): A = {
+      pattern: Int, flips: Int, seedClass: Int, render: (Int, Int, Long) => A,
+      copy: A => A): A = {
     // Lookup BEFORE the cap check: the cap bounds INSERTS only. Gating
     // the lookup on size would disable memoization entirely once a cache
     // fills — every call re-rendering, cached keys included — exactly in
     // the large-`patterns` scenario the cap exists for (ADVICE r17).
+    // The defensive copy lives HERE, not at the call sites (ADVICE r18):
+    // only values that came out of the shared cache need it — the
+    // cap-overflow path returns render()'s fresh array directly, so a
+    // saturated cache doesn't pay a redundant clone per call.
     val k = (pattern, flips, seedClass)
     val hit = cache.get(k)
-    if (hit != null) hit
+    if (hit != null) copy(hit)
     else if (cache.size >= MemoCacheCap) render(pattern, flips, seedClass.toLong)
-    else cache.computeIfAbsent(k, k => render(k._1, k._2, k._3.toLong))
+    else copy(cache.computeIfAbsent(k, k => render(k._1, k._2, k._3.toLong)))
   }
 
   private def renderPatternPng(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
@@ -719,9 +725,10 @@ object Multimodal {
     // cloned at the boundary like the public PNG entry: current callers
     // only flatten/serialize, but safety must not rest on a comment-level
     // no-mutation convention — one in-place edit would poison every later
-    // window of the key class (ADVICE r17; 8 KB ≪ WAV assembly + decode)
+    // window of the key class (ADVICE r17; 8 KB ≪ WAV assembly + decode);
+    // memoFrame copies cache-sourced values only
     memoFrame(tonePcmCache, pattern, flips, (((noiseSeed % 63) + 63) % 63).toInt,
-      renderTonePcm).clone()
+      renderTonePcm, (a: Array[Short]) => a.clone())
 
   private def renderTonePcm(pattern: Int, flips: Int, noiseSeed: Long): Array[Short] = {
     require(flips >= 0 && flips < 4, s"flips must be in [0,4), got $flips")
@@ -1180,9 +1187,10 @@ object Multimodal {
     */
   private def syntheticPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =
     // cloned at the boundary (same rationale as tonePcm / the public PNG
-    // entry): ~2 KB per call ≪ the AVI assembly the frames feed
+    // entry): ~2 KB per call ≪ the AVI assembly the frames feed;
+    // memoFrame copies cache-sourced values only
     memoFrame(jpegFrameCache, pattern, flips, (((noiseSeed % 8) + 8) % 8).toInt,
-      renderPatternJpegFrame).clone()
+      renderPatternJpegFrame, (a: Array[Byte]) => a.clone())
 
   private def renderPatternJpegFrame(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] = {
     val g = videoCellGrays(pattern, flips)

@@ -933,11 +933,16 @@ object StreamingOps {
     * the sequential order, on every crash schedule.
     */
   private def mergeBoth(left: () => Unit, right: () => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val lf = Future(left())
-    val rf = Future(right())
+    // blocking{} (ADVICE r18): each merge is a multi-second Spark ACTION
+    // — on the CPU-count-sized global pool, two unmarked blocking tasks
+    // per concurrent streaming query would starve unrelated Future users
+    // in the same JVM; the marker lets the ForkJoin pool compensate with
+    // extra threads for the blocked span.
+    val lf = Future(blocking(left()))
+    val rf = Future(blocking(right()))
     // await BOTH before rethrowing either: the batch must not return
     // (and commit the checkpoint) with a merge still in flight
     val lr = scala.util.Try(Await.result(lf, Duration.Inf))

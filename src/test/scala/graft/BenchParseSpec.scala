@@ -91,24 +91,38 @@ class BenchParseSpec extends AnyFunSuite {
     val dirty =
       s"""{"queries_median":{"q1_agg":9.0,"q_topk":9.0},"contaminated":true,"sf":"$sf"}"""
     val clean = s"""{"queries_median":{"q1_agg":2.0},"sf":"$sf"}"""
-    val got = Bench.choosePrior(Seq("BENCH_r18.json" -> dirty, "BENCH_full_clean_sf0.1.json" -> clean), sf)
+    val hl = Set("q1_agg", "q_topk", "q_pagerank")
+    val got = Bench.choosePrior(
+      Seq("BENCH_r18.json" -> dirty, "BENCH_full_clean_sf0.1.json" -> clean), sf, hl)
     assert(got == Some("BENCH_full_clean_sf0.1.json" -> Map("q1_agg" -> 2.0)))
     // Nothing clean and parseable → None (the caller prints no_comparable_artifact).
-    assert(Bench.choosePrior(Seq("a" -> dirty), sf).isEmpty)
+    assert(Bench.choosePrior(Seq("a" -> dirty), sf, hl).isEmpty)
   }
 
   test("a small clean probe never shadows a larger clean board") {
     // r17: a 3-query isolation probe overwrote BENCH_full_latest.json;
-    // the tripwire must prefer the candidate with the most entries, ties
-    // broken by recency (candidate order).
+    // the tripwire must prefer the candidate overlapping the most of the
+    // CURRENT headline set, ties broken by recency (candidate order).
+    val hl = Set("q1_agg", "q_topk", "q_pagerank")
     val probe = s"""{"queries_median":{"q_pagerank":3.0},"sf":"$sf"}"""
     val board = s"""{"queries_median":{"q1_agg":2.0,"q_topk":0.3,"q_pagerank":2.6},"sf":"$sf"}"""
     val got = Bench.choosePrior(
-      Seq("BENCH_full_latest.json" -> probe, "BENCH_full_clean_sf0.1.json" -> board), sf)
+      Seq("BENCH_full_latest.json" -> probe, "BENCH_full_clean_sf0.1.json" -> board), sf, hl)
     assert(got.map(_._1) == Some("BENCH_full_clean_sf0.1.json"))
     // Equal coverage → the earlier (more recent) candidate wins.
-    val got2 = Bench.choosePrior(Seq("new" -> board, "old" -> board), sf)
+    val got2 = Bench.choosePrior(Seq("new" -> board, "old" -> board), sf, hl)
     assert(got2.map(_._1) == Some("new"))
+  }
+
+  test("a stale board of removed queries cannot out-rank a newer headline-matching baseline (ADVICE r18)") {
+    // choosePrior ranks by overlap with the CURRENT headline set, not raw
+    // entry count: a wide old board whose queries were since renamed or
+    // removed scores only on what the tripwire can still compare.
+    val hl = Set("q1_agg", "q_topk")
+    val stale = s"""{"queries_median":{"q_old_a":1.0,"q_old_b":1.0,"q_old_c":1.0,"q1_agg":2.0},"sf":"$sf"}"""
+    val fresh = s"""{"queries_median":{"q1_agg":2.1,"q_topk":0.3},"sf":"$sf"}"""
+    val got = Bench.choosePrior(Seq("fresh" -> fresh, "stale" -> stale), sf, hl)
+    assert(got.map(_._1) == Some("fresh"))
   }
 
   test("the real committed r9 artifact parses without crashing and without inventing a baseline") {
