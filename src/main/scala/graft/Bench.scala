@@ -163,9 +163,16 @@ object Bench {
       case None => Headline
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Probe-only deployment knob (VERDICT r18 #2): shuffle width defaults
+    // to the thread count (right for the sf0.1 board — the r18 A/B showed
+    // 256 initial partitions REGRESSES small iterative rounds), but an
+    // sf10+ scale probe sizes it to the data, exactly as a cluster
+    // deployment would. The driver never sets it.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -56,16 +56,31 @@ object Clustering {
       val assigned = assign(cents)
       // Exact mean at a fixed 1e-12 grid: round(x·1e12) is an
       // integer-valued double (both engines round halves away from zero —
-      // identical), cast to DECIMAL(28,0) exactly, summed associatively.
-      // A direct double→DECIMAL(28,12) cast is NOT portable: a component
-      // that is dyadic with exactly 13 fractional digits (e.g. the real
-      // corpus value 0.1983642578125) is a half-way tie at scale 12, and
-      // Spark (HALF_UP) and DuckDB (half-even) round it apart.
+      // identical), summed associatively as EXACT integers. A direct
+      // double→DECIMAL(28,12) cast is NOT portable: a component that is
+      // dyadic with exactly 13 fractional digits (e.g. the real corpus
+      // value 0.1983642578125) is a half-way tie at scale 12, and Spark
+      // (HALF_UP) and DuckDB (half-even) round it apart.
+      //
+      // Two-level sum (VERDICT r18 #3, [[GridSum]]): the grid integers
+      // ride as LONG 31-bit limbs summed per Spark partition — no
+      // per-row BigDecimal (the r18 intermittent-10×-CPU decimal-buffer
+      // pathology) — and only the per-partition partials combine in
+      // decimal, reproducing the one-level decimal(28,0) sum's integer
+      // bit-for-bit (cluster coordinate sums are not mass-bounded, so a
+      // plain long total could overflow where the decimal could not).
       val means = assigned
         .select(col("cl"), posexplode(col("e")))
+        .select(col("cl"), col("pos"),
+          round(col("col") * lit(1.0e12)).cast("long").as("v"),
+          spark_partition_id().as("_pid"))
+        .groupBy("cl", "pos", "_pid")
+        .agg(sum(GridSum.hi(col("v"))).as("_hi"),
+          sum(GridSum.lo(col("v"))).as("_lo"),
+          count(lit(1)).as("_n"))
         .groupBy("cl", "pos")
-        .agg(((sum(round(col("col") * lit(1.0e12)).cast("decimal(28,0)"))
-          .cast("double") / count(lit(1))) / lit(1.0e12)).as("mn"))
+        .agg(((GridSum.combine(col("_hi"), col("_lo"))
+          .cast("double") / sum(col("_n"))) / lit(1.0e12)).as("mn"))
       cents = cents
         .select(col("cl"), posexplode(col("c")))
         .select(col("cl"), col("pos"), col("col").as("old"))

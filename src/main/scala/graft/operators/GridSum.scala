@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Two-level exact grid sums: per-partition LONG limb sums combined in
+  * decimal across partitions (VERDICT r18 #3).
+  *
+  * The problem it closes: summing `round(x·1e12)` grid integers through a
+  * `decimal(28,0)` buffer allocates a BigDecimal per input row, and the
+  * r18 diagnosis of q_pagerank's sf1 pathology measured that path as
+  * intermittently CATASTROPHIC — same plan, same data read 36.7/60.5/
+  * 69.3/7.3 s across four runs where a long-backed sum reads a stable
+  * 5.5–9.9 s. Pagerank could switch to a plain long sum because its
+  * per-node total is mass-bounded (~1e12); q_kmeans' coordinate sums and
+  * q_lm_score's surprisal sums are NOT mass-bounded — a 1e9-member
+  * cluster or 1e6-token document legitimately overflows a single long at
+  * the 1e-12 grid — so they kept the decimal buffer and its latent 10×
+  * phantom.
+  *
+  * The fix is pure integer algebra. Each grid value v (a long) splits
+  * into two 31-bit limbs:
+  *
+  *   hi = v >> 31  (arithmetic shift = floor(v / 2^31), sign-carrying)
+  *   lo = v & (2^31 − 1)                 (∈ [0, 2^31), always nonneg)
+  *   v  = hi · 2^31 + lo                 (exact for every 64-bit long)
+  *
+  * Limb sums stay LONGS per (group, Spark partition): Σlo over n rows is
+  * < n·2^31, safe to ~4.3e9 rows PER PARTITION (no partition is that
+  * large); Σhi ≤ Σ|v|/2^31, and any total representable in the final
+  * decimal(28,0) keeps even the GLOBAL Σhi ≤ ~4.7e18 < Long.MaxValue —
+  * so the per-partition partial can never be the overflow site for any
+  * sum the old decimal buffer could represent. Partials then combine in
+  * decimal — one row per (group, partition), so the BigDecimal work is
+  * proportional to partial count, not row count. Under ANSI (this
+  * engine's mode) any out-of-domain value fails LOUD at the long cast or
+  * limb sum instead of wrapping.
+  *
+  * Bit-identity contract: Σv = 2^31·Σhi + Σlo exactly, so the combined
+  * decimal is the SAME integer the one-level decimal(28,0) sum produced,
+  * and every downstream double cast is bit-identical — oracle hashes
+  * unchanged. Partitioning-invariant by associativity of integer
+  * addition (GridSumSpec pins both properties).
+  *
+  * Usage shape (the partial/final split is two groupBys; the first adds
+  * [[org.apache.spark.sql.functions.spark_partition_id]] to the keys, so
+  * its map-side combine collapses within each partition exactly like the
+  * one-level partial aggregate did, and the added final exchange moves
+  * only partial-count rows):
+  *
+  * {{{
+  * df.select(keys, v, spark_partition_id().as("_pid"))
+  *   .groupBy(keys :+ "_pid")
+  *   .agg(sum(GridSum.hi(col("v"))).as("_hi"),
+  *        sum(GridSum.lo(col("v"))).as("_lo"), ...)
+  *   .groupBy(keys)
+  *   .agg(GridSum.combine(col("_hi"), col("_lo")).as("total"), ...)
+  * }}}
+  */
+private[graft] object GridSum {
+
+  /** 2^31 — the limb base. 31 bits keeps Σlo long-safe past any real
+    * partition row count while leaving Σhi headroom for the full
+    * decimal(28,0) value domain (see object doc).
+    */
+  val LimbBase: Long = 1L << 31
+
+  /** High limb of a long grid value: floor(v / 2^31), sign-carrying. */
+  def hi(v: Column): Column = shiftright(v, 31)
+
+  /** Low limb of a long grid value: v mod 2^31, always in [0, 2^31). */
+  def lo(v: Column): Column = v.bitwiseAND(lit(LimbBase - 1))
+
+  /** Exact decimal total from per-partition long limb partials: sums the
+    * partials in decimal (they are partial-count-many rows, not
+    * row-count-many), then recombines 2^31·Σhi + Σlo. Use as a FINAL
+    * aggregate expression over the partial columns.
+    */
+  def combine(hiPartial: Column, loPartial: Column): Column =
+    sum(hiPartial.cast("decimal(28,0)")) * lit(LimbBase) +
+      sum(loPartial.cast("decimal(28,0)"))
+}

@@ -317,6 +317,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expanded == pairs, s"missing=${pairs -- expanded} extra=${expanded -- pairs}")
   }
 
+  test("persist-first idiom: ONE decode pass feeds groups AND members (VERDICT r18 #6)") {
+    // The canonical consumer pattern for the groups+members pairing:
+    // clipContainmentGroups and containmentMembers each evaluate their
+    // input once (each call runs containmentCore), so a LIVE decode plan
+    // would decode twice — persist `frames` first and both calls read
+    // the cached rows. The accumulator-counting stand-in decode proves
+    // it: after the persist-materializing count, neither call adds a
+    // single re-decode.
+    val decodes = spark.sparkContext.longAccumulator("decodes")
+    val fakeDecode = udf { (h: Long) => decodes.add(1L); h }
+    val raw = Seq(
+      (1L, 0, 5L), (1L, 1, 5L), (1L, 2, 7L),
+      (2L, 0, 9L), (2L, 1, 5L), (2L, 2, 5L), (2L, 3, 7L), (2L, 4, 3L),
+      (3L, 0, 5L), (3L, 1, 5L), (3L, 2, 7L)
+    ).toDF("doc_id", "frame_idx", "raw")
+    val frames = raw
+      .select(col("doc_id"), col("frame_idx"), fakeDecode(col("raw")).as("fhash"))
+      .persist()
+    frames.count() // the one decode pass
+    val decodedOnce = decodes.value
+    assert(decodedOnce == 11L, s"expected 11 decodes, got $decodedOnce")
+    val groups = Multimodal.clipContainmentGroups(frames, minFrames = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val memberMap = Multimodal.containmentMembers(frames, minFrames = 3)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    frames.unpersist()
+    assert(decodes.value == decodedOnce,
+      s"persist-first must serve both consumers from cache: " +
+        s"${decodes.value - decodedOnce} re-decodes")
+    // and the pairing is consistent: groups expand through the member
+    // map to the pair surface's member-level edges
+    val expanded = (for {
+      (ir, or, at, _, _) <- groups.toSeq
+      i <- memberMap(ir); o <- memberMap(or) if i != o
+    } yield (i, o, at)).toSet
+    assert(expanded == Set((1L, 2L, 1L), (3L, 2L, 1L), (1L, 3L, 0L), (3L, 1L, 0L)))
+  }
+
   test("video end to end: planted clip containment equals the id-arithmetic truth") {
     val ids = (0L until 45L).toDF("doc_id")
     val media = Multimodal.plantedClipTable(ids, patterns = 10)
