@@ -62,25 +62,30 @@ object Clustering {
       // value 0.1983642578125) is a half-way tie at scale 12, and Spark
       // (HALF_UP) and DuckDB (half-even) round it apart.
       //
-      // Two-level sum (VERDICT r18 #3, [[GridSum]]): the grid integers
-      // ride as LONG 31-bit limbs summed per Spark partition — no
-      // per-row BigDecimal (the r18 intermittent-10×-CPU decimal-buffer
-      // pathology) — and only the per-partition partials combine in
-      // decimal, reproducing the one-level decimal(28,0) sum's integer
-      // bit-for-bit (cluster coordinate sums are not mass-bounded, so a
-      // plain long total could overflow where the decimal could not).
+      // Limb sum (VERDICT r18 #3, [[GridSum]]): the grid integers ride
+      // as LONG 31-bit limbs — no per-row BigDecimal (the r18
+      // intermittent-10×-CPU decimal-buffer pathology) — recombined in
+      // decimal once per group, reproducing the one-level decimal(28,0)
+      // sum's integer bit-for-bit. Measured same-window at sf0.1 (4-run
+      // medians): decimal 1.89 s, limbs 1.47 s, the two-level
+      // per-partition variant 2.41 s (its extra exchange is an AQE
+      // stage barrier per iteration) — so the SINGLE-level form ships.
+      // Overflow domain: Σlo throws (ANSI) only at ≥ 2^32 rows in one
+      // (cluster, dim) group — a 4.3-billion-member cluster — and Σhi
+      // is safe for any total decimal(28,0) can represent; a corpus
+      // past that bound fails LOUD and can switch to GridSum's
+      // two-level combine+pid form at the documented stage cost.
       val means = assigned
         .select(col("cl"), posexplode(col("e")))
         .select(col("cl"), col("pos"),
-          round(col("col") * lit(1.0e12)).cast("long").as("v"),
-          spark_partition_id().as("_pid"))
-        .groupBy("cl", "pos", "_pid")
+          round(col("col") * lit(1.0e12)).cast("long").as("v"))
+        .groupBy("cl", "pos")
         .agg(sum(GridSum.hi(col("v"))).as("_hi"),
           sum(GridSum.lo(col("v"))).as("_lo"),
           count(lit(1)).as("_n"))
-        .groupBy("cl", "pos")
-        .agg(((GridSum.combine(col("_hi"), col("_lo"))
-          .cast("double") / sum(col("_n"))) / lit(1.0e12)).as("mn"))
+        .select(col("cl"), col("pos"),
+          ((GridSum.combineLongSums(col("_hi"), col("_lo"))
+            .cast("double") / col("_n")) / lit(1.0e12)).as("mn"))
       cents = cents
         .select(col("cl"), posexplode(col("c")))
         .select(col("cl"), col("pos"), col("col").as("old"))

@@ -79,4 +79,18 @@ private[graft] object GridSum {
   def combine(hiPartial: Column, loPartial: Column): Column =
     sum(hiPartial.cast("decimal(28,0)")) * lit(LimbBase) +
       sum(loPartial.cast("decimal(28,0)"))
+
+  /** Exact decimal total from whole-group LONG limb sums — the
+    * single-level form: one aggregate, no partition sub-key, so the
+    * plan keeps exactly the stage count of the plain decimal sum it
+    * replaces while doing only long arithmetic per row. Overflow
+    * domain: Σlo < n·2^31 overflows (ANSI-loud) only at n ≥ 2^32 rows
+    * in ONE group; Σhi stays under Long.MaxValue for any total the
+    * final decimal(28,0) can represent. Use the two-level
+    * [[combine]]+pid form instead when a single group can plausibly
+    * exceed ~4e9 rows.
+    */
+  def combineLongSums(hiSum: Column, loSum: Column): Column =
+    hiSum.cast("decimal(28,0)") * lit(LimbBase) +
+      loSum.cast("decimal(28,0)")
 }

@@ -53,6 +53,22 @@ class GridSumSpec extends AnyFunSuite {
       s"two-level $twoLevel != one-level $oneLevel")
   }
 
+  test("single-level limb sums equal the decimal sum past Long range (combineLongSums)") {
+    // The form q_kmeans/q_lm_score ship: whole-group LONG limb sums,
+    // one decimal recombine per group — same stage count as the decimal
+    // sum it replaced, exact for totals a plain long sum cannot hold.
+    val vs = Seq(8000000000000000000L, 8000000000000000000L,
+      8000000000000000000L, 8000000000000000000L, 8000000000000000000L,
+      -3L, 7L, -8000000000000000000L)
+    val df = vs.toDF("v").repartition(3)
+    val oneLevel = df.agg(sum(col("v").cast("decimal(28,0)"))).first().getDecimal(0)
+    val got = df
+      .agg(sum(GridSum.hi(col("v"))).as("_hi"), sum(GridSum.lo(col("v"))).as("_lo"))
+      .select(GridSum.combineLongSums(col("_hi"), col("_lo")))
+      .first().getDecimal(0)
+    assert(got.compareTo(oneLevel) == 0, s"single-level $got != decimal $oneLevel")
+  }
+
   test("two-level sum is partitioning-invariant (grouped, mixed signs)") {
     val rows = (1 to 997).map(i => ("g" + (i % 3), (i.toLong * 2654435761L) *
       (if (i % 2 == 0) 1L else -1L)))
