@@ -255,9 +255,13 @@ object Graph {
     // and the anti-join), so the un-truncated logical plan DOUBLES per
     // round — a 20-hop path graph hands Catalyst a ~2^20-node tree
     // whose explain string alone OOMs the driver. Sealing every 4
-    // rounds caps the between-seal blowup at 2^4 subtree copies (the
-    // ssspBounded constant).
-    val SettleFoldRounds = 4
+    // rounds caps the between-seal blowup at 2^SettleFoldRounds subtree
+    // copies. 8, not 4 (r19 A/B, VERDICT r18 #4): the board-scale BFS
+    // (~6-8 hops) pays ONE seal under fold-4 and none under fold-8 —
+    // 3.19 vs 2.71 s medians, same-window — while 2^8 copies of the
+    // settled subtree (~2.5k plan nodes) is still harmless to Catalyst;
+    // the r18 OOM needed the UNfolded 2^hops growth.
+    val SettleFoldRounds = 8
     val frontierCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var settled = sources.select(sourceCol.as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -348,9 +352,9 @@ object Graph {
     // hop bound executes without per-round count() actions — BUT unlike
     // pagerank/labelPropagation, each round here references `dist`
     // TWICE (in `relaxed` and in the union), so the un-truncated logical
-    // plan DOUBLES per round. A localCheckpoint every 4 rounds truncates
-    // it to a LogicalRDD leaf, capping the blowup at 2^4 subtree copies
-    // between seals while still batching 4 rounds per job — without
+    // plan DOUBLES per round. A localCheckpoint every 8 rounds truncates
+    // it to a LogicalRDD leaf, capping the blowup at 2^8 subtree copies
+    // between seals while still batching 8 rounds per job — without
     // this, rounds=20 would hand Catalyst a ~2^20-node tree before any
     // job launched. (Checkpoint blocks don't survive executor loss —
     // the same cluster-HA caveat as kCore/bfsDistances.)
@@ -361,7 +365,7 @@ object Graph {
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (r % 4 == 0 && r < rounds) dist = dist.localCheckpoint(true)
+      if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint(true)
     }
     // seal: the result is materialized once; `sym`'s checkpoint blocks
     // are reclaimed by the context cleaner when this call's plans drop

@@ -573,11 +573,13 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("bfsDistances: high-eccentricity path crosses the settled-fold boundary") {
-    // 20-hop path: the settled set folds into a localCheckpoint every 4
-    // rounds (Graph.bfsDistances' SettleFoldRounds; ADVICE r17 — without
-    // the fold the anti-join rescans every prior frontier leaf AND the
-    // logical plan doubles per round); distances must be unaffected
-    // across MULTIPLE fold seals, including the source layer folded first.
+    // 20-hop path: the settled set folds into a localCheckpoint every 8
+    // rounds (Graph.bfsDistances' SettleFoldRounds, chosen by the r19
+    // fold-4-vs-8 A/B; ADVICE r17 — without the fold the anti-join
+    // rescans every prior frontier leaf AND the logical plan doubles per
+    // round); distances must be unaffected across MULTIPLE fold seals
+    // (this path crosses two, at hops 8 and 16), including the source
+    // layer folded first.
     val n = 21L
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("s", "d")
     val got = operators.Graph.bfsDistances(edges, col("s"), col("d"),
