@@ -470,11 +470,22 @@ object Graph {
     // (src, dst, deg) materialized ONCE: the degree join would otherwise
     // re-shuffle the (large) edge list every iteration — per-iteration
     // cost drops to one src-keyed rank join + one dst-keyed sum.
+    // RDD-block localCheckpoint, not .cache() (r19 — the
+    // labelPropagation finding applies here too): the columnar cache
+    // encode of the ~|E|-row three-long table was the dominant term at
+    // the sf10 probe scale — interleaved same-window A/B reads
+    // checkpoint 38.1/41.6 s vs cache 51.4/86.0 s end-to-end — and the
+    // per-iteration exchanges the cached partitioning used to save are
+    // cheap under AQE (the same measurement, and the r19 width probe:
+    // 32 vs 256 shuffle partitions is a wash at sf10, killing the r18
+    // shuffle-ceiling hypothesis). Cluster-HA caveat as everywhere
+    // localCheckpoint appears: blocks don't survive executor loss.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .cache()
+      .localCheckpoint(true)
     val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node"))).distinct().cache()
+      .union(eDeg.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge set")
     // The rank vector is never materialized per node between iterations
@@ -521,6 +532,8 @@ object Graph {
       case Some(sm) => nodes.join(sm, Seq("node"), "left")
         .select(col("node"), blend(col("m")).as("pr"))
     }
-    CacheScope.sealResult(result, eDeg, nodes)
+    // seal: result materialized once; eDeg/nodes checkpoint blocks are
+    // cleaner-reclaimed once unreferenced (no CacheManager entries).
+    CacheScope.sealResult(result)
   }
 }
