@@ -97,8 +97,10 @@ object Bench {
     */
   private[graft] def regressionRows(meds: Seq[(String, Double)],
       prevMap: Map[String, Double], src: String,
-      calInflation: Double = -1.0, latInflation: Double = -1.0): Seq[String] = {
-    val sentinels = s""","cal_inflation":$calInflation,"lat_inflation":$latInflation"""
+      calInflation: Double = -1.0, latInflation: Double = -1.0,
+      memInflation: Double = -1.0): Seq[String] = {
+    val sentinels = s""","cal_inflation":$calInflation,"lat_inflation":$latInflation""" +
+      s""","mem_inflation":$memInflation"""
     meds.flatMap { case (n, med) =>
       prevMap.get(n) match {
         case Some(prev) if prev > 0 && med > 0 && med > prev * 1.5 =>
@@ -148,8 +150,14 @@ object Bench {
         None
       } else Some(name -> parsePriorQueryTimes(raw, sfDir))
     }.filter(_._2.nonEmpty)
-    if (parsed.isEmpty) None
-    else Some(parsed.maxBy(_._2.keySet.count(headline.contains)))
+    // Overlap must be POSITIVE (ADVICE r19): a clean candidate sharing
+    // zero queries with the current headline set (every query renamed,
+    // or a different-sf artifact family) would win maxBy with score 0
+    // and the tripwire would silently compare nothing — a no-overlap
+    // state must be as loud as the no-artifact state.
+    val comparable = parsed.filter(_._2.keySet.exists(headline.contains))
+    if (comparable.isEmpty) None
+    else Some(comparable.maxBy(_._2.keySet.count(headline.contains)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -296,7 +304,42 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    calOnce(); latOnce() // JIT the sentinels themselves; untimed
+    // Third sentinel, MEMORY mode (VERDICT r19 #2): the CPU sentinel is a
+    // register-arithmetic loop, so a contention mode that steals MEMORY
+    // BANDWIDTH/cache — the mode JPEG/AVI/PCM decode feels at ~1.3× while
+    // the CPU sentinel reads its cleanest of the session (the r19
+    // containment adjudications) — is invisible to it. This one is built
+    // to feel exactly that: 32 parallel tasks each pointer-chase an 8 MiB
+    // private long array (every read's address derives from the previous
+    // value — dependent DRAM latency, no prefetch), ~256 MiB aggregate
+    // working set, far past L3. Decode-skewed windows now self-declare
+    // instead of costing a manual per-row adjudication.
+    def memOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.range(0L, 32L, 1L, 32).map { seed =>
+        val n = 1 << 20 // 1M longs = 8 MiB per task
+        val a = new Array[Long](n)
+        var x = seed * 0x9E3779B97F4A7C15L + 1L
+        var i = 0
+        while (i < n) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          a(i) = x
+          i += 1
+        }
+        var acc = 0L
+        var idx = (seed & (n - 1)).toInt
+        var j = 0
+        while (j < (n << 1)) { // 2M dependent reads per task
+          val v = a(idx)
+          acc ^= v
+          idx = ((v >>> 7) & (n - 1)).toInt
+          j += 1
+        }
+        acc
+      }.reduce(_ ^ _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce(); latOnce(); memOnce() // JIT the sentinels themselves; untimed
     // Each sample records its POSITION: the index of the next headline
     // query (0 = before any, headline.size = after all). The per-sample
     // arrays land in the artifact (VERDICT r17 #2) so a stall window can
@@ -305,12 +348,18 @@ object Bench {
     // a manual four-capture adjudication for lack of exactly this.
     val calSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)](0 -> calOnce())
     val latSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)](0 -> latOnce())
+    val memSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)](0 -> memOnce())
     val results = headline.zipWithIndex.map { case (n, i) =>
-      if (i % 10 == 9) { calSamples += (i + 1) -> calOnce(); latSamples += (i + 1) -> latOnce() }
+      if (i % 10 == 9) {
+        calSamples += (i + 1) -> calOnce()
+        latSamples += (i + 1) -> latOnce()
+        memSamples += (i + 1) -> memOnce()
+      }
       n -> run(n)
     }
     calSamples += headline.size -> calOnce()
     latSamples += headline.size -> latOnce()
+    memSamples += headline.size -> memOnce()
 
     // ANN quality trend: recall@10 of each approximate strategy against the
     // exact brute-force top-k over the same corpus and a 64-query probe set
@@ -478,8 +527,10 @@ object Bench {
     }
     val calInflation = inflationOf(calSamples.toSeq)
     val latInflation = inflationOf(latSamples.toSeq)
+    val memInflation = inflationOf(memSamples.toSeq)
     val calJson = sentinelJson(calSamples.toSeq)
     val latJson = sentinelJson(latSamples.toSeq)
+    val memJson = sentinelJson(memSamples.toSeq)
     // Contamination gate (VERDICT r17 #1): when either sentinel's
     // max/median inflation exceeds the gate, the capture self-declares
     // contaminated — the tripwire in FUTURE runs skips it as a baseline,
@@ -498,15 +549,17 @@ object Bench {
         2.0
       }
     }
-    val contaminated = calInflation > sentinelGate || latInflation > sentinelGate
+    val contaminated = calInflation > sentinelGate || latInflation > sentinelGate ||
+      memInflation > sentinelGate
     if (contaminated)
       System.err.println(s"[bench] capture CONTAMINATED by its own sentinels " +
-        s"(cal $calInflation, lat $latInflation, gate $sentinelGate) — tagged; " +
+        s"(cal $calInflation, lat $latInflation, mem $memInflation, " +
+        s"gate $sentinelGate) — tagged; " +
         "future tripwires will not use it as a baseline")
     val regressions: String = prior match {
       case None => "\"no_comparable_artifact\""
       case Some((src, prevMap)) =>
-        regressionRows(meds, prevMap, src, calInflation, latInflation)
+        regressionRows(meds, prevMap, src, calInflation, latInflation, memInflation)
           .mkString("[", ",", "]")
     }
     val estField = totalWithFailedAtPrev
@@ -516,7 +569,7 @@ object Bench {
       s""""queries_max":${jmap(maxs.map { case (k, v) => k -> r3(v) })},""" +
       s""""queries_median":${jmap(meds.map { case (k, v) => k -> r3(v) })},""" +
       s""""failed":$failedJson$estField,"calibration":$calJson,""" +
-      s""""calibration_latency":$latJson,""" +
+      s""""calibration_latency":$latJson,"calibration_mem":$memJson,""" +
       s""""contaminated":$contaminated,"sentinel_gate":$sentinelGate,""" +
       s""""regressions":$regressions,"runs":$runs,"hermetic":true,"sf":"$sfDir"$annRecall}"""
     // Artifact files (VERDICT r17 #1 — baseline-publication discipline):

@@ -76,10 +76,27 @@ class BenchParseSpec extends AnyFunSuite {
     // state — r17's 12 phantom regressions were only diagnosable by
     // cross-referencing the calibration_latency block elsewhere.
     val rows = Bench.regressionRows(Seq("q_slow" -> 4.0), Map("q_slow" -> 2.0),
-      "BENCH_rXX.json", calInflation = 1.2, latInflation = 3.499)
+      "BENCH_rXX.json", calInflation = 1.2, latInflation = 3.499,
+      memInflation = 1.31)
     assert(rows.size == 1)
     assert(rows.head.contains("\"cal_inflation\":1.2")
-      && rows.head.contains("\"lat_inflation\":3.499"))
+      && rows.head.contains("\"lat_inflation\":3.499")
+      && rows.head.contains("\"mem_inflation\":1.31"))
+  }
+
+  test("a zero-overlap clean candidate is as loud as no artifact at all (ADVICE r19)") {
+    // A clean candidate sharing NO queries with the current headline set
+    // (every query renamed, or a foreign artifact family) must not win
+    // maxBy with overlap score 0 — that makes the tripwire silently
+    // compare nothing where the empty-candidates path would have warned.
+    val hl = Set("q1_agg", "q_topk")
+    val foreign = s"""{"queries_median":{"q_gone_a":1.0,"q_gone_b":2.0},"sf":"$sf"}"""
+    assert(Bench.choosePrior(Seq("BENCH_r18.json" -> foreign), sf, hl).isEmpty)
+    // ...and a zero-overlap candidate never out-ranks a partial overlap.
+    val partial = s"""{"queries_median":{"q1_agg":2.0},"sf":"$sf"}"""
+    val got = Bench.choosePrior(
+      Seq("foreign" -> foreign, "partial" -> partial), sf, hl)
+    assert(got == Some("partial" -> Map("q1_agg" -> 2.0)))
   }
 
   test("contaminated prior artifacts are skipped by the tripwire, raw and wrapper-escaped") {
