@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.CacheScope.Materialized
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -417,7 +418,7 @@ object Dedup {
     // the bounded-narrow-table checkpoint discipline of
     // [[connectedComponents]]'s edge list.
     val all = sigs.select(id.cast("long").as("id"), sig.as("sig"))
-      .localCheckpoint(true)
+      .materialized
     val clean = all.where(col("sig").isNotNull)
     // exact-duplicate guard: one representative per distinct signature
     // rides the chunk join; members inherit the rep's cluster afterwards
@@ -871,7 +872,7 @@ object Dedup {
     // downstream reads one small materialized (src,dst) table.
     val raw = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .materialized
     if (driverMaxEdges > 0 && raw.count() <= driverMaxEdges)
       return driverComponents(raw)
     val nodes = raw.select(col("src").as("id")).union(raw.select(col("dst").as("id")))
@@ -886,7 +887,7 @@ object Dedup {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     // Star-forest test == fixpoint test (see doc comment). One shuffle on
     // the (small, checkpointed) edge set: a node violates iff it has
     // outgoing edges and either more than one of them or any incoming one.
@@ -922,7 +923,7 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(ssMin.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .materialized
       ls.unpersist()
       e = ss
       iter += 1
@@ -939,7 +940,7 @@ object Dedup {
     val labels = nodes
       .join(e.select(col("src").as("id"), col("dst").as("component")), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .localCheckpoint(true)
+      .materialized
     nodes.unpersist()
     labels
   }

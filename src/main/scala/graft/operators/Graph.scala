@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.CacheScope.Materialized
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -205,11 +206,12 @@ object Graph {
     // are owned by the returned Dataset and reclaimed by the context
     // cleaner once it is unreferenced, unlike CacheManager entries.
     // Cluster-mode caveat: localCheckpoint blocks do NOT survive executor
-    // loss (the truncated lineage cannot recompute them) — a long-lived
-    // consumer on a real cluster should use reliable checkpoint() instead.
+    // loss (the truncated lineage cannot recompute them) — set
+    // spark.graft.reliableCheckpoint=true on HA deployments, which routes
+    // this (and every engine materialization) to a reliable checkpoint.
     val result = deg
       .select(col("n").as("node"), col("d").as("degree"))
-      .localCheckpoint()
+      .materialized
     deg.unpersist()
     result
   }
@@ -293,7 +295,7 @@ object Graph {
           // the live frontier would carry the pre-seal plan into every
           // later round); then every folded cache can be released —
           // the rows now live in the checkpoint blocks
-          settled = settled.localCheckpoint()
+          settled = settled.materialized
           frontierCaches.foreach(_.unpersist())
           frontierCaches.clear()
           frontier = settled.where(col("dist") === dist)
@@ -305,7 +307,7 @@ object Graph {
     // blocks the cleaner can reclaim, not a live CacheManager entry.
     // Same cluster-mode caveat too: localCheckpoint blocks don't survive
     // executor loss; reliable checkpoint() is the cluster-HA variant.
-    val result = settled.localCheckpoint()
+    val result = settled.materialized
     frontierCaches.foreach(_.unpersist())
     result
   }
@@ -344,10 +346,11 @@ object Graph {
     // the one build shuffle moves |E| rows with map-side combine and the
     // mirrored union lands straight in checkpoint blocks. Cluster-HA
     // caveat as everywhere localCheckpoint appears: blocks do not
-    // survive executor loss.
+    // survive executor loss (spark.graft.reliableCheckpoint=true flips
+    // every materialization to a reliable checkpoint for HA clusters).
     val sym = canon
       .unionByName(canon.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint(true)
+      .materialized
     // Relaxation rounds chain LAZILY (the pagerank treatment) so a small
     // hop bound executes without per-round count() actions — BUT unlike
     // pagerank/labelPropagation, each round here references `dist`
@@ -365,7 +368,7 @@ object Graph {
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint(true)
+      if (r % 8 == 0 && r < rounds) dist = dist.materialized
     }
     // seal: the result is materialized once; `sym`'s checkpoint blocks
     // are reclaimed by the context cleaner when this call's plans drop
@@ -425,7 +428,7 @@ object Graph {
     // cleaner once the sealed result drops the reference.
     val sym = canon
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .materialized
     // Rounds chain LAZILY (the pagerank treatment): each round is a
     // deterministic join + two aggregates over the cached edge list, so
     // r rounds execute as ONE job with 3r shuffle stages — no per-round
@@ -479,13 +482,14 @@ object Graph {
     // cheap under AQE (the same measurement, and the r19 width probe:
     // 32 vs 256 shuffle partitions is a wash at sf10, killing the r18
     // shuffle-ceiling hypothesis). Cluster-HA caveat as everywhere
-    // localCheckpoint appears: blocks don't survive executor loss.
+    // localCheckpoint appears: blocks don't survive executor loss
+    // (spark.graft.reliableCheckpoint=true for HA deployments).
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
+      .materialized
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .materialized
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge set")
     // The rank vector is never materialized per node between iterations

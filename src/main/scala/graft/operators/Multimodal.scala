@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.CacheScope.Materialized
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1421,7 +1422,7 @@ object Multimodal {
       .agg(transform(array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
         s => s.getField("fhash")).as("seq"))
       .where(size(col("seq")) >= minFrames)
-      .localCheckpoint(true)
+      .materialized
     val reps = seqs.groupBy(col("seq")).agg(min(col("doc_id")).as("rid"))
     val members = seqs.join(reps, "seq").select(col("rid"), col("doc_id"))
     // shingle rows carry ONLY (orid, i, key) — the full outer sequence

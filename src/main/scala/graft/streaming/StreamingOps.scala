@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.CacheScope.Materialized
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -531,7 +532,7 @@ object StreamingOps {
         val b = prof(s"itemcf b$batchId dedup+checkpoint") {
           batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
             .distinct()
-            .localCheckpoint(true) // two consumers below; batch-scoped blocks
+            .materialized // two consumers below; batch-scoped blocks
         }
         val dPairs = b.as("a").join(b.as("b"), "bk")
           .where(col("a.it") < col("b.it"))
@@ -892,7 +893,7 @@ object StreamingOps {
         val b = prof(s"itemcf-colf b$batchId dedup+checkpoint") {
           batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
             .distinct()
-            .localCheckpoint(true)
+            .materialized
         }
         val dPairs = b.as("a").join(b.as("b"), "bk")
           .where(col("a.it") < col("b.it"))

@@ -337,7 +337,11 @@ class MultimodalSpec extends AnyFunSuite {
       .persist()
     frames.count() // the one decode pass
     val decodedOnce = decodes.value
-    assert(decodedOnce == 11L, s"expected 11 decodes, got $decodedOnce")
+    // >= not ==: accumulator updates double-count on task retry (ADVICE
+    // r19), so pinning the absolute count makes any retry/speculative
+    // run flaky. The property under test is ZERO re-decodes AFTER the
+    // materializing pass, asserted below against this baseline.
+    assert(decodedOnce >= 11L, s"expected >= 11 decodes, got $decodedOnce")
     val groups = Multimodal.clipContainmentGroups(frames, minFrames = 3)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     val memberMap = Multimodal.containmentMembers(frames, minFrames = 3)
