@@ -329,9 +329,9 @@ object Bench {
         var acc = 0L
         var idx = (seed & (n - 1)).toInt
         var j = 0
-        while (j < (n << 1)) { // 2M dependent reads per task
-          val v = a(idx)
-          acc ^= v
+        while (j < (n << 3)) { // 8M dependent reads per task: ~0.2-0.4s,
+          val v = a(idx)      // long enough that task-dispatch jitter
+          acc ^= v            // (~10-20ms) can't fake an inflation
           idx = ((v >>> 7) & (n - 1)).toInt
           j += 1
         }

@@ -110,7 +110,10 @@ object Clustering {
   def kmeansSummary(corpus: DataFrame, id: Column, vec: Column,
                     k: Int, iters: Int): DataFrame =
     kmeansAssign(corpus, id, vec, k, iters)
+      .select(col("cluster"), GridSum.grid12(col("d2")).as("__g"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
-        sum(col("d2").cast("decimal(28,12)")).cast("double").as("inertia"))
+        // long limb sums (GridSum r19 #5) — bit-identical to the
+        // decimal(28,12) sum, no per-row Decimal aggregation buffer
+        GridSum.sum12(col("__g")).as("inertia"))
 }

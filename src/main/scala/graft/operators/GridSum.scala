@@ -80,6 +80,44 @@ private[graft] object GridSum {
     sum(hiPartial.cast("decimal(28,0)")) * lit(LimbBase) +
       sum(loPartial.cast("decimal(28,0)"))
 
+  /** Scale-12 grid value of a DOUBLE, as the unscaled long of
+    * `cast(v AS decimal(18,12))` — the exact integer the old per-row
+    * `cast(v AS decimal(28,12))` carried (same HALF_UP setScale of the
+    * shortest-decimal representation; `UnscaledValue` is a plain
+    * `toUnscaledLong`, no re-rounding). Precision 18, not 28: a scale-12
+    * long-backed decimal holds |v| < 10⁶, which covers every consumer
+    * (norms, squared distances, and embedding components are all ≲10²)
+    * and fails ANSI-LOUD beyond, the GridSum overflow philosophy. Feed
+    * the result through [[hi]]/[[lo]] long limb sums and finish with
+    * [[sum12]] — the VERDICT r19 #5 closure of the last
+    * BigDecimal-per-row aggregation buffers (the r18 10×-phantom class:
+    * same plan, same data, intermittent 10× CPU in the non-long-backed
+    * Decimal sum path).
+    */
+  def grid12(v: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    import org.apache.spark.sql.types.DecimalType
+    GraftSqlBridge.column(UnscaledValue(
+      GraftSqlBridge.expression(v.cast(DecimalType(18, 12)))))
+  }
+
+  /** Exact double total of [[grid12]] values — bit-identical to
+    * `cast(sum(v.cast("decimal(28,12)")) AS double)` over the same rows
+    * (GridSum12Spec pins it): whole-group LONG limb sums, one
+    * [[graft.functions.Limb12Total]] recombine per group. Single-level
+    * form (the measured r19 choice — the two-level pid split's extra
+    * exchange was a steady 1.6–1.8× regression): Σlo is ANSI-loud past
+    * 2³² rows in ONE group; Σhi holds any total < ~2×10¹⁶, six orders
+    * above the consumers' real mass at 100 TB.
+    */
+  def sum12(g: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.Limb12Total(
+      GraftSqlBridge.expression(sum(hi(g))),
+      GraftSqlBridge.expression(sum(lo(g)))))
+  }
+
   /** Exact decimal total from whole-group LONG limb sums — the
     * single-level form: one aggregate, no partition sub-key, so the
     * plan keeps exactly the stage count of the plain decimal sum it
