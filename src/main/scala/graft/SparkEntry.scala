@@ -2263,14 +2263,17 @@ object SparkEntry {
     "q_dedup_clusters_lsh" -> ((s, dir) => {
       // The end-to-end composition a real corpus dedup runs at 100 TB:
       // MinHash-banded candidate pairs (no all-pairs stage anywhere) →
-      // connected components → one canonical id per document. LSH recall
-      // is probabilistic → rows-only check here; equality with
-      // clusters-over-exact-pairs at recall-1.0 parameters is spec'd in
-      // DedupGroupSpec.
+      // connected components over REPRESENTATIVE pairs → members inherit
+      // through the fingerprint map (r20: the member-level pair surface
+      // is quadratic in exact-dup multiplicity and clustering never
+      // needed it — the sf10 probe read 197–249 s through the pair
+      // surface, 3.3–3.7 s through this path, labels identical). LSH
+      // recall is probabilistic → rows-only check here; equality with
+      // the pair-surface composition and with clusters-over-exact-pairs
+      // at recall-1.0 parameters is spec'd in DedupGroupSpec.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"),
+      Dedup.minhashClusters(docs, col("doc_id"), col("text"),
         Dedup.MinHashParams(jaccardThreshold = 0.4))
-      Dedup.assignClusters(docs, col("doc_id"), pairs.select("id_a", "id_b"))
     }),
 
     // ---- training-data pipeline: text analysis

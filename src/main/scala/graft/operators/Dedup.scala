@@ -269,15 +269,23 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** Full near-dup pipeline: exact-dup pre-grouping, LSH candidates over
-    * the distinct texts, exact Jaccard verification on the true shingle
-    * sets (joined back by id — candidates are a tiny fraction of the
-    * corpus, so this join is cheap), then expansion back to member pairs.
-    * Output: (id_a, id_b, jaccard) with jaccard ≥ threshold — identical to
-    * the ungrouped pipeline, with no quadratic candidate stage.
+  /** The shared representative-level stage of the MinHash family:
+    * exact-dup pre-grouping, LSH candidates over the distinct texts,
+    * exact Jaccard verification on the true shingle sets. `repPairs`
+    * is LINEAR-bounded (banded candidates, never all-pairs); the
+    * quadratic member expansion is a per-CONSUMER choice —
+    * [[minhashNearDups]] wants the full pair surface, but
+    * [[minhashClusters]] must never pay it (see there). Intermediates
+    * are persisted; callers seal their result through
+    * [[CacheScope.sealResult]] with these handles.
     */
-  def minhashNearDups(df: DataFrame, id: Column, text: Column,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+  private final case class RepPairStage(members: DataFrame, reps: DataFrame,
+      sigs: DataFrame, cands: DataFrame, repPairs: DataFrame) {
+    def intermediates: Seq[DataFrame] = Seq(members, reps, sigs, cands)
+  }
+
+  private def minhashRepStage(df: DataFrame, id: Column, text: Column,
+      p: MinHashParams): RepPairStage = {
     // Null-text docs must not enter banding: their signature is null, and
     // null children vanish inside the band-key hash, so EVERY null doc
     // would share one bucket per band — a quadratic candidate blowup on
@@ -313,10 +321,65 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= p.jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+    RepPairStage(members, reps, sigs, cands, repPairs)
+  }
+
+  /** Full near-dup pipeline: exact-dup pre-grouping, LSH candidates over
+    * the distinct texts, exact Jaccard verification on the true shingle
+    * sets (joined back by id — candidates are a tiny fraction of the
+    * corpus, so this join is cheap), then expansion back to member pairs.
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ threshold — identical to
+    * the ungrouped pipeline, with no quadratic candidate stage.
+    */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val st = minhashRepStage(df, id, text, p)
     CacheScope.sealResult(
-      expandGroupPairs(repPairs, reps, members, "jaccard",
-        reps.select(col("__fp"), lit(1.0).as("jaccard"))),
-      members, reps, sigs, cands)
+      expandGroupPairs(st.repPairs, st.reps, st.members, "jaccard",
+        st.reps.select(col("__fp"), lit(1.0).as("jaccard"))),
+      st.intermediates: _*)
+  }
+
+  /** Cluster ids for EVERY row of `df` (component = min member id
+    * reachable through exact or near duplication; singletons label
+    * themselves) — the composition [[assignClusters]]∘[[minhashNearDups]]
+    * computes, WITHOUT ever materializing the member-level pair surface.
+    *
+    * Why this exists (r20, measured): on a corpus where each distinct
+    * text has m exact copies, the pair surface carries C(m,2) intra
+    * edges per group and m² expansions per cross pair — at the sf10
+    * probe (m ≈ 100, 500k docs) that is ~25M+ edges and the clusters
+    * query read 197–249 s, ~79×/decade, with connected components
+    * star-rounding the whole clique soup. Clustering never needed those
+    * edges: components run on the REPRESENTATIVE pairs (bounded by the
+    * banded candidate count, independent of m), and members inherit
+    * through the fingerprint map in ONE linear join. Labels are
+    * IDENTICAL because each group's representative IS its min member id
+    * ([[fingerprintGroups]]' min_by), so min-over-component of rep ids
+    * equals min over all member ids (DedupGroupSpec pins equality with
+    * the pair-surface composition). Same probe after: 3.3–3.7 s.
+    *
+    * Use [[minhashNearDups]] when the consumer genuinely needs per-PAIR
+    * rows (audit tables, similarity-weighted graphs); use this for
+    * canonical-id assignment at corpus scale.
+    */
+  def minhashClusters(df: DataFrame, id: Column, text: Column,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val st = minhashRepStage(df, id, text, p)
+    val comps = connectedComponents(st.repPairs.select("id_a", "id_b"))
+    // member -> rep (via fingerprint) -> rep's component; reps outside
+    // every near-dup pair label their own group (coalesce to rep id =
+    // the group's min member id); null-text rows label themselves.
+    val memberLabel = st.members
+      .join(st.reps.select(col("__fp"), col("id").cast("long").as("__rep")), "__fp")
+      .join(comps.select(col("id").as("__rep"), col("component")), Seq("__rep"), "left")
+      .select(col("id").cast("long").as("id"),
+        coalesce(col("component"), col("__rep")).as("component"))
+    CacheScope.sealResult(
+      df.select(id.cast("long").as("id"))
+        .join(memberLabel, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component")),
+      st.intermediates: _*)
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -303,6 +303,38 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(viaLsh(900L) == 900L)
   }
 
+  test("minhashClusters == assignClusters(minhashNearDups) without the pair surface (r20)") {
+    // The scale-correct clustering path must label IDENTICALLY to the
+    // pair-surface composition on every row class: exact-dup groups
+    // (members inherit through the fingerprint map), NEAR-dup groups
+    // (rep-level components bridge fingerprint groups), chained
+    // near-dups (transitivity through components), singletons, and
+    // null-text rows (label themselves).
+    val base = "planted near duplicate group body with plenty of distinct tokens to shingle cleanly"
+    val docs = (
+      // exact-dup group of 5 (ids 0-4) + a NEAR variant group of 3 (ids 10-12)
+      (0 until 5).map(i => (i.toLong, base)) ++
+      (0 until 3).map(i => (10L + i, base + " tail")) ++
+      // a chain: 20 ~ 21 via another shared body
+      Seq((20L, "glacier moraine drumlin esker outwash plain kettle lake terminal ridge sequence"),
+        (21L, "glacier moraine drumlin esker outwash plain kettle lake terminal ridge sequence extra"),
+        (900L, "a singleton document with its own unique content and tokens entirely"),
+        (901L, null.asInstanceOf[String]))
+    ).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(bands = 16, rowsPerBand = 2, jaccardThreshold = 0.6)
+    val viaPairs = Dedup.assignClusters(docs, col("doc_id"),
+        Dedup.minhashNearDups(docs, col("doc_id"), col("text"), p).select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Dedup.minhashClusters(docs, col("doc_id"), col("text"), p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == viaPairs)
+    // the planted structure resolved: exact+near groups merged to min id 0
+    assert((0 until 5).forall(i => direct(i.toLong) == 0L))
+    assert((10L to 12L).forall(direct(_) == 0L))
+    assert(direct(21L) == 20L && direct(20L) == 20L)
+    assert(direct(900L) == 900L && direct(901L) == 901L)
+  }
+
   test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
     val df = vecCorpus()
     val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
