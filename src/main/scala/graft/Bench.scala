@@ -292,8 +292,9 @@ object Bench {
     // CPU-bound sentinel above cannot see — r17 captures showed
     // iterative queries (one action per round: label_prop, pagerank,
     // sssp) elevated ~2x on a box whose CPU sentinel read normal.
-    // The two sentinels separate "cores are slow/stolen" from "job
-    // dispatch is slow" without re-running anything.
+    // With the memory sentinel below, the three separate "cores are
+    // slow/stolen" from "job dispatch is slow" from "memory bandwidth
+    // is stolen" without re-running anything.
     def latOnce(): Double = {
       val t0 = System.nanoTime()
       var i = 0
