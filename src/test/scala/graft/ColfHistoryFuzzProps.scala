@@ -58,12 +58,14 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
   private case class DynOverwrite(parts: List[Int], pay: Int) extends Op
   private case object Compact extends Op
 
+  private val genAppend: Gen[Op] = for {
+    ps <- Gen.nonEmptyListOf(Gen.choose(0, 3)).map(_.take(6))
+    i <- Gen.choose(0, payloads.size - 1)
+  } yield Append(ps, i)
+
   private val genOp: Gen[Op] = Gen.frequency(
     1 -> Gen.const(Compact),
-    4 -> (for {
-      ps <- Gen.nonEmptyListOf(Gen.choose(0, 3)).map(_.take(6))
-      i <- Gen.choose(0, payloads.size - 1)
-    } yield Append(ps, i)),
+    4 -> genAppend,
     3 -> (for {
       nUp <- Gen.choose(0, 4)
       ins <- Gen.listOf(Gen.choose(0, 3)).map(_.take(3))
@@ -77,7 +79,12 @@ object ColfHistoryFuzzProps extends Properties("ColfHistoryFuzz") {
     } yield DynOverwrite(ps, i)))
 
   private val genHistory: Gen[List[Op]] = for {
-    first <- genOp.suchThat(_.isInstanceOf[Append]) // v1 must create the table
+    // v1 must create the table: draw an Append DIRECTLY rather than
+    // suchThat-filtering genOp — the filter discarded ~71% of draws
+    // (P(Append)=4/14) and intermittently tripped ScalaCheck's
+    // maxDiscardRatio give-up ("Gave up after only 8 passed tests");
+    // the conditional distribution is identical, with zero discards.
+    first <- genAppend
     rest <- Gen.listOfN(7, genOp)
   } yield first :: rest
 
