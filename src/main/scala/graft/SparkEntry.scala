@@ -276,17 +276,50 @@ object SparkEntry {
   // ------------------------------------------------------- relational core
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    // Exact decimal sums in LONG limb form (r20 optimization, guide §4:
+    // per-row expression cost). The straight decimal form summed
+    // decimal(24,2)/(33,4)/(42,6) buffers — precision > 18, so every row
+    // deserialized, added and reserialized a BigDecimal in the aggregate
+    // buffer, and the two products were BigDecimal multiplies; measured
+    // 0.94 s vs 0.64 s for this form at sf0.1 (single-row-group scan).
+    // Here every per-row op is a codegen'd long: UnscaledValue of the
+    // long-backed decimal(14,2)/(8,2) casts, long multiplies for the
+    // exact products (unscaled(a·b) = unscaled(a)·unscaled(b)), 31-bit
+    // limb sums. TWO-LEVEL (per-partition partials combined in decimal,
+    // GridSum.combine): the six global groups exceed 2³² rows at 100 TB,
+    // where the single-level Σlo would be ANSI-loud. The final doubles
+    // are bit-identical (BigDecimal(U, scale).doubleValue is the exact
+    // path cast(sum(decimal) AS double) took) — oracle hash unchanged.
+    import operators.GridSum
     val oneMinusDisc = expr("CAST(1.0 - l_discount AS DECIMAL(8,2))")
     val onePlusTax = expr("CAST(1.0 + l_tax AS DECIMAL(8,2))")
-    t(s, dir, "lineitem")
+    val uQty = GridSum.unscaled(dec2(col("l_quantity")))                  // scale 2
+    val uPrice = GridSum.unscaled(dec2(col("l_extendedprice")))           // scale 2
+    val uDisc = uPrice * GridSum.unscaled(oneMinusDisc)                   // scale 4
+    val uCharge = uDisc * GridSum.unscaled(onePlusTax)                    // scale 6
+    def limbs(u: Column, n: String): Seq[(Column, String)] =
+      Seq(GridSum.hi(u) -> s"${n}_hi", GridSum.lo(u) -> s"${n}_lo")
+    val metrics = limbs(col("uq"), "q") ++ limbs(col("up"), "p") ++
+      limbs(col("ud"), "d") ++ limbs(col("uc"), "c")
+    val partialAggs = metrics.map { case (c, n) => sum(c).as(n) } :+
+      count(lit(1)).as("cnt")
+    val partial = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        uQty.as("uq"), uPrice.as("up"), uDisc.as("ud"), uCharge.as("uc"))
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("__pid"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    def tot(n: String, scale: Int): Column =
+      GridSum.totalAsDouble(col(s"${n}_hi"), col(s"${n}_lo"), scale)
+    partial
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum2(col("l_quantity")).as("sum_qty"),
-        dsum2(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast("double").as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
-        count(lit(1)).as("count_order"),
-        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        tot("q", 2).as("sum_qty"),
+        tot("p", 2).as("sum_base_price"),
+        tot("d", 4).as("sum_disc_price"),
+        tot("c", 6).as("sum_charge"),
+        sum(col("cnt")).as("count_order"),
+        (tot("q", 2) / sum(col("cnt"))).as("avg_qty"),
       )
   }
 

@@ -118,6 +118,49 @@ private[graft] object GridSum {
       GraftSqlBridge.expression(sum(lo(g)))))
   }
 
+  /** Unscaled long view of an exact long-backed decimal column
+    * (precision ≤ 18 — `UnscaledValue` is a plain `toUnscaledLong`, no
+    * re-rounding): the integer the decimal aggregation consumes. Exact
+    * decimal PRODUCTS ride as long multiplies of unscaled values
+    * (unscaled(a·b) = unscaled(a)·unscaled(b), scale(a·b) = sa+sb),
+    * ANSI-loud on long overflow — where Spark's own decimal multiply
+    * would have widened past precision 18 and gone BigDecimal-per-row.
+    */
+  def unscaled(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    GraftSqlBridge.column(UnscaledValue(GraftSqlBridge.expression(c)))
+  }
+
+  /** Exact double total from the two DECIMAL limb-partial sums of the
+    * two-level form ([[combine]]'s operands): recombines U = 2³¹·Σhi +
+    * Σlo in decimal and converts via BigDecimal(U, scale).doubleValue —
+    * bit-identical to `cast(sum(v AS decimal(p,scale)) AS double)` over
+    * the same rows (GridSum12Spec pins it). Use as the FINAL aggregate
+    * expression over per-partition limb partials when one group can
+    * exceed 2³² rows (the q1_agg global groups at 100 TB) — the
+    * single-level [[sum12]]/[[sumUnscaledAsDouble]] forms stay for
+    * per-key aggregations whose groups are bounded.
+    */
+  def totalAsDouble(hiPartial: Column, loPartial: Column, scale: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.UnscaledToDouble(
+      GraftSqlBridge.expression(combine(hiPartial, loPartial)), scale))
+  }
+
+  /** Exact double total of [[unscaled]] values via whole-group LONG limb
+    * sums — the single-level form of [[totalAsDouble]], bit-identical to
+    * `cast(sum(v AS decimal(p,scale)) AS double)`: one aggregate, plain
+    * long arithmetic per row, one BigDecimal per GROUP. Σlo is ANSI-loud
+    * past 2³² rows in one group; Σhi holds any total the old
+    * decimal(p≤28) buffer could represent.
+    */
+  def sumUnscaledAsDouble(u: Column, scale: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.UnscaledToDouble(
+      GraftSqlBridge.expression(combineLongSums(sum(hi(u)), sum(lo(u)))), scale))
+  }
+
   /** Exact decimal total from whole-group LONG limb sums — the
     * single-level form: one aggregate, no partition sub-key, so the
     * plan keeps exactly the stage count of the plain decimal sum it

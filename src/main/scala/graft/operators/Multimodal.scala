@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every ImageIO.read /
+  // write materializes the stream through a temp FILE (create + write +
+  // delete per decoded frame). On the decode-heavy planted corpora that
+  // is pure per-row I/O overhead, and under multi-task parallelism all
+  // tasks contend on the temp directory (r20 optimization, guide §1.2
+  // per-task work). Memory-cached streams are byte-identical — the
+  // cache only buffers the stream for mark/reset, it never touches
+  // pixel decoding. Set once per JVM at class load (driver and each
+  // executor load this object before any decode call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
   final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
 
@@ -549,10 +560,33 @@ object Multimodal {
     * pattern groups (within a pattern, pairwise Hamming ≤ 3; across
     * patterns, far — MultimodalSpec pins the margin).
     */
+  /** Doc ids spread to per-row-heavy-work width (r20 optimization, guide
+    * §2.5 input skew): every planted builder feeds an encode UDF whose
+    * downstream is a real media decode — hundreds of microseconds to
+    * milliseconds PER ROW — while the id table itself is a few hundred
+    * KB, i.e. ONE scan split however many cores the box has. Measured at
+    * sf0.1: the whole encode→decode→hash pipeline of q_video_containment
+    * ran as one task (~6 s single-threaded on 32 cores). Hash-
+    * repartitioning the BARE LONG ids (the only bytes that move — media
+    * is synthesized after the exchange, the §8 "move small rows, build
+    * big rows late" shape) to 2× the cluster's default parallelism lets
+    * every downstream decode stage use the machine. Scale-adaptive, not
+    * a local constant: defaultParallelism is executor-count-aware on a
+    * real cluster; results are partitioning-invariant (pure per-row
+    * functions + spec-pinned partitioning-invariant consumers).
+    */
+  private def spreadIds(ids: DataFrame): org.apache.spark.sql.Dataset[Long] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val width = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    ids.select(col("doc_id").cast("long"))
+      .repartition(width, col("doc_id")).as[Long]
+  }
+
   def plantedImageTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val f = (((id / patterns) % 4 + 4) % 4).toInt
@@ -798,7 +832,7 @@ object Multimodal {
   def plantedAudioClipTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val windows =
@@ -820,7 +854,7 @@ object Multimodal {
   def plantedAudioTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val f = (((id / patterns) % 4 + 4) % 4).toInt
@@ -1098,7 +1132,7 @@ object Multimodal {
   def plantedMp4Table(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val payload = new Array[Byte](256)
@@ -1461,7 +1495,7 @@ object Multimodal {
   def plantedClipTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val frames =
@@ -1488,7 +1522,7 @@ object Multimodal {
   def plantedVideoTable(ids: DataFrame, patterns: Int = 10): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { rows =>
+    spreadIds(ids).mapPartitions { rows =>
       rows.map { id =>
         val p = ((id % patterns + patterns) % patterns).toInt
         val f = (((id / patterns) % 4 + 4) % 4).toInt
