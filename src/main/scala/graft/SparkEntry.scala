@@ -159,6 +159,27 @@ object SparkEntry {
   /** Exact 2-dp decimal view of a money-ish double column. */
   private def dec2(c: Column): Column = c.cast("decimal(14,2)")
 
+  /** Scale-adaptive write-width spread (r20 optimization, guide §2.5/§6):
+    * a bench-scale table is one row group, so the scan — and therefore a
+    * direct sink write — runs as ONE task however many cores exist
+    * (measured: the q_colf_scan_full encode ran single-threaded behind a
+    * 3-split scan). Round-robin repartition to max(cluster default
+    * parallelism, bytes/256 MB) before the write: at bench scale that is
+    * the core count (parallel encode); at 100 TB the bytes term takes
+    * over and keeps output files in the guide's 128 MB–1 GB band. Only
+    * narrow projected rows move.
+    */
+  private def spreadForWrite(df: DataFrame, key: Column): DataFrame = {
+    val byBytes = org.apache.spark.sql.GraftSqlBridge.planSizeInBytes(df) /
+      (256L << 20) + 1
+    // HASH repartition on a high-cardinality key, not round-robin: the
+    // keyless form pays sortBeforeRepartition — a local sort of the full
+    // rows INSIDE the single straggler scan task, which ate the win
+    // (measured: as-is ~2.0 s, round-robin ~1.7-3.0 s, hash ~1.2-1.4 s).
+    df.repartition(math.max(
+      df.sparkSession.sparkContext.defaultParallelism.toLong, byBytes).toInt, key)
+  }
+
   /** Shared by q_funnel AND q_stream_funnel: batch and streaming funnels
     * must produce identical step counts.
     */
@@ -1330,10 +1351,11 @@ object SparkEntry {
 
     "q_colf_scan_full" -> ((s, dir) => {
       val out = work("q_colf_scan_full")
-      t(s, dir, "lineitem")
+      spreadForWrite(t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("int").as("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate_s"))
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("l_shipdate_s")),
+        col("l_orderkey"))
         .write.format("colf").mode("overwrite").save(out)
       s.read.format("colf").load(out)
     }),
@@ -1343,9 +1365,10 @@ object SparkEntry {
       // prunes to 3 columns, ColumnarToRow feeds codegen'd hash aggregation
       // — the engine querying its own format, not just round-tripping it.
       val out = work("q_colf_agg")
-      t(s, dir, "lineitem")
+      spreadForWrite(t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("int").as("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice"), col("l_returnflag"))
+          col("l_extendedprice"), col("l_returnflag")),
+        col("l_orderkey"))
         .write.format("colf").mode("overwrite").save(out)
       s.read.format("colf").load(out)
         .groupBy("l_returnflag")

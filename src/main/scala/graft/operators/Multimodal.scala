@@ -618,6 +618,27 @@ object Multimodal {
     */
   private[graft] def decodePcm16Abs(bytes: Array[Byte]): Option[Array[Long]] = {
     if (bytes == null) return None
+    // Canonical-WAV fast path (r20 optimization): EVERY javax.sound
+    // AudioSystem entry point walks the provider registry through
+    // JDK13Services.getProviders, a SYNCHRONIZED static — once decode
+    // runs multi-task, all tasks convoy on that one lock (measured:
+    // q_dedup_audio got ~2.7x SLOWER when its pipeline went from 1 task
+    // to 64). Plain RIFF/WAVE 16-bit PCM is parsed directly — the
+    // samples are raw little-endian shorts in the data chunk, byte-for-
+    // byte what WaveFileReader hands AudioSystem (MultimodalSpec pins
+    // fast path == AudioSystem on the planted corpus). Anything else
+    // (AIFF/AU, extensible WAV, RIFX) falls back to AudioSystem.
+    canonicalWavPcm16(bytes) match {
+      case Some((off, len)) =>
+        val n = len / 2
+        val out = new Array[Long](n)
+        val buf = java.nio.ByteBuffer.wrap(bytes, off, len)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        var i = 0
+        while (i < n) { out(i) = math.abs(buf.get(i).toLong); i += 1 }
+        return Some(out)
+      case None => ()
+    }
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -784,18 +805,63 @@ object Multimodal {
     pcm
   }
 
-  /** Wrap raw 16-bit mono little-endian PCM as a WAV container. */
+  /** (data chunk offset, byte length) of a plain canonical RIFF/WAVE
+    * 16-bit integer-PCM payload, None for anything the fast path must
+    * not touch (AIFF/AU, big-endian RIFX, WAVE_FORMAT_EXTENSIBLE,
+    * truncated chunks) — those fall back to AudioSystem.
+    */
+  private def canonicalWavPcm16(b: Array[Byte]): Option[(Int, Int)] = {
+    def cc(at: Int): String =
+      if (at + 4 > b.length) ""
+      else new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(at: Int): Long =
+      (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+        ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+    def le16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    if (b.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var at = 12
+    var fmtOk = false
+    while (at + 8 <= b.length) {
+      val id = cc(at); val sz = le32(at + 4)
+      if (sz < 0 || at + 8 + sz > b.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        // tag 1 = integer PCM; anything else (3=float, 0xFFFE=extensible,
+        // compressed codecs) is not this fast path's business
+        if (le16(at + 8) != 1 || le16(at + 8 + 14) != 16) return None
+        fmtOk = true
+      } else if (id == "data") {
+        return if (fmtOk) Some((at + 8, sz.toInt & ~1)) else None
+      }
+      at += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Wrap raw 16-bit mono little-endian PCM as a WAV container — the
+    * canonical 44-byte RIFF/WAVE/fmt/data layout, byte-identical to the
+    * JDK WaveFileWriter's output for this format (MultimodalSpec pins
+    * it) without AudioSystem.write's synchronized provider-registry walk
+    * (see [[decodePcm16Abs]] — the same lock convoy hit the ENCODE side
+    * of every planted audio builder once it ran multi-task).
+    */
   private[graft] def wavFromPcm(pcm: Array[Short]): Array[Byte] = {
-    val bytes = new Array[Byte](pcm.length * 2)
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .asShortBuffer().put(pcm)
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    val dataLen = pcm.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1)                 // integer PCM
+      .putShort(1)                 // mono
+      .putInt(8000)                // sample rate
+      .putInt(8000 * 2)            // byte rate
+      .putShort(2)                 // block align
+      .putShort(16)                // bits per sample
+      .put("data".getBytes(ascii)).putInt(dataLen)
+    bb.asShortBuffer().put(pcm)
+    out
   }
 
   def syntheticToneWav(pattern: Int, flips: Int, noiseSeed: Long): Array[Byte] =

@@ -534,11 +534,16 @@ object StreamingOps {
             .distinct()
             .materialized // two consumers below; batch-scoped blocks
         }
+        // UNaggregated deltas (r20 optimization): mergeCountState's one
+        // union+groupBy collapses occurrences and state together, so
+        // pre-aggregating here would pay an extra exchange+aggregate per
+        // batch per state for nothing (the colf path below keeps its
+        // aggregated delta — MERGE INTO needs unique source keys)
         val dPairs = b.as("a").join(b.as("b"), "bk")
           .where(col("a.it") < col("b.it"))
-          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
-          .agg(count(lit(1)).as("dn"))
-        val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
+          .select(col("a.it").as("item_a"), col("b.it").as("item_b"),
+            lit(1L).as("dn"))
+        val dItems = b.select(col("it"), lit(1L).as("dn"))
         val qid = Some(streamQueryId(b.sparkSession))
         prof(s"itemcf b$batchId merge both") {
           mergeBoth(
@@ -686,6 +691,33 @@ object StreamingOps {
       requireSameQuery(appliedQueryId(fs, cur), qid, dir)
       if (appliedBatchId(fs, cur) >= batchId) return
     }
+    // Explicit state schema (r20 optimization): the keys' types come from
+    // the delta and counts are longs, so reading the state back never
+    // needs parquet footer inference (one driver-side footer read per
+    // merge per state otherwise).
+    val stateSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => org.apache.spark.sql.types.StructField(k,
+        delta.schema(k).dataType)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))
+    // union + re-aggregate, NOT a full-outer join (r20 optimization,
+    // guide §3/§2.4): keys are unique on each side (both are aggregate
+    // outputs), so summing the unioned rows is the same exact long
+    // arithmetic as coalesce(n,0)+coalesce(dn,0) — without the two sorts
+    // a sort-merge full-outer pays. Same exchange count, hash aggregate
+    // instead of sort+sort+merge.
+    // Deltas may arrive UNAGGREGATED (per-occurrence dn rows): the one
+    // groupBy here collapses delta and state together, so a caller that
+    // skips its own pre-aggregation saves a whole exchange+aggregate per
+    // batch (maintainItemCF's pair delta did agg → exchange → union →
+    // agg → exchange; now raw rows make one pass).
+    def unionMerge(existing: Option[DataFrame]): DataFrame = {
+      val d = delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+      existing.fold(d)(e => e.select(keys.map(col) :+ col("n"): _*).unionByName(d))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("n")).as("n"))
+        .select(keys.map(col) :+ col("n"): _*)
+    }
     val nb: Option[Int] = if (fs.exists(cur)) readBucketsFile(fs, cur) else None
     // Tier decision for a FLAT state: stay flat under the size gate
     // (the full rewrite is cheap there), bucket past it. A state that
@@ -702,16 +734,14 @@ object StreamingOps {
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val merged =
       if (!fs.exists(cur))
-        delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+        unionMerge(None)
       else if (nb.isEmpty) {
-        // flat state: full-outer rewrite — into buckets iff it just
-        // crossed the size gate (the one-time O(state) migration)
-        val existing = spark.read.parquet(cur.toString)
-        existing.join(delta, keys, "full_outer")
-          .select(keys.map(col) :+
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
+        // flat state: full rewrite via union+re-aggregate — into buckets
+        // iff it just crossed the size gate (the one-time O(state)
+        // migration)
+        unionMerge(Some(spark.read.schema(stateSchema).parquet(cur.toString)))
       } else if (!curHasBuckets)
-        delta.select(keys.map(col) :+ col("dn").as("n"): _*)
+        unionMerge(None)
       else {
         // bucketed: only the delta's buckets are read (partition-pruned),
         // merged, and rewritten — a bucket count is small (≤ B values),
@@ -724,12 +754,9 @@ object StreamingOps {
           writeBatchMarker(fs, cur, batchId, qid)
           return
         }
-        val existing = spark.read.parquet(cur.toString)
+        unionMerge(Some(spark.read.parquet(cur.toString)
           .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
-          .drop("bucket")
-        existing.join(delta, keys, "full_outer")
-          .select(keys.map(col) :+
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"): _*)
+          .drop("bucket")))
       }
     if (wantBuckets) {
       // repartition ON the bucket column before the partitioned write:

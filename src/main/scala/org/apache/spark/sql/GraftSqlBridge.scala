@@ -39,6 +39,17 @@ object GraftSqlBridge {
   def resolvableExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Catalyst's size estimate for a Dataset's optimized plan, in bytes
+    * (`queryExecution` is `private[sql]` in Spark 4). A planning-time
+    * statistic — file sizes × projection ratio for scans — used to pick
+    * scale-adaptive write widths without running a job.
+    */
+  def planSizeInBytes(df: Dataset[_]): Long = {
+    val stats = df.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats.isValidLong) stats.toLong else Long.MaxValue
+  }
+
   /** The session's Hadoop conf WITH session-level `spark.hadoop.*` /
     * `fs.*` overrides applied — `sessionState` is `private[sql]` in
     * Spark 4, so connectors can't call `newHadoopConf()` directly.

@@ -102,6 +102,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got2.size == 121)
   }
 
+  test("canonical WAV fast paths are byte-identical to AudioSystem (both directions)") {
+    // encode: wavFromPcm's hand-rolled 44-byte RIFF header must equal the
+    // JDK WaveFileWriter's bytes exactly (the fast path exists to skip
+    // AudioSystem's synchronized provider registry, not to change bytes)
+    val pcm = Multimodal.tonePcm(3, 2, 7L)
+    val mine = Multimodal.wavFromPcm(pcm)
+    val viaJdk = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().put(pcm)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(mine, viaJdk))
+    // decode: the canonical-WAV parse must yield the same samples the
+    // AudioSystem path yields (here: via the full hash, which consumes
+    // every sample) — and poison/unknown payloads still degrade safely
+    for (p <- 0 until 10; f <- 0 until 4) {
+      val wav = Multimodal.syntheticToneWav(p, f, p * 4L + f)
+      val viaFast = Multimodal.decodePcm16Abs(wav).get
+      val viaAis = {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val raw = try ais.readAllBytes() finally ais.close()
+        val n = raw.length / 2
+        val buf = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+        Array.tabulate(n)(i => math.abs(buf.get(i).toLong))
+      }
+      assert(java.util.Arrays.equals(viaFast, viaAis), s"pattern $p flips $f")
+    }
+  }
+
   test("audioHash: planted flips move exactly those bits, noise moves none") {
     for (p <- 0 until 10) {
       val base = Multimodal.audioHash64(Multimodal.syntheticToneWav(p, 0, 1L)).get
