@@ -169,6 +169,21 @@ object SparkEntry {
     * over and keeps output files in the guide's 128 MB–1 GB band. Only
     * narrow projected rows move.
     */
+  /** Scale-adaptive spread for per-row-HEAVY pipelines fed by a
+    * single-split scan (r20 optimization, guide §2.5 input skew): a
+    * bench-scale table is one row group, so everything map-side downstream
+    * of it runs as one task however many cores exist. Gated — a scan that
+    * already carries at least cluster-default-parallelism partitions (any
+    * real multi-file corpus) passes through untouched, so no extra
+    * exchange ever appears at scale. Hash-partitioned on a caller-chosen
+    * high-cardinality key (round-robin would pay sortBeforeRepartition
+    * inside the straggler scan task).
+    */
+  private def spreadScan(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p * 2, key)
+  }
+
   private def spreadForWrite(df: DataFrame, key: Column): DataFrame = {
     val byBytes = org.apache.spark.sql.GraftSqlBridge.planSizeInBytes(df) /
       (256L << 20) + 1
@@ -1250,7 +1265,11 @@ object SparkEntry {
       // The oracle recomputes the pairs with DuckDB's levenshtein over
       // the explicit length-filtered pair join — an INDEPENDENT
       // formulation, so blocking incompleteness cannot cancel out.
-      operators.FuzzyJoin.selfJoinDeletions(t(s, dir, "customer"),
+      // spreadScan (r20): the deletion fan-out (×19 variants per name)
+      // and the neighborhood join otherwise run behind the customer
+      // table's single scan split — measured 2.6 s → 1.0 s at sf0.1
+      operators.FuzzyJoin.selfJoinDeletions(
+        spreadScan(t(s, dir, "customer"), col("c_custkey")),
         col("c_custkey"), col("c_name"), maxDist = 1)),
 
     "q_vec_dot_sql" -> ((s, dir) => {

@@ -44,12 +44,20 @@ object Clustering {
       val d2 = Similarity.dot(col("e"), col("e")) -
         lit(2.0) * Similarity.dot(col("e"), col("c")) +
         Similarity.dot(col("c"), col("c"))
-      val w = Window.partitionBy("id").orderBy(col("d2"), col("cl"))
+      // argmin via min_by over the UNIQUE order key (d2, cl) — cl is
+      // distinct within an id, so the minimum is unique and min_by is
+      // deterministic, with exactly the window form's (d2 asc, cl asc)
+      // tie rule. A partial-aggregable argmin (r20 optimization, guide
+      // §2.3 "aggregate before you shuffle"): the old row_number window
+      // shuffled AND sorted corpus×k rows per iteration; this collapses
+      // to one row per id map-side and never sorts.
       dv.crossJoin(broadcast(cs))
         .select(col("id"), col("e"), col("cl"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id"), col("e"), col("cl"), col("d2"))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("e"), col("cl"), col("d2")),
+          struct(col("d2"), col("cl"))).as("m"))
+        .select(col("id"), col("m.e").as("e"), col("m.cl").as("cl"),
+          col("m.d2").as("d2"))
     }
 
     for (_ <- 0 until iters) {
