@@ -569,8 +569,13 @@ object Multimodal {
     * ran as one task (~6 s single-threaded on 32 cores). Hash-
     * repartitioning the BARE LONG ids (the only bytes that move — media
     * is synthesized after the exchange, the §8 "move small rows, build
-    * big rows late" shape) to 2× the cluster's default parallelism lets
-    * every downstream decode stage use the machine. Scale-adaptive, not
+    * big rows late" shape) to the cluster's default parallelism lets
+    * every downstream decode stage use the machine. Width is 1× p, not
+    * the r20 2× (VERDICT r20 #1 follow-up): the doubled width bought
+    * nothing once every core had a task and oversubscribed the cheap
+    * per-row consumers — same-window A/B at sf0.1, medians, 2p → p:
+    * q_dedup_image 1.18 → 0.95, q_dedup_video 1.22 → 0.97, q_dedup_audio
+    * 0.96 → 0.84, containment queries within noise. Scale-adaptive, not
     * a local constant: defaultParallelism is executor-count-aware on a
     * real cluster; results are partitioning-invariant (pure per-row
     * functions + spec-pinned partitioning-invariant consumers).
@@ -578,7 +583,7 @@ object Multimodal {
   private def spreadIds(ids: DataFrame): org.apache.spark.sql.Dataset[Long] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val width = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    val width = math.max(1, spark.sparkContext.defaultParallelism)
     ids.select(col("doc_id").cast("long"))
       .repartition(width, col("doc_id")).as[Long]
   }

@@ -50,6 +50,14 @@ object GraftSqlBridge {
     if (stats.isValidLong) stats.toLong else Long.MaxValue
   }
 
+  /** The session's effective `spark.sql.files.maxPartitionBytes` (typed
+    * accessor lives on the `private[sql]` SQLConf): the scan split size,
+    * used to predict how many tasks a file scan will get without
+    * planning it.
+    */
+  def filesMaxPartitionBytes(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.filesMaxPartitionBytes
+
   /** The session's Hadoop conf WITH session-level `spark.hadoop.*` /
     * `fs.*` overrides applied — `sessionState` is `private[sql]` in
     * Spark 4, so connectors can't call `newHadoopConf()` directly.
