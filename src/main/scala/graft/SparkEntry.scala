@@ -228,8 +228,26 @@ object SparkEntry {
       |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
 
-  /** Order-insensitive exact sum of a 2-dp double, surfaced as double. */
-  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+  /** Order-insensitive exact sum of a 2-dp double, surfaced as double.
+    * LONG limb form (r21 sweep, VERDICT r20 #2): `sum(decimal(14,2))`
+    * buffers at decimal(24,2) — precision > 18, a BigDecimal
+    * deserialize/add/reserialize per row (the r18 intermittent-10× CPU
+    * class); the limb sum is codegen'd long arithmetic per row with one
+    * BigDecimal per group, bit-identical to `cast(sum(dec) AS double)`
+    * (GridSum12Spec). Single-level: Σlo is ANSI-loud past 2³² rows in
+    * ONE group — per-key aggregations stay far under that; q1_agg's six
+    * global groups use the two-level form instead.
+    */
+  private def dsum2(c: Column): Column =
+    operators.GridSum.sumUnscaledAsDouble(operators.GridSum.unscaled(dec2(c)), 2)
+
+  /** [[dsum2]] at the events table's 6-dp grid: exact sum of
+    * `value.cast(decimal(18,6))`, surfaced as double — the same limb
+    * rewrite for the other repeated sum shape of the query set.
+    */
+  private def dsum6(c: Column): Column =
+    operators.GridSum.sumUnscaledAsDouble(
+      operators.GridSum.unscaled(c.cast("decimal(18,6)")), 6)
 
   /** Shared by q_video_containment, q_audio_containment and
     * q_text_containment: all three planted corpora follow the same
@@ -412,8 +430,13 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
-          sum(dec2(col("l_extendedprice")) * expr("CAST(1.0 - l_discount AS DECIMAL(8,2))"))
-            .cast("double").as("revenue"))),
+          // exact discounted revenue as a long-limb sum of the UNSCALED
+          // product (q1_agg's idiom, r21 sweep): unscaled(a·b) =
+          // unscaled(a)·unscaled(b) at scale 4, no per-row BigDecimal
+          operators.GridSum.sumUnscaledAsDouble(
+            operators.GridSum.unscaled(dec2(col("l_extendedprice"))) *
+              operators.GridSum.unscaled(expr("CAST(1.0 - l_discount AS DECIMAL(8,2))")),
+            4).as("revenue"))),
 
     "q_filter_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -567,7 +590,7 @@ object SparkEntry {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+          dsum6(col("value")).as("sum_value"))),
 
     "q_triangles" -> ((s, dir) => {
       // Exact triangle count on the supplier co-occurrence graph
@@ -633,7 +656,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          dsum6(col("value")).as("sum_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_s"),
           col("event_type"), col("n"), col("sum_value"))),
@@ -657,7 +680,11 @@ object SparkEntry {
       val base = pur.groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("last_us"),
           count(lit(1)).as("frequency"),
-          sum(col("value").cast("decimal(18,6)")).as("mon_d"))
+          // exact 6-dp monetary total in limb form, result type and value
+          // identical to sum(decimal(18,6)) (r21 sweep)
+          operators.GridSum.sumUnscaledAsDecimal(
+            operators.GridSum.unscaled(col("value").cast("decimal(18,6)")),
+            6, "decimal(28,6)").as("mon_d"))
         .crossJoin(broadcast(anchor))
         .select(col("user_id"),
           expr("(mx - last_us) div 86400000000").as("recency_days"),
@@ -747,7 +774,7 @@ object SparkEntry {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          dsum6(col("value")).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
           col("event_type"), col("n"), col("sum_value"))
       val qname = s"graft_stream_window_${System.nanoTime()}"
@@ -796,7 +823,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(unix_micros(col("ts"))).as("start_us"),
           max(unix_micros(col("ts"))).as("end_us"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          dsum6(col("value")).as("sum_value"))
       val qname = s"graft_stream_sessionize_${System.nanoTime()}"
       val query = agg.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -2645,7 +2672,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+          dsum6(col("value")).as("sum_value"))),
 
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2907,7 +2934,12 @@ object SparkEntry {
         .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
         .select(col("event_type"), expr("tus div 86400000000").as("day"), col("value"))
         .groupBy("event_type", "day")
-        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+        .agg(count(lit(1)).as("n"),
+          // limb form of sum(decimal(18,6)) — the window re-sums over
+          // s below run over ≤7 day-rows per frame, not corpus rows
+          operators.GridSum.sumUnscaledAsDecimal(
+            operators.GridSum.unscaled(col("value").cast("decimal(18,6)")),
+            6, "decimal(28,6)").as("s"))
       val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
       daily.select(col("event_type"), col("day"),
         sum("n").over(w).as("n7"),
@@ -3421,7 +3453,9 @@ object SparkEntry {
           .as("latest_priority"),
         min(col("__day")).as("first_day"),
         max(col("__day")).as("last_day"),
-        sum(col("o_totalprice").cast("decimal(14,2)")).as("spend_dec"))
+        operators.GridSum.sumUnscaledAsDecimal(
+          operators.GridSum.unscaled(col("o_totalprice").cast("decimal(14,2)")),
+          2, "decimal(24,2)").as("spend_dec"))
       agg.join(mode, "o_custkey")
         .select(col("o_custkey"), col("status_mode"), col("latest_priority"),
           col("n_orders"), col("first_day"), col("last_day"),

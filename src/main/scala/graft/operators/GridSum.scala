@@ -161,6 +161,23 @@ private[graft] object GridSum {
       GraftSqlBridge.expression(combineLongSums(sum(hi(u)), sum(lo(u)))), scale))
   }
 
+  /** Exact DECIMAL total of [[unscaled]] values via whole-group LONG
+    * limb sums — the decimal-result sibling of [[sumUnscaledAsDouble]]
+    * for sites whose sum stays decimal in the output schema (r21 sweep,
+    * VERDICT r20 #2): recombines U = 2³¹·Σhi + Σlo in decimal, rescales
+    * by the exact literal 10^-scale (U is the unscaled integer of the
+    * total, so the product is the total itself at scale `scale`), and
+    * casts to the ORIGINAL sum's result type — value- and type-identical
+    * to `sum(v)` over decimal(p, scale) inputs (GridSum12Spec pins it,
+    * negatives included). Same overflow domain as
+    * [[sumUnscaledAsDouble]]: Σlo is ANSI-loud past 2³² rows in one
+    * group; the final cast is ANSI-loud exactly where the original
+    * sum-then-cast was.
+    */
+  def sumUnscaledAsDecimal(u: Column, scale: Int, resultType: String): Column =
+    (combineLongSums(sum(hi(u)), sum(lo(u))) *
+      lit(java.math.BigDecimal.valueOf(1L, scale))).cast(resultType)
+
   /** Exact decimal total from whole-group LONG limb sums — the
     * single-level form: one aggregate, no partition sub-key, so the
     * plan keeps exactly the stage count of the plain decimal sum it

@@ -76,6 +76,29 @@ class GridSum12Spec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("sumUnscaledAsDouble/Decimal equal the plain decimal sum, value AND type") {
+    // the r21 sweep's two helpers over 2-dp money-like values, negatives
+    // and HALF_UP .xx5 boundaries included, across partitionings
+    val vals = Seq(0.0, -0.005, 0.005, 1.115, -1.115, 99999.99, -99999.99,
+      0.01, 123.45) ++ Seq.fill(3000)((rnd.nextDouble() - 0.5) * 1e5)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = vals.toDF("v")
+        .select(col("v").cast("decimal(14,2)").as("d")).repartition(parts)
+      val oldSum = df.agg(sum(col("d"))).first().getDecimal(0)
+      val oldDouble = df.agg(sum(col("d")).cast("double")).first().getDouble(0)
+      val newDec = df.select(GridSum.unscaled(col("d")).as("u"))
+        .agg(GridSum.sumUnscaledAsDecimal(col("u"), 2, "decimal(24,2)"))
+      val newDouble = df.select(GridSum.unscaled(col("d")).as("u"))
+        .agg(GridSum.sumUnscaledAsDouble(col("u"), 2)).first().getDouble(0)
+      assert(newDec.schema.head.dataType ==
+        org.apache.spark.sql.types.DecimalType(24, 2))
+      assert(newDec.first().getDecimal(0).compareTo(oldSum) == 0,
+        s"parts=$parts: decimal totals diverge")
+      assert(bits(newDouble) == bits(oldDouble),
+        s"parts=$parts: double totals diverge at the bit level")
+    }
+  }
+
   test("normStats keeps its exact sum through the limb form") {
     val df = Seq(
       (1L, Array(3.0, 4.0)), (1L, Array(0.3, 0.4)), (2L, Array(1.0, 0.0)),
