@@ -40,7 +40,7 @@ object Clustering {
       .select((row_number().over(Window.orderBy("id")) - 1).as("cl"),
         col("e").as("c"))
 
-    def assign(cs: DataFrame): DataFrame = {
+    def assign(cs: DataFrame, withVec: Boolean): DataFrame = {
       val d2 = Similarity.dot(col("e"), col("e")) -
         lit(2.0) * Similarity.dot(col("e"), col("c")) +
         Similarity.dot(col("c"), col("c"))
@@ -51,17 +51,27 @@ object Clustering {
       // §2.3 "aggregate before you shuffle"): the old row_number window
       // shuffled AND sorted corpus×k rows per iteration; this collapses
       // to one row per id map-side and never sorts.
-      dv.crossJoin(broadcast(cs))
+      // The min_by buffer carries only the SMALL (cl, d2) struct (r21,
+      // ADVICE r20): carrying the embedding inside it re-copied the full
+      // vector on every better candidate — a measured 1.3× local median
+      // regression. The iterations' mean step gets `e` back through
+      // first(), which is exact here because every row of an id group
+      // holds the identical vector (e is a function of id); the final
+      // assignment never needs e at all.
+      val aggs = min_by(struct(col("cl"), col("d2")),
+        struct(col("d2"), col("cl"))).as("m") +:
+        (if (withVec) Seq(first(col("e")).as("e")) else Nil)
+      val out = dv.crossJoin(broadcast(cs))
         .select(col("id"), col("e"), col("cl"), d2.as("d2"))
         .groupBy(col("id"))
-        .agg(min_by(struct(col("e"), col("cl"), col("d2")),
-          struct(col("d2"), col("cl"))).as("m"))
-        .select(col("id"), col("m.e").as("e"), col("m.cl").as("cl"),
-          col("m.d2").as("d2"))
+        .agg(aggs.head, aggs.tail: _*)
+      val cols = Seq(col("id")) ++ (if (withVec) Seq(col("e")) else Nil) ++
+        Seq(col("m.cl").as("cl"), col("m.d2").as("d2"))
+      out.select(cols: _*)
     }
 
     for (_ <- 0 until iters) {
-      val assigned = assign(cents)
+      val assigned = assign(cents, withVec = true)
       // Exact mean at a fixed 1e-12 grid: round(x·1e12) is an
       // integer-valued double (both engines round halves away from zero —
       // identical), summed associatively as EXACT integers. A direct
@@ -111,7 +121,8 @@ object Clustering {
     // same order of memory the cache already did — and it is released
     // when the caller drops the handle, which the cache entry never was.
     CacheScope.sealResult(
-      assign(cents).select(col("id"), col("cl").as("cluster"), col("d2")), dv)
+      assign(cents, withVec = false)
+        .select(col("id"), col("cl").as("cluster"), col("d2")), dv)
   }
 
   /** Cluster sizes + exact-decimal inertia after `iters` iterations. */
