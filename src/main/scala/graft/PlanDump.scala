@@ -34,17 +34,29 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     val names = Bench.Headline.filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
+      // Inner-plan capture (r21, VERDICT r20 #4): sealed-result queries
+      // explain as a bare checkpoint leaf and sink writes as the
+      // post-write read-back, hiding the exchanges the optimizations
+      // insert. While the query builds, CacheScope.materialize and the
+      // write helpers hand every inner plan here; the first 8 per query
+      // land as <name>_<suffix>.<kind><i>.txt next to the final plan.
+      val captured = new java.util.concurrent.atomic.AtomicInteger(0)
+      operators.PlanCapture.sink = Some { (kind, txt) =>
+        val i = captured.incrementAndGet()
+        if (i <= 8)
+          Files.writeString(Paths.get(outDir, s"${n}_$suffix.$kind$i.txt"), txt)
+      }
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"), txt)
         spark.sharedState.cacheManager.clearCache()
-        System.err.println(s"[plandump] $n ok")
+        System.err.println(s"[plandump] $n ok (${captured.get()} inner plans)")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $n FAILED: ${e.getMessage}")
         spark.sharedState.cacheManager.clearCache()
-      }
+      } finally operators.PlanCapture.sink = None
     }
     spark.stop()
   }

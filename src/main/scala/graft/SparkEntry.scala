@@ -207,8 +207,13 @@ object SparkEntry {
     // keyless form pays sortBeforeRepartition — a local sort of the full
     // rows INSIDE the single straggler scan task, which ate the win
     // (measured: as-is ~2.0 s, round-robin ~1.7-3.0 s, hash ~1.2-1.4 s).
-    df.repartition(math.max(
+    val out = df.repartition(math.max(
       df.sparkSession.sparkContext.defaultParallelism.toLong, byBytes).toInt, key)
+    // write-side plan evidence (r21, VERDICT r20 #4): the plan handed to
+    // .write is otherwise invisible in plans/ dumps (no-op unless PlanDump
+    // installed a sink)
+    operators.PlanCapture.capture("write", out)
+    out
   }
 
   /** Shared by q_funnel AND q_stream_funnel: batch and streaming funnels

@@ -48,6 +48,7 @@ private[graft] object CacheScope {
     * through here so cluster deployments flip ONE switch.
     */
   def materialize[T](ds: Dataset[T]): Dataset[T] = {
+    PlanCapture.capture("preseal", ds)
     val spark = ds.sparkSession
     val reliable = spark.conf.get(ReliableKey, "false").trim.equalsIgnoreCase("true")
     if (reliable) {
@@ -73,5 +74,27 @@ private[graft] object CacheScope {
     */
   implicit final class Materialized[T](private val ds: Dataset[T]) extends AnyVal {
     def materialized: Dataset[T] = CacheScope.materialize(ds)
+  }
+}
+
+/** Plan-evidence hook (r21, VERDICT r20 #4): the committed `plans/` dumps
+  * explain the RETURNED DataFrame, which for sealed-result queries starts
+  * at the localCheckpoint leaf and for sink-write queries is the
+  * post-write read-back — so the very exchanges the optimization claims
+  * (spread repartitions, write-width exchanges) were invisible in the
+  * round's own evidence. When a sink is installed (PlanDump only; None in
+  * every query/bench path — a volatile null check per materialize call,
+  * nothing else), [[CacheScope.materialize]] and SparkEntry's write
+  * helpers hand it the formatted plan of the INNER DataFrame they are
+  * about to seal or write, labeled by kind.
+  */
+private[graft] object PlanCapture {
+  @volatile var sink: Option[(String, String) => Unit] = None
+
+  def capture(kind: String, ds: Dataset[_]): Unit = sink.foreach { f =>
+    val txt =
+      try ds.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      catch { case e: Throwable => s"<plan capture failed: ${e.getMessage}>" }
+    f(kind, txt)
   }
 }
