@@ -384,11 +384,65 @@ object Multimodal {
     * Poison rows (null, undecodable, smaller than the 9×8 grid) yield
     * null, never failing the task.
     */
-  def dHash64(bytes: Array[Byte]): Option[Long] = {
-    if (bytes == null) return None
-    val img =
+  /** Per-thread cached ImageReaders keyed by sniffed format (r21,
+    * VERDICT r20 #5): `ImageIO.read` walks the reader registry, sniffs
+    * the stream against every registered provider and constructs a fresh
+    * reader PER CALL — measurable per-frame overhead once decode is
+    * multi-task (the §1.2 per-task-work residue after the r20 stream-
+    * cache fix). PNG/JPEG payloads (every planted corpus, and the bulk
+    * of any real image corpus) are sniffed by magic bytes here and
+    * decoded by one long-lived reader per (thread, format); anything
+    * else falls back to `ImageIO.read`. Byte-identical: the JDK
+    * registers exactly one reader per format, so the cached reader is
+    * the one `ImageIO.read` would construct, reading image 0 with
+    * default params (MultimodalSpec pins pixel equality). A reader that
+    * threw is disposed and dropped — its internal state is unknown; the
+    * row degrades to poison (null) exactly as before.
+    */
+  private val threadReaders =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageReader]()
+    }
+
+  private[graft] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    def fallback(): java.awt.image.BufferedImage =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
+    if (bytes == null) return null
+    if (bytes.length < 4) return fallback()
+    val fmt =
+      if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 0x50 &&
+        bytes(2) == 0x4e && bytes(3) == 0x47) "png"
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else null
+    if (fmt == null) return fallback()
+    val cache = threadReaders.get()
+    var reader = cache.get(fmt)
+    if (reader == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return fallback()
+      reader = it.next()
+      cache.put(fmt, reader)
+    }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally iis.close()
+    } catch {
+      case _: Exception =>
+        cache.remove(fmt)
+        try reader.dispose() catch { case _: Exception => () }
+        null
+    }
+  }
+
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val img = readImage(bytes)
     if (img == null || img.getWidth < 9 || img.getHeight < 8) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -825,7 +879,7 @@ object Multimodal {
     def le16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
     if (b.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
     var at = 12
-    var fmtOk = false
+    var blockAlign = 0
     while (at + 8 <= b.length) {
       val id = cc(at); val sz = le32(at + 4)
       if (sz < 0 || at + 8 + sz > b.length) return None
@@ -834,9 +888,18 @@ object Multimodal {
         // tag 1 = integer PCM; anything else (3=float, 0xFFFE=extensible,
         // compressed codecs) is not this fast path's business
         if (le16(at + 8) != 1 || le16(at + 8 + 14) != 16) return None
-        fmtOk = true
+        // frame size from the header (channels × 2 bytes): the data chunk
+        // truncates to a FRAME boundary below, matching AudioSystem's
+        // frame-count arithmetic for multi-channel payloads with a
+        // partial trailing frame (ADVICE r20 — the old & ~1 truncated to
+        // a 2-byte boundary and could hash such payloads differently
+        // than the AudioSystem path it replaces)
+        blockAlign = le16(at + 8 + 12)
+        if (blockAlign <= 0) return None
       } else if (id == "data") {
-        return if (fmtOk) Some((at + 8, sz.toInt & ~1)) else None
+        return if (blockAlign > 0)
+          Some((at + 8, sz.toInt / blockAlign * blockAlign))
+        else None
       }
       at += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
     }

@@ -768,7 +768,14 @@ object StreamingOps {
           writeBatchMarker(fs, cur, batchId, qid)
           return
         }
-        unionMerge(Some(spark.read.parquet(cur.toString)
+        // explicit schema incl. the int bucket partition column (ADVICE
+        // r20): the bucketed read now skips footer inference like the
+        // flat read — partition DISCOVERY (the dir listing) remains,
+        // that is how pruning to the touched buckets works
+        unionMerge(Some(spark.read.schema(org.apache.spark.sql.types.StructType(
+            stateSchema :+ org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType)))
+          .parquet(cur.toString)
           .where(col("bucket").isin(touched.map(Integer.valueOf): _*))
           .drop("bucket")))
       }

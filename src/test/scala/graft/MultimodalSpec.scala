@@ -140,6 +140,66 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV fast path truncates to FRAME boundaries like AudioSystem (ADVICE r20)") {
+    // stereo 16-bit WAV whose data chunk ends mid-frame (6 bytes = 1.5
+    // frames of blockAlign 4): AudioSystem decodes exactly 1 frame; the
+    // fast path must yield the same 2 samples, not 3
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val data = Array[Byte](10, 0, 20, 0, 30, 0) // 3 shorts, 1.5 stereo frames
+    val out = new Array[Byte](44 + data.length)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + data.length)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(2)      // integer PCM, STEREO
+      .putInt(8000).putInt(8000 * 4)
+      .putShort(4).putShort(16)     // blockAlign 4, 16-bit
+      .put("data".getBytes(ascii)).putInt(data.length)
+      .put(data)
+    val viaFast = Multimodal.decodePcm16Abs(out).get
+    val viaAis = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(out))
+      val raw = try ais.readAllBytes() finally ais.close()
+      val n = raw.length / 2
+      val buf = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      Array.tabulate(n)(i => math.abs(buf.get(i).toLong))
+    }
+    assert(java.util.Arrays.equals(viaFast, viaAis),
+      s"fast=${viaFast.toSeq} ais=${viaAis.toSeq}")
+    assert(viaFast.toSeq == Seq(10L, 20L))
+  }
+
+  test("cached-reader decode is pixel-identical to ImageIO.read (PNG and JPEG)") {
+    // r21 per-thread reader cache: same pixels as the per-call
+    // ImageIO.read path for both planted formats, and poison degrades
+    def pixels(img: java.awt.image.BufferedImage): Seq[Int] =
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth).toSeq
+    val png = Multimodal.syntheticPatternPng(4, 2, 11L)
+    val jpg = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, "jpg", bos)
+      bos.toByteArray
+    }
+    for (bytes <- Seq(png, jpg)) {
+      val viaCache = Multimodal.readImage(bytes)
+      val viaImageIO = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(pixels(viaCache) == pixels(viaImageIO))
+      // a second decode through the SAME cached reader stays identical
+      assert(pixels(Multimodal.readImage(bytes)) == pixels(viaImageIO))
+    }
+    assert(Multimodal.readImage(null) == null)
+    assert(Multimodal.readImage(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.readImage("nonsense-bytes-here".getBytes) == null)
+    // a poison JPEG (valid magic, truncated body) degrades without
+    // poisoning the cached reader for the NEXT good payload
+    assert(Multimodal.readImage(jpg.take(20)) == null)
+    assert(pixels(Multimodal.readImage(jpg)) ==
+      pixels(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))))
+  }
+
   test("audioHash: planted flips move exactly those bits, noise moves none") {
     for (p <- 0 until 10) {
       val base = Multimodal.audioHash64(Multimodal.syntheticToneWav(p, 0, 1L)).get
