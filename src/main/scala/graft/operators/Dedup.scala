@@ -370,11 +370,16 @@ object Dedup {
     // member -> rep (via fingerprint) -> rep's component; reps outside
     // every near-dup pair label their own group (coalesce to rep id =
     // the group's min member id); null-text rows label themselves.
-    val memberLabel = st.members
-      .join(st.reps.select(col("__fp"), col("id").cast("long").as("__rep")), "__fp")
+    // Rep-level resolution first (r21, guide §2.4, hammingClusters'
+    // move): the member table crosses ONE fingerprint join instead of a
+    // fingerprint join plus a rep join.
+    val repLabel = st.reps.select(col("__fp"), col("id").cast("long").as("__rep"))
       .join(comps.select(col("id").as("__rep"), col("component")), Seq("__rep"), "left")
-      .select(col("id").cast("long").as("id"),
+      .select(col("__fp"),
         coalesce(col("component"), col("__rep")).as("component"))
+    val memberLabel = st.members
+      .join(repLabel, "__fp")
+      .select(col("id").cast("long").as("id"), col("component"))
     CacheScope.sealResult(
       df.select(id.cast("long").as("id"))
         .join(memberLabel, Seq("id"), "left")
@@ -501,12 +506,17 @@ object Dedup {
       .distinct()
     // rep -> component (min id over the near-dup graph); reps without any
     // near-dup edge keep themselves; members inherit via their rep; null
-    // signatures are singletons
+    // signatures are singletons. Rep-level resolution FIRST (r21, guide
+    // §2.4): joining the tiny rep table to its components before touching
+    // members means the MEMBER table — corpus-sized at scale — crosses
+    // ONE equi-join on sig instead of two (the old sig-join-then-rep-join
+    // chain shuffled it twice).
     val comp = connectedComponents(repPairs)
       .toDF("rep", "component")
-    val withRep = clean.join(repOf, "sig").select(col("id"), col("rep"))
-    withRep.join(comp, Seq("rep"), "left")
-      .select(col("id"), coalesce(col("component"), col("rep")).as("cluster"))
+    val sigCluster = repOf.join(comp, Seq("rep"), "left")
+      .select(col("sig"), coalesce(col("component"), col("rep")).as("cluster"))
+    clean.join(sigCluster, "sig")
+      .select(col("id"), col("cluster"))
       .unionByName(all.where(col("sig").isNull)
         .select(col("id"), col("id").as("cluster")))
   }
