@@ -2399,6 +2399,21 @@ object SparkEntry {
         Dedup.MinHashParams(jaccardThreshold = 0.4))
     }),
 
+    "q_dedup_clusters_exact" -> ((s, dir) => {
+      // q_dedup_clusters_lsh's recall-1.0 verification twin (r21, VERDICT
+      // r20 #7): the identical grouping/threshold/component/label
+      // machinery over the EXPLICIT all-pairs exact-Jaccard surface, so
+      // the one semantic rewrite that is oracle-blind through the LSH
+      // query (xxhash band keys) gets an independently recomputable
+      // oracle entry — DuckDB replays word shingles, pair Jaccard and
+      // recursive components from the raw documents. Quadratic in
+      // distinct texts by construction: a verification query, never the
+      // scale path.
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardClusters(docs, col("doc_id"), col("text"),
+        minJaccard = 0.4, shingleSize = 3)
+    }),
+
     // ---- training-data pipeline: text analysis
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -4858,6 +4873,49 @@ object SparkEntry {
         |SELECT v.vec_id AS id, least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS component
         |FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
         |GROUP BY v.vec_id""".stripMargin,
+
+    // Independent replay of the exact-Jaccard clusters twin (VERDICT r20
+    // #7): word 3-gram shingles (single-space split keeping empties,
+    // whole-text fallback under 3 tokens — Dedup.shingleSet's contract),
+    // DISTINCT per doc, pair Jaccard |∩|/|∪| as the same integer-ratio
+    // doubles Spark computes, then min-label components via the
+    // recursive reach CTE (q_dedup_clusters' shape). Docs with null text
+    // or no qualifying pair label themselves.
+    "q_dedup_clusters_exact" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN nt < 3 THEN array_to_string(t, ' ')
+        |         ELSE array_to_string(t[i:i+2], ' ') END AS s
+        |  FROM (
+        |    SELECT doc_id, t, len(t) AS nt,
+        |      unnest(generate_series(1,
+        |        CASE WHEN len(t) < 3 THEN 1 ELSE len(t) - 2 END)) AS i
+        |    FROM toks)
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = inter.id_a
+        |  JOIN cnt cb ON cb.doc_id = inter.id_b
+        |  WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.4
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        |)
+        |SELECT d.doc_id AS id, least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
 
     // Ground truth is closed-form by construction of the planted images:
     // within a pattern (doc_id mod 10) every variant pair sits at

@@ -335,6 +335,35 @@ class DedupGroupSpec extends AnyFunSuite {
     assert(direct(900L) == 900L && direct(901L) == 901L)
   }
 
+  test("jaccardClusters (oracle twin) == minhashClusters on planted corpora (r21)") {
+    // The recall-1.0 verification twin behind q_dedup_clusters_exact:
+    // same grouping, threshold, components and labels with an explicit
+    // all-pairs exact-Jaccard candidate stage. On corpora whose true
+    // pairs the banding finds (exact-dup groups collide in every band;
+    // the near/chain corpus below is deterministic under the fixed
+    // seed), the two must label identically — this is the bridge that
+    // lets the SQL oracle's check of the exact twin stand in for the
+    // oracle-blind LSH query.
+    val base = "planted near duplicate group body with plenty of distinct tokens to shingle cleanly"
+    val docs = (
+      (0 until 5).map(i => (i.toLong, base)) ++
+      (0 until 3).map(i => (10L + i, base + " tail")) ++
+      Seq((20L, "glacier moraine drumlin esker outwash plain kettle lake terminal ridge sequence"),
+        (21L, "glacier moraine drumlin esker outwash plain kettle lake terminal ridge sequence extra"),
+        (900L, "a singleton document with its own unique content and tokens entirely"),
+        (901L, null.asInstanceOf[String]))
+    ).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(bands = 16, rowsPerBand = 2, jaccardThreshold = 0.6)
+    val viaLsh = Dedup.minhashClusters(docs, col("doc_id"), col("text"), p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExact = Dedup.jaccardClusters(docs, col("doc_id"), col("text"),
+        minJaccard = 0.6, shingleSize = p.shingleSize)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExact == viaLsh)
+    assert((0 until 5).forall(i => viaExact(i.toLong) == 0L))
+    assert(viaExact(901L) == 901L)
+  }
+
   test("cosine LSH with real parameters is an exact-precision subset that finds planted dups") {
     val df = vecCorpus()
     val exact = cosSet(Dedup.cosineNearDups(df, col("vec_id"), col("embedding"), 0.9))
