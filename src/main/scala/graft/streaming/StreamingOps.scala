@@ -993,6 +993,14 @@ object StreamingOps {
       .start()
   }
 
+  /** Colf state size (bytes) above which the count-state MERGE switches
+    * from copy-on-write (self-compacting, cheapest while the state is
+    * small) to merge-on-read (O(delta) writes once the CoW full-state
+    * rewrite would dominate). Same tier shape and default as
+    * [[BucketStateMinBytes]]; `var` so specs can force the MoR tier.
+    */
+  private[graft] var ColfMoRMinBytes: Long = 256L << 20
+
   /** Commit-property keys the colf state path records in every table
     * commit: the applied streaming batch id and the owning query's
     * stable id.
@@ -1131,6 +1139,22 @@ object StreamingOps {
         val merger = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
         merger.conf.set(
           "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "false")
+        // TIERED DML mode (r21, VERDICT r20 #3 — the same size-gated
+        // pattern as BucketStateMinBytes): count deltas' keys are uniform
+        // over the key space, so the CoW rewrite can never prune a file
+        // and re-writes the ENTIRE state every batch — O(state) per
+        // batch, the real pathology at 100 TB where a batch's delta is a
+        // vanishing fraction of the state. Past the size gate the MERGE
+        // switches to merge-on-read: position deletes + fresh rows,
+        // O(delta) per batch (ColfDeleteVectorSpec pins read
+        // equivalence; ColfMaintenance OPTIMIZE bounds accumulated
+        // delete files on long-running states). Below the gate CoW
+        // stays — it self-compacts and the delta machinery costs more
+        // than it saves on a small state (measured at sf0.1: always-on
+        // MoR read ~1 s slower across the 3-batch stream).
+        val stateBytes = tableFs.getContentSummary(tablePath).getLength
+        if (stateBytes >= ColfMoRMinBytes)
+          merger.conf.set("spark.colf.dml.mode", "merge-on-read")
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val cols = (keys :+ "n").mkString(", ")
         val vals = (keys.map("s." + _) :+ "s.dn").mkString(", ")

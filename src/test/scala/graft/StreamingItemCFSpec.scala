@@ -146,6 +146,43 @@ class StreamingItemCFSpec extends AnyFunSuite {
     assert(n() == 13.0)
   }
 
+  test("colf state past the MoR gate: merges stop rewriting data files, counts identical") {
+    // r21 tier: above ColfMoRMinBytes the count-state MERGE switches to
+    // merge-on-read — batches write position deletes + fresh rows and
+    // every pre-existing data file survives byte-identical; the drained
+    // neighbors still equal the one-shot batch computation.
+    val rows = for {
+      bk <- 0L until 24L
+      slot <- 0 until (bk % 3 + 2).toInt
+    } yield (bk, ((bk * 5 + slot * 3 + slot * slot) % 7).toLong)
+    val df = rows.toDF("bk", "it")
+    val feedDir = tmp("itemcf-colf-mor-feed")
+    val stateDir = tmp("itemcf-colf-mor") + "/s"
+    for (r <- 0 until 3)
+      df.where($"bk" % 3 === r).coalesce(1).write.mode("append").parquet(feedDir)
+    val gate = StreamingOps.ColfMoRMinBytes
+    StreamingOps.ColfMoRMinBytes = 0L
+    try {
+      val feed = spark.readStream.schema(spark.read.parquet(feedDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+      StreamingOps.maintainItemCFColf(feed, "bk", "it", stateDir).awaitTermination()
+    } finally StreamingOps.ColfMoRMinBytes = gate
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"item".cast("long"), $"nbr".cast("long"), $"cooc".cast("long"),
+          $"cos", $"rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val maintained = canon(StreamingOps.itemCFFromColfState(spark, stateDir, k = 3, minPairs = 2))
+    val oneShot = canon(Analytics.itemNeighbors(df, $"bk", $"it", k = 3, minPairs = 2))
+    assert(maintained == oneShot)
+    assert(maintained.nonEmpty)
+    // the merge-on-read property: delete files exist, and more data files
+    // than the single CoW rewrite would leave live (old files survive)
+    val entries = new java.io.File(s"$stateDir/counts").listFiles().map(_.getName)
+    assert(entries.exists(_.contains("delete")) ||
+      entries.count(_.endsWith(".colf")) > 2,
+      s"expected merge-on-read artifacts in ${entries.toSeq.sorted}")
+  }
+
   test("checkpoint-only deletion is detected, not silently undercounted") {
     // ADVICE r15: deleting stateDir/_checkpoint while keeping the state
     // restarts batch ids at 0; the bare `applied >= batchId` guard then
