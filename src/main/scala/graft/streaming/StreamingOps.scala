@@ -529,42 +529,35 @@ object StreamingOps {
     feed.writeStream
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // ONE exchange serves dedup AND the basket self-join (r21, guide
-        // §2.4 "share one exchange"): repartition by bk, then
-        // dropDuplicates — hash(bk) clusters (bk, it) so the distinct
-        // adds no exchange, and the self-join on bk reuses the same
-        // partitioning on both sides. CACHED, not checkpointed: a
-        // localCheckpoint truncates to an RDD scan with UNKNOWN
-        // partitioning, which made the join re-shuffle both sides per
-        // batch (two exchanges + their stage barriers, measured in the
-        // per-batch profile). The cache is batch-scoped: unpersisted
-        // right after the merges (actions) complete, so nothing leaks
-        // into the session CacheManager across batches.
-        val b = prof(s"itemcf b$batchId dedup") {
+        // Eager batch-scoped checkpoint, NOT a lazy cache (re-measured
+        // r21): a partitioning-preserving `repartition(bk).cache()` would
+        // save the self-join's two exchanges, but the two CONCURRENT
+        // merges then race to materialize the lazy cache and serialize on
+        // its block lock — interleaved A/B read the checkpointed form
+        // ~1 s faster per query at sf0.1. The eager checkpoint
+        // materializes once, before the merges fork.
+        val b = prof(s"itemcf b$batchId dedup+checkpoint") {
           batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-            .repartition(col("bk"))
-            .dropDuplicates()
-            .cache()
+            .distinct()
+            .materialized // two consumers below; batch-scoped blocks
         }
-        try {
-          // UNaggregated deltas (r20 optimization): mergeCountState's one
-          // union+groupBy collapses occurrences and state together, so
-          // pre-aggregating here would pay an extra exchange+aggregate per
-          // batch per state for nothing (the colf path below keeps its
-          // aggregated delta — MERGE INTO needs unique source keys)
-          val dPairs = b.as("a").join(b.as("b"), "bk")
-            .where(col("a.it") < col("b.it"))
-            .select(col("a.it").as("item_a"), col("b.it").as("item_b"),
-              lit(1L).as("dn"))
-          val dItems = b.select(col("it"), lit(1L).as("dn"))
-          val qid = Some(streamQueryId(b.sparkSession))
-          prof(s"itemcf b$batchId merge both") {
-            mergeBoth(
-              () => mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"),
-                dPairs, batchId, qid),
-              () => mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId, qid))
-          }
-        } finally b.unpersist(false)
+        // UNaggregated deltas (r20 optimization): mergeCountState's one
+        // union+groupBy collapses occurrences and state together, so
+        // pre-aggregating here would pay an extra exchange+aggregate per
+        // batch per state for nothing (the colf path below keeps its
+        // aggregated delta — MERGE INTO needs unique source keys)
+        val dPairs = b.as("a").join(b.as("b"), "bk")
+          .where(col("a.it") < col("b.it"))
+          .select(col("a.it").as("item_a"), col("b.it").as("item_b"),
+            lit(1L).as("dn"))
+        val dItems = b.select(col("it"), lit(1L).as("dn"))
+        val qid = Some(streamQueryId(b.sparkSession))
+        prof(s"itemcf b$batchId merge both") {
+          mergeBoth(
+            () => mergeCountState(s"$stateDir/pairs", Seq("item_a", "item_b"),
+              dPairs, batchId, qid),
+            () => mergeCountState(s"$stateDir/items", Seq("it"), dItems, batchId, qid))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -889,28 +882,15 @@ object StreamingOps {
   }
 
   /** [[maintainItemCF]] with the engine's OWN lakehouse tables as the
-    * state store: per batch, the pair and item count deltas `MERGE INTO`
-    * ONE colf table (`stateDir/counts`, keyed `(kind, ka, kb)` with
-    * kind `p` = pair rows, `i` = item rows) through the row-level
-    * copy-on-write path — runtime group filtering on `_file` rewrites
-    * only the files that hold matched keys, so a batch's write cost is
-    * O(files touched by the delta), not O(state) like the parquet
-    * read-modify-write above. This is the production shape at 100 TB:
-    * the maintained view lives in a queryable, versioned, time-travelable
-    * table of the engine's own format. Same feed contract and exactness
-    * as [[maintainItemCF]]; read with [[itemCFFromColfState]].
-    *
-    * ONE table, not the r20 pair of tables (r21 optimization, VERDICT
-    * r20 #3): the two per-batch MERGEs — even run concurrently — paid
-    * the full row-level machinery (rewrite planning, a full-outer merge
-    * join, a manifest commit) TWICE per batch and contended for the
-    * driver: profiled at sf0.1, each concurrent MERGE stretched to
-    * ~1.9 s while the same MERGE alone runs in ~0.7 s. Folding both
-    * deltas into one keyed MERGE pays the machinery once per batch, and
-    * makes the batch's apply+record a single atomic commit instead of
-    * two independently-marked ones (the two-table partial-failure
-    * schedule — one table folded, the other replaying — is now
-    * unconstructible rather than merely convergent).
+    * state store: per batch, the pair/item deltas `MERGE INTO` two colf
+    * tables (`stateDir/pairs`, `stateDir/items`) through the row-level
+    * DML path — copy-on-write while the state is small, merge-on-read
+    * past [[ColfMoRMinBytes]] so a batch's write cost is O(delta), not
+    * O(state), once the state dwarfs a delta. This is the production
+    * shape at 100 TB: the maintained view lives in a queryable,
+    * versioned, time-travelable table of the engine's own format. Same
+    * feed contract and exactness as [[maintainItemCF]]; read with
+    * [[itemCFFromColfState]].
     *
     * Restart safety (ADVICE r14, hardened r16): checkpoint under
     * `stateDir/_checkpoint` (state and source progress share one
@@ -951,41 +931,31 @@ object StreamingOps {
         val spark = batch.sparkSession
         spark.conf.set("spark.sql.catalog.colf_cat",
           classOf[graft.sources.colf.ColfCatalog].getName)
-        // one bk exchange serves dedup and the self-join, cached not
-        // checkpointed — see [[maintainItemCF]]'s batch body (r21)
-        val b = batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-          .repartition(col("bk"))
-          .dropDuplicates()
-          .cache()
-        val dAll = try {
-          val dPairs = b.as("a").join(b.as("b"), "bk")
-            .where(col("a.it") < col("b.it"))
-            .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
-            .agg(count(lit(1)).as("dn"))
-          val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
-          // one union delta, one MERGE: each side is unique on its own keys
-          // and the kind discriminator keeps them disjoint, so the combined
-          // source is unique on (kind, ka, kb) as MERGE requires. Item rows
-          // pad kb with "-" (item ids are integral, rendered as digit
-          // strings, so the pad can never collide with a real key).
-          // Materialized EAGERLY before the MERGE so the row-level command
-          // consumes a sealed tiny scan instead of evaluating the
-          // self-join/aggregate chain inside its own rewrite plan — the
-          // command then runs at the merge machinery's floor (~0.3 s
-          // probed) and the delta stages profile separately.
-          prof(s"itemcf-colf b$batchId delta") {
-            dPairs.select(lit("p").as("kind"),
-                col("item_a").cast("string").as("ka"),
-                col("item_b").cast("string").as("kb"), col("dn"))
-              .unionByName(dItems.select(lit("i").as("kind"),
-                col("it").cast("string").as("ka"), lit("-").as("kb"), col("dn")))
-              .materialized
-          }
-        } finally b.unpersist(false)
+        // TWO tables merged CONCURRENTLY, not one combined MERGE, and an
+        // eager checkpoint, not a lazy cache (re-measured r21): a
+        // kind-discriminated single counts table (one MERGE per batch,
+        // atomic combined commit) read 1.3-2 s SLOWER per query at
+        // sf0.1 — the two concurrent merges overlap their delta stages
+        // and row-level machinery almost perfectly on an idle scheduler,
+        // while the combined command serializes them; and a lazy cached
+        // dedup made the forked merges race to materialize it.
+        // Measurement kept the overlapped eager design (guide §1).
+        val b = prof(s"itemcf-colf b$batchId dedup+checkpoint") {
+          batch.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+            .distinct()
+            .materialized
+        }
+        val dPairs = b.as("a").join(b.as("b"), "bk")
+          .where(col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+          .agg(count(lit(1)).as("dn"))
+        val dItems = b.groupBy(col("it")).agg(count(lit(1)).as("dn"))
         val qid = Some(streamQueryId(spark))
-        prof(s"itemcf-colf b$batchId merge") {
-          mergeColfCountState(s"$stateDir/counts", Seq("kind", "ka", "kb"),
-            dAll, batchId, qid)
+        prof(s"itemcf-colf b$batchId merge both") {
+          mergeBoth(
+            () => mergeColfCountState(s"$stateDir/pairs", Seq("item_a", "item_b"),
+              dPairs, batchId, qid),
+            () => mergeColfCountState(s"$stateDir/items", Seq("it"), dItems, batchId, qid))
         }
         ()
       }
@@ -1305,21 +1275,18 @@ object StreamingOps {
     (segs.length, segs.length - foldable.length + 1)
   }
 
-  /** [[itemCFFromState]] over the colf-backed state table (keys ride as
-    * utf8 in COLF's type lattice — cast back to long for scoring; the
-    * `kind` column splits the single counts table back into its pair and
-    * item views).
+  /** [[itemCFFromState]] over the colf-backed state tables (keys ride as
+    * utf8 in COLF's type lattice — cast back to long for scoring).
     */
   def itemCFFromColfState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       k: Int, minPairs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.functions.col
-    def counts = spark.read.format("colf").load(s"$stateDir/counts")
     itemCFScore(
-      counts.where(col("kind") === "p")
-        .select(col("ka").cast("long").as("item_a"),
-          col("kb").cast("long").as("item_b"), col("n").cast("long").as("n")),
-      counts.where(col("kind") === "i")
-        .select(col("ka").cast("long").as("it"), col("n").cast("long").as("n")),
+      spark.read.format("colf").load(s"$stateDir/pairs")
+        .select(col("item_a").cast("long").as("item_a"),
+          col("item_b").cast("long").as("item_b"), col("n").cast("long").as("n")),
+      spark.read.format("colf").load(s"$stateDir/items")
+        .select(col("it").cast("long").as("it"), col("n").cast("long").as("n")),
       k, minPairs)
   }
 

@@ -70,8 +70,8 @@ class StreamingItemCFSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
     // the state is a real, versioned colf table: batch 1 created v1 and
     // each later batch's MERGE committed a new version
-    val countsNow = spark.read.format("colf").load(s"$stateDir/counts").count()
-    assert(countsNow > 0)
+    val pairsNow = spark.read.format("colf").load(s"$stateDir/pairs").count()
+    assert(pairsNow > 0)
   }
 
   test("colf state: every committed version carries its applied batch id ATOMICALLY") {
@@ -94,7 +94,7 @@ class StreamingItemCFSpec extends AnyFunSuite {
     val feed = spark.readStream.schema(spark.read.parquet(feedDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir)
     StreamingOps.maintainItemCFColf(feed, "bk", "it", stateDir).awaitTermination()
-    for (table <- Seq("counts")) {
+    for (table <- Seq("pairs", "items")) {
       val root = new org.apache.hadoop.fs.Path(s"$stateDir/$table")
       val fs = root.getFileSystem(
         org.apache.spark.sql.GraftSqlBridge.sessionHadoopConf(spark))
@@ -114,7 +114,7 @@ class StreamingItemCFSpec extends AnyFunSuite {
         ColfVersions.commitProps(fs, root, v).get(StreamingOps.QueryProp).exists(_.nonEmpty)))
     }
     // no separate marker file exists anymore — nothing left to desync
-    assert(!new java.io.File(s"$stateDir/counts/_graft_batch").exists())
+    assert(!new java.io.File(s"$stateDir/pairs/_graft_batch").exists())
   }
 
   test("colf state: replay of an applied batch is a no-op (exactly-once under replay)") {
@@ -177,7 +177,7 @@ class StreamingItemCFSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
     // the merge-on-read property: delete files exist, and more data files
     // than the single CoW rewrite would leave live (old files survive)
-    val entries = new java.io.File(s"$stateDir/counts").listFiles().map(_.getName)
+    val entries = new java.io.File(s"$stateDir/pairs").listFiles().map(_.getName)
     assert(entries.exists(_.contains("delete")) ||
       entries.count(_.endsWith(".colf")) > 2,
       s"expected merge-on-read artifacts in ${entries.toSeq.sorted}")
